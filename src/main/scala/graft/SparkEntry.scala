@@ -81,6 +81,122 @@ object SparkEntry {
       .orderBy("group_key")
   }
 
+  // ---- shared panels ------------------------------------------------------
+
+  /** One value per (day, event_type): the A1 panel shape from events
+    * (FIXTURES.md role mapping). */
+  private def eventsDailyPanel(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(Panel.finite(col("value")))
+      .groupBy(date_trunc("day", col("ts")).as("date"), col("event_type").as("group_key"))
+      .agg(avg("value").as("value"))
+
+  private val evPanelSql =
+    """SELECT date_trunc('day', ts) AS date, event_type AS group_key, avg(value) AS value
+      |FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1, 2""".stripMargin
+
+  private val liFeatures = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  /** Daily wide panel from lineitem: group = l_returnflag, three features. */
+  private def lineitemDailyPanel(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("date"), col("l_returnflag").as("group_key"))
+      .agg(
+        avg("l_quantity").as("l_quantity"),
+        avg("l_extendedprice").as("l_extendedprice"),
+        avg("l_discount").as("l_discount"))
+
+  private val liPanelSql =
+    """SELECT date_trunc('day', l_shipdate) AS date, l_returnflag AS group_key,
+      |avg(l_quantity) AS l_quantity, avg(l_extendedprice) AS l_extendedprice,
+      |avg(l_discount) AS l_discount FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  /** Melted-panel SQL: UNION ALL of the three lineitem features. */
+  private val liMeltedSql = liFeatures
+    .map(f => s"SELECT date, group_key, '$f' AS feature, $f AS value FROM panel")
+    .mkString(" UNION ALL ")
+
+  // ---- W2/K3: memory (ACF + Hurst) ----------------------------------------
+
+  private def memoryEvents(s: SparkSession, dir: String): DataFrame = {
+    val melted = Panel.melt(eventsDailyPanel(s, dir), "date", Seq("group_key"), Seq("value"))
+    val a = Lags.acf(melted, Seq(1, 5, 10))
+    val h = Hurst.hurst(melted).select("group_key", "feature", "hurst_exp")
+    a.join(h, Seq("group_key", "feature"))
+      .select(col("group_key"), col("feature"),
+        round6("acf_lag1"), round6("acf_lag5"), round6("acf_lag10"), round6("hurst_exp"))
+      .orderBy("group_key")
+  }
+
+  // ---- W3: AR(1) predictability -------------------------------------------
+
+  private def ar1Lineitem(s: SparkSession, dir: String): DataFrame = {
+    val melted = Panel.melt(lineitemDailyPanel(s, dir), "date", Seq("group_key"), liFeatures)
+    Lags.ar1(melted)
+      .select(col("group_key"), col("feature"), round6("ar1_r2"))
+      .orderBy("feature", "group_key")
+  }
+
+  // ---- W4/G5: lagged cross-feature correlation ----------------------------
+
+  private val liPairs = Seq(
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"))
+
+  private def laggedCorrLineitem(s: SparkSession, dir: String): DataFrame =
+    Lags.laggedCrossCorr(lineitemDailyPanel(s, dir), "date", "group_key", liPairs, maxLag = 5)
+      .select(col("pair"), col("lag"), round6("avg_corr"))
+      .orderBy("pair", "lag")
+
+  private def laggedCorrSql: String = {
+    val lagDefs = liPairs.map(_._1).distinct.flatMap { fa =>
+      (0 to 5).map(l => s"lag($fa, $l) OVER w AS ${fa}__l$l")
+    }
+    val aggDefs = liPairs.flatMap { case (fa, fb) =>
+      (0 to 5).flatMap { l =>
+        Seq(
+          s"corr(${fa}__l$l, $fb) AS c__${fa}__${fb}__$l",
+          s"count(CASE WHEN ${fa}__l$l IS NOT NULL AND $fb IS NOT NULL THEN 1 END) AS n__${fa}__${fb}__$l")
+      }
+    }
+    val unions = liPairs.flatMap { case (fa, fb) =>
+      (0 to 5).map(l =>
+        s"SELECT group_key, '$fa|$fb' AS pair, $l AS lag, c__${fa}__${fb}__$l AS c, n__${fa}__${fb}__$l AS np FROM g")
+    }
+    s"""WITH panel AS ($liPanelSql),
+       |d AS (SELECT group_key, l_quantity, l_extendedprice, l_discount, ${lagDefs.mkString(", ")}
+       |  FROM panel WINDOW w AS (PARTITION BY group_key ORDER BY date)),
+       |g AS (SELECT group_key, ${aggDefs.mkString(", ")} FROM d GROUP BY 1),
+       |u AS (${unions.mkString(" UNION ALL ")})
+       |SELECT pair, lag, round(avg(CASE WHEN np >= 10 THEN c END), 6) AS avg_corr
+       |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---- W5: rolling correlation --------------------------------------------
+
+  private def rollingCorrLineitem(s: SparkSession, dir: String): DataFrame =
+    Lags.rollingCorr(lineitemDailyPanel(s, dir), "date", "group_key",
+        "l_quantity", "l_extendedprice", window = 10)
+      .select(col("group_key"), col("date"), round6("roll_corr"))
+      .orderBy("group_key", "date")
+
+  // ---- F7: linear detrend fit ---------------------------------------------
+
+  private def detrendLineitem(s: SparkSession, dir: String): DataFrame = {
+    val melted = Panel.melt(lineitemDailyPanel(s, dir), "date", Seq("group_key"), liFeatures)
+    Detrend.trendFit(melted)
+      .select(col("group_key"), col("feature"), col("n"), round6("slope"), round6("intercept"))
+      .orderBy("feature", "group_key")
+  }
+
+  // ---- K8: mutual information ---------------------------------------------
+
+  private def mutualInfoLineitem(s: SparkSession, dir: String): DataFrame =
+    MutualInfo.mutualInfo(lineitemDailyPanel(s, dir), "group_key", "l_quantity", "l_extendedprice")
+      .select(col("group_key"), lit("l_quantity|l_extendedprice").as("pair"), round6("mi"))
+      .orderBy("group_key")
+
   // ---- registry -----------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -89,6 +205,12 @@ object SparkEntry {
     "q_distribution_lineitem" -> distributionLineitem,
     "q_dispersion_events" -> dispersionEvents,
     "q_zscore_outliers" -> zscoreOutliers,
+    "q_memory_events" -> memoryEvents,
+    "q_ar1_lineitem" -> ar1Lineitem,
+    "q_lagged_corr_lineitem" -> laggedCorrLineitem,
+    "q_rolling_corr_lineitem" -> rollingCorrLineitem,
+    "q_detrend_lineitem" -> detrendLineitem,
+    "q_mutual_info_lineitem" -> mutualInfoLineitem,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -129,5 +251,66 @@ object SparkEntry {
         |round(avg(CASE WHEN z > 3 THEN 1.0 ELSE 0.0 END), 6) AS outlier_rate,
         |round(max(z), 6) AS max_z
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_memory_events" ->
+      s"""WITH panel AS ($evPanelSql),
+         |d AS (SELECT group_key, date, value,
+         |  lag(value, 1) OVER w AS l1, lag(value, 5) OVER w AS l5, lag(value, 10) OVER w AS l10,
+         |  avg(value) OVER (PARTITION BY group_key) AS mu
+         |  FROM panel WINDOW w AS (PARTITION BY group_key ORDER BY date)),
+         |cs AS (SELECT *, sum(value - mu) OVER (PARTITION BY group_key ORDER BY date
+         |  ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+         |ag AS (SELECT group_key, count(*) AS n, corr(value, l1) AS a1, corr(value, l5) AS a5,
+         |  corr(value, l10) AS a10, stddev_samp(value) AS sigma, max(cum) - min(cum) AS rng
+         |  FROM cs GROUP BY 1)
+         |SELECT group_key, 'value' AS feature,
+         |round(a1, 6) AS acf_lag1, round(a5, 6) AS acf_lag5, round(a10, 6) AS acf_lag10,
+         |round(CASE WHEN n < 20 THEN NULL WHEN sigma = 0 THEN 0.5
+         |  ELSE ln(rng / sigma) / ln(n) END, 6) AS hurst_exp
+         |FROM ag WHERE n >= 12 ORDER BY group_key""".stripMargin,
+    "q_ar1_lineitem" ->
+      s"""WITH panel AS ($liPanelSql),
+         |m AS ($liMeltedSql),
+         |d AS (SELECT group_key, feature, value AS y,
+         |  lag(value, 1) OVER (PARTITION BY group_key, feature ORDER BY date) AS x FROM m),
+         |ag AS (SELECT group_key, feature,
+         |  count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS np, corr(x, y) AS r
+         |  FROM d GROUP BY 1, 2)
+         |SELECT group_key, feature, round(r * r, 6) AS ar1_r2
+         |FROM ag WHERE np >= 10 ORDER BY feature, group_key""".stripMargin,
+    "q_lagged_corr_lineitem" -> laggedCorrSql,
+    "q_rolling_corr_lineitem" ->
+      s"""WITH panel AS ($liPanelSql)
+         |SELECT group_key, date,
+         |round(CASE WHEN count(*) OVER w2 = 10 THEN corr(l_quantity, l_extendedprice) OVER w2 END, 6) AS roll_corr
+         |FROM panel WINDOW w2 AS (PARTITION BY group_key ORDER BY date
+         |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         |ORDER BY group_key, date""".stripMargin,
+    "q_detrend_lineitem" ->
+      s"""WITH panel AS ($liPanelSql),
+         |m AS ($liMeltedSql),
+         |d AS (SELECT group_key, feature, value,
+         |  cast(row_number() OVER (PARTITION BY group_key, feature ORDER BY date) - 1 AS double) AS t FROM m)
+         |SELECT group_key, feature, count(*) AS n,
+         |round(covar_pop(t, value) / var_pop(t), 6) AS slope,
+         |round(avg(value) - covar_pop(t, value) / var_pop(t) * avg(t), 6) AS intercept
+         |FROM d GROUP BY 1, 2 ORDER BY feature, group_key""".stripMargin,
+    "q_mutual_info_lineitem" ->
+      s"""WITH panel AS ($liPanelSql),
+         |mm AS (SELECT group_key, l_quantity AS x, l_extendedprice AS y FROM panel),
+         |st AS (SELECT group_key, min(x) AS xmn, max(x) AS xmx, min(y) AS ymn, max(y) AS ymx
+         |  FROM mm GROUP BY 1),
+         |b AS (SELECT m.group_key,
+         |  CASE WHEN xmx = xmn THEN 5 ELSE least(floor((x - xmn) / (xmx - xmn) * 10), 9) END AS xbin,
+         |  CASE WHEN ymx = ymn THEN 5 ELSE least(floor((y - ymn) / (ymx - ymn) * 10), 9) END AS ybin
+         |  FROM mm m JOIN st USING (group_key)),
+         |h AS (SELECT group_key, xbin, ybin, count(*) AS c FROM b GROUP BY 1, 2, 3),
+         |p AS (SELECT group_key, c, sum(c) OVER (PARTITION BY group_key) AS ntot,
+         |  sum(c) OVER (PARTITION BY group_key, xbin) AS cx,
+         |  sum(c) OVER (PARTITION BY group_key, ybin) AS cy FROM h)
+         |SELECT group_key, 'l_quantity|l_extendedprice' AS pair,
+         |round(CASE WHEN max(ntot) >= 10 THEN
+         |  sum((c / ntot) * (ln(c / ntot + 1e-12) - ln(cx / ntot + 1e-12) - ln(cy / ntot + 1e-12)))
+         |END, 6) AS mi
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

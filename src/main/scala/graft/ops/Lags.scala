@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Panel
+
+/** Ordered per-series (lag/window) operators — SURVEY.md §2.5 W1–W5, W7, G5.
+  *
+  * All operate on the melted panel `(date, group_key, feature, value)` or a
+  * wide per-group panel. The only shuffle is the hash exchange on the window
+  * partition keys; every kernel after that is a window/agg expression inside
+  * whole-stage codegen, so the plans scale linearly with panel count.
+  */
+object Lags {
+
+  /** NaN → null so `corr`/`avg` skip them like pandas pairwise-complete. */
+  private[ops] def nn(c: Column): Column = when(c.isNotNull && !isnan(c), c)
+
+  /** W2 — autocorrelation at the given lags per (group × feature)
+    * (time_series_study.py:324-326): pandas `Series.autocorr(k)` = Pearson
+    * corr of the dropna'd series with its k-shifted self. Series are
+    * compacted (finite-filtered) BEFORE shifting, exactly like the
+    * reference's `dropna()` then `autocorr`. */
+  def acf(melted: DataFrame, lags: Seq[Int], minLen: Int = 12): DataFrame = {
+    val w = Window.partitionBy("group_key", "feature").orderBy("date")
+    val withLags = melted
+      .filter(Panel.finite(col("value")))
+      .select(
+        Seq(col("group_key"), col("feature"), col("value")) ++
+          lags.map(k => lag(col("value"), k).over(w).as(s"l$k")): _*)
+    val aggCols = count(lit(1)).as("n") +:
+      lags.map(k => corr(col("value"), col(s"l$k")).as(s"acf_lag$k"))
+    withLags
+      .groupBy("group_key", "feature")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .filter(col("n") >= minLen)
+  }
+
+  /** W3 — AR(1) predictability R² (time_series_study.py:475-523). The
+    * reference shifts the raw (NOT dropna'd) series positionally, then
+    * finite-masks pairs; R² of simple OLS with intercept = corr². Pairs with
+    * fewer than `minPairs` observations are dropped (`:491` continue). */
+  def ar1(melted: DataFrame, minPairs: Int = 10): DataFrame = {
+    val w = Window.partitionBy("group_key", "feature").orderBy("date")
+    val lagged = melted
+      .withColumn("xl", lag(col("value"), 1).over(w))
+      .select(
+        col("group_key"), col("feature"),
+        nn(col("value")).as("y"), nn(col("xl")).as("x"))
+      .withColumn("p", when(col("x").isNotNull && col("y").isNotNull, 1))
+    lagged
+      .groupBy("group_key", "feature")
+      .agg(count("p").as("npairs"), corr("x", "y").as("r"))
+      .filter(col("npairs") >= minPairs)
+      .withColumn("ar1_r2", col("r") * col("r"))
+      .select("group_key", "feature", "ar1_r2")
+  }
+
+  /** W4 + G5 — lagged cross-feature correlation Corr(a[t−L], b[t]) for
+    * L = 0..maxLag per group, then the cross-group `nanmean`
+    * (time_series_study.py:584-602). Groups contribute only when they have
+    * ≥ minPairs complete pairs (`:597`); NaN correlations (constant series)
+    * are skipped like `np.nanmean`. One shuffle for the window + one small
+    * aggregation; lag columns are computed once per (feature, L). */
+  def laggedCrossCorr(
+      wide: DataFrame,
+      dateCol: String,
+      groupCol: String,
+      pairs: Seq[(String, String)],
+      maxLag: Int,
+      minPairs: Int = 10): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(dateCol)
+    val aFeats = pairs.map(_._1).distinct
+    val feats = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val lagCols = for { fa <- aFeats; l <- 0 to maxLag }
+      yield lag(col(fa), l).over(w).as(s"${fa}__l$l")
+    val base = wide.select(col(groupCol) +: feats.map(col) ++: lagCols: _*)
+    val aggCols = pairs.flatMap { case (fa, fb) =>
+      (0 to maxLag).flatMap { l =>
+        val a = nn(col(s"${fa}__l$l"))
+        val b = nn(col(fb))
+        Seq(
+          corr(a, b).as(s"c__${fa}__${fb}__$l"),
+          count(when(a.isNotNull && b.isNotNull, 1)).as(s"n__${fa}__${fb}__$l"))
+      }
+    }
+    val perGroup = base.groupBy(col(groupCol)).agg(aggCols.head, aggCols.tail: _*)
+    val rows = pairs.flatMap { case (fa, fb) =>
+      (0 to maxLag).map { l =>
+        struct(
+          lit(s"$fa|$fb").as("pair"), lit(l).as("lag"),
+          col(s"c__${fa}__${fb}__$l").as("c"),
+          col(s"n__${fa}__${fb}__$l").as("np"))
+      }
+    }
+    perGroup
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.pair").as("pair"), col("r.lag").as("lag"),
+        col("r.c").as("c"), col("r.np").as("np"))
+      .groupBy("pair", "lag")
+      .agg(avg(when(col("np") >= minPairs && !isnan(col("c")), col("c"))).as("avg_corr"))
+      .orderBy("pair", "lag")
+  }
+
+  /** W5 — rolling correlation of two features per group
+    * (time_series_study.py:663-676): pandas `rolling(window).corr()` with
+    * default min_periods = window ⇒ null until the frame holds `window`
+    * complete pairs. */
+  def rollingCorr(
+      wide: DataFrame,
+      dateCol: String,
+      groupCol: String,
+      fa: String,
+      fb: String,
+      window: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(dateCol)
+      .rowsBetween(-(window - 1), 0)
+    val pairCount = count(when(nn(col(fa)).isNotNull && nn(col(fb)).isNotNull, 1)).over(w)
+    wide.select(
+      col(groupCol).as("group_key"),
+      col(dateCol).as("date"),
+      when(pairCount === window, corr(nn(col(fa)), nn(col(fb))).over(w)).as("roll_corr"))
+  }
+}
