@@ -197,6 +197,59 @@ object SparkEntry {
       .select(col("group_key"), lit("l_quantity|l_extendedprice").as("pair"), round6("mi"))
       .orderBy("group_key")
 
+  // ---- K4: Ljung-Box ------------------------------------------------------
+
+  private def ljungboxEvents(s: SparkSession, dir: String): DataFrame = {
+    val melted = Panel.melt(eventsDailyPanel(s, dir), "date", Seq("group_key"), Seq("value"))
+    LjungBox.ljungBox(melted)
+      .select(col("group_key"), col("feature"), col("n"), round6("lb_q"), round6("lb_p"))
+      .orderBy("group_key")
+  }
+
+  private def ljungboxSql: String = {
+    val m = 10
+    val lagDefs = (1 to m).map(k => s"lag(xc, $k) OVER w AS xl$k").mkString(", ")
+    val numAggs = (1 to m).map(k => s"sum(xc * xl$k) AS num$k").mkString(", ")
+    val qTerms = (1 to m).map(k => s"pow(num$k / denom, 2) / (n - $k)").mkString(" + ")
+    val sfTerms = (0 until m / 2).map { j =>
+      val fact = (1 to j).product
+      if (j == 0) "1" else s"pow(lbq / 2, $j) / $fact"
+    }.mkString(" + ")
+    s"""WITH panel AS ($evPanelSql),
+       |c AS (SELECT group_key, date, value - avg(value) OVER (PARTITION BY group_key) AS xc FROM panel),
+       |l AS (SELECT group_key, xc, $lagDefs FROM c WINDOW w AS (PARTITION BY group_key ORDER BY date)),
+       |a AS (SELECT group_key, count(*) AS n, sum(xc * xc) AS denom, $numAggs FROM l GROUP BY 1),
+       |q AS (SELECT group_key, n, CASE WHEN n > $m THEN n * (n + 2) * ($qTerms) END AS lbq FROM a)
+       |SELECT group_key, 'value' AS feature, n, round(lbq, 6) AS lb_q,
+       |round(CASE WHEN n > $m THEN exp(-lbq / 2) * ($sfTerms) END, 6) AS lb_p
+       |FROM q ORDER BY group_key""".stripMargin
+  }
+
+  // ---- K1/K2: stationarity kernels (no SQL oracle) ------------------------
+
+  private def stationarityEvents(s: SparkSession, dir: String): DataFrame = {
+    val melted = Panel.melt(eventsDailyPanel(s, dir), "date", Seq("group_key"), Seq("value"))
+    UnitRoots.stationarityTests(melted)
+      .select(col("group_key"), col("feature"),
+        round6("adf_stat"), round6("adf_p"), round6("kpss_stat"), round6("kpss_p"))
+  }
+
+  // ---- K5: periodogram kernel (no SQL oracle) -----------------------------
+
+  private def frequencyLineitem(s: SparkSession, dir: String): DataFrame = {
+    val melted = Panel.melt(lineitemDailyPanel(s, dir), "date", Seq("group_key"), liFeatures)
+    Periodogram.frequencyDomain(melted)
+      .select(col("group_key"), col("feature"), round6("dom_freq"), round6("dom_power"))
+  }
+
+  // ---- K6/K7: cointegration + granger kernels (no SQL oracle) -------------
+
+  private def crossfeatureLineitem(s: SparkSession, dir: String): DataFrame =
+    CrossFeature.pairAnalysis(lineitemDailyPanel(s, dir), "date", "group_key",
+        "l_quantity", "l_extendedprice", maxLag = 10)
+      .select(col("group_key"), col("pair"),
+        round6("coint_stat"), round6("coint_p"), round6("granger_p"))
+
   // ---- registry -----------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -211,6 +264,10 @@ object SparkEntry {
     "q_rolling_corr_lineitem" -> rollingCorrLineitem,
     "q_detrend_lineitem" -> detrendLineitem,
     "q_mutual_info_lineitem" -> mutualInfoLineitem,
+    "q_ljungbox_events" -> ljungboxEvents,
+    "q_stationarity_events" -> stationarityEvents,
+    "q_frequency_lineitem" -> frequencyLineitem,
+    "q_crossfeature_lineitem" -> crossfeatureLineitem,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -312,5 +369,11 @@ object SparkEntry {
          |  sum((c / ntot) * (ln(c / ntot + 1e-12) - ln(cx / ntot + 1e-12) - ln(cy / ntot + 1e-12)))
          |END, 6) AS mi
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ljungbox_events" -> ljungboxSql,
+    // q_stationarity_events / q_frequency_lineitem / q_crossfeature_lineitem:
+    // iterative statistical kernels (AIC lag search, DFT, MLE-free but
+    // OLS-chained) — not SQL-expressible; driver records rows-only checks.
+    // Numerical correctness is pinned by GoldenParitySpec against the
+    // reference's recorded statsmodels/scipy outputs.
   )
 }
