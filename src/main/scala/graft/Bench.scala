@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: JVM/codegen/parquet-footer costs land here, not on the first
+    // timed query
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    graft.core.Tables.events(spark, sfDir).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

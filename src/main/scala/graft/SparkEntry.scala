@@ -250,6 +250,25 @@ object SparkEntry {
       .select(col("group_key"), col("pair"),
         round6("coint_stat"), round6("coint_p"), round6("granger_p"))
 
+  // ---- K12: weighted forward bins (flagship kernel, no SQL oracle) --------
+
+  /** A2 event-stream mapping over lineitem (FIXTURES.md): ~4k groups of
+    * ~150 events at sf0.1 — the parallelism axis a 1000-executor cluster
+    * wants. Ties on the day-granular shipdate are broken deterministically
+    * by (orderkey, linenumber). */
+  private def weightedBinsLineitem(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      (col("l_partkey") % 256).cast("string").as("ID1"),
+      (col("l_suppkey") % 16).cast("string").as("ID2"),
+      col("l_shipdate").as("timestamp"),
+      col("l_quantity").as("quantity1"),
+      col("l_extendedprice").as("quantity2"),
+      col("l_orderkey"),
+      col("l_linenumber"))
+    WeightedBins.weightedBins(li, binSize = 100, maxBins = 10,
+      tieCols = Seq("l_orderkey", "l_linenumber"))
+  }
+
   // ---- registry -----------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -268,6 +287,7 @@ object SparkEntry {
     "q_stationarity_events" -> stationarityEvents,
     "q_frequency_lineitem" -> frequencyLineitem,
     "q_crossfeature_lineitem" -> crossfeatureLineitem,
+    "q_weighted_bins_lineitem" -> weightedBinsLineitem,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
