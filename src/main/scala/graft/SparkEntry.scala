@@ -269,6 +269,43 @@ object SparkEntry {
       tieCols = Seq("l_orderkey", "l_linenumber"))
   }
 
+  // ---- K9/K10/K11: regime, volatility, outlier kernels (no SQL oracle) ----
+
+  private def regimesEvents(s: SparkSession, dir: String): DataFrame = {
+    val melted = Panel.melt(eventsDailyPanel(s, dir), "date", Seq("group_key"), Seq("value"))
+    Regimes.regimeDetection(melted)
+      .select(col("group_key"), col("feature"),
+        round6("regime_1_prob"), round6("regime_2_prob"),
+        col("regime_switches"), col("regime_switches_true"),
+        round6("log_likelihood"), round6("aic"), round6("bic"),
+        round6("p00"), round6("p11"))
+  }
+
+  private def volatilityLineitem(s: SparkSession, dir: String): DataFrame = {
+    val melted = Panel.melt(lineitemDailyPanel(s, dir), "date", Seq("group_key"), liFeatures)
+    Garch.volatilityAnalysis(melted)
+      .select(col("group_key"), col("feature"), col("model_type"),
+        round6("log_likelihood"), round6("aic"), round6("bic"),
+        round6("avg_volatility"), round6("vol_std"), round6("vol_skew"),
+        round6("vol_kurt"), round6("persistence"))
+  }
+
+  private def outliersIforestEvents(s: SparkSession, dir: String): DataFrame = {
+    val melted = Panel.melt(eventsDailyPanel(s, dir), "date", Seq("group_key"), Seq("value"))
+    Outliers.outlierSummary(melted, "isolation_forest")
+      .select(col("group_key"), col("feature"), col("method"), col("n"),
+        col("n_outliers"), round6("outlier_rate"),
+        round6("avg_outlier_score"), round6("max_outlier_score"), round6("min_outlier_score"))
+  }
+
+  private def outliersLofEvents(s: SparkSession, dir: String): DataFrame = {
+    val melted = Panel.melt(eventsDailyPanel(s, dir), "date", Seq("group_key"), Seq("value"))
+    Outliers.outlierSummary(melted, "local_outlier_factor")
+      .select(col("group_key"), col("feature"), col("method"), col("n"),
+        col("n_outliers"), round6("outlier_rate"),
+        round6("avg_outlier_score"), round6("max_outlier_score"), round6("min_outlier_score"))
+  }
+
   // ---- registry -----------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -288,6 +325,10 @@ object SparkEntry {
     "q_frequency_lineitem" -> frequencyLineitem,
     "q_crossfeature_lineitem" -> crossfeatureLineitem,
     "q_weighted_bins_lineitem" -> weightedBinsLineitem,
+    "q_regimes_events" -> regimesEvents,
+    "q_volatility_lineitem" -> volatilityLineitem,
+    "q_outliers_iforest_events" -> outliersIforestEvents,
+    "q_outliers_lof_events" -> outliersLofEvents,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -51,7 +51,7 @@ object CrossFeature {
     minP
   }
 
-  private case class PairRow(
+  case class PairRow(
       group_key: String,
       pair: String,
       coint_stat: Option[Double],

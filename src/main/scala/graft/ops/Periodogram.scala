@@ -72,7 +72,7 @@ object Periodogram {
     (f(idx), p(idx))
   }
 
-  private case class FreqRow(group_key: String, feature: String, dom_freq: Double, dom_power: Double)
+  case class FreqRow(group_key: String, feature: String, dom_freq: Double, dom_power: Double)
 
   /** Per-(group × feature) dominant frequency; series < minLen skipped
     * (time_series_study.py:388). */

@@ -115,7 +115,7 @@ object UnitRoots {
     (stat, Stats.interp(stat, crit, pvals))
   }
 
-  private case class StationarityRow(
+  case class StationarityRow(
       group_key: String,
       feature: String,
       adf_stat: Option[Double],
