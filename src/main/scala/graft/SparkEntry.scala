@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Panel, Tables}
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
 import graft.ops._
+import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -306,6 +308,80 @@ object SparkEntry {
         round6("avg_outlier_score"), round6("max_outlier_score"), round6("min_outlier_score"))
   }
 
+  // ---- §7.4 extensions: dedup / similarity / text / json / windows --------
+
+  private def dedupExactDocs(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupSummary(Tables.documents(s, dir))
+
+  private def dedupMinhashDocs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDuplicates(Tables.documents(s, dir), threshold = 0.3)
+      .select(col("doc_a"), col("doc_b"), round6("jaccard"))
+
+  private def simhashDocs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private def jsonEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count("k").as("n"), round(avg("k"), 6).as("avg_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  private def windowEvents(s: SparkSession, dir: String): DataFrame =
+    StreamOps.tumblingWindowBatch(Tables.events(s, dir))
+      .select(col("window_start"), col("event_type"), col("n"),
+        round6("sum_value"), round6("avg_value"))
+
+  private def textStatsDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        TextStats.wsTokenCount(col("text")).as("toks"),
+        TextStats.punctRatio(col("text")).as("pr"),
+        TextStats.digitRatio(col("text")).as("dr"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 6).as("avg_chars"),
+        round(avg("toks"), 6).as("avg_tokens"), round(avg("pr"), 6).as("avg_punct_ratio"),
+        round(avg("dr"), 6).as("avg_digit_ratio"))
+      .orderBy("lang", "source")
+
+  private def langidDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), TextStats.langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+
+  private def qualityDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        TextStats.qualityScore(col("text")).as("q"),
+        TextStats.docFingerprint(col("text")).as("fp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), round(avg("q"), 6).as("avg_quality"),
+        countDistinct("fp").as("n_distinct_fingerprints"))
+      .orderBy("lang")
+
+  private def similarityQueries(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+
+  private def similarityTopkBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(s, dir), similarityQueries(s, dir), k = 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
+
+  private def similarityTopkLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, dir), similarityQueries(s, dir), k = 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
+
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.decodeFeatures(media).toDF()
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"), round(avg("payload_bytes"), 6).as("avg_payload"),
+        round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
+      .orderBy("format")
+  }
+
   // ---- registry -----------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -329,6 +405,17 @@ object SparkEntry {
     "q_volatility_lineitem" -> volatilityLineitem,
     "q_outliers_iforest_events" -> outliersIforestEvents,
     "q_outliers_lof_events" -> outliersLofEvents,
+    "q_dedup_exact_docs" -> dedupExactDocs,
+    "q_dedup_minhash_docs" -> dedupMinhashDocs,
+    "q_simhash_docs" -> simhashDocs,
+    "q_json_events" -> jsonEvents,
+    "q_window_events" -> windowEvents,
+    "q_text_stats_docs" -> textStatsDocs,
+    "q_langid_docs" -> langidDocs,
+    "q_quality_docs" -> qualityDocs,
+    "q_similarity_topk_brute" -> similarityTopkBrute,
+    "q_similarity_topk_lsh" -> similarityTopkLsh,
+    "q_multimodal_features" -> multimodalFeatures,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -431,6 +518,44 @@ object SparkEntry {
          |END, 6) AS mi
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ljungbox_events" -> ljungboxSql,
+    "q_dedup_exact_docs" ->
+      """WITH g AS (SELECT sha256(text) AS h, count(*) AS c FROM documents GROUP BY 1)
+        |SELECT sum(c)::BIGINT AS n_docs, count(*) AS n_distinct,
+        |count(*) FILTER (WHERE c > 1) AS n_dupe_groups,
+        |coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0)::BIGINT AS n_redundant
+        |FROM g""".stripMargin,
+    "q_json_events" ->
+      """SELECT event_type, count(k) AS n, round(avg(k), 6) AS avg_k,
+        |min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_events" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+        |round(sum(value), 6) AS sum_value, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_text_stats_docs" ->
+      """SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
+        |round(avg(CASE WHEN trim(text) = '' THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 6) AS avg_tokens,
+        |round(avg((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+        |  / greatest(length(text), 1)), 6) AS avg_punct_ratio,
+        |round(avg((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+        |  / greatest(length(text), 1)), 6) AS avg_digit_ratio
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_similarity_topk_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qemb
+        |  FROM embeddings WHERE vec_id < 3),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |  list_cosine_similarity(e.embedding::DOUBLE[], q.qemb) AS cos
+        |  FROM embeddings e CROSS JOIN q),
+        |r AS (SELECT query_id, vec_id, cos,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM s)
+        |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q_dedup_minhash_docs / q_simhash_docs / q_similarity_topk_lsh /
+    // q_langid_docs / q_quality_docs / q_multimodal_features: hash-seeded /
+    // heuristic operators — engine-specific by construction, validated by
+    // construction-based ScalaTests (DedupSpec/TextExtSpec) instead.
     // q_stationarity_events / q_frequency_lineitem / q_crossfeature_lineitem:
     // iterative statistical kernels (AIC lag search, DFT, MLE-free but
     // OLS-chained) — not SQL-expressible; driver records rows-only checks.

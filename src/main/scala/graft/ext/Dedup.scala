@@ -1,0 +1,234 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora (SURVEY §7.4 /
+  * BASELINE.json north-star): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine. All are expression/aggregate pipelines — the shuffles
+  * are one hash-exchange per stage and candidate generation is always
+  * bucket-local (LSH bands / bit bands / hyperplane buckets), never an
+  * all-pairs join, so the plans scale to corpus sizes where O(n²) is
+  * impossible.
+  */
+object Dedup {
+
+  // ---- exact ---------------------------------------------------------------
+
+  /** One-row corpus summary of exact text duplication (hash-groupBy). */
+  def exactDupSummary(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val hashed = docs.select(sha2(col(textCol), 256).as("h"))
+    hashed
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(
+        sum("c").as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        count(when(col("c") > 1, lit(1))).as("n_dupe_groups"),
+        coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0)).as("n_redundant"))
+  }
+
+  /** Exact dedup: keep the lowest-id row per identical text. */
+  def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---- shingles / tokens ---------------------------------------------------
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** k-word shingles of a token array (higher-order functions — codegen,
+    * no UDF). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+  }
+
+  // ---- MinHash + LSH -------------------------------------------------------
+
+  /** Per-doc MinHash signature: explode shingles once, derive `numHashes`
+    * permutations from a single xxhash64 via (aᵢ·h + bᵢ) and take the min
+    * of each — `numHashes` cheap codegen'd min-aggregates, one shuffle. */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 32): DataFrame = {
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(col(textCol), shingleK))).as("sh"))
+    // i-th permutation = xxhash64 of (shingle, i) — overflow-free under
+    // ANSI mode and still one codegen'd min-aggregate per hash
+    val aggs = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"mh_$i"))
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Candidate near-duplicate pairs via banded LSH + exact signature-based
+    * Jaccard estimate + exact shingle Jaccard verification.
+    * bands × rowsPerBand must equal numHashes. */
+  def minhashNearDuplicates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes)
+    val bandCols = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        xxhash64((bnd * rows until (bnd + 1) * rows).map(i => col(s"mh_$i")): _*).as("bucket"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    val pairs = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    // exact shingle Jaccard on candidates only
+    val shSets = docs.select(col(idCol).as("doc_id"),
+      array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+    pairs
+      .join(shSets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(shSets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard similarity for given pairs (utility). */
+  def ngramJaccard(a: Column, b: Column, k: Int): Column =
+    size(array_intersect(array_distinct(shingles(a, k)), array_distinct(shingles(b, k)))).cast("double") /
+      size(array_union(array_distinct(shingles(a, k)), array_distinct(shingles(b, k))))
+
+  // ---- SimHash -------------------------------------------------------------
+
+  /** Typed Aggregator: 64-bit SimHash of a doc's token-hash stream —
+    * per-bit ±1 vote, sign → bit. Partial-merge friendly (the vote vector
+    * adds), so it plans as a normal two-phase aggregate. */
+  class SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(buf: Array[Int], h: Long): Array[Int] = {
+      var i = 0
+      while (i < 64) { if (((h >>> i) & 1L) == 1L) buf(i) += 1 else buf(i) -= 1; i += 1 }
+      buf
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Int]): Long = {
+      var s = 0L
+      var i = 0
+      while (i < 64) { if (buf(i) > 0) s |= (1L << i); i += 1 }
+      s
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+      org.apache.spark.sql.Encoders.kryo[Array[Int]]
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** Per-doc 64-bit SimHash over word tokens. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val agg = udaf(new SimHashAgg)
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .groupBy("doc_id")
+      .agg(agg(col("h")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
+    * via 16-bit band pigeonholing (any pair within distance ≤ 3 shares at
+    * least one of 4 bands). */
+  def simhashNearDuplicates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val bandCols = (0 until 4).map(bq =>
+      struct(lit(bq).as("band"),
+        shiftrightunsigned(col("simhash"), bq * 16).bitwiseAND(lit(0xFFFFL)).as("bucket")))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- embedding cosine near-dup -------------------------------------------
+
+  /** Cosine similarity of two float-array columns (higher-order functions,
+    * no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH. */
+  private[ext] def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id of an embedding column. */
+  private[ext] def lshBucket(emb: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(emb, plane, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Embedding near-duplicate pairs: sign-LSH bucketing (bits hyperplanes)
+    * then exact cosine ≥ threshold inside buckets. */
+  def embeddingNearDuplicates(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      dim: Int = 64,
+      bits: Int = 12,
+      threshold: Double = 0.9,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, bits, seed)
+    val bucketed = embeddings.select(
+      col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("emb"),
+      lshBucket(col(embCol).cast("array<double>"), planes).as("bucket"))
+    bucketed.as("l")
+      .join(bucketed.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        cosine(col("l.emb"), col("r.emb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+}

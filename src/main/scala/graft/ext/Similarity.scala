@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor similarity search over an embedding column
+  * (SURVEY §7.4): brute-force cosine top-k as the exact baseline, and a
+  * sign-LSH bucketed variant as the scale path (probe the query's bucket
+  * plus all 1-bit-flip neighbors — multiprobe — so recall degrades
+  * gracefully instead of falling off a bucket boundary).
+  *
+  * Scale notes: brute force is O(N·Q) with the query side broadcast — right
+  * whenever Q is small; the LSH path turns the scan into a bucket-equijoin
+  * (one shuffle on bucket id) whose probe fan-out is bits+1 buckets per
+  * query, independent of N.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine for each query vector. `queries` must be small
+    * (it is broadcast). Deterministic ties: (cos desc, vec_id asc). */
+  def bruteForceTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_emb"): DataFrame = {
+    val joined = embeddings
+      .select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("emb"))
+      .crossJoin(broadcast(queries.select(
+        col(queryIdCol).as("query_id"), col(queryEmbCol).cast("array<double>").as("qemb"))))
+      .withColumn("cos", Dedup.cosine(col("emb"), col("qemb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Approximate top-k: sign-LSH buckets with 1-bit multiprobe. Recall is
+    * validated against the brute-force baseline in SimilaritySpec. */
+  def lshTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int = 64,
+      bits: Int = 10,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_emb"): DataFrame = {
+    val planes = Dedup.hyperplanes(dim, bits, seed)
+    val data = embeddings.select(
+      col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("emb"),
+      Dedup.lshBucket(col(embCol).cast("array<double>"), planes).as("bucket"))
+    val qBase = queries.select(
+      col(queryIdCol).as("query_id"),
+      col(queryEmbCol).cast("array<double>").as("qemb"),
+      Dedup.lshBucket(col(queryEmbCol).cast("array<double>"), planes).as("qbucket"))
+    // multiprobe: exact bucket + every 1-bit flip
+    val probes = (0 until bits).map(i => col("qbucket").bitwiseXOR(lit(1L << i))) :+ col("qbucket")
+    val probed = qBase.select(col("query_id"), col("qemb"),
+      explode(array(probes: _*)).as("bucket"))
+    val joined = probed.join(data, "bucket")
+      .withColumn("cos", Dedup.cosine(col("emb"), col("qemb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    joined
+      .select("query_id", "vec_id", "cos").distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (SURVEY §7.4): token counting,
+  * quality scoring, language identification, and document fingerprinting.
+  * Everything is built-in expressions (codegen'd, partial-aggregate
+  * friendly) — no UDFs anywhere, so the plans survive any scale-up.
+  */
+object TextStats {
+
+  // ---- token counting ------------------------------------------------------
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword proxy: word pieces + punctuation as separate tokens
+    * (the common pre-tokenizer regex \w+|[^\w\s]). */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?<=\\W)|(?=\\W)"), t => trim(t) =!= ""))
+
+  // ---- quality scoring -----------------------------------------------------
+
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  def digitRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  def upperRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  def meanWordLen(text: Column): Column =
+    length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+      greatest(wsTokenCount(text), lit(1))
+
+  private val EnStopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "for", "on", "with", "as", "at", "by", "be", "this", "that", "are")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    size(filter(toks, t => t.isInCollection(EnStopwords))).cast("double") /
+      greatest(size(toks), lit(1))
+  }
+
+  /** Heuristic [0,1] quality score: length in a sane band, low digit/punct
+    * noise, plausible word lengths. Weights are documented constants, not
+    * learned. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val noise = punctRatio(text) + digitRatio(text)
+    val wl = meanWordLen(text)
+    val wlScore = when(wl.between(3.0, 10.0), 1.0).otherwise(0.5)
+    greatest(least(
+      lenScore * 0.4 + (lit(1.0) - least(noise * 4.0, lit(1.0))) * 0.4 + wlScore * 0.2,
+      lit(1.0)), lit(0.0))
+  }
+
+  // ---- language identification --------------------------------------------
+
+  /** Tiny per-language function-word profiles (public common-word lists) +
+    * a CJK character ratio for zh. Deterministic n-gram-free heuristic —
+    * good enough to route documents; not a trained model. */
+  private val Profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "you", "this"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un", "une", "dans", "que", "pour"))
+
+  def cjkRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Predicted language code; `unk` when nothing matches. */
+  def langId(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    val denom = greatest(size(toks), lit(1)).cast("double")
+    val scores = Profiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isInCollection(words))).cast("double") / denom
+    }
+    val zhScore = cjkRatio(text) * 2.0
+    val best = scores.foldLeft(struct(lit("zh").as("lang"), zhScore.as("score"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"), struct(lit(lang).as("lang"), score.as("score")))
+          .otherwise(acc)
+    }
+    when(best.getField("score") > 0.0, best.getField("lang")).otherwise(lit("unk"))
+  }
+
+  // ---- fingerprinting ------------------------------------------------------
+
+  /** Winnowing fingerprints (Schleimer et al. 2003): hash all k-grams of
+    * the normalized text, keep the minimum in each sliding window of w —
+    * a deterministic, position-robust fingerprint set, pure higher-order
+    * functions. */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val norm = lower(regexp_replace(text, "\\s+", " "))
+    val n = length(norm)
+    val grams = when(n >= k,
+      transform(sequence(lit(1), n - k + 1), i => xxhash64(norm.substr(i, lit(k)))))
+      .otherwise(array(xxhash64(norm)))
+    val m = size(grams)
+    val windows = when(m >= w,
+      transform(sequence(lit(1), m - w + 1), i => array_min(slice(grams, i, lit(w)))))
+      .otherwise(array(array_min(grams)))
+    array_distinct(windows)
+  }
+
+  /** One 64-bit document fingerprint (stable content hash of the winnowed
+    * set). */
+  def docFingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
+    xxhash64(array_join(transform(array_sort(winnowingFingerprints(text, k, w)),
+      v => v.cast("string")), ","))
+}

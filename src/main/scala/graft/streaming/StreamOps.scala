@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming wrappers (SURVEY §2.10): the reference is batch-
+  * only, so streaming enters through the §7.4 extension surface — tumbling
+  * event-time windows with watermarks over the events stream. The batch
+  * and streaming variants share the same aggregation expression, so batch
+  * results are the exact replay semantics of the stream.
+  */
+object StreamOps {
+
+  /** Shared tumbling-window aggregation: count + sum/avg of value per
+    * (window, event_type). */
+  private def windowAgg(events: DataFrame, windowLen: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"), avg("value").as("avg_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"), col("avg_value"))
+
+  /** Batch variant (driver-checkable against the SQL oracle). */
+  def tumblingWindowBatch(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    windowAgg(events, windowLen).orderBy("window_start", "event_type")
+
+  /** Streaming variant: parquet-source file stream with a watermark.
+    * Returns the started query writing to an in-memory sink table named
+    * `sinkTable` (append mode is wrong for aggregations without watermark
+    * expiry semantics in tests, so complete mode is used). */
+  def tumblingWindowStream(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      sinkTable: String,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", watermark)
+    windowAgg(stream, windowLen)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkTable)
+      .start()
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dup summary counts duplicate groups") {
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "a b c"))
+    val r = Dedup.exactDupSummary(d).head()
+    assert(r.getAs[Long]("n_docs") == 4)
+    assert(r.getAs[Long]("n_distinct") == 2)
+    assert(r.getAs[Long]("n_dupe_groups") == 1)
+    assert(r.getAs[Long]("n_redundant") == 2)
+    val kept = Dedup.dropExactDuplicates(d).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash LSH finds near-duplicate pairs and exact jaccard verifies") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"word$i").mkString(" ")
+    val other = (100 to 160).map(i => s"tok$i").mkString(" ")
+    val d = docs((1L, base), (2L, nearDup), (3L, other))
+    val pairs = Dedup.minhashNearDuplicates(d, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("doc_a") == 1L && pairs(0).getAs[Long]("doc_b") == 2L)
+    // 58 shingles, 3 changed => jaccard = 55/61
+    assert(math.abs(pairs(0).getAs[Double]("jaccard") - 55.0 / 61.0) < 1e-9)
+  }
+
+  test("ngram jaccard of identical texts is 1, disjoint is 0") {
+    val d = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w"))
+      .toDF("ta", "tb")
+      .select(Dedup.ngramJaccard($"ta", $"tb", 2).as("j"))
+      .collect()
+    assert(d(0).getDouble(0) == 1.0)
+    assert(d(1).getDouble(0) == 0.0)
+  }
+
+  test("simhash: identical docs equal, near docs close, unrelated far") {
+    val base = (1 to 80).map(i => s"word$i").mkString(" ")
+    val near = (1 to 80).map(i => if (i % 40 == 0) "CHANGED" + i else s"word$i").mkString(" ")
+    val far = (1000 to 1080).map(i => s"zz$i").mkString(" ")
+    val sh = Dedup.simhash(docs((1L, base), (2L, base), (3L, near), (4L, far)))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+    val pairs = Dedup.simhashNearDuplicates(
+      docs((1L, base), (2L, base), (3L, near), (4L, far)), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
+  }
+
+  test("embedding near-duplicates found via LSH buckets") {
+    val rng = new scala.util.Random(11)
+    def vec() = Array.fill(16)(rng.nextGaussian().toFloat)
+    val v1 = vec()
+    val v1b = v1.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.01f else v }
+    val rows = Seq((0L, v1), (1L, v1b)) ++ (2L to 40L).map(i => (i, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDuplicates(df, dim = 16, bits = 8, threshold = 0.98)
+      .collect()
+    assert(pairs.exists(r => r.getAs[Long]("vec_a") == 0L && r.getAs[Long]("vec_b") == 1L))
+    pairs.foreach(r => assert(r.getAs[Double]("cos") >= 0.98))
+  }
+
+  test("brute-force topk: self is rank 1 with cosine 1") {
+    val rng = new scala.util.Random(5)
+    val rows = (0L to 50L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_emb"))
+    val top = Similarity.bruteForceTopK(df, q, k = 3).collect()
+    assert(top.length == 6)
+    top.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(r.getAs[Long]("vec_id") == r.getAs[Long]("query_id"))
+      assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-9)
+    }
+  }
+
+  test("LSH topk achieves high recall vs brute force on clustered data") {
+    // clustered embeddings — the workload LSH is for; pure-random vectors
+    // have no near neighbors and any bucketing scheme degrades there
+    val rng = new scala.util.Random(9)
+    val centers = Array.fill(20)(Array.fill(16)(rng.nextGaussian()))
+    val rows = (0L until 300L).map { i =>
+      val c = centers((i % 20).toInt)
+      (i, c.map(v => (v + rng.nextGaussian() * 0.05).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_emb"))
+    val brute = Similarity.bruteForceTopK(df, q, k = 5, idCol = "vec_id")
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val approx = Similarity.lshTopK(df, q, k = 5, dim = 16, bits = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+    // rank-1 (self) always found: its bucket equals the query bucket
+    (0L until 5L).foreach(i => assert(approx.contains((i, i))))
+  }
+}

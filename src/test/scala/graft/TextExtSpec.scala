@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Multimodal, TextStats}
+import graft.streaming.StreamOps
+
+class TextExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts and ratios on known strings") {
+    val r = Seq("Hello, world! 123")
+      .toDF("text")
+      .select(
+        TextStats.wsTokenCount($"text").as("ws"),
+        TextStats.punctRatio($"text").as("pr"),
+        TextStats.digitRatio($"text").as("dr"),
+        TextStats.meanWordLen($"text").as("mwl"))
+      .head()
+    assert(r.getAs[Int]("ws") == 3)
+    assert(math.abs(r.getAs[Double]("pr") - 2.0 / 17) < 1e-9)
+    assert(math.abs(r.getAs[Double]("dr") - 3.0 / 17) < 1e-9)
+    assert(r.getAs[Double]("mwl") == 15.0 / 3) // non-ws chars / tokens
+    val empty = Seq("   ").toDF("text").select(TextStats.wsTokenCount($"text")).head()
+    assert(empty.getInt(0) == 0)
+  }
+
+  test("language id identifies constructed samples") {
+    val samples = Seq(
+      ("en", "the cat and the dog sat in the house with you"),
+      ("de", "der hund und die katze ist nicht mit der maus"),
+      ("es", "el perro y la casa de que en un una es por"),
+      ("fr", "le chien et la maison dans le jardin pour une que"),
+      ("zh", "你好世界这是一个测试"))
+    val out = samples.toDF("want", "text")
+      .select($"want", TextStats.langId($"text").as("got"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"${r.getString(0)} predicted as ${r.getString(1)}"))
+  }
+
+  test("quality score ranks clean text above noise") {
+    val r = Seq(
+      ("clean", "This is a perfectly reasonable paragraph of English text with several words " * 3),
+      ("noisy", "!!!! ???? #### 1234 5678 @@@@ %%%% ^^^^ &&&& ****"))
+      .toDF("k", "text")
+      .select($"k", TextStats.qualityScore($"text").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r("clean") > r("noisy"))
+    assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("winnowing fingerprints: shared content overlaps, position-robust") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "PREFIX " + a // shifted content
+    val c = "completely different content with no overlap whatsoever here"
+    val r = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+      .select($"id", TextStats.winnowingFingerprints($"text").as("fp"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Long](1).toSet).toMap
+    val overlapAB = r(1L).intersect(r(2L)).size.toDouble / r(1L).size
+    val overlapAC = r(1L).intersect(r(3L)).size.toDouble / r(1L).size
+    assert(overlapAB > 0.7, s"AB $overlapAB")
+    assert(overlapAC < 0.1, s"AC $overlapAC")
+  }
+
+  test("multimodal: synthetic media round-trips through the decode stub") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "media", "meta"))
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 3)
+    feats.foreach { f =>
+      assert(f.payload_bytes == 128) // sha512 hex-string payload
+      assert(f.features.length == 8)
+      assert(f.features.forall(v => v >= 0 && v <= 1))
+      assert(Seq("img", "audio", "video").contains(f.format))
+    }
+    // deterministic: same input -> same features
+    val again = Multimodal.decodeFeatures(media).collect()
+    assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (x, y) => x.features.sameElements(y.features) })
+  }
+
+  test("frame sample plan emits stride indices for video rows only") {
+    val docs = (1L to 30L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val plan = Multimodal.frameSamplePlan(media, stride = 4).collect()
+    assert(plan.nonEmpty)
+    plan.foreach { r =>
+      val idx = r.getSeq[Int](1)
+      assert(idx.head == 0 && idx.sliding(2).forall(w => w.length < 2 || w(1) - w(0) == 4))
+    }
+  }
+
+  test("streaming tumbling window matches the batch variant") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("stream_src").toString
+    val events = graft.core.Tables.events(spark, SparkSpec.sf0001)
+      .select("ts", "event_type", "value")
+    events.write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val q = StreamOps.tumblingWindowStream(spark, dir, schema, "stream_out")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_out")
+        .orderBy("window_start", "event_type").collect()
+      val batch = StreamOps.tumblingWindowBatch(
+        spark.read.parquet(dir)).collect()
+      assert(streamed.length == batch.length && streamed.length > 0)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.getAs[java.sql.Timestamp]("window_start") == b.getAs[java.sql.Timestamp]("window_start"))
+        assert(s.getAs[Long]("n") == b.getAs[Long]("n"))
+        assert(math.abs(s.getAs[Double]("avg_value") - b.getAs[Double]("avg_value")) < 1e-9)
+      }
+    } finally q.stop()
+  }
+}
