@@ -122,9 +122,7 @@ object SparkEntry {
 
   private def memoryEvents(s: SparkSession, dir: String): DataFrame = {
     val melted = Panel.melt(eventsDailyPanel(s, dir), "date", Seq("group_key"), Seq("value"))
-    val a = Lags.acf(melted, Seq(1, 5, 10))
-    val h = Hurst.hurst(melted).select("group_key", "feature", "hurst_exp")
-    a.join(h, Seq("group_key", "feature"))
+    Lags.memoryDependence(melted) // fused single-scan acf+lb+hurst
       .select(col("group_key"), col("feature"),
         round6("acf_lag1"), round6("acf_lag5"), round6("acf_lag10"), round6("hurst_exp"))
       .orderBy("group_key")

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Panel
+import graft.ops._
+
+/** User-facing façade mirroring the reference's `TimeSeriesStudy` class
+  * (time_series_study/time_series_study.py:22-977): ten panel analyses over
+  * a wide panel DataFrame `(dateCol, groupCols…, feature columns…)`.
+  *
+  * Construction validates like the reference (`:48-74`): the date column
+  * must be castable to timestamp, every feature numeric; features default
+  * to "all non-key columns" (`:44`). The melted long view is built once and
+  * shared by every analysis; callers running several analyses should
+  * `.cache()` the input themselves (Spark-idiomatic: caching is the
+  * caller's capacity decision, not the library's).
+  *
+  * Sinks: every analysis returns a DataFrame; `save(df, path)` writes
+  * parquet (engine standard) and `saveCsv` mirrors the reference's CSV
+  * output (S2). Plot/HTML sinks (S3/S4) are presentation-layer and out of
+  * engine scope per SURVEY §2.1.
+  */
+class TimeSeriesStudy(
+    df: DataFrame,
+    dateCol: String = "date",
+    groupCols: Seq[String] = Seq("name"),
+    featureCols: Seq[String] = Seq()) {
+
+  val features: Seq[String] =
+    if (featureCols.nonEmpty) featureCols
+    else df.columns.filterNot(c => c == dateCol || groupCols.contains(c)).toSeq
+
+  Panel.requireColumns(df, dateCol +: groupCols)
+  Panel.requireColumns(df, features)
+  Panel.requireNumeric(df, features)
+  require(features.nonEmpty, "panel needs at least one feature column")
+
+  /** Canonical melted view `(date, group_key, feature, value)`. */
+  val melted: DataFrame = Panel.melt(df, dateCol, groupCols, features)
+
+  /** 1 — distribution & volatility diagnostics (G2). */
+  def distributionDiagnostics(): DataFrame = Moments.distributionDiagnostics(melted)
+
+  /** 2 — ADF + KPSS stationarity per series, plus the per-feature
+    * rejection-proportion summary (`:228-236`). */
+  def stationarityTests(regression: String = "c"): (DataFrame, DataFrame) = {
+    val results = UnitRoots.stationarityTests(melted, regression)
+    val summary = results.groupBy("feature").agg(
+      avg(when(col("adf_p") < 0.05, 1.0).otherwise(0.0)).as("prop_reject_unit_root"),
+      avg(when(col("kpss_p") < 0.05, 1.0).otherwise(0.0)).as("prop_reject_stationarity"))
+      .orderBy("feature")
+    (results, summary)
+  }
+
+  /** 3 — memory & dependence: ACF(1,5,10) + Ljung–Box p + Hurst, fused
+    * into one scan + one shuffle (Lags.memoryDependence). */
+  def memoryDependence(): DataFrame =
+    Lags.memoryDependence(melted)
+      .select(col("group_key").as("group"), col("feature"),
+        col("acf_lag1"), col("acf_lag5"), col("acf_lag10"),
+        col("lb_p").as("ljungbox_p"), col("hurst_exp"))
+      .orderBy("feature", "group")
+
+  /** 4 — periodogram dominant frequency (K5). */
+  def frequencyDomain(detrend: Boolean = true): DataFrame =
+    Periodogram.frequencyDomain(melted, detrend)
+
+  /** 5 — per-date cross-sectional dispersion of one feature (G4). */
+  def crossSectionalDispersion(feature: String): DataFrame = {
+    require(features.contains(feature), s"Unknown feature: $feature")
+    Moments.crossSectionDispersion(melted, feature)
+  }
+
+  /** 6 — AR(1) predictability R² (W3). */
+  def predictabilityAr1(): DataFrame = Lags.ar1(melted)
+
+  /** 7 — cross-feature comparisons: lagged corr (long + pivoted like the
+    * reference's lag × pair table, R2), rolling corr, cointegration,
+    * Granger, mutual information. */
+  def crossFeatureComparisons(
+      featurePairs: Seq[(String, String)] = Seq(),
+      maxLag: Int = 10,
+      rollingWindow: Int = 10): Map[String, DataFrame] = {
+    val pairs =
+      if (featurePairs.nonEmpty) featurePairs
+      else features.combinations(2).map(p => (p(0), p(1))).toSeq
+    val wide = widePanel
+    val lagged = Lags.laggedCrossCorr(wide, "date", "group_key", pairs, maxLag)
+    val laggedPivot = lagged.groupBy("lag").pivot("pair").agg(first("avg_corr")).orderBy("lag")
+    val perPair = pairs.map { case (fa, fb) =>
+      (fa, fb) -> CrossFeature.pairAnalysis(wide, "date", "group_key", fa, fb, maxLag)
+    }
+    val coint = perPair.map(_._2.select("group_key", "pair", "coint_stat", "coint_p"))
+      .reduce(_ unionByName _)
+    val granger = perPair.map(_._2.select(col("group_key"), col("pair"), col("granger_p").as("pvalue")))
+      .reduce(_ unionByName _)
+    val mi = pairs.map { case (fa, fb) =>
+      MutualInfo.mutualInfo(wide, "group_key", fa, fb)
+        .select(col("group_key"), lit(s"$fa|$fb").as("pair"), col("mi"))
+    }.reduce(_ unionByName _)
+    val rolling = Lags.rollingCorr(wide, "date", "group_key", pairs.head._1, pairs.head._2, rollingWindow)
+    Map(
+      "lagged_corr" -> laggedPivot,
+      "lagged_corr_long" -> lagged,
+      "rolling_corr" -> rolling,
+      "cointegration" -> coint.orderBy("pair", "group_key"),
+      "granger" -> granger.orderBy("pair", "group_key"),
+      "mutual_info" -> mi.orderBy("pair", "group_key"))
+  }
+
+  /** 8 — Markov regime detection for one feature (K9). */
+  def regimeDetection(feature: String, nRegimes: Int = 2): DataFrame = {
+    require(nRegimes == 2, "k=2 regimes supported (reference default)")
+    Regimes.regimeDetection(melted.filter(col("feature") === feature))
+  }
+
+  /** 9 — GARCH(1,1) volatility analysis for one feature (K10). */
+  def volatilityAnalysis(feature: String): DataFrame =
+    Garch.volatilityAnalysis(melted.filter(col("feature") === feature))
+
+  /** 10 — outlier detection for one feature (K11). */
+  def outlierDetection(feature: String, method: String = "isolation_forest"): DataFrame =
+    Outliers.outlierSummary(melted.filter(col("feature") === feature), method)
+
+  /** Wide per-group panel (date, group_key, features…) for pairwise ops. */
+  private def widePanel: DataFrame =
+    df.select(Seq(
+      col(dateCol).cast("timestamp").as("date"),
+      Panel.groupKey(groupCols).as("group_key")) ++
+      features.map(f => col(f).cast("double").as(f)): _*)
+
+  // -- sinks (S2; engine-standard parquet + reference-parity CSV) -----------
+
+  def save(result: DataFrame, path: String): Unit =
+    result.write.mode("overwrite").parquet(path)
+
+  def saveCsv(result: DataFrame, path: String): Unit =
+    result.write.mode("overwrite").option("header", "true").csv(path)
+}

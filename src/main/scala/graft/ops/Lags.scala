@@ -103,6 +103,50 @@ object Lags {
       .orderBy("pair", "lag")
   }
 
+  /** W2+K3+K4 fused — the full memory/dependence table (ACF at 1/5/10,
+    * Ljung–Box Q and p at lag 10, Hurst) in ONE scan and ONE shuffle: all
+    * three operators need the same (group, feature) partitioning, so their
+    * window projections share an exchange and the grouped aggregation
+    * reuses it (no second exchange — verified in the plan audit). This is
+    * what `TimeSeriesStudy.memoryDependence` runs; the standalone ops
+    * remain for à-la-carte use.
+    */
+  def memoryDependence(melted: DataFrame, acfLags: Seq[Int] = Seq(1, 5, 10),
+      lbLag: Int = 10, minLen: Int = 12): DataFrame = {
+    val wp = Window.partitionBy("group_key", "feature")
+    val wo = Window.partitionBy("group_key", "feature").orderBy("date")
+    val woCum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    val filtered = melted
+      .filter(Panel.finite(col("value")))
+      .withColumn("mu", avg("value").over(wp))
+      .withColumn("xc", col("value") - col("mu"))
+    val withCols = (acfLags.map(k => (s"l$k", lag(col("value"), k).over(wo))) ++
+      (1 to lbLag).map(k => (s"xl$k", lag(col("xc"), k).over(wo))) :+
+      ("cs", sum(col("xc")).over(woCum)))
+      .foldLeft(filtered) { case (d, (name, c)) => d.withColumn(name, c) }
+    val aggCols =
+      Seq(count(lit(1)).as("n"), stddev_samp("value").as("sigma"),
+        (max("cs") - min("cs")).as("rng"), sum(col("xc") * col("xc")).as("denom")) ++
+        acfLags.map(k => corr(col("value"), col(s"l$k")).as(s"acf_lag$k")) ++
+        (1 to lbLag).map(k => sum(col("xc") * col(s"xl$k")).as(s"num$k"))
+    val aggd = withCols.groupBy("group_key", "feature").agg(aggCols.head, aggCols.tail: _*)
+    val n = col("n").cast("double")
+    val q = (1 to lbLag).map(k => pow(col(s"num$k") / col("denom"), 2) / (n - k)).reduce(_ + _) *
+      n * (n + 2)
+    aggd
+      .filter(col("n") >= minLen)
+      .withColumn("hurst_exp",
+        when(col("n") < 20, lit(null))
+          .when(col("sigma") === 0, lit(0.5))
+          .otherwise(log(col("rng") / col("sigma")) / log(col("n"))))
+      .withColumn("lb_q", when(col("n") > lbLag, q))
+      .withColumn("lb_p", when(col("n") > lbLag, LjungBox.chi2SfEven(col("lb_q"), lbLag)))
+      .select(Seq(col("group_key"), col("feature"), col("n")) ++
+        acfLags.map(k => col(s"acf_lag$k")) ++
+        Seq(col("lb_q"), col("lb_p"), col("hurst_exp")): _*)
+      .orderBy("feature", "group_key")
+  }
+
   /** W5 — rolling correlation of two features per group
     * (time_series_study.py:663-676): pandas `rolling(window).corr()` with
     * default min_periods = window ⇒ null until the frame holds `window`

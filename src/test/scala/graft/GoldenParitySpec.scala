@@ -41,12 +41,8 @@ class GoldenParitySpec extends SparkSpec {
   }
 
   test("memory (acf + ljung-box + hurst) matches out_memory.csv") {
-    val a = Lags.acf(melted, Seq(1, 5, 10))
-    val h = Hurst.hurst(melted).select("group_key", "feature", "hurst_exp")
-    val lb = LjungBox.ljungBox(melted).select("group_key", "feature", "lb_p")
-    val got = collectMap(
-      a.join(h, Seq("group_key", "feature")).join(lb, Seq("group_key", "feature")),
-      Seq("group_key", "feature"))
+    // fused single-scan variant — same numbers as the standalone ops
+    val got = collectMap(Lags.memoryDependence(melted), Seq("group_key", "feature"))
     val g = golden("out_memory.csv")
     assert(g.size == 15)
     g.foreach { row =>

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Façade smoke/parity: the class-level API produces the same numbers the
+  * operator-level golden suite already pins. */
+class TimeSeriesStudySpec extends SparkSpec {
+
+  private lazy val wide = spark.read.parquet("src/test/resources/panel/panel.parquet")
+  private lazy val study = new TimeSeriesStudy(wide, "date", Seq("name"))
+
+  test("feature discovery finds the three non-key columns") {
+    assert(study.features.toSet == Set("feature_1", "feature_2", "feature_3"))
+  }
+
+  test("validation rejects missing and non-numeric features") {
+    intercept[IllegalArgumentException] {
+      new TimeSeriesStudy(wide, "date", Seq("name"), Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      new TimeSeriesStudy(wide.withColumn("bad", lit("x")), "date", Seq("name"),
+        Seq("feature_1", "bad"))
+    }
+  }
+
+  test("all ten analyses run end to end on the fixture panel") {
+    assert(study.distributionDiagnostics().count() == 15)
+    val (res, sum) = study.stationarityTests()
+    assert(res.count() == 15 && sum.count() == 3)
+    assert(study.memoryDependence().count() == 15)
+    assert(study.frequencyDomain().count() == 15)
+    assert(study.crossSectionalDispersion("feature_1").count() == 60)
+    assert(study.predictabilityAr1().count() == 15)
+    val xf = study.crossFeatureComparisons(
+      Seq(("feature_1", "feature_2"), ("feature_1", "feature_3")), maxLag = 6)
+    assert(xf("lagged_corr").count() == 7) // lags 0..6 pivoted
+    assert(xf("lagged_corr").columns.toSet ==
+      Set("lag", "feature_1|feature_2", "feature_1|feature_3")) // R2 pivot shape
+    assert(xf("cointegration").count() == 10)
+    assert(xf("granger").count() == 10)
+    assert(xf("mutual_info").count() == 10)
+    assert(study.regimeDetection("feature_1").count() == 5)
+    assert(study.volatilityAnalysis("feature_1").count() == 5)
+    assert(study.outlierDetection("feature_1").count() == 5)
+  }
+
+  test("unknown feature raises like the reference") {
+    intercept[IllegalArgumentException] { study.crossSectionalDispersion("nope") }
+  }
+
+  test("csv + parquet sinks round-trip") {
+    val tmp = java.nio.file.Files.createTempDirectory("tss_sink").toString
+    val d = study.distributionDiagnostics()
+    study.save(d, s"$tmp/p")
+    study.saveCsv(d, s"$tmp/c")
+    assert(spark.read.parquet(s"$tmp/p").count() == 15)
+    assert(spark.read.option("header", "true").csv(s"$tmp/c").count() == 15)
+  }
+}
