@@ -115,9 +115,10 @@ class TimeSeriesStudy(
     Regimes.regimeDetection(melted.filter(col("feature") === feature))
   }
 
-  /** 9 — GARCH(1,1) volatility analysis for one feature (K10). */
-  def volatilityAnalysis(feature: String): DataFrame =
-    Garch.volatilityAnalysis(melted.filter(col("feature") === feature))
+  /** 9 — volatility analysis for one feature (K10);
+    * modelType ∈ {GARCH, GJR-GARCH, EGARCH} like the reference. */
+  def volatilityAnalysis(feature: String, modelType: String = "GARCH"): DataFrame =
+    Garch.volatilityAnalysis(melted.filter(col("feature") === feature), modelType)
 
   /** 10 — outlier detection for one feature (K11). */
   def outlierDetection(feature: String, method: String = "isolation_forest"): DataFrame =

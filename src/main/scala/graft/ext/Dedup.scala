@@ -51,7 +51,43 @@ object Dedup {
       .otherwise(array(array_join(toks, " ")))
   }
 
+  /** 64-bit k-shingle hashes (Column form): hash of each string shingle.
+    * NOTE: do not build this from nested array lambdas referencing a
+    * derived array — Catalyst inlines the inner array into the outer
+    * lambda and evaluation goes quadratic. The string path is linear; the
+    * bulk pipeline below avoids strings entirely via posexplode + lead. */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(array_distinct(shingles(text, k)), s => xxhash64(s))
+
   // ---- MinHash + LSH -------------------------------------------------------
+
+  /** One row per (doc, shingle-hash): posexplode the token stream, hash
+    * each token once, and combine k consecutive token-hashes with a window
+    * `lead` — linear work, and the (doc_id) window shuffle is the SAME
+    * partitioning the signature aggregation needs, so the whole minhash
+    * pipeline costs one exchange. Short docs (< k tokens) contribute one
+    * whole-doc shingle. Duplicate shingles are kept: `min` is multiset-
+    * insensitive, and the verify stage uses collect_set. */
+  private def shingleHashRows(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val wdoc = Window.partitionBy("doc_id")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("h0", xxhash64(col("tok")))
+      .withColumn("ntok", count(lit(1)).over(wdoc))
+      // whole-doc digest for short docs: min/max/count of token hashes —
+      // deterministic and overflow-free under ANSI (a long sum would throw)
+      .withColumn("hmin", min(col("h0")).over(wdoc))
+      .withColumn("hmax", max(col("h0")).over(wdoc))
+    toks
+      .withColumn("sh",
+        when(col("ntok") >= k, xxhash64((0 until k).map(j => lead(col("h0"), j).over(w)): _*))
+          .otherwise(xxhash64(col("hmin"), col("hmax"), col("ntok"))))
+      .filter((col("ntok") >= k && col("pos") <= col("ntok") - k) ||
+        (col("ntok") < k && col("pos") === 0))
+      .select("doc_id", "sh")
+  }
 
   /** Per-doc MinHash signature: explode shingles once, derive `numHashes`
     * permutations from a single xxhash64 via (aᵢ·h + bᵢ) and take the min
@@ -62,12 +98,12 @@ object Dedup {
       textCol: String = "text",
       shingleK: Int = 3,
       numHashes: Int = 32): DataFrame = {
-    val exploded = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(shingles(col(textCol), shingleK))).as("sh"))
-    // i-th permutation = xxhash64 of (shingle, i) — overflow-free under
-    // ANSI mode and still one codegen'd min-aggregate per hash
+    val rows = shingleHashRows(docs, idCol, textCol, shingleK)
+    // i-th permutation = xxhash64 of (shingle-hash, i) — overflow-free under
+    // ANSI mode and still one codegen'd min-aggregate per hash; groupBy
+    // reuses the window's doc_id partitioning (no extra exchange)
     val aggs = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"mh_$i"))
-    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    rows.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Candidate near-duplicate pairs via banded LSH + exact signature-based
@@ -97,9 +133,11 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    // exact shingle Jaccard on candidates only
-    val shSets = docs.select(col(idCol).as("doc_id"),
-      array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+    // exact shingle Jaccard on candidates only (over shingle hashes —
+    // 64-bit collisions are negligible and integer set ops are far cheaper
+    // than string sets)
+    val shSets = shingleHashRows(docs, idCol, textCol, shingleK)
+      .groupBy("doc_id").agg(collect_set("sh").as("sh"))
     pairs
       .join(shSets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(shSets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -183,9 +221,16 @@ object Dedup {
 
   // ---- embedding cosine near-dup -------------------------------------------
 
-  /** Cosine similarity of two float-array columns (higher-order functions,
-    * no UDF). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two double-array columns — the native codegen'd
+    * Catalyst expression (graft.expr.CosineSimilarity). The HOF
+    * composition below is kept for the equivalence test; HOFs are
+    * CodegenFallback, so the native expression wins on large scans. */
+  def cosine(a: Column, b: Column): Column =
+    graft.expr.CosineSimilarity.cosineSim(a, b)
+
+  /** Built-in-only variant (aggregate/zip_with) — reference semantics for
+    * tests and a fallback if anyone needs pure built-ins. */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
     val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))

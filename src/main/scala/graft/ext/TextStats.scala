@@ -76,20 +76,22 @@ object TextStats {
     (length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))).cast("double") /
       greatest(length(text), lit(1))
 
-  /** Predicted language code; `unk` when nothing matches. */
+  /** Predicted language code; `unk` when nothing matches. Scores are
+    * packed into structs and reduced with one `array_max` (struct ordering
+    * compares score first) — a fold of nested CASE WHENs would duplicate
+    * every score subtree exponentially, and iterating a Map would make
+    * tie-breaking order-nondeterministic. Ties break on the language code
+    * (deterministic). */
   def langId(text: Column): Column = {
     val toks = Dedup.tokens(text)
     val denom = greatest(size(toks), lit(1)).cast("double")
-    val scores = Profiles.map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isInCollection(words))).cast("double") / denom
-    }
-    val zhScore = cjkRatio(text) * 2.0
-    val best = scores.foldLeft(struct(lit("zh").as("lang"), zhScore.as("score"))) {
-      case (acc, (lang, score)) =>
-        when(score > acc.getField("score"), struct(lit(lang).as("lang"), score.as("score")))
-          .otherwise(acc)
-    }
-    when(best.getField("score") > 0.0, best.getField("lang")).otherwise(lit("unk"))
+    val entries = Profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        (size(filter(toks, t => t.isInCollection(words))).cast("double") / denom).as("s"),
+        lit(lang).as("l"))
+    } :+ struct((cjkRatio(text) * 2.0).as("s"), lit("zh").as("l"))
+    val best = array_max(array(entries: _*))
+    when(best.getField("s") > 0.0, best.getField("l")).otherwise(lit("unk"))
   }
 
   // ---- fingerprinting ------------------------------------------------------

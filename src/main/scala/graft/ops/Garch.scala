@@ -6,30 +6,32 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import graft.core.Panel
 
-/** K10 — GARCH(1,1) volatility analysis (time_series_study.py:780-879):
-  * constant-mean Gaussian GARCH as in the reference's arch_model defaults:
+/** K10 — volatility analysis (time_series_study.py:780-879): the three
+  * model types the reference's API accepts, as constant-mean Gaussian MLE:
   *
-  *   y_t = μ + ε_t,   σ²_t = ω + α·ε²_{t−1} + β·σ²_{t−1},  ε_t ~ N(0, σ²_t)
+  *   GARCH(1,1):      σ²_t = ω + α·ε²_{t−1} + β·σ²_{t−1}
+  *   GJR-GARCH(1,1,1): σ²_t = ω + (α + γ·1[ε<0])·ε²_{t−1} + β·σ²_{t−1}
+  *   EGARCH(1,1,1):   ln σ²_t = ω + β·ln σ²_{t−1} + α(|z|−√(2/π)) + γ·z
   *
-  * MLE over (μ, ω, α, β) via L-BFGS on transformed parameters (ω = e^w;
-  * α, β through a softmax-style map that enforces α, β ≥ 0 and
-  * α + β < 1). σ²_0 is the EWMA backcast (λ = 0.94, first ≤ 75 squared
-  * residuals), the arch package's convention. The reference's recorded
-  * GARCH run produced an empty table (SURVEY §2.9 Q4 — every per-group fit
-  * failed on non-return panel data), so numerical parity is validated by
-  * property tests on synthetic series with known (ω, α, β) instead of
-  * golden files.
+  * L-BFGS on transformed parameters (positivity/stationarity enforced by
+  * softmax/tanh maps); σ²_0 is the EWMA backcast (λ=0.94, ≤75 obs), the
+  * arch package's convention. The reference's recorded GARCH run produced
+  * an empty table (SURVEY §2.9 Q4), so parity is validated by parameter
+  * recovery on synthetic series with known (ω, α, β[, γ]).
   *
-  * Output metrics mirror the reference row: llf, aic, bic (k = 4),
-  * conditional-volatility mean/std/skew/kurt (pandas-corrected moments),
-  * persistence = α + β (the reference string-matches 'alpha'/'beta'
-  * param names, `:838-842`).
+  * persistence replicates the reference's string-match over param names
+  * ('alpha'/'beta' only, `:838-842`) — GJR's γ is deliberately excluded,
+  * exactly like the reference.
   */
 object Garch {
 
   final case class GarchFit(
-      mu: Double, omega: Double, alpha: Double, beta: Double,
-      llf: Double, condVol: Array[Double])
+      model: String, mu: Double, omega: Double, alpha: Double, beta: Double,
+      gamma: Double, llf: Double, condVol: Array[Double]) {
+    /** reference quirk: only alpha+beta, never gamma (`:838-842`) */
+    def persistence: Double = alpha + beta
+    def nParams: Int = if (model == "GARCH") 4 else 5
+  }
 
   private def backcast(e2: Array[Double]): Double = {
     val m = math.min(75, e2.length)
@@ -41,63 +43,106 @@ object Garch {
     s / wsum
   }
 
-  /** Negative log-likelihood of the transformed parameter vector. */
-  private def nll(y: Array[Double])(theta: DenseVector[Double]): Double = {
+  /** θ → (μ, ω, α, β, γ) under the model's constraint map. */
+  private def untransform(model: String, th: DenseVector[Double]): (Double, Double, Double, Double, Double) =
+    model match {
+      case "GARCH" =>
+        val (ea, eb) = (math.exp(th(2)), math.exp(th(3)))
+        val d = 1.0 + ea + eb
+        (th(0), math.exp(th(1)), ea / d, eb / d, 0.0)
+      case "GJR-GARCH" =>
+        // softmax over (α, β, γ/2) keeps α+β+γ/2 < 1, all ≥ 0
+        val (ea, eb, eg) = (math.exp(th(2)), math.exp(th(3)), math.exp(th(4)))
+        val d = 1.0 + ea + eb + eg
+        (th(0), math.exp(th(1)), ea / d, eb / d, 2.0 * eg / d)
+      case "EGARCH" =>
+        (th(0), th(1), th(2), math.tanh(th(3)), th(4)) // ω, α, γ free; |β|<1
+      case m => throw new IllegalArgumentException(s"Unknown model type: $m")
+    }
+
+  /** Conditional variance path at the given parameters. */
+  private def variancePath(model: String, y: Array[Double],
+      mu: Double, omega: Double, alpha: Double, beta: Double, gamma: Double): Array[Double] = {
     val n = y.length
-    val mu = theta(0)
-    val omega = math.exp(theta(1))
-    val ea = math.exp(theta(2))
-    val eb = math.exp(theta(3))
-    val denom = 1.0 + ea + eb
-    val alpha = ea / denom
-    val beta = eb / denom
-    val e2 = y.map(v => (v - mu) * (v - mu))
-    var s2 = backcast(e2)
+    val e = y.map(_ - mu)
+    val e2 = e.map(v => v * v)
+    val out = new Array[Double](n)
+    val bc = backcast(e2)
+    if (model == "EGARCH") {
+      var ls2 = math.log(math.max(bc, 1e-300))
+      val c = math.sqrt(2.0 / math.Pi)
+      var t = 0
+      while (t < n) {
+        if (t > 0) {
+          val s2prev = math.exp(ls2)
+          val z = e(t - 1) / math.sqrt(s2prev)
+          ls2 = omega + beta * ls2 + alpha * (math.abs(z) - c) + gamma * z
+        }
+        out(t) = math.exp(ls2)
+        t += 1
+      }
+    } else {
+      var s2 = bc
+      var t = 0
+      while (t < n) {
+        if (t > 0) {
+          val lev = if (model == "GJR-GARCH" && e(t - 1) < 0) gamma else 0.0
+          s2 = omega + (alpha + lev) * e2(t - 1) + beta * s2
+        }
+        out(t) = s2
+        t += 1
+      }
+    }
+    out
+  }
+
+  private def nll(model: String, y: Array[Double])(th: DenseVector[Double]): Double = {
+    val (mu, omega, alpha, beta, gamma) =
+      try untransform(model, th)
+      catch { case _: Throwable => return 1e12 }
+    val s2s = variancePath(model, y, mu, omega, alpha, beta, gamma)
     var ll = 0.0
     var t = 0
-    while (t < n) {
-      if (t > 0) s2 = omega + alpha * e2(t - 1) + beta * s2
-      if (s2 <= 0 || s2.isNaN) return 1e12
-      ll += -0.5 * (math.log(2.0 * math.Pi) + math.log(s2) + e2(t) / s2)
+    while (t < y.length) {
+      val s2 = s2s(t)
+      if (s2 <= 0 || s2.isNaN || s2.isInfinite) return 1e12
+      val e = y(t) - mu
+      ll += -0.5 * (math.log(2.0 * math.Pi) + math.log(s2) + e * e / s2)
       t += 1
     }
     if (ll.isNaN) 1e12 else -ll
   }
 
-  def fitGarch11(y: Array[Double]): GarchFit = {
+  /** MLE fit for the given model type. */
+  def fit(y: Array[Double], model: String = "GARCH"): GarchFit = {
     val n = y.length
     val mean = y.sum / n
     val variance = y.map(v => (v - mean) * (v - mean)).sum / n
-    val a0 = 0.05
-    val b0 = 0.85
-    // invert the softmax-style transform for the start point
-    val start = DenseVector(
-      mean,
-      math.log(math.max(variance * (1.0 - a0 - b0), 1e-12)),
-      math.log(a0 / (1.0 - a0 - b0)),
-      math.log(b0 / (1.0 - a0 - b0)))
-    val f = new ApproximateGradientFunction[Int, DenseVector[Double]](nll(y))
+    val (a0, b0) = (0.05, 0.85)
+    val start = model match {
+      case "GARCH" => DenseVector(
+        mean, math.log(math.max(variance * (1.0 - a0 - b0), 1e-12)),
+        math.log(a0 / (1.0 - a0 - b0)), math.log(b0 / (1.0 - a0 - b0)))
+      case "GJR-GARCH" =>
+        val g0 = 0.02
+        val rest = 1.0 - a0 - b0 - g0 / 2
+        DenseVector(mean, math.log(math.max(variance * (1.0 - a0 - b0 - g0 / 2), 1e-12)),
+          math.log(a0 / rest), math.log(b0 / rest), math.log(g0 / 2 / rest))
+      case "EGARCH" => DenseVector(
+        mean, math.log(math.max(variance, 1e-12)) * (1.0 - 0.9), 0.1,
+        0.5 * math.log((1 + 0.9) / (1 - 0.9)), 0.0) // atanh(0.9)
+      case m => throw new IllegalArgumentException(s"Unknown model type: $m")
+    }
+    val f = new ApproximateGradientFunction[Int, DenseVector[Double]](nll(model, y))
     val lbfgs = new LBFGS[DenseVector[Double]](maxIter = 500, m = 7, tolerance = 1e-9)
     val opt = lbfgs.minimize(f, start)
-    val mu = opt(0)
-    val omega = math.exp(opt(1))
-    val ea = math.exp(opt(2))
-    val eb = math.exp(opt(3))
-    val denom = 1.0 + ea + eb
-    val alpha = ea / denom
-    val beta = eb / denom
-    // conditional volatility path at the optimum
-    val e2 = y.map(v => (v - mu) * (v - mu))
-    val vol = new Array[Double](n)
-    var s2 = backcast(e2)
-    var t = 0
-    while (t < n) {
-      if (t > 0) s2 = omega + alpha * e2(t - 1) + beta * s2
-      vol(t) = math.sqrt(s2)
-      t += 1
-    }
-    GarchFit(mu, omega, alpha, beta, -nll(y)(opt), vol)
+    val (mu, omega, alpha, beta, gamma) = untransform(model, opt)
+    val vol = variancePath(model, y, mu, omega, alpha, beta, gamma).map(math.sqrt)
+    GarchFit(model, mu, omega, alpha, beta, gamma, -nll(model, y)(opt), vol)
   }
+
+  /** Backwards-compatible GARCH(1,1) entry. */
+  def fitGarch11(y: Array[Double]): GarchFit = fit(y, "GARCH")
 
   case class VolRow(
       group_key: String, feature: String, model_type: String,
@@ -121,9 +166,9 @@ object Garch {
     (mean, std, skew, kurt)
   }
 
-  /** Per-(group × feature) GARCH(1,1) summary; series < minLen skipped
-    * (`:818-820`); failed fits emit null metrics. */
-  def volatilityAnalysis(melted: DataFrame, minLen: Int = 50): DataFrame = {
+  /** Per-(group × feature) volatility summary for the chosen model type;
+    * series < minLen skipped (`:818-820`); failed fits emit null metrics. */
+  def volatilityAnalysis(melted: DataFrame, modelType: String = "GARCH", minLen: Int = 50): DataFrame = {
     val ss = melted.sparkSession
     import ss.implicits._
     melted
@@ -137,18 +182,18 @@ object Garch {
         if (y.length < minLen) Iterator.empty
         else {
           try {
-            val ft = fitGarch11(y)
+            val ft = fit(y, modelType)
             val n = y.length
-            val k = 4
+            val k = ft.nParams
             val (vm, vs, vsk, vk) = sampleMoments(ft.condVol)
-            Iterator.single(VolRow(g, f, "GARCH",
+            Iterator.single(VolRow(g, f, modelType,
               Some(ft.llf), Some(2.0 * k - 2.0 * ft.llf),
               Some(math.log(n.toDouble) * k - 2.0 * ft.llf),
               Some(vm), Some(vs), Some(vsk), Some(vk),
-              Some(ft.alpha + ft.beta)))
+              Some(ft.persistence)))
           } catch {
             case _: Throwable =>
-              Iterator.single(VolRow(g, f, "GARCH", None, None, None, None, None, None, None, None))
+              Iterator.single(VolRow(g, f, modelType, None, None, None, None, None, None, None, None))
           }
         }
       }

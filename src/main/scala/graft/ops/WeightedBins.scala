@@ -40,7 +40,7 @@ object WeightedBins {
 
   /** Kernel on one time-sorted group; returns per-row bin averages
     * (NaN = untouched), dropping the last row. */
-  private[ops] def binsForGroup(
+  private[graft] def binsForGroup(
       q1: Array[Double], q2: Array[Double], binSize: Double, maxBins: Int): Array[Array[Double]] = {
     val n = q1.length
     val c = new Array[Double](n + 1) // prefix q1 mass

@@ -75,6 +75,37 @@ class AdvancedSpec extends SparkSpec {
     assert(!fit.llf.isNaN && fit.llf.abs < 1e6)
   }
 
+  test("gjr-garch recovers leverage on a synthetic asymmetric series") {
+    val rng = new scala.util.Random(13)
+    val n = 4000
+    val (om, al, be, ga) = (0.1, 0.05, 0.8, 0.1)
+    val y = new Array[Double](n)
+    var s2 = om / (1 - al - be - ga / 2)
+    var e = 0.0
+    for (t <- 0 until n) {
+      if (t > 0) s2 = om + (al + (if (e < 0) ga else 0.0)) * e * e + be * s2
+      e = math.sqrt(s2) * rng.nextGaussian()
+      y(t) = e
+    }
+    val fit = Garch.fit(y, "GJR-GARCH")
+    assert(fit.gamma > 0.02, s"gamma ${fit.gamma}")
+    assert(math.abs(fit.beta - be) < 0.1, s"beta ${fit.beta}")
+    // persistence quirk: alpha+beta only, gamma excluded like the reference
+    assert(math.abs(fit.persistence - (fit.alpha + fit.beta)) < 1e-12)
+    // GJR llf must beat plain GARCH on leveraged data
+    val plain = Garch.fit(y, "GARCH")
+    assert(fit.llf >= plain.llf - 1e-6, s"${fit.llf} vs ${plain.llf}")
+  }
+
+  test("egarch fits with |beta|<1 and positive volatility path") {
+    val rng = new scala.util.Random(17)
+    val y = Array.fill(1500)(rng.nextGaussian() * (1 + 0.5 * rng.nextDouble()))
+    val fit = Garch.fit(y, "EGARCH")
+    assert(math.abs(fit.beta) < 1.0)
+    assert(fit.condVol.forall(v => v > 0 && !v.isNaN && !v.isInfinite))
+    assert(!fit.llf.isNaN)
+  }
+
   test("garch volatility analysis emits one row per qualifying series") {
     // panel series are length 60 > 50 => 15 rows
     val out = Garch.volatilityAnalysis(melted)

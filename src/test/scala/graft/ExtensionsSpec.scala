@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.graftbridge.Bridge
+import graft.expr.CosineSimilarity
+
+/** GraftExtensions: the injected cosine_sim must resolve and evaluate in
+  * plain SQL. Extensions bind at session build, so the live-session path
+  * goes through Bridge.registerFunction (same builder). */
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions injects cosine_sim into the function registry") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(Bridge.injectedFunctionNames(ext).contains("cosine_sim"))
+  }
+
+  test("cosine_sim evaluates from SQL on a live session") {
+    Bridge.registerFunction(spark, "cosine_sim", args => CosineSimilarity(args.head, args(1)))
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 2.0d, 3.0d), array(1.0d, 2.0d, 3.0d)) AS c").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    val r2 = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(0.0d, 5.0d)) AS c").head()
+    assert(math.abs(r2.getDouble(0)) < 1e-12)
+  }
+}

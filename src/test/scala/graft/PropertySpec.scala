@@ -1,0 +1,115 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.{Outliers, Periodogram, UnitRoots, WeightedBins}
+import graft.ops.stat.{MacKinnon, Stats}
+
+/** Property-based invariants (SURVEY §5.4) over the local kernels —
+  * these run without Spark, directly on the kernel math. (The
+  * scalatest-scalacheck bridge isn't in the offline cache, so sampling is
+  * a deterministic loop over seeded Gen draws.)
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic forAll: n seeded samples from the generator. */
+  private def forAll[A](gen: Gen[A], n: Int = 100)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  private val series = Gen.choose(25, 80).flatMap(n =>
+    Gen.listOfN(n, Gen.choose(-50.0, 50.0)).map(_.toArray))
+
+  test("weighted bins: mass conservation and bounded averages") {
+    val gen = for {
+      n <- Gen.choose(3, 30)
+      q1 <- Gen.listOfN(n, Gen.choose(1.0, 200.0))
+      q2 <- Gen.listOfN(n, Gen.choose(1.0, 50.0))
+    } yield (q1.toArray, q2.toArray)
+    forAll(gen) { case (q1, q2) =>
+      val bins = WeightedBins.binsForGroup(q1, q2, binSize = 100.0, maxBins = 5)
+      assert(bins.length == q1.length - 1)
+      bins.zipWithIndex.foreach { case (row, i) =>
+        val future = (i + 1 until q1.length)
+        val lo = future.map(q2(_)).min
+        val hi = future.map(q2(_)).max
+        row.filterNot(_.isNaN).foreach { v =>
+          assert(v >= lo - 1e-9 && v <= hi + 1e-9, s"avg $v outside [$lo,$hi]")
+        }
+        // NaN only after mass exhausts: once NaN, later bins NaN too
+        val firstNaN = row.indexWhere(_.isNaN)
+        if (firstNaN >= 0) assert(row.drop(firstNaN).forall(_.isNaN))
+      }
+    }
+  }
+
+  test("hurst: constant series 0.5; affine invariance of R/S shape") {
+    forAll(series) { x =>
+      whenever(x.length >= 20) {
+        // R/S of a+b*x equals R/S of x (b>0) => same hurst
+        def h(v: Array[Double]): Double = {
+          val n = v.length
+          val mu = v.sum / n
+          val cs = v.scanLeft(0.0)(_ + _ - mu).tail
+          val r = cs.max - cs.min
+          val s = math.sqrt(v.map(a => (a - mu) * (a - mu)).sum / (n - 1))
+          if (s == 0) 0.5 else math.log(r / s) / math.log(n)
+        }
+        val scaled = x.map(v => 3.0 * v + 7.0)
+        if (x.distinct.length > 1)
+          assert(math.abs(h(x) - h(scaled)) < 1e-9)
+      }
+    }
+  }
+
+  test("ADF p-values are monotone in the statistic and within [0,1]") {
+    forAll(Gen.zip(Gen.choose(-6.0, 1.0), Gen.choose(-6.0, 1.0))) { case (s1, s2) =>
+      val p1 = MacKinnon.p(s1, "c", 1)
+      val p2 = MacKinnon.p(s2, "c", 1)
+      assert(p1 >= 0 && p1 <= 1 && p2 >= 0 && p2 <= 1)
+      if (s1 < s2) assert(p1 <= p2 + 1e-9)
+    }
+  }
+
+  test("kpss p clipped to [0.01, 0.10]") {
+    forAll(series) { x =>
+      whenever(x.length >= 25 && x.distinct.length > 2) {
+        val (_, p) = UnitRoots.kpss(x)
+        assert(p >= 0.01 - 1e-12 && p <= 0.10 + 1e-12)
+      }
+    }
+  }
+
+  test("periodogram: power non-negative, detrended sine peaks at its frequency") {
+    forAll(Gen.choose(4, 12)) { period =>
+      val n = 96
+      val x = Array.tabulate(n)(t => math.sin(2 * math.Pi * t / period))
+      val (f, _) = Periodogram.dominant(x, detrend = true)
+      assert(math.abs(f - 1.0 / period) < 1.0 / n + 1e-9)
+      val (_, pw) = Periodogram.periodogram(x)
+      assert(pw.forall(_ >= 0))
+    }
+  }
+
+  test("zscore labels consistent with threshold") {
+    forAll(series) { x =>
+      whenever(x.distinct.length > 1) {
+        val (labels, z) = Outliers.zscore(x)
+        labels.zip(z).foreach { case (l, zi) =>
+          assert(if (zi > 3) l == -1 else l == 1)
+        }
+      }
+    }
+  }
+
+  test("chi2 sf decreasing in x, normal cdf increasing") {
+    forAll(Gen.zip(Gen.choose(0.1, 50.0), Gen.choose(0.1, 50.0))) { case (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      assert(Stats.chi2Sf(lo, 10) >= Stats.chi2Sf(hi, 10) - 1e-12)
+      assert(Stats.normCdf(-lo) + Stats.normCdf(lo) - 1.0 < 1e-12)
+    }
+  }
+}
