@@ -10,14 +10,23 @@ import graft.streaming.StreamOps
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Conventions shared by every query/oracle pair:
-  *   - every floating-point output column is `round(x, 6)` on BOTH sides so
+  *   - every floating-point output column is `r6(x)` on BOTH sides so
   *     the driver's hash compare is robust to summation-order ulp drift;
   *   - every computed column is aliased identically in Spark and SQL;
   *   - every query ends in a deterministic ORDER BY.
   */
 object SparkEntry {
 
-  private def round6(c: String): Column = round(col(c), 6).as(c)
+  private def round6(c: String): Column = r6(col(c)).as(c)
+
+  /** Engine-agnostic 6-decimal canonicalization: floor(x*1e6 + 0.5)/1e6
+    * computed with the SAME IEEE double ops on both engines. Spark's
+    * round() goes through exact BigDecimal while DuckDB rounds binary
+    * doubles, so their half-way behavior differs systematically; this
+    * form makes both engines evaluate the identical float expression
+    * (flips now need an ulp-level input difference exactly at a grid
+    * point — found and fixed via the sf0.1 oracle probe). */
+  private def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
   /** Session-scoped memo for the shared daily panels: ten queries derive
     * from the same tiny aggregates of events/lineitem, so materialize each
@@ -66,7 +75,7 @@ object SparkEntry {
       .groupBy(date_trunc("day", col("ts")).as("date"), col("event_type"))
       .agg(avg("value").as("value"))
     panel.groupBy("date")
-      .agg(round(stddev_samp("value"), 6).as("dispersion_value"))
+      .agg(r6(stddev_samp("value")).as("dispersion_value"))
       .orderBy("date")
   }
 
@@ -88,8 +97,8 @@ object SparkEntry {
       .agg(
         count(lit(1)).as("n"),
         count(when(col("z") > 3, lit(1))).as("n_outliers"),
-        round(avg(when(col("z") > 3, 1.0).otherwise(0.0)), 6).as("outlier_rate"),
-        round(max(col("z")), 6).as("max_z"))
+        r6(avg(when(col("z") > 3, 1.0).otherwise(0.0))).as("outlier_rate"),
+        r6(max(col("z"))).as("max_z"))
       .orderBy("group_key")
   }
 
@@ -183,7 +192,7 @@ object SparkEntry {
        |  FROM panel WINDOW w AS (PARTITION BY group_key ORDER BY date)),
        |g AS (SELECT group_key, ${aggDefs.mkString(", ")} FROM d GROUP BY 1),
        |u AS (${unions.mkString(" UNION ALL ")})
-       |SELECT pair, lag, round(avg(CASE WHEN np >= 10 THEN c END), 6) AS avg_corr
+       |SELECT pair, lag, floor((avg(CASE WHEN np >= 10 THEN c END)) * 1e6 + 0.5) / 1e6 AS avg_corr
        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
@@ -234,8 +243,8 @@ object SparkEntry {
        |l AS (SELECT group_key, xc, $lagDefs FROM c WINDOW w AS (PARTITION BY group_key ORDER BY date)),
        |a AS (SELECT group_key, count(*) AS n, sum(xc * xc) AS denom, $numAggs FROM l GROUP BY 1),
        |q AS (SELECT group_key, n, CASE WHEN n > $m THEN n * (n + 2) * ($qTerms) END AS lbq FROM a)
-       |SELECT group_key, 'value' AS feature, n, round(lbq, 6) AS lb_q,
-       |round(CASE WHEN n > $m THEN exp(-lbq / 2) * ($sfTerms) END, 6) AS lb_p
+       |SELECT group_key, 'value' AS feature, n, floor((lbq) * 1e6 + 0.5) / 1e6 AS lb_q,
+       |floor((CASE WHEN n > $m THEN exp(-lbq / 2) * ($sfTerms) END) * 1e6 + 0.5) / 1e6 AS lb_p
        |FROM q ORDER BY group_key""".stripMargin
   }
 
@@ -249,6 +258,16 @@ object SparkEntry {
   }
 
   // ---- K5: periodogram kernel (no SQL oracle) -----------------------------
+
+  /** Periodogram on the small events panel — small enough (n=30/series)
+    * that the DFT is SQL-expressible, giving the kernel an exact DuckDB
+    * oracle. */
+  private def frequencyEvents(s: SparkSession, dir: String): DataFrame = {
+    val melted = Panel.melt(eventsDailyPanel(s, dir), "date", Seq("group_key"), Seq("value"))
+    Periodogram.frequencyDomain(melted)
+      .select(col("group_key"), col("feature"), round6("dom_freq"), round6("dom_power"))
+      .orderBy("group_key")
+  }
 
   private def frequencyLineitem(s: SparkSession, dir: String): DataFrame = {
     val melted = Panel.melt(lineitemDailyPanel(s, dir), "date", Seq("group_key"), liFeatures)
@@ -336,7 +355,7 @@ object SparkEntry {
     Tables.events(s, dir)
       .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy("event_type")
-      .agg(count("k").as("n"), round(avg("k"), 6).as("avg_k"),
+      .agg(count("k").as("n"), r6(avg("k")).as("avg_k"),
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
@@ -352,9 +371,9 @@ object SparkEntry {
         TextStats.punctRatio(col("text")).as("pr"),
         TextStats.digitRatio(col("text")).as("dr"))
       .groupBy("lang", "source")
-      .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 6).as("avg_chars"),
-        round(avg("toks"), 6).as("avg_tokens"), round(avg("pr"), 6).as("avg_punct_ratio"),
-        round(avg("dr"), 6).as("avg_digit_ratio"))
+      .agg(count(lit(1)).as("n_docs"), r6(avg("n_chars")).as("avg_chars"),
+        r6(avg("toks")).as("avg_tokens"), r6(avg("pr")).as("avg_punct_ratio"),
+        r6(avg("dr")).as("avg_digit_ratio"))
       .orderBy("lang", "source")
 
   private def langidDocs(s: SparkSession, dir: String): DataFrame =
@@ -363,15 +382,17 @@ object SparkEntry {
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
 
-  private def qualityDocs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("lang"),
-        TextStats.qualityScore(col("text")).as("q"),
-        TextStats.docFingerprint(col("text")).as("fp"))
+  private def qualityDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val fps = TextStats.docFingerprints(docs, "doc_id", "text")
+    docs
+      .select(col("doc_id"), col("lang"), TextStats.qualityScore(col("text")).as("q"))
+      .join(fps, "doc_id")
       .groupBy("lang")
-      .agg(count(lit(1)).as("n"), round(avg("q"), 6).as("avg_quality"),
-        countDistinct("fp").as("n_distinct_fingerprints"))
+      .agg(count(lit(1)).as("n"), r6(avg("q")).as("avg_quality"),
+        countDistinct("fingerprint").as("n_distinct_fingerprints"))
       .orderBy("lang")
+  }
 
   private def similarityQueries(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") < 3)
@@ -389,8 +410,8 @@ object SparkEntry {
     val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.decodeFeatures(media).toDF()
       .groupBy("format")
-      .agg(count(lit(1)).as("n"), round(avg("payload_bytes"), 6).as("avg_payload"),
-        round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
+      .agg(count(lit(1)).as("n"), r6(avg("payload_bytes")).as("avg_payload"),
+        r6(avg(element_at(col("features"), 1))).as("avg_f0"))
       .orderBy("format")
   }
 
@@ -410,6 +431,7 @@ object SparkEntry {
     "q_mutual_info_lineitem" -> mutualInfoLineitem,
     "q_ljungbox_events" -> ljungboxEvents,
     "q_stationarity_events" -> stationarityEvents,
+    "q_frequency_events" -> frequencyEvents,
     "q_frequency_lineitem" -> frequencyLineitem,
     "q_crossfeature_lineitem" -> crossfeatureLineitem,
     "q_weighted_bins_lineitem" -> weightedBinsLineitem,
@@ -435,15 +457,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_distribution_events" ->
       """SELECT event_type AS group_key, 'value' AS feature, count(value) AS n,
-        |round(avg(value), 6) AS mean, round(stddev_samp(value), 6) AS std,
-        |round(skewness(value), 6) AS skew, round(kurtosis(value), 6) AS kurtosis
+        |floor((avg(value)) * 1e6 + 0.5) / 1e6 AS mean, floor((stddev_samp(value)) * 1e6 + 0.5) / 1e6 AS std,
+        |floor((skewness(value)) * 1e6 + 0.5) / 1e6 AS skew, floor((kurtosis(value)) * 1e6 + 0.5) / 1e6 AS kurtosis
         |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         |GROUP BY 1 ORDER BY feature, group_key""".stripMargin,
     "q_distribution_lineitem" -> {
       def one(f: String) =
         s"""SELECT l_returnflag AS group_key, '$f' AS feature, count($f) AS n,
-           |round(avg($f), 6) AS mean, round(stddev_samp($f), 6) AS std,
-           |round(skewness($f), 6) AS skew, round(kurtosis($f), 6) AS kurtosis
+           |floor((avg($f)) * 1e6 + 0.5) / 1e6 AS mean, floor((stddev_samp($f)) * 1e6 + 0.5) / 1e6 AS std,
+           |floor((skewness($f)) * 1e6 + 0.5) / 1e6 AS skew, floor((kurtosis($f)) * 1e6 + 0.5) / 1e6 AS kurtosis
            |FROM lineitem WHERE $f IS NOT NULL AND NOT isnan($f) GROUP BY 1""".stripMargin
       Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
         .mkString("", " UNION ALL ", " ORDER BY feature, group_key")
@@ -452,7 +474,7 @@ object SparkEntry {
       """WITH panel AS (
         |  SELECT date_trunc('day', ts) AS date, event_type, avg(value) AS value
         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1, 2
-        |) SELECT date, round(stddev_samp(value), 6) AS dispersion_value
+        |) SELECT date, floor((stddev_samp(value)) * 1e6 + 0.5) / 1e6 AS dispersion_value
         |FROM panel GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_zscore_outliers" ->
       """WITH s AS (
@@ -465,8 +487,8 @@ object SparkEntry {
         |)
         |SELECT event_type AS group_key, count(*) AS n,
         |count(*) FILTER (WHERE z > 3) AS n_outliers,
-        |round(avg(CASE WHEN z > 3 THEN 1.0 ELSE 0.0 END), 6) AS outlier_rate,
-        |round(max(z), 6) AS max_z
+        |floor((avg(CASE WHEN z > 3 THEN 1.0 ELSE 0.0 END)) * 1e6 + 0.5) / 1e6 AS outlier_rate,
+        |floor((max(z)) * 1e6 + 0.5) / 1e6 AS max_z
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_memory_events" ->
       s"""WITH panel AS ($evPanelSql),
@@ -480,9 +502,9 @@ object SparkEntry {
          |  corr(value, l10) AS a10, stddev_samp(value) AS sigma, max(cum) - min(cum) AS rng
          |  FROM cs GROUP BY 1)
          |SELECT group_key, 'value' AS feature,
-         |round(a1, 6) AS acf_lag1, round(a5, 6) AS acf_lag5, round(a10, 6) AS acf_lag10,
-         |round(CASE WHEN n < 20 THEN NULL WHEN sigma = 0 THEN 0.5
-         |  ELSE ln(rng / sigma) / ln(n) END, 6) AS hurst_exp
+         |floor((a1) * 1e6 + 0.5) / 1e6 AS acf_lag1, floor((a5) * 1e6 + 0.5) / 1e6 AS acf_lag5, floor((a10) * 1e6 + 0.5) / 1e6 AS acf_lag10,
+         |floor((CASE WHEN n < 20 THEN NULL WHEN sigma = 0 THEN 0.5
+         |  ELSE ln(rng / sigma) / ln(n) END) * 1e6 + 0.5) / 1e6 AS hurst_exp
          |FROM ag WHERE n >= 12 ORDER BY group_key""".stripMargin,
     "q_ar1_lineitem" ->
       s"""WITH panel AS ($liPanelSql),
@@ -492,13 +514,13 @@ object SparkEntry {
          |ag AS (SELECT group_key, feature,
          |  count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS np, corr(x, y) AS r
          |  FROM d GROUP BY 1, 2)
-         |SELECT group_key, feature, round(r * r, 6) AS ar1_r2
+         |SELECT group_key, feature, floor((r * r) * 1e6 + 0.5) / 1e6 AS ar1_r2
          |FROM ag WHERE np >= 10 ORDER BY feature, group_key""".stripMargin,
     "q_lagged_corr_lineitem" -> laggedCorrSql,
     "q_rolling_corr_lineitem" ->
       s"""WITH panel AS ($liPanelSql)
          |SELECT group_key, date,
-         |round(CASE WHEN count(*) OVER w2 = 10 THEN corr(l_quantity, l_extendedprice) OVER w2 END, 6) AS roll_corr
+         |floor((CASE WHEN count(*) OVER w2 = 10 THEN corr(l_quantity, l_extendedprice) OVER w2 END) * 1e6 + 0.5) / 1e6 AS roll_corr
          |FROM panel WINDOW w2 AS (PARTITION BY group_key ORDER BY date
          |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
          |ORDER BY group_key, date""".stripMargin,
@@ -508,8 +530,8 @@ object SparkEntry {
          |d AS (SELECT group_key, feature, value,
          |  cast(row_number() OVER (PARTITION BY group_key, feature ORDER BY date) - 1 AS double) AS t FROM m)
          |SELECT group_key, feature, count(*) AS n,
-         |round(covar_pop(t, value) / var_pop(t), 6) AS slope,
-         |round(avg(value) - covar_pop(t, value) / var_pop(t) * avg(t), 6) AS intercept
+         |floor((covar_pop(t, value) / var_pop(t)) * 1e6 + 0.5) / 1e6 AS slope,
+         |floor((avg(value) - covar_pop(t, value) / var_pop(t) * avg(t)) * 1e6 + 0.5) / 1e6 AS intercept
          |FROM d GROUP BY 1, 2 ORDER BY feature, group_key""".stripMargin,
     "q_mutual_info_lineitem" ->
       s"""WITH panel AS ($liPanelSql),
@@ -525,11 +547,33 @@ object SparkEntry {
          |  sum(c) OVER (PARTITION BY group_key, xbin) AS cx,
          |  sum(c) OVER (PARTITION BY group_key, ybin) AS cy FROM h)
          |SELECT group_key, 'l_quantity|l_extendedprice' AS pair,
-         |round(CASE WHEN max(ntot) >= 10 THEN
+         |floor((CASE WHEN max(ntot) >= 10 THEN
          |  sum((c / ntot) * (ln(c / ntot + 1e-12) - ln(cx / ntot + 1e-12) - ln(cy / ntot + 1e-12)))
-         |END, 6) AS mi
+         |END) * 1e6 + 0.5) / 1e6 AS mi
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ljungbox_events" -> ljungboxSql,
+    "q_frequency_events" ->
+      s"""WITH panel AS ($evPanelSql),
+         |d AS (SELECT group_key, value,
+         |  cast(row_number() OVER (PARTITION BY group_key ORDER BY date) - 1 AS DOUBLE) AS t,
+         |  count(*) OVER (PARTITION BY group_key) AS n FROM panel),
+         |fit AS (SELECT group_key, covar_pop(t, value) / var_pop(t) AS slope,
+         |  avg(value) - covar_pop(t, value) / var_pop(t) * avg(t) AS icept FROM d GROUP BY 1),
+         |dt AS (SELECT d.group_key, d.t, d.n, d.value - (slope * d.t + icept) AS r
+         |  FROM d JOIN fit USING (group_key)),
+         |dm AS (SELECT group_key, t, n, r - avg(r) OVER (PARTITION BY group_key) AS x FROM dt),
+         |ks AS (SELECT g.group_key, g.n, r.k FROM (SELECT DISTINCT group_key, n FROM dm) g
+         |  CROSS JOIN (SELECT range AS k FROM range(1, 2000)) r WHERE r.k <= g.n // 2),
+         |p AS (SELECT ks.group_key, ks.k, ks.n,
+         |  (pow(sum(x * cos(2 * pi() * ks.k * t / ks.n)), 2)
+         |   + pow(sum(x * sin(2 * pi() * ks.k * t / ks.n)), 2)) / ks.n
+         |  * (CASE WHEN ks.n % 2 = 0 AND ks.k = ks.n // 2 THEN 1 ELSE 2 END) AS power
+         |  FROM ks JOIN dm ON ks.group_key = dm.group_key GROUP BY 1, 2, 3),
+         |r AS (SELECT group_key, k, n, power,
+         |  row_number() OVER (PARTITION BY group_key ORDER BY power DESC, k) AS rn FROM p)
+         |SELECT group_key, 'value' AS feature,
+         |floor((cast(k AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS dom_freq, floor((power) * 1e6 + 0.5) / 1e6 AS dom_power
+         |FROM r WHERE rn = 1 ORDER BY group_key""".stripMargin,
     "q_dedup_exact_docs" ->
       """WITH g AS (SELECT sha256(text) AS h, count(*) AS c FROM documents GROUP BY 1)
         |SELECT sum(c)::BIGINT AS n_docs, count(*) AS n_distinct,
@@ -537,22 +581,22 @@ object SparkEntry {
         |coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0)::BIGINT AS n_redundant
         |FROM g""".stripMargin,
     "q_json_events" ->
-      """SELECT event_type, count(k) AS n, round(avg(k), 6) AS avg_k,
+      """SELECT event_type, count(k) AS n, floor((avg(k)) * 1e6 + 0.5) / 1e6 AS avg_k,
         |min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_window_events" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
-        |round(sum(value), 6) AS sum_value, round(avg(value), 6) AS avg_value
+        |floor((sum(value)) * 1e6 + 0.5) / 1e6 AS sum_value, floor((avg(value)) * 1e6 + 0.5) / 1e6 AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_text_stats_docs" ->
-      """SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
-        |round(avg(CASE WHEN trim(text) = '' THEN 0
-        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 6) AS avg_tokens,
-        |round(avg((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
-        |  / greatest(length(text), 1)), 6) AS avg_punct_ratio,
-        |round(avg((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
-        |  / greatest(length(text), 1)), 6) AS avg_digit_ratio
+      """SELECT lang, source, count(*) AS n_docs, floor((avg(n_chars)) * 1e6 + 0.5) / 1e6 AS avg_chars,
+        |floor((avg(CASE WHEN trim(text) = '' THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)) * 1e6 + 0.5) / 1e6 AS avg_tokens,
+        |floor((avg((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+        |  / greatest(length(text), 1))) * 1e6 + 0.5) / 1e6 AS avg_punct_ratio,
+        |floor((avg((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+        |  / greatest(length(text), 1))) * 1e6 + 0.5) / 1e6 AS avg_digit_ratio
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_similarity_topk_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qemb
@@ -562,7 +606,7 @@ object SparkEntry {
         |  FROM embeddings e CROSS JOIN q),
         |r AS (SELECT query_id, vec_id, cos,
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM s)
-        |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+        |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // q_dedup_minhash_docs / q_simhash_docs / q_similarity_topk_lsh /
     // q_langid_docs / q_quality_docs / q_multimodal_features: hash-seeded /

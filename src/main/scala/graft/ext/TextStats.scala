@@ -96,10 +96,48 @@ object TextStats {
 
   // ---- fingerprinting ------------------------------------------------------
 
-  /** Winnowing fingerprints (Schleimer et al. 2003): hash all k-grams of
-    * the normalized text, keep the minimum in each sliding window of w —
-    * a deterministic, position-robust fingerprint set, pure higher-order
-    * functions. */
+  /** Winnowing fingerprint rows (Schleimer et al. 2003): hash all char
+    * k-grams, keep the minimum of each sliding window of w. Relational
+    * form — posexplode gram positions, one substr/hash per position, a
+    * row-frame window min — linear and shuffle-shared with any downstream
+    * per-doc aggregation. (The Column form below nests array lambdas,
+    * which Catalyst inlines quadratically — fine for short strings in
+    * tests, lethal on a corpus; see ARCHITECTURE.md anti-lesson.) */
+  def fingerprintRows(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
+    val base = docs.select(col(idCol).as("doc_id"), norm.as("norm"))
+      .withColumn("n", length(col("norm")))
+    val grams = base
+      .select(col("doc_id"),
+        posexplode(
+          when(col("n") >= k, sequence(lit(1), col("n") - k + 1)).otherwise(array(lit(1))))
+          .as(Seq("ord", "i")),
+        col("norm"), col("n"))
+      .withColumn("g",
+        when(col("n") >= k, xxhash64(col("norm").substr(col("i"), lit(k))))
+          .otherwise(xxhash64(col("norm"))))
+    val ww = Window.partitionBy("doc_id").orderBy("ord").rowsBetween(0, w - 1)
+    grams
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("fp", min(col("g")).over(ww))
+      // a window min is valid for every start position ≤ m − w (plus the
+      // degenerate whole-doc case)
+      .filter(col("ord") <= greatest(col("m") - w, lit(0)) || col("ord") === 0)
+      .select("doc_id", "fp")
+      .distinct()
+  }
+
+  /** One 64-bit fingerprint per doc from the winnowed set (relational). */
+  def docFingerprints(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =
+    fingerprintRows(docs, idCol, textCol, k, w)
+      .groupBy("doc_id")
+      .agg(xxhash64(array_join(transform(array_sort(collect_set(col("fp"))),
+        v => v.cast("string")), ",")).as("fingerprint"))
+
+  /** Column form — ONLY for short strings (tests/ad-hoc); see above. */
   def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
     val norm = lower(regexp_replace(text, "\\s+", " "))
     val n = length(norm)

@@ -26,6 +26,38 @@ object StreamOps {
   def tumblingWindowBatch(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
     windowAgg(events, windowLen).orderBy("window_start", "event_type")
 
+  /** Tumbling-window distribution moments per (window, group) — the
+    * streaming-friendly face of G2 (SURVEY §2.10): the bias-corrected
+    * skew/kurt corrections are pure aggregate expressions, so they work
+    * unchanged under incremental execution. */
+  private def momentsAgg(events: DataFrame, windowLen: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(
+        count(col("value")).as("n"),
+        avg("value").as("mean"),
+        stddev_samp("value").as("std"),
+        graft.ops.Moments.sampleSkew(col("value")).as("skew"),
+        graft.ops.Moments.sampleKurt(col("value")).as("kurtosis"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("mean"), col("std"), col("skew"), col("kurtosis"))
+
+  def momentsBatch(events: DataFrame, windowLen: String = "1 day"): DataFrame =
+    momentsAgg(events, windowLen).orderBy("window_start", "event_type")
+
+  def momentsStream(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      sinkTable: String,
+      windowLen: String = "1 day",
+      watermark: String = "2 days"): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", watermark)
+    momentsAgg(stream, windowLen)
+      .writeStream.outputMode("complete").format("memory").queryName(sinkTable).start()
+  }
+
   /** Streaming variant: parquet-source file stream with a watermark.
     * Returns the started query writing to an in-memory sink table named
     * `sinkTable` (append mode is wrong for aggregations without watermark

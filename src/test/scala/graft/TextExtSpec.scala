@@ -49,6 +49,21 @@ class TextExtSpec extends SparkSpec {
     assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("relational fingerprint rows equal the Column-form winnowing set") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "short"),
+      (3L, "completely different content with no overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    val colForm = docs
+      .select($"doc_id", explode(TextStats.winnowingFingerprints($"text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val relForm = TextStats.fingerprintRows(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(relForm == colForm)
+    assert(TextStats.docFingerprints(docs, "doc_id", "text").count() == 3)
+  }
+
   test("winnowing fingerprints: shared content overlaps, position-robust") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "PREFIX " + a // shifted content
@@ -89,6 +104,29 @@ class TextExtSpec extends SparkSpec {
       val idx = r.getSeq[Int](1)
       assert(idx.head == 0 && idx.sliding(2).forall(w => w.length < 2 || w(1) - w(0) == 4))
     }
+  }
+
+  test("streaming windowed moments match the batch variant") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("stream_m").toString
+    graft.core.Tables.events(spark, SparkSpec.sf0001)
+      .select("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val q = StreamOps.momentsStream(spark, dir, schema, "m_out")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("m_out").orderBy("window_start", "event_type").collect()
+      val batch = StreamOps.momentsBatch(spark.read.parquet(dir)).collect()
+      assert(streamed.length == batch.length && streamed.nonEmpty)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.getAs[Long]("n") == b.getAs[Long]("n"))
+        assert(math.abs(s.getAs[Double]("skew") - b.getAs[Double]("skew")) < 1e-9)
+        assert(math.abs(s.getAs[Double]("kurtosis") - b.getAs[Double]("kurtosis")) < 1e-9)
+      }
+    } finally q.stop()
   }
 
   test("streaming tumbling window matches the batch variant") {
