@@ -109,9 +109,12 @@ class TimeSeriesStudy(
       "mutual_info" -> mi.orderBy("pair", "group_key"))
   }
 
-  /** 8 — Markov regime detection for one feature (K9). */
+  /** 8 — Markov regime detection for one feature (K9). The tabular output
+    * is 2-regime (the reference's default and its golden run);
+    * `Regimes.fit(y, k)` supports general k for programmatic use. */
   def regimeDetection(feature: String, nRegimes: Int = 2): DataFrame = {
-    require(nRegimes == 2, "k=2 regimes supported (reference default)")
+    require(nRegimes == 2,
+      "tabular output is 2-regime; use Regimes.fit(y, k) for general k")
     Regimes.regimeDetection(melted.filter(col("feature") === feature))
   }
 

@@ -243,12 +243,12 @@ object Dedup {
     Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-LSH bucket id of an embedding column. */
+  /** Sign-LSH bucket id of an embedding column (native codegen'd dot
+    * products — a row evaluates `bits` of them). */
   private[ext] def lshBucket(emb: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val plane = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(emb, plane, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+      when(graft.expr.DotProduct.dotProduct(emb, plane) > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

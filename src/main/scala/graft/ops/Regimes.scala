@@ -158,58 +158,58 @@ object Regimes {
     MsFit(p, mu, sigma2, llf, smoothed)
   }
 
-  /** Hamilton-filter log-likelihood + filter/smoother state at parameters
-    * (k = 2). Shared by EM (per-iteration) and the L-BFGS polish. */
-  private def llfAt(y: Array[Double], p00: Double, p11: Double,
-      mu0: Double, mu1: Double, sigma2: Double): Double = {
-    if (sigma2 <= 0 || p00 <= 0 || p00 >= 1 || p11 <= 0 || p11 >= 1) return -1e12
-    val n = y.length
-    val pi0 = (1.0 - p11) / (2.0 - p00 - p11)
-    var f0 = pi0
-    var f1 = 1.0 - pi0
-    var ll = 0.0
-    val c = 1.0 / math.sqrt(2.0 * math.Pi * sigma2)
-    var t = 0
-    while (t < n) {
-      val pr0 = if (t == 0) f0 else f0 * p00 + f1 * (1.0 - p11)
-      val pr1 = if (t == 0) f1 else f0 * (1.0 - p00) + f1 * p11
-      val d0 = c * math.exp(-0.5 * (y(t) - mu0) * (y(t) - mu0) / sigma2)
-      val d1 = c * math.exp(-0.5 * (y(t) - mu1) * (y(t) - mu1) / sigma2)
-      var s = pr0 * d0 + pr1 * d1
-      if (s <= 0 || s.isNaN) s = 1e-300
-      ll += math.log(s)
-      f0 = pr0 * d0 / s
-      f1 = pr1 * d1 / s
-      t += 1
-    }
-    ll
-  }
-
-  /** L-BFGS polish of a k=2 EM fit on the exact filter likelihood
-    * (transformed params: logit transitions, log variance). EM crawls on
+  /** L-BFGS polish of an EM fit on the exact filter likelihood, general k.
+    * Transformed params: per transition row, k−1 softmax logits (last entry
+    * pinned to 0); k means; log variance — k(k−1)+k+1 free parameters
+    * (5 for k=2, matching the reference's parameter count). EM crawls on
     * the shared-variance ridge; the quasi-Newton step snaps it to the
     * local maximum, matching a BFGS-polished reference fit. */
   private def polish(y: Array[Double], f: MsFit, maxIter: Int, tol: Double): MsFit = {
     import breeze.linalg.DenseVector
     import breeze.optimize.{ApproximateGradientFunction, LBFGS}
-    def logit(p: Double) = math.log(p / (1 - p))
-    def clamp(p: Double) = math.min(math.max(p, 1e-8), 1 - 1e-8)
-    val start = DenseVector(
-      logit(clamp(f.p(0)(0))), logit(clamp(f.p(1)(1))),
-      f.mu(0), f.mu(1), math.log(math.max(f.sigma2, 1e-12)))
+    val k = f.mu.length
+    val nTrans = k * (k - 1)
+
+    def unpack(th: DenseVector[Double]): (Array[Array[Double]], Array[Double], Double) = {
+      val p = Array.ofDim[Double](k, k)
+      var idx = 0
+      var j = 0
+      while (j < k) {
+        val logits = new Array[Double](k)
+        var m = 0
+        while (m < k - 1) { logits(m) = th(idx); idx += 1; m += 1 }
+        logits(k - 1) = 0.0
+        val mx = logits.max
+        val exps = logits.map(v => math.exp(v - mx))
+        val s = exps.sum
+        m = 0
+        while (m < k) { p(j)(m) = exps(m) / s; m += 1 }
+        j += 1
+      }
+      val mu = Array.tabulate(k)(i => th(nTrans + i))
+      (p, mu, math.exp(th(nTrans + k)))
+    }
+
+    def clampLog(x: Double) = math.log(math.min(math.max(x, 1e-8), 1e8))
+    val start = DenseVector.zeros[Double](nTrans + k + 1)
+    var idx = 0
+    for (j <- 0 until k; m <- 0 until k - 1) {
+      start(idx) = clampLog(math.max(f.p(j)(m), 1e-8) / math.max(f.p(j)(k - 1), 1e-8))
+      idx += 1
+    }
+    for (i <- 0 until k) start(nTrans + i) = f.mu(i)
+    start(nTrans + k) = math.log(math.max(f.sigma2, 1e-12))
+
     def nll(th: DenseVector[Double]): Double = {
-      val p00 = 1.0 / (1.0 + math.exp(-th(0)))
-      val p11 = 1.0 / (1.0 + math.exp(-th(1)))
-      -llfAt(y, p00, p11, th(2), th(3), math.exp(th(4)))
+      val (p, mu, s2) = unpack(th)
+      -emAt(y, p, mu, s2).llf
     }
     val g = new ApproximateGradientFunction[Int, DenseVector[Double]](nll _)
     val opt = try new LBFGS[DenseVector[Double]](maxIter = 300, m = 7, tolerance = 1e-10)
       .minimize(g, start) catch { case _: Throwable => start }
-    val p00 = 1.0 / (1.0 + math.exp(-opt(0)))
-    val p11 = 1.0 / (1.0 + math.exp(-opt(1)))
-    val (mu0, mu1, s2) = (opt(2), opt(3), math.exp(opt(4)))
+    val (p, mu, s2) = unpack(opt)
     // one E-pass at the optimum refreshes filter/smoother state exactly
-    val refreshed = emAt(y, Array(Array(p00, 1 - p00), Array(1 - p11, p11)), Array(mu0, mu1), s2)
+    val refreshed = emAt(y, p, mu, s2)
     if (refreshed.llf >= f.llf) refreshed else f
   }
 
@@ -284,7 +284,7 @@ object Regimes {
         Seq((Array.tabulate(kRegimes)(j => quant((j + 0.5) / kRegimes)), sd * sd, 0.9))
     val fits = starts.map { case (m, s2, p0) =>
       val em = emFit(y, m, s2, p0, maxIter, tol)
-      if (kRegimes == 2) polish(y, em, maxIter, tol) else em
+      polish(y, em, maxIter, tol)
     }
     fits.maxBy(f => if (f.llf.isNaN) Double.NegativeInfinity else f.llf)
   }

@@ -43,6 +43,16 @@ class CosineExprSpec extends SparkSpec {
     assert(rows(1).getDouble(0).isNaN)
   }
 
+  test("dot product expression equals the HOF composition") {
+    val df = vecs(100, 16, 4)
+    val d = df.select(
+      graft.expr.DotProduct.dotProduct($"a", $"b").as("native"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0d), (acc, v) => acc + v).as("hof"))
+      .withColumn("diff", abs($"native" - $"hof"))
+      .agg(max("diff")).head().getDouble(0)
+    assert(d < 1e-12, s"max diff $d")
+  }
+
   test("the expression participates in whole-stage codegen") {
     // local relations constant-fold to LocalTableScan; go through parquet
     val tmp = java.nio.file.Files.createTempDirectory("cos_wsc").toString
