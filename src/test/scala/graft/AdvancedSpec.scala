@@ -97,11 +97,24 @@ class AdvancedSpec extends SparkSpec {
     assert(fit.llf >= plain.llf - 1e-6, s"${fit.llf} vs ${plain.llf}")
   }
 
-  test("egarch fits with |beta|<1 and positive volatility path") {
+  test("egarch recovers parameters on a synthetic series") {
+    // ln s2_t = om + be*ln s2_{t-1} + al(|z|-c) + ga*z
     val rng = new scala.util.Random(17)
-    val y = Array.fill(1500)(rng.nextGaussian() * (1 + 0.5 * rng.nextDouble()))
+    val n = 4000
+    val (om, al, be, ga) = (0.02, 0.15, 0.9, -0.08)
+    val c = math.sqrt(2.0 / math.Pi)
+    val y = new Array[Double](n)
+    var ls2 = om / (1 - be)
+    var z = 0.0
+    for (t <- 0 until n) {
+      if (t > 0) ls2 = om + be * ls2 + al * (math.abs(z) - c) + ga * z
+      z = rng.nextGaussian()
+      y(t) = math.sqrt(math.exp(ls2)) * z
+    }
     val fit = Garch.fit(y, "EGARCH")
-    assert(math.abs(fit.beta) < 1.0)
+    assert(math.abs(fit.beta - be) < 0.1, s"beta ${fit.beta}")
+    assert(math.abs(fit.alpha - al) < 0.1, s"alpha ${fit.alpha}")
+    assert(fit.gamma < 0, s"gamma ${fit.gamma} (leverage sign)")
     assert(fit.condVol.forall(v => v > 0 && !v.isNaN && !v.isInfinite))
     assert(!fit.llf.isNaN)
   }
