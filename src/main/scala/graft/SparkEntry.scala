@@ -386,10 +386,13 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val fps = TextStats.docFingerprints(docs, "doc_id", "text")
     docs
-      .select(col("doc_id"), col("lang"), TextStats.qualityScore(col("text")).as("q"))
+      .select(col("doc_id"), col("lang"),
+        TextStats.qualityScore(col("text")).as("q"),
+        TextStats.bpeishTokenCount(col("text")).as("bpe"))
       .join(fps, "doc_id")
       .groupBy("lang")
       .agg(count(lit(1)).as("n"), r6(avg("q")).as("avg_quality"),
+        r6(avg("bpe")).as("avg_bpeish_tokens"),
         countDistinct("fingerprint").as("n_distinct_fingerprints"))
       .orderBy("lang")
   }

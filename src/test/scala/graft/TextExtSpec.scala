@@ -24,6 +24,19 @@ class TextExtSpec extends SparkSpec {
     assert(empty.getInt(0) == 0)
   }
 
+  test("bpe-ish token count splits words and punctuation separately") {
+    val rows = Seq(
+      ("Hello, world!", 4), //  Hello , world !
+      ("a.b", 3),
+      ("one two", 2),
+      ("", 0))
+      .toDF("text", "want")
+      .select(TextStats.bpeishTokenCount($"text").as("got"), $"want")
+      .collect()
+    rows.foreach(r => assert(r.getAs[Int]("got") == r.getAs[Int]("want"),
+      s"got ${r.getAs[Int]("got")} want ${r.getAs[Int]("want")}"))
+  }
+
   test("language id identifies constructed samples") {
     val samples = Seq(
       ("en", "the cat and the dog sat in the house with you"),
