@@ -96,7 +96,9 @@ class TimeSeriesStudy(
     val granger = perPair.map(_._2.select(col("group_key"), col("pair"), col("granger_p").as("pvalue")))
       .reduce(_ unionByName _)
     val mi = pairs.map { case (fa, fb) =>
-      MutualInfo.mutualInfo(wide, "group_key", fa, fb)
+      // reference gates MI on the same aligned-length minimum as
+      // coint/granger (time_series_study.py:613-618), not MI's own 10
+      MutualInfo.mutualInfo(wide, "group_key", fa, fb, minN = math.max(20, maxLag + 5))
         .select(col("group_key"), lit(s"$fa|$fb").as("pair"), col("mi"))
     }.reduce(_ unionByName _)
     val rolling = Lags.rollingCorr(wide, "date", "group_key", pairs.head._1, pairs.head._2, rollingWindow)

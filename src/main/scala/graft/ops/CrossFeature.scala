@@ -79,7 +79,7 @@ object CrossFeature {
       .as[(String, java.sql.Timestamp, Double, Double)]
       .groupByKey(_._1)
       .mapGroups { (g: String, it: Iterator[(String, java.sql.Timestamp, Double, Double)]) =>
-        val rows = it.toArray.sortBy(_._2.getTime)
+        val rows = it.toArray.sortBy(r => (r._2.getTime, r._3, r._4))
         val a = rows.map(_._3)
         val b = rows.map(_._4)
         if (a.length < minLen) PairRow(g, pairName, None, None, None)

@@ -51,10 +51,15 @@ object Garch {
         val d = 1.0 + ea + eb
         (th(0), math.exp(th(1)), ea / d, eb / d, 0.0)
       case "GJR-GARCH" =>
-        // softmax over (α, β, γ/2) keeps α+β+γ/2 < 1, all ≥ 0
-        val (ea, eb, eg) = (math.exp(th(2)), math.exp(th(3)), math.exp(th(4)))
-        val d = 1.0 + ea + eb + eg
-        (th(0), math.exp(th(1)), ea / d, eb / d, 2.0 * eg / d)
+        // arch-package constraint set: α ≥ 0, β ≥ 0, α+γ ≥ 0, α+β+γ/2 < 1
+        // (γ MAY be negative — inverse leverage). Parametrize the composite
+        // α' = α+γ/2 via softmax with β, then split α = 2α'·sigmoid(u):
+        // α ∈ (0, 2α') ⇒ γ = 2(α'−α) ∈ (−2α', 2α') with α+γ = 2α'−α ≥ 0.
+        val (ea, eb) = (math.exp(th(2)), math.exp(th(3)))
+        val d = 1.0 + ea + eb
+        val aPrime = ea / d
+        val alpha = 2.0 * aPrime / (1.0 + math.exp(-th(4)))
+        (th(0), math.exp(th(1)), alpha, eb / d, 2.0 * (aPrime - alpha))
       case "EGARCH" =>
         (th(0), th(1), th(2), math.tanh(th(3)), th(4)) // ω, α, γ free; |β|<1
       case m => throw new IllegalArgumentException(s"Unknown model type: $m")
@@ -125,9 +130,12 @@ object Garch {
         math.log(a0 / (1.0 - a0 - b0)), math.log(b0 / (1.0 - a0 - b0)))
       case "GJR-GARCH" =>
         val g0 = 0.02
-        val rest = 1.0 - a0 - b0 - g0 / 2
-        DenseVector(mean, math.log(math.max(variance * (1.0 - a0 - b0 - g0 / 2), 1e-12)),
-          math.log(a0 / rest), math.log(b0 / rest), math.log(g0 / 2 / rest))
+        val aPrime0 = a0 + g0 / 2
+        val rest = 1.0 - aPrime0 - b0
+        val frac = a0 / (2.0 * aPrime0) // sigmoid(u) target
+        DenseVector(mean, math.log(math.max(variance * rest, 1e-12)),
+          math.log(aPrime0 / rest), math.log(b0 / rest),
+          math.log(frac / (1.0 - frac)))
       case "EGARCH" => DenseVector(
         mean, math.log(math.max(variance, 1e-12)) * (1.0 - 0.9), 0.1,
         0.5 * math.log((1 + 0.9) / (1 - 0.9)), 0.0) // atanh(0.9)
@@ -178,7 +186,7 @@ object Garch {
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key: (String, String), it: Iterator[(String, String, java.sql.Timestamp, Double)]) =>
         val (g, f) = key
-        val y = it.toArray.sortBy(_._3.getTime).map(_._4)
+        val y = it.toArray.sortBy(r => (r._3.getTime, r._4)).map(_._4)
         if (y.length < minLen) Iterator.empty
         else {
           try {

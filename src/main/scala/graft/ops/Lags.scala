@@ -17,6 +17,32 @@ object Lags {
   /** NaN → null so `corr`/`avg` skip them like pandas pairwise-complete. */
   private[ops] def nn(c: Column): Column = when(c.isNotNull && !isnan(c), c)
 
+  /** Pearson correlation safe under ANSI mode: Spark's `corr` divides by
+    * √(M2x·M2y) unconditionally, so a zero-variance series throws
+    * DIVIDE_BY_ZERO instead of yielding NaN. Composing from co-moments
+    * with an explicit guard returns null for degenerate series (matching
+    * DuckDB's corr and pandas' skip-NaN downstream handling). */
+  private[ops] def safeCorr(x: Column, y: Column): Column = {
+    // marginal moments must be over COMPLETE PAIRS (Pearson is pairwise):
+    // stddev over all non-null x would mix in rows whose y is null
+    val both = x.isNotNull && y.isNotNull
+    val xm = when(both, x)
+    val ym = when(both, y)
+    val sx = stddev_samp(xm)
+    val sy = stddev_samp(ym)
+    when(sx > 0 && sy > 0, covar_samp(xm, ym) / (sx * sy))
+  }
+
+  /** Window-frame variant of [[safeCorr]]. */
+  private[ops] def safeCorrOver(x: Column, y: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val both = x.isNotNull && y.isNotNull
+    val xm = when(both, x)
+    val ym = when(both, y)
+    val sx = stddev_samp(xm).over(w)
+    val sy = stddev_samp(ym).over(w)
+    when(sx > 0 && sy > 0, covar_samp(xm, ym).over(w) / (sx * sy))
+  }
+
   /** W2 — autocorrelation at the given lags per (group × feature)
     * (time_series_study.py:324-326): pandas `Series.autocorr(k)` = Pearson
     * corr of the dropna'd series with its k-shifted self. Series are
@@ -30,7 +56,7 @@ object Lags {
         Seq(col("group_key"), col("feature"), col("value")) ++
           lags.map(k => lag(col("value"), k).over(w).as(s"l$k")): _*)
     val aggCols = count(lit(1)).as("n") +:
-      lags.map(k => corr(col("value"), col(s"l$k")).as(s"acf_lag$k"))
+      lags.map(k => safeCorr(col("value"), col(s"l$k")).as(s"acf_lag$k"))
     withLags
       .groupBy("group_key", "feature")
       .agg(aggCols.head, aggCols.tail: _*)
@@ -51,9 +77,16 @@ object Lags {
       .withColumn("p", when(col("x").isNotNull && col("y").isNotNull, 1))
     lagged
       .groupBy("group_key", "feature")
-      .agg(count("p").as("npairs"), corr("x", "y").as("r"))
+      .agg(count("p").as("npairs"), safeCorr(col("x"), col("y")).as("r"),
+        var_samp("x").as("vx"), var_samp("y").as("vy"))
       .filter(col("npairs") >= minPairs)
-      .withColumn("ar1_r2", col("r") * col("r"))
+      // constant regressor, varying response: numpy's min-norm lstsq fits
+      // yhat = mean(y) ⇒ R² = 0.0 (reference path); constant response ⇒
+      // ss_tot = 0 ⇒ NaN/null. corr is NaN in both cases, so disambiguate
+      // with the variances.
+      .withColumn("ar1_r2",
+        when(!isnan(col("r")) && col("r").isNotNull, col("r") * col("r"))
+          .when(col("vx") === 0 && col("vy") > 0, 0.0))
       .select("group_key", "feature", "ar1_r2")
   }
 
@@ -81,7 +114,7 @@ object Lags {
         val a = nn(col(s"${fa}__l$l"))
         val b = nn(col(fb))
         Seq(
-          corr(a, b).as(s"c__${fa}__${fb}__$l"),
+          safeCorr(a, b).as(s"c__${fa}__${fb}__$l"),
           count(when(a.isNotNull && b.isNotNull, 1)).as(s"n__${fa}__${fb}__$l"))
       }
     }
@@ -127,7 +160,7 @@ object Lags {
     val aggCols =
       Seq(count(lit(1)).as("n"), stddev_samp("value").as("sigma"),
         (max("cs") - min("cs")).as("rng"), sum(col("xc") * col("xc")).as("denom")) ++
-        acfLags.map(k => corr(col("value"), col(s"l$k")).as(s"acf_lag$k")) ++
+        acfLags.map(k => safeCorr(col("value"), col(s"l$k")).as(s"acf_lag$k")) ++
         (1 to lbLag).map(k => sum(col("xc") * col(s"xl$k")).as(s"num$k"))
     val aggd = withCols.groupBy("group_key", "feature").agg(aggCols.head, aggCols.tail: _*)
     val n = col("n").cast("double")
@@ -164,6 +197,6 @@ object Lags {
     wide.select(
       col(groupCol).as("group_key"),
       col(dateCol).as("date"),
-      when(pairCount === window, corr(nn(col(fa)), nn(col(fb))).over(w)).as("roll_corr"))
+      when(pairCount === window, safeCorrOver(nn(col(fa)), nn(col(fb)), w)).as("roll_corr"))
   }
 }

@@ -18,19 +18,24 @@ import graft.core.Panel
   */
 object Moments {
 
-  /** Bias-corrected sample skewness (pandas `Series.skew`). */
+  /** Bias-corrected sample skewness (pandas `Series.skew`). Constant
+    * series: pandas' zero-variance branch returns 0.0 where Spark's
+    * population skewness yields NaN — replicated here. */
   def sampleSkew(c: Column): Column = {
     val n = count(c).cast("double")
-    when(n > 2, skewness(c) * sqrt(n * (n - lit(1.0))) / (n - lit(2.0)))
+    when(n > 2,
+      when(stddev_samp(c) === 0, 0.0)
+        .otherwise(skewness(c) * sqrt(n * (n - lit(1.0))) / (n - lit(2.0))))
   }
 
-  /** Bias-corrected excess sample kurtosis (pandas `Series.kurtosis`). */
+  /** Bias-corrected excess sample kurtosis (pandas `Series.kurtosis`);
+    * zero-variance series → 0.0 like pandas. */
   def sampleKurt(c: Column): Column = {
     val n = count(c).cast("double")
-    when(
-      n > 3,
-      (n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0))) *
-        ((n + lit(1.0)) * kurtosis(c) + lit(6.0)))
+    when(n > 3,
+      when(stddev_samp(c) === 0, 0.0)
+        .otherwise((n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0))) *
+          ((n + lit(1.0)) * kurtosis(c) + lit(6.0))))
   }
 
   /** G2 — per-(group × feature) `n, mean, std, skew, kurtosis` over the
@@ -62,7 +67,11 @@ object Moments {
     * ⇒ stddev_samp; a date with one group yields null (pandas NaN). */
   def crossSectionDispersion(melted: DataFrame, feature: String): DataFrame =
     melted
-      .filter(col("feature") === feature && Panel.finite(col("value")))
+      .filter(col("feature") === feature)
+      // keep rows, null the non-finite values: a date whose feature is
+      // missing everywhere still emits a (null-dispersion) row, matching
+      // pandas wide.std(axis=1) over the full date index
+      .select(col("date"), when(Panel.finite(col("value")), col("value")).as("value"))
       .groupBy("date")
       .agg(stddev_samp("value").as(s"dispersion_$feature"))
       .orderBy("date")

@@ -51,9 +51,18 @@ object Outliers {
       }
     }
 
+    // subsample WITHOUT replacement (Liu et al. 2008): partial
+    // Fisher-Yates of the index range, first psi entries
+    val idxPool = Array.tabulate(n)(identity)
     var t = 0
     while (t < nTrees) {
-      val sample = Array.fill(psi)(rng.nextInt(n))
+      var s = 0
+      while (s < psi) {
+        val j = s + rng.nextInt(n - s)
+        val tmp = idxPool(s); idxPool(s) = idxPool(j); idxPool(j) = tmp
+        s += 1
+      }
+      val sample = java.util.Arrays.copyOfRange(idxPool, 0, psi)
       val scorer = buildScore(sample, 0)
       var i = 0
       while (i < n) { depths(i) += scorer(x(i)); i += 1 }
@@ -182,7 +191,7 @@ object Outliers {
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key: (String, String), it: Iterator[(String, String, java.sql.Timestamp, Double)]) =>
         val (g, f) = key
-        val x = it.toArray.sortBy(_._3.getTime).map(_._4)
+        val x = it.toArray.sortBy(r => (r._3.getTime, r._4)).map(_._4)
         if (x.length < minLen) Iterator.empty
         else {
           val (labels, scores) = method match {

@@ -156,7 +156,9 @@ object Regimes {
       sigma2 = newSigma2
       iter += 1
     }
-    MsFit(p, mu, sigma2, llf, smoothed)
+    // the loop's llf/smoothed were evaluated at the PRE-M-step parameters;
+    // one final E-pass makes the returned state consistent with (p, mu, σ²)
+    emAt(y, p, mu, sigma2)
   }
 
   /** L-BFGS polish of an EM fit on the exact filter likelihood, general k.
@@ -313,7 +315,7 @@ object Regimes {
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key: (String, String), it: Iterator[(String, String, java.sql.Timestamp, Double)]) =>
         val (g, f) = key
-        val y = it.toArray.sortBy(_._3.getTime).map(_._4)
+        val y = it.toArray.sortBy(r => (r._3.getTime, r._4)).map(_._4)
         if (y.length < minLen) Iterator.empty
         else {
           try {

@@ -136,7 +136,7 @@ object UnitRoots {
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key: (String, String), it: Iterator[(String, String, java.sql.Timestamp, Double)]) =>
         val (g, f) = key
-        val x = it.toArray.sortBy(_._3.getTime).map(_._4)
+        val x = it.toArray.sortBy(r => (r._3.getTime, r._4)).map(_._4)
         if (x.length < minLen) Iterator.empty
         else {
           val (as, ap) =

@@ -67,8 +67,17 @@ object MacKinnon {
     Array(4.6849, 6.5291e-1, -3.3657e-1, -3.2817e-2),
     Array(5.0109, 7.0411e-1, -3.1831e-1, -2.8303e-2))
 
-  /** Approximate p-value for tau `stat`. regression ∈ {"n","c","ct"};
-    * "n" uses the "c" surfaces (residual-based test convention). */
+  /** Approximate p-value for tau `stat`. regression ∈ {"n","c","ct"}.
+    *
+    * LIMITATION: "n" (no deterministic terms) is approximated by the "c"
+    * surface. The published tables include a distinct no-constant surface
+    * whose p-values differ materially in the mid-range (e.g. stat = −1.5:
+    * ~0.12 vs ~0.53); its coefficients are not transcribed here. Nothing
+    * in the engine's public analysis surface hits this path — the
+    * reference only exercises 'c'/'ct', and cointegration computes its p
+    * from the N=2 "c" surface by construction — but direct callers of
+    * `UnitRoots.adfuller(x, "n")` should treat the p-value as a rough
+    * approximation (the statistic itself is exact). */
   def p(stat: Double, regression: String, n: Int): Double = {
     require(n >= 1 && n <= 8, s"N=$n outside tabulated range")
     val i = n - 1

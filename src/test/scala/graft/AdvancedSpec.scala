@@ -97,6 +97,23 @@ class AdvancedSpec extends SparkSpec {
     assert(fit.llf >= plain.llf - 1e-6, s"${fit.llf} vs ${plain.llf}")
   }
 
+  test("gjr-garch can recover NEGATIVE leverage (arch allows alpha+gamma>=0)") {
+    val rng = new scala.util.Random(23)
+    val n = 4000
+    val (om, al, be, ga) = (0.1, 0.08, 0.8, -0.04)
+    val y = new Array[Double](n)
+    var s2 = om / (1 - al - be - ga / 2)
+    var e = 0.0
+    for (t <- 0 until n) {
+      if (t > 0) s2 = om + (al + (if (e < 0) ga else 0.0)) * e * e + be * s2
+      e = math.sqrt(s2) * rng.nextGaussian()
+      y(t) = e
+    }
+    val fit = Garch.fit(y, "GJR-GARCH")
+    assert(fit.gamma < 0, s"gamma ${fit.gamma} should be negative")
+    assert(fit.alpha + fit.gamma >= -1e-12, s"alpha+gamma ${fit.alpha + fit.gamma}")
+  }
+
   test("egarch recovers parameters on a synthetic series") {
     // ln s2_t = om + be*ln s2_{t-1} + al(|z|-c) + ga*z
     val rng = new scala.util.Random(17)

@@ -33,6 +33,17 @@ class LagsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("ar1_r2") - 1.0) < 1e-9)
   }
 
+  test("ar1 r2 is 0.0 when the lagged regressor is constant but y varies") {
+    // y = [c, c, ..., c, d]: all lagged values equal c, responses vary —
+    // numpy's min-norm lstsq path yields yhat = mean(y) => R^2 = 0.0
+    val m = panel(Seq.fill(14)(5.0) :+ 9.0)
+    val r = Lags.ar1(m).head()
+    assert(r.getAs[Double]("ar1_r2") == 0.0)
+    // fully constant series: ss_tot = 0 => null (reference NaN)
+    val r2 = Lags.ar1(panel(Seq.fill(15)(5.0))).head()
+    assert(r2.isNullAt(r2.fieldIndex("ar1_r2")))
+  }
+
   test("ar1 requires 10 finite pairs") {
     val m = panel((1 to 10).map(_.toDouble)) // 9 pairs only
     assert(Lags.ar1(m).count() == 0)

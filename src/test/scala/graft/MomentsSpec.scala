@@ -23,6 +23,24 @@ class MomentsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 3.152) < 1e-6)
   }
 
+  test("skew/kurt of constant series is 0.0 like pandas zero-variance branch") {
+    val r = Seq.fill(10)(7.0).toDF("value")
+      .agg(Moments.sampleSkew($"value"), Moments.sampleKurt($"value")).head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("cross-section dispersion keeps dates whose feature is all-missing") {
+    val df = Seq(
+      ("2024-01-01 00:00:00", "G1", Some(1.0)), ("2024-01-01 00:00:00", "G2", Some(3.0)),
+      ("2024-01-02 00:00:00", "G1", None: Option[Double]), ("2024-01-02 00:00:00", "G2", None))
+      .toDF("date", "name", "f1")
+    val m = graft.core.Panel.melt(df, "date", Seq("name"), Seq("f1"))
+    val d = Moments.crossSectionDispersion(m, "f1").orderBy("date").collect()
+    assert(d.length == 2)
+    assert(!d(0).isNullAt(1))
+    assert(d(1).isNullAt(1)) // all-missing date emits a null row, not no row
+  }
+
   test("skew/kurt null for short series like pandas") {
     val r2 = Seq(1.0, 2.0).toDF("value")
       .agg(Moments.sampleSkew($"value"), Moments.sampleKurt($"value")).head()
