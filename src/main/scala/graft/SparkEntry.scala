@@ -283,24 +283,92 @@ object SparkEntry {
       .select(col("group_key"), col("pair"),
         round6("coint_stat"), round6("coint_p"), round6("granger_p"))
 
-  // ---- K12: weighted forward bins (flagship kernel, no SQL oracle) --------
+  // ---- K12: weighted forward bins (flagship kernel, DuckDB-oracled) -------
 
   /** A2 event-stream mapping over lineitem (FIXTURES.md): ~4k groups of
     * ~150 events at sf0.1 — the parallelism axis a 1000-executor cluster
-    * wants. Ties on the day-granular shipdate are broken deterministically
-    * by (orderkey, linenumber). */
+    * wants. Oracle-friendliness by construction: quantity1 = l_quantity is
+    * integer-valued, so the prefix-mass coordinates C (and every bin edge
+    * and fill) are EXACT in both engines; quantity2 = l_discount keeps the
+    * weighted sums at O(1) magnitude so r6 absorbs summation-order ulp
+    * drift; the tie key l_orderkey*8+l_linenumber is order-preserving (not
+    * hashed), so DuckDB reproduces the row ordering exactly. */
   private def weightedBinsLineitem(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(
       (col("l_partkey") % 256).cast("string").as("ID1"),
       (col("l_suppkey") % 16).cast("string").as("ID2"),
       col("l_shipdate").as("timestamp"),
       col("l_quantity").as("quantity1"),
-      col("l_extendedprice").as("quantity2"),
-      col("l_orderkey"),
-      col("l_linenumber"))
-    WeightedBins.weightedBins(li, binSize = 100, maxBins = 10,
-      tieCols = Seq("l_orderkey", "l_linenumber"))
+      col("l_discount").as("quantity2"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("tie"))
+    val wb = WeightedBins.weightedBins(li, binSize = 25, maxBins = 10,
+      tieCols = Seq("tie"), emitTie = true)
+    val binCols = (1 to 10).map { b =>
+      val c = col(s"bin_${b}_avg")
+      when(isnan(c), lit(null)).otherwise(r6(c)).as(s"bin_${b}_avg")
+    }
+    wb.select(Seq(col("ID1"), col("ID2"), col("timestamp"), col("tie"),
+      col("quantity1"), col("quantity2")) ++ binCols: _*)
+      .orderBy("ID1", "ID2", "timestamp", "tie")
   }
+
+  /** DuckDB mirror of the K12 suffix-cumsum formulation (SURVEY §2.9):
+    * per-row prefix masses in C-coordinates, segment lookup by range join,
+    * piecewise-linear interpolation of W at the 11 bin edges, consecutive-
+    * edge differences → bin averages. Same float expression tree as the
+    * kernel at every step whose inputs are inexact. */
+  private val weightedBinsSql =
+    """WITH ev AS (
+      |  SELECT (l_partkey % 256)::VARCHAR AS id1, (l_suppkey % 16)::VARCHAR AS id2,
+      |    l_shipdate AS ts, l_quantity::DOUBLE AS q1, l_discount::DOUBLE AS q2,
+      |    l_orderkey * 8 + l_linenumber AS tie
+      |  FROM lineitem),
+      |o AS (
+      |  SELECT id1, id2, ts, q1, q2, tie,
+      |    row_number() OVER (PARTITION BY id1, id2 ORDER BY ts, tie) AS rn,
+      |    count(*) OVER (PARTITION BY id1, id2) AS n,
+      |    sum(q1) OVER (PARTITION BY id1, id2 ORDER BY ts, tie ROWS UNBOUNDED PRECEDING) AS cinc,
+      |    sum(q1 * q2) OVER (PARTITION BY id1, id2 ORDER BY ts, tie ROWS UNBOUNDED PRECEDING) AS winc,
+      |    sum(q1) OVER (PARTITION BY id1, id2) AS ctot,
+      |    sum(q1 * q2) OVER (PARTITION BY id1, id2) AS wtot
+      |  FROM ev),
+      |seg AS (
+      |  SELECT id1, id2, q2, cinc AS cn,
+      |    coalesce(lag(cinc) OVER (PARTITION BY id1, id2 ORDER BY rn), 0.0) AS cx,
+      |    coalesce(lag(winc) OVER (PARTITION BY id1, id2 ORDER BY rn), 0.0) AS wx
+      |  FROM o),
+      |edges AS (
+      |  SELECT o.id1, o.id2, o.rn, o.ts, o.tie, o.q1, o.q2, o.ctot, o.wtot,
+      |    e.e, o.cinc + e.e * 25.0 AS m
+      |  FROM o CROSS JOIN (SELECT range AS e FROM range(0, 11)) e
+      |  WHERE o.rn < o.n),
+      |wv AS (
+      |  SELECT ed.id1, ed.id2, ed.rn, ed.ts, ed.tie, ed.q1, ed.q2, ed.ctot, ed.e, ed.m,
+      |    CASE WHEN ed.m >= ed.ctot THEN ed.wtot ELSE s.wx + (ed.m - s.cx) * s.q2 END AS wat
+      |  FROM edges ed LEFT JOIN seg s
+      |    ON s.id1 = ed.id1 AND s.id2 = ed.id2 AND s.cx <= ed.m AND ed.m < s.cn),
+      |b AS (
+      |  SELECT id1, id2, rn, ts, tie, q1, q2, e AS bin, m AS lo,
+      |    least(m + 25.0, ctot) AS hi, wat AS wlo,
+      |    lead(wat) OVER (PARTITION BY id1, id2, rn ORDER BY e) AS whi
+      |  FROM wv),
+      |v AS (
+      |  SELECT id1, id2, ts, tie, q1, q2, bin,
+      |    CASE WHEN hi - lo > 0 THEN floor(((whi - wlo) / (hi - lo)) * 1e6 + 0.5) / 1e6 END AS val
+      |  FROM b WHERE bin < 10)
+      |SELECT id1 AS ID1, id2 AS ID2, ts AS "timestamp", tie,
+      |  q1 AS quantity1, q2 AS quantity2,
+      |  max(CASE WHEN bin = 0 THEN val END) AS bin_1_avg,
+      |  max(CASE WHEN bin = 1 THEN val END) AS bin_2_avg,
+      |  max(CASE WHEN bin = 2 THEN val END) AS bin_3_avg,
+      |  max(CASE WHEN bin = 3 THEN val END) AS bin_4_avg,
+      |  max(CASE WHEN bin = 4 THEN val END) AS bin_5_avg,
+      |  max(CASE WHEN bin = 5 THEN val END) AS bin_6_avg,
+      |  max(CASE WHEN bin = 6 THEN val END) AS bin_7_avg,
+      |  max(CASE WHEN bin = 7 THEN val END) AS bin_8_avg,
+      |  max(CASE WHEN bin = 8 THEN val END) AS bin_9_avg,
+      |  max(CASE WHEN bin = 9 THEN val END) AS bin_10_avg
+      |FROM v GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY ID1, ID2, ts, tie""".stripMargin
 
   // ---- K9/K10/K11: regime, volatility, outlier kernels (no SQL oracle) ----
 
@@ -611,6 +679,7 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM s)
         |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_weighted_bins_lineitem" -> weightedBinsSql,
     // q_dedup_minhash_docs / q_simhash_docs / q_similarity_topk_lsh /
     // q_langid_docs / q_quality_docs / q_multimodal_features: hash-seeded /
     // heuristic operators — engine-specific by construction, validated by

@@ -34,7 +34,7 @@ import graft.core.Panel
 case class WbRow(id1: String, id2: String, ts: java.sql.Timestamp,
     q1: Double, q2: Double, tie: Long)
 case class WbOut(id1: String, id2: String, timestamp: java.sql.Timestamp,
-    quantity1: Double, quantity2: Double, bins: Array[Double])
+    tie: Long, quantity1: Double, quantity2: Double, bins: Array[Double])
 
 object WeightedBins {
 
@@ -46,7 +46,15 @@ object WeightedBins {
     val c = new Array[Double](n + 1) // prefix q1 mass
     val w = new Array[Double](n + 1) // prefix q1·q2 mass
     var k = 0
-    while (k < n) { c(k + 1) = c(k) + q1(k); w(k + 1) = w(k) + q1(k) * q2(k); k += 1 }
+    while (k < n) {
+      // precondition: prefix mass C must be monotone for the forward-only
+      // edge pointers and the piecewise-linear interpolation to be valid —
+      // negative mass would silently diverge from the reference's
+      // sequential consume-and-split semantics, so fail loudly instead
+      require(q1(k) >= 0.0,
+        s"weightedBins requires quantity1 >= 0 within each group; got ${q1(k)}")
+      c(k + 1) = c(k) + q1(k); w(k + 1) = w(k) + q1(k) * q2(k); k += 1
+    }
     val total = c(n)
 
     // W interpolated at absolute mass m, with j = max index s.t. C(j) <= m
@@ -83,8 +91,10 @@ object WeightedBins {
     out
   }
 
-  /** DataFrame operator. `tieCols` break timestamp ties deterministically
-    * (hashed into a single long sort key; pass e.g. the source row id). */
+  /** DataFrame operator. `tieCols` break timestamp ties deterministically:
+    * a single numeric column is used directly as the sort key (order-
+    * preserving, so an external oracle can reproduce the ordering); multiple
+    * columns are hashed into one long (deterministic but engine-specific). */
   def weightedBins(
       df: DataFrame,
       id1Col: String = "ID1",
@@ -94,12 +104,14 @@ object WeightedBins {
       q2Col: String = "quantity2",
       binSize: Double = 100.0,
       maxBins: Int = 10,
-      tieCols: Seq[String] = Seq()): DataFrame = {
+      tieCols: Seq[String] = Seq(),
+      emitTie: Boolean = false): DataFrame = {
     Panel.requireColumns(df, Seq(id1Col, id2Col, tsCol, q1Col, q2Col) ++ tieCols)
     val ss = df.sparkSession
     import ss.implicits._
     val tie: Column =
       if (tieCols.isEmpty) lit(0L)
+      else if (tieCols.size == 1) col(tieCols.head).cast("long")
       else xxhash64(tieCols.map(col): _*)
     val ds = df.select(
       col(id1Col).cast("string").as("id1"),
@@ -115,13 +127,15 @@ object WeightedBins {
         val bins = binsForGroup(rows.map(_.q1), rows.map(_.q2), binSize, maxBins)
         Iterator.tabulate(math.max(rows.length - 1, 0)) { i =>
           val r = rows(i)
-          WbOut(key._1, key._2, r.ts, r.q1, r.q2, bins(i))
+          WbOut(key._1, key._2, r.ts, r.tie, r.q1, r.q2, bins(i))
         }
       }
       .toDF()
     val binCols = (0 until maxBins).map(b => col("bins")(b).as(s"bin_${b + 1}_avg"))
+    val tieCol = if (emitTie) Seq(col("tie")) else Seq()
     result.select(
-      Seq(col("id1").as(id1Col), col("id2").as(id2Col), col("timestamp").as(tsCol),
-        col("quantity1").as(q1Col), col("quantity2").as(q2Col)) ++ binCols: _*)
+      Seq(col("id1").as(id1Col), col("id2").as(id2Col), col("timestamp").as(tsCol)) ++
+        tieCol ++
+        Seq(col("quantity1").as(q1Col), col("quantity2").as(q2Col)) ++ binCols: _*)
   }
 }
