@@ -269,11 +269,109 @@ object SparkEntry {
       .orderBy("group_key")
   }
 
+  /** Lineitem panel periodogram. dom_power on price-scale features is
+    * ~1e10, where a 1e-6 absolute grid is below double ulp noise — emit the
+    * power in log domain instead so the oracle check is both meaningful
+    * (7 significant digits) and robust to summation-order drift. */
   private def frequencyLineitem(s: SparkSession, dir: String): DataFrame = {
     val melted = Panel.melt(lineitemDailyPanel(s, dir), "date", Seq("group_key"), liFeatures)
     Periodogram.frequencyDomain(melted)
-      .select(col("group_key"), col("feature"), round6("dom_freq"), round6("dom_power"))
+      .select(col("group_key"), col("feature"), round6("dom_freq"),
+        r6(log(lit(1.0) + col("dom_power"))).as("dom_log_power"))
+      .orderBy("feature", "group_key")
   }
+
+  /** DuckDB mirror: same SQL-DFT as the events oracle, partitioned by
+    * (group_key, feature); the O(n²) DFT join is bounded by the panel's
+    * series length (≤ ~900 days → ≤ ~450 frequencies; range(1,2000) guards
+    * to n ≤ 4000). */
+  private def frequencyLineitemSql: String =
+    s"""WITH panel AS ($liPanelSql),
+       |m AS ($liMeltedSql),
+       |d AS (SELECT group_key, feature, value,
+       |  cast(row_number() OVER (PARTITION BY group_key, feature ORDER BY date) - 1 AS DOUBLE) AS t,
+       |  count(*) OVER (PARTITION BY group_key, feature) AS n FROM m),
+       |fit AS (SELECT group_key, feature, covar_pop(t, value) / var_pop(t) AS slope,
+       |  avg(value) - covar_pop(t, value) / var_pop(t) * avg(t) AS icept FROM d GROUP BY 1, 2),
+       |dt AS (SELECT d.group_key, d.feature, d.t, d.n, d.value - (slope * d.t + icept) AS r
+       |  FROM d JOIN fit USING (group_key, feature)),
+       |dm AS (SELECT group_key, feature, t, n,
+       |  r - avg(r) OVER (PARTITION BY group_key, feature) AS x FROM dt),
+       |ks AS (SELECT g.group_key, g.feature, g.n, r.k
+       |  FROM (SELECT DISTINCT group_key, feature, n FROM dm) g
+       |  CROSS JOIN (SELECT range AS k FROM range(1, 2000)) r WHERE r.k <= g.n // 2),
+       |p AS (SELECT ks.group_key, ks.feature, ks.k, ks.n,
+       |  (pow(sum(x * cos(2 * pi() * ks.k * t / ks.n)), 2)
+       |   + pow(sum(x * sin(2 * pi() * ks.k * t / ks.n)), 2)) / ks.n
+       |  * (CASE WHEN ks.n % 2 = 0 AND ks.k = ks.n // 2 THEN 1 ELSE 2 END) AS power
+       |  FROM ks JOIN dm ON ks.group_key = dm.group_key AND ks.feature = dm.feature
+       |  GROUP BY 1, 2, 3, 4),
+       |r AS (SELECT group_key, feature, k, n, power,
+       |  row_number() OVER (PARTITION BY group_key, feature ORDER BY power DESC, k) AS rn FROM p)
+       |SELECT group_key, feature,
+       |floor((cast(k AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS dom_freq,
+       |floor((ln(1 + power)) * 1e6 + 0.5) / 1e6 AS dom_log_power
+       |FROM r WHERE rn = 1 ORDER BY feature, group_key""".stripMargin
+
+  // ---- K1/K2 hard-oracle probe: KPSS stat + lag-0 DF t ---------------------
+
+  /** Pins the kernels' OLS/t-stat and Bartlett-long-run-variance machinery
+    * with a DuckDB oracle each round: the KPSS statistic (with its
+    * data-driven automatic bandwidth) and the lag-0 Dickey–Fuller t are
+    * closed-form window/aggregate arithmetic. p-values (MacKinnon surface,
+    * table interpolation) stay golden-parity-pinned in ScalaTest. */
+  private def unitrootEvents(s: SparkSession, dir: String): DataFrame = {
+    val melted = Panel.melt(eventsDailyPanel(s, dir), "date", Seq("group_key"), Seq("value"))
+    UnitRoots.unitRootStats(melted)
+      .select(col("group_key"), col("feature"),
+        round6("kpss_stat"), col("kpss_nlags"), round6("adf_lag0_stat"))
+      .orderBy("group_key")
+  }
+
+  private def unitrootSql: String =
+    s"""WITH panel AS ($evPanelSql),
+       |d AS (SELECT group_key, value, date,
+       |  row_number() OVER (PARTITION BY group_key ORDER BY date) - 1 AS t,
+       |  count(*) OVER (PARTITION BY group_key) AS n,
+       |  avg(value) OVER (PARTITION BY group_key) AS mu FROM panel),
+       |r AS (SELECT group_key, t, n, value - mu AS r FROM d),
+       |dots AS (SELECT a.group_key, a.t - b.t AS i, sum(a.r * b.r) AS dot
+       |  FROM r a JOIN r b ON a.group_key = b.group_key AND a.t > b.t GROUP BY 1, 2),
+       |base AS (SELECT group_key, max(n) AS n, sum(r * r) AS rr FROM r GROUP BY 1),
+       |band AS (SELECT b.group_key, b.n, b.rr,
+       |  b.rr / b.n + coalesce(sum(CASE WHEN d.i <= floor(pow(b.n, 2.0/9.0))
+       |    THEN d.dot / (b.n / 2.0) END), 0) AS s0,
+       |  coalesce(sum(CASE WHEN d.i <= floor(pow(b.n, 2.0/9.0))
+       |    THEN d.i * (d.dot / (b.n / 2.0)) END), 0) AS s1
+       |  FROM base b LEFT JOIN dots d USING (group_key) GROUP BY 1, 2, 3),
+       |nl AS (SELECT group_key, n, rr,
+       |  least(cast(floor(1.1447 * pow(pow(s1 / s0, 2), 1.0/3.0) * pow(n, 1.0/3.0)) AS BIGINT),
+       |    n - 1) AS nlags FROM band),
+       |lrv AS (SELECT nl.group_key, nl.n, nl.nlags,
+       |  (nl.rr + coalesce(sum(CASE WHEN d.i <= nl.nlags
+       |    THEN 2.0 * d.dot * (1.0 - d.i / (nl.nlags + 1.0)) END), 0)) / nl.n AS lrv
+       |  FROM nl LEFT JOIN dots d USING (group_key)
+       |  GROUP BY nl.group_key, nl.n, nl.nlags, nl.rr),
+       |et AS (SELECT group_key, sum(cum * cum) AS etasum FROM
+       |  (SELECT group_key, sum(r) OVER (PARTITION BY group_key ORDER BY t
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM r) GROUP BY 1),
+       |kp AS (SELECT l.group_key, l.nlags,
+       |  (e.etasum / (cast(l.n AS DOUBLE) * l.n)) / l.lrv AS kstat
+       |  FROM lrv l JOIN et e USING (group_key)),
+       |dx AS (SELECT group_key,
+       |  value - lag(value) OVER (PARTITION BY group_key ORDER BY date) AS dy,
+       |  lag(value) OVER (PARTITION BY group_key ORDER BY date) AS xl FROM d),
+       |ad AS (SELECT group_key, count(*) AS m,
+       |  covar_pop(xl, dy) / var_pop(xl) AS bb,
+       |  var_pop(dy) * count(*) AS syy, covar_pop(xl, dy) * count(*) AS sxy,
+       |  var_pop(xl) * count(*) AS sxx
+       |  FROM dx WHERE xl IS NOT NULL GROUP BY 1),
+       |adf AS (SELECT group_key, bb / sqrt(((syy - bb * sxy) / (m - 2)) / sxx) AS adf0 FROM ad)
+       |SELECT kp.group_key, 'value' AS feature,
+       |floor((kp.kstat) * 1e6 + 0.5) / 1e6 AS kpss_stat,
+       |cast(kp.nlags AS INT) AS kpss_nlags,
+       |floor((adf.adf0) * 1e6 + 0.5) / 1e6 AS adf_lag0_stat
+       |FROM kp JOIN adf USING (group_key) ORDER BY group_key""".stripMargin
 
   // ---- K6/K7: cointegration + granger kernels (no SQL oracle) -------------
 
@@ -502,6 +600,7 @@ object SparkEntry {
     "q_mutual_info_lineitem" -> mutualInfoLineitem,
     "q_ljungbox_events" -> ljungboxEvents,
     "q_stationarity_events" -> stationarityEvents,
+    "q_unitroot_events" -> unitrootEvents,
     "q_frequency_events" -> frequencyEvents,
     "q_frequency_lineitem" -> frequencyLineitem,
     "q_crossfeature_lineitem" -> crossfeatureLineitem,
@@ -680,14 +779,17 @@ object SparkEntry {
         |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_weighted_bins_lineitem" -> weightedBinsSql,
+    "q_frequency_lineitem" -> frequencyLineitemSql,
+    "q_unitroot_events" -> unitrootSql,
     // q_dedup_minhash_docs / q_simhash_docs / q_similarity_topk_lsh /
     // q_langid_docs / q_quality_docs / q_multimodal_features: hash-seeded /
     // heuristic operators — engine-specific by construction, validated by
     // construction-based ScalaTests (DedupSpec/TextExtSpec) instead.
-    // q_stationarity_events / q_frequency_lineitem / q_crossfeature_lineitem:
-    // iterative statistical kernels (AIC lag search, DFT, MLE-free but
-    // OLS-chained) — not SQL-expressible; driver records rows-only checks.
-    // Numerical correctness is pinned by GoldenParitySpec against the
-    // reference's recorded statsmodels/scipy outputs.
+    // q_stationarity_events / q_crossfeature_lineitem: iterative statistical
+    // kernels (AIC lag search, OLS chains, MLE) — not SQL-expressible;
+    // driver records rows-only checks. Their closed-form cores ARE pinned:
+    // q_unitroot_events oracles the KPSS stat + lag-0 DF t each round, and
+    // GoldenParitySpec pins the full pipelines against the reference's
+    // recorded statsmodels/scipy outputs.
   )
 }

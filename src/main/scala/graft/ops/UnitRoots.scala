@@ -24,11 +24,16 @@ import graft.ops.stat.{MacKinnon, Stats}
   */
 object UnitRoots {
 
-  /** ADF test statistic, p-value and used lag. regression ∈ {"n","c","ct"}. */
-  def adfuller(x: Array[Double], regression: String = "c"): (Double, Double, Int) = {
+  /** ADF test statistic, p-value and used lag. regression ∈ {"n","c","ct"}.
+    * `maxlagOverride` pins the lag search upper bound (e.g. Some(0) forces
+    * the no-augmentation Dickey–Fuller regression — SQL-oracle-friendly);
+    * default is Schwert's rule. */
+  def adfuller(x: Array[Double], regression: String = "c",
+      maxlagOverride: Option[Int] = None): (Double, Double, Int) = {
     val n0 = x.length
     val ntrend = regression match { case "n" => 0; case "c" => 1; case "ct" => 2 }
-    var maxlag = math.ceil(12.0 * math.pow(n0 / 100.0, 0.25)).toInt
+    var maxlag = maxlagOverride.getOrElse(
+      math.ceil(12.0 * math.pow(n0 / 100.0, 0.25)).toInt)
     maxlag = math.min(n0 / 2 - ntrend - 1, maxlag)
     require(maxlag >= 0, s"series too short for ADF: n=$n0")
     val xdiff = Array.tabulate(n0 - 1)(i => x(i + 1) - x(i))
@@ -68,8 +73,9 @@ object UnitRoots {
     (stat, p, bestLag)
   }
 
-  /** KPSS statistic + table-interpolated p. regression ∈ {"c","ct"}. */
-  def kpss(x: Array[Double], regression: String = "c"): (Double, Double) = {
+  /** KPSS statistic, table-interpolated p, and the automatic Bartlett
+    * bandwidth actually used. regression ∈ {"c","ct"}. */
+  def kpss(x: Array[Double], regression: String = "c"): (Double, Double, Int) = {
     val n = x.length
     val resids: Array[Double] =
       if (regression == "ct") {
@@ -112,7 +118,46 @@ object UnitRoots {
     val (crit, pvals) =
       if (regression == "ct") (Array(0.119, 0.146, 0.176, 0.216), Array(0.10, 0.05, 0.025, 0.01))
       else (Array(0.347, 0.463, 0.574, 0.739), Array(0.10, 0.05, 0.025, 0.01))
-    (stat, Stats.interp(stat, crit, pvals))
+    (stat, Stats.interp(stat, crit, pvals), nlags)
+  }
+
+  case class UnitRootStatRow(
+      group_key: String,
+      feature: String,
+      kpss_stat: Option[Double],
+      kpss_nlags: Option[Int],
+      adf_lag0_stat: Option[Double])
+
+  /** SQL-oracle-friendly per-series stats: the KPSS statistic (and its
+    * automatic bandwidth) plus the lag-0 Dickey–Fuller t — both closed-form
+    * window/aggregate arithmetic, so DuckDB can pin the OLS/t-stat and
+    * Bartlett-long-run-variance machinery per round (p-values stay in the
+    * kernel: MacKinnon surface / table interpolation are not the risky
+    * parts). */
+  def unitRootStats(melted: DataFrame, minLen: Int = 10): DataFrame = {
+    val ss = melted.sparkSession
+    import ss.implicits._
+    melted
+      .filter(Panel.finite(col("value")))
+      .select("group_key", "feature", "date", "value")
+      .as[(String, String, java.sql.Timestamp, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, java.sql.Timestamp, Double)]) =>
+        val (g, f) = key
+        val x = it.toArray.sortBy(r => (r._3.getTime, r._4)).map(_._4)
+        if (x.length < minLen) Iterator.empty
+        else {
+          val (ks, kl) =
+            try { val (s, _, nl) = kpss(x, "c"); (Some(s), Some(nl)) }
+            catch { case _: Throwable => (None, None) }
+          val as =
+            try { val (s, _, _) = adfuller(x, "c", maxlagOverride = Some(0)); Some(s) }
+            catch { case _: Throwable => None }
+          Iterator.single(UnitRootStatRow(g, f, ks, kl, as))
+        }
+      }
+      .toDF()
+      .orderBy("feature", "group_key")
   }
 
   case class StationarityRow(
@@ -143,7 +188,7 @@ object UnitRoots {
             try { val (s, p, _) = adfuller(x, regression); (Some(s), Some(p)) }
             catch { case _: Throwable => (None, None) }
           val (ks, kp) =
-            try { val (s, p) = kpss(x, regression); (Some(s), Some(p)) }
+            try { val (s, p, _) = kpss(x, regression); (Some(s), Some(p)) }
             catch { case _: Throwable => (None, None) }
           Iterator.single(StationarityRow(g, f, as, ap, ks, kp))
         }

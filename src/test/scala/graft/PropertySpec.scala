@@ -77,7 +77,7 @@ class PropertySpec extends SparkSpec {
   test("kpss p clipped to [0.01, 0.10]") {
     forAll(series) { x =>
       whenever(x.length >= 25 && x.distinct.length > 2) {
-        val (_, p) = UnitRoots.kpss(x)
+        val (_, p, _) = UnitRoots.kpss(x)
         assert(p >= 0.01 - 1e-12 && p <= 0.10 + 1e-12)
       }
     }
