@@ -119,12 +119,21 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes)
+    // ONE grouped pass computes the minhash signature AND the exact shingle
+    // set per doc: the signature/band branch and the two verify joins below
+    // all re-reference this frame, and because they share an identical
+    // shuffle subtree (posexplode + window lead + partial agg), Spark's
+    // ReuseExchange dedupes the corpus scan and the token-stream shuffle at
+    // runtime — the previous two-pipeline version paid both twice.
+    val sigAggs = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"mh_$i"))
+    val aggs = sigAggs :+ collect_set("sh").as("shset")
+    val sigsAndSets = shingleHashRows(docs, idCol, textCol, shingleK)
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
         xxhash64((bnd * rows until (bnd + 1) * rows).map(i => col(s"mh_$i")): _*).as("bucket"))
     }
-    val banded = sigs
+    val banded = sigsAndSets
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
     val pairs = banded.as("l")
@@ -136,8 +145,7 @@ object Dedup {
     // exact shingle Jaccard on candidates only (over shingle hashes —
     // 64-bit collisions are negligible and integer set ops are far cheaper
     // than string sets)
-    val shSets = shingleHashRows(docs, idCol, textCol, shingleK)
-      .groupBy("doc_id").agg(collect_set("sh").as("sh"))
+    val shSets = sigsAndSets.select(col("doc_id"), col("shset").as("sh"))
     pairs
       .join(shSets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(shSets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor similarity search over an embedding column
@@ -18,7 +17,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Exact top-k by cosine for each query vector. `queries` must be small
-    * (it is broadcast). Deterministic ties: (cos desc, vec_id asc). */
+    * (it is broadcast). Deterministic ties: (cos desc, vec_id asc).
+    *
+    * Ranking is a k-capped aggregation (TopKAgg), NOT a global per-query
+    * window: map-side combine reduces every scan partition to ≤ k rows per
+    * query, so the shuffle moves k·P rows instead of all N scored rows —
+    * the plan that survives 1B vectors. */
   def bruteForceTopK(
       embeddings: DataFrame,
       queries: DataFrame,
@@ -27,16 +31,17 @@ object Similarity {
       embCol: String = "embedding",
       queryIdCol: String = "query_id",
       queryEmbCol: String = "query_emb"): DataFrame = {
-    val joined = embeddings
-      .select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("emb"))
+    val topk = udaf(new TopKAgg(k))
+    embeddings
+      .select(col(idCol).cast("long").as("vec_id"), col(embCol).cast("array<double>").as("emb"))
       .crossJoin(broadcast(queries.select(
         col(queryIdCol).as("query_id"), col(queryEmbCol).cast("array<double>").as("qemb"))))
       .withColumn("cos", Dedup.cosine(col("emb"), col("qemb")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "cos")
+      .groupBy("query_id")
+      .agg(topk(col("vec_id"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sv")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("sv.vec_id").as("vec_id"), col("sv.cos").as("cos"))
       .orderBy("query_id", "rank")
   }
 
@@ -66,14 +71,20 @@ object Similarity {
     val probes = (0 until bits).map(i => col("qbucket").bitwiseXOR(lit(1L << i))) :+ col("qbucket")
     val probed = qBase.select(col("query_id"), col("qemb"),
       explode(array(probes: _*)).as("bucket"))
-    val joined = probed.join(data, "bucket")
+    // No distinct needed: the bits+1 probe buckets of a query are pairwise
+    // distinct values and each data vector lives in exactly one bucket, so
+    // the equijoin cannot produce a (query, vec) pair twice — a distinct
+    // here would only add a full extra exchange of the candidate set.
+    // Ranking via the k-capped aggregator (see bruteForceTopK) keeps the
+    // per-query state bounded regardless of candidate count.
+    val topk = udaf(new TopKAgg(k))
+    probed.join(data, "bucket")
       .withColumn("cos", Dedup.cosine(col("emb"), col("qemb")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    joined
-      .select("query_id", "vec_id", "cos").distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "cos")
+      .groupBy("query_id")
+      .agg(topk(col("vec_id").cast("long"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sv")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("sv.vec_id").as("vec_id"), col("sv.cos").as("cos"))
       .orderBy("query_id", "rank")
   }
 }
