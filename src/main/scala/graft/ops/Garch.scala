@@ -1,7 +1,7 @@
 package graft.ops
 
 import breeze.linalg.DenseVector
-import breeze.optimize.{ApproximateGradientFunction, LBFGS}
+import breeze.optimize.{DiffFunction, LBFGS}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import graft.core.Panel
@@ -24,6 +24,15 @@ import graft.core.Panel
   * exactly like the reference.
   */
 object Garch {
+
+  /** Breeze's L-BFGS logs every line-search retry at ERROR through slf4j.
+    * The fits guard non-convergence themselves (penalty bowl here; best-llf
+    * fallback in Regimes.polish), so the retries are expected noise on
+    * near-flat objectives — mute the logger once per JVM. */
+  private[ops] lazy val muteBreezeOptimizerLogs: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "breeze.optimize", org.apache.logging.log4j.Level.OFF)
+    catch { case _: Throwable => () }
 
   final case class GarchFit(
       model: String, mu: Double, omega: Double, alpha: Double, beta: Double,
@@ -101,6 +110,142 @@ object Garch {
     out
   }
 
+  /** Weighted mean of ε over the backcast window (needed for ∂bc/∂μ). */
+  private def backcastDMu(e: Array[Double]): Double = {
+    val m = math.min(75, e.length)
+    val lam = 0.94
+    var wsum = 0.0
+    var s = 0.0
+    var i = 0
+    while (i < m) { val w = math.pow(lam, i); wsum += w; s += w * e(i); i += 1 }
+    -2.0 * s / wsum
+  }
+
+  /** Out-of-domain / overflow fallback: a large convex bowl whose gradient
+    * points back toward the origin of the transformed space. A flat 1e12
+    * plateau (the finite-difference era) gave L-BFGS a zero direction and
+    * produced endless "line search zoom failed" retries; the bowl gives the
+    * line search something to descend. */
+  private def penalty(th: DenseVector[Double]): (Double, DenseVector[Double]) =
+    (1e10 * (1.0 + (th dot th)), th * 2e10)
+
+  /** NLL and its analytic gradient in transformed coordinates.
+    *
+    * Gradient structure: per-observation dNLL/dσ²_t = 0.5(1/σ²_t −
+    * ε²_t/σ⁴_t) composed with the variance recursion's sensitivity
+    * ∂σ²_t/∂p, carried forward as 5 scalar states (p ∈ μ,ω,α,β,γ) — the
+    * same O(n) pass as the likelihood itself, vs 2·dim extra full
+    * likelihood evaluations per L-BFGS step for finite differences. The
+    * backcast σ²₀ depends on μ, so ∂σ²₀/∂μ seeds the recursion. EGARCH
+    * propagates ∂ln σ²_t instead (z_{t−1} = ε e^{−L/2} couples the state
+    * through both ε and L). Indicator/|z| kinks use a.e. derivatives. The
+    * chain to transformed coordinates multiplies the constraint-map
+    * Jacobian (softmax / sigmoid-split / tanh). */
+  private[graft] def nllGrad(model: String, y: Array[Double])(
+      th: DenseVector[Double]): (Double, DenseVector[Double]) = {
+    val (mu, omega, alpha, beta, gamma) =
+      try untransform(model, th)
+      catch { case _: Throwable => return penalty(th) }
+    val n = y.length
+    val e = new Array[Double](n)
+    val e2 = new Array[Double](n)
+    var t = 0
+    while (t < n) { e(t) = y(t) - mu; e2(t) = e(t) * e(t); t += 1 }
+    val bc = backcast(e2)
+    val dbcDmu = backcastDMu(e)
+
+    var nllAcc = 0.0
+    // gradient wrt the UNTRANSFORMED (μ, ω, α, β, γ)
+    val g = new Array[Double](5)
+
+    if (model == "EGARCH") {
+      val c = math.sqrt(2.0 / math.Pi)
+      var l = math.log(math.max(bc, 1e-300))
+      val dl = new Array[Double](5)
+      if (bc > 1e-300) dl(0) = dbcDmu / bc
+      t = 0
+      while (t < n) {
+        val s2 = math.exp(l)
+        if (s2 <= 0 || s2.isNaN || s2.isInfinite) return penalty(th)
+        val zt = e(t) / math.sqrt(s2)
+        nllAcc += 0.5 * (math.log(2.0 * math.Pi) + l + zt * zt)
+        val w = 0.5 * (1.0 - zt * zt)
+        var j = 0
+        while (j < 5) { g(j) += w * dl(j); j += 1 }
+        g(0) -= e(t) / s2
+        if (t + 1 < n) {
+          val sg = math.signum(zt)
+          val coef = alpha * sg + gamma
+          val a = beta - coef * zt / 2.0
+          val newL = omega + beta * l + alpha * (math.abs(zt) - c) + gamma * zt
+          val nd = new Array[Double](5)
+          nd(0) = a * dl(0) + coef * (-1.0 / math.sqrt(s2))
+          nd(1) = 1.0 + a * dl(1)
+          nd(2) = (math.abs(zt) - c) + a * dl(2)
+          nd(3) = l + a * dl(3)
+          nd(4) = zt + a * dl(4)
+          System.arraycopy(nd, 0, dl, 0, 5)
+          l = newL
+        }
+        t += 1
+      }
+    } else {
+      var s2 = bc
+      val ds = new Array[Double](5)
+      ds(0) = dbcDmu
+      t = 0
+      while (t < n) {
+        if (s2 <= 0 || s2.isNaN || s2.isInfinite) return penalty(th)
+        nllAcc += 0.5 * (math.log(2.0 * math.Pi) + math.log(s2) + e2(t) / s2)
+        val w = 0.5 * (1.0 / s2 - e2(t) / (s2 * s2))
+        var j = 0
+        while (j < 5) { g(j) += w * ds(j); j += 1 }
+        g(0) -= e(t) / s2
+        if (t + 1 < n) {
+          val neg = model == "GJR-GARCH" && e(t) < 0
+          val lev = if (neg) gamma else 0.0
+          val nd = new Array[Double](5)
+          nd(0) = -2.0 * (alpha + lev) * e(t) + beta * ds(0)
+          nd(1) = 1.0 + beta * ds(1)
+          nd(2) = e2(t) + beta * ds(2)
+          nd(3) = s2 + beta * ds(3)
+          nd(4) = (if (neg) e2(t) else 0.0) + beta * ds(4)
+          System.arraycopy(nd, 0, ds, 0, 5)
+          s2 = omega + (alpha + lev) * e2(t) + beta * s2
+        }
+        t += 1
+      }
+    }
+    if (nllAcc.isNaN || nllAcc.isInfinite) return penalty(th)
+
+    // chain through the constraint-map Jacobian to θ
+    val gth = DenseVector.zeros[Double](th.length)
+    model match {
+      case "GARCH" =>
+        gth(0) = g(0)
+        gth(1) = g(1) * omega
+        gth(2) = g(2) * alpha * (1.0 - alpha) - g(3) * alpha * beta
+        gth(3) = -g(2) * alpha * beta + g(3) * beta * (1.0 - beta)
+      case "GJR-GARCH" =>
+        // α = 2aP·s(u), γ = 2aP(1−2s(u)), aP = α + γ/2 softmaxed with β
+        val aP = (2.0 * alpha + gamma) / 2.0
+        val s = if (aP > 0) alpha / (2.0 * aP) else 0.5
+        val gAP = g(2) * 2.0 * s + g(4) * 2.0 * (1.0 - 2.0 * s)
+        gth(0) = g(0)
+        gth(1) = g(1) * omega
+        gth(2) = gAP * aP * (1.0 - aP) - g(3) * aP * beta
+        gth(3) = -gAP * aP * beta + g(3) * beta * (1.0 - beta)
+        gth(4) = (g(2) - 2.0 * g(4)) * 2.0 * aP * s * (1.0 - s)
+      case "EGARCH" =>
+        gth(0) = g(0)
+        gth(1) = g(1)
+        gth(2) = g(2)
+        gth(3) = g(3) * (1.0 - beta * beta)
+        gth(4) = g(4)
+    }
+    (nllAcc, gth)
+  }
+
   private def nll(model: String, y: Array[Double])(th: DenseVector[Double]): Double = {
     val (mu, omega, alpha, beta, gamma) =
       try untransform(model, th)
@@ -120,6 +265,7 @@ object Garch {
 
   /** MLE fit for the given model type. */
   def fit(y: Array[Double], model: String = "GARCH"): GarchFit = {
+    muteBreezeOptimizerLogs
     val n = y.length
     val mean = y.sum / n
     val variance = y.map(v => (v - mean) * (v - mean)).sum / n
@@ -141,7 +287,10 @@ object Garch {
         0.5 * math.log((1 + 0.9) / (1 - 0.9)), 0.0) // atanh(0.9)
       case m => throw new IllegalArgumentException(s"Unknown model type: $m")
     }
-    val f = new ApproximateGradientFunction[Int, DenseVector[Double]](nll(model, y))
+    val f = new DiffFunction[DenseVector[Double]] {
+      def calculate(th: DenseVector[Double]): (Double, DenseVector[Double]) =
+        nllGrad(model, y)(th)
+    }
     val lbfgs = new LBFGS[DenseVector[Double]](maxIter = 500, m = 7, tolerance = 1e-9)
     val opt = lbfgs.minimize(f, start)
     val (mu, omega, alpha, beta, gamma) = untransform(model, opt)

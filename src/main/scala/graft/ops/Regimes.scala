@@ -207,6 +207,7 @@ object Regimes {
       val (p, mu, s2) = unpack(th)
       -emAt(y, p, mu, s2).llf
     }
+    Garch.muteBreezeOptimizerLogs
     val g = new ApproximateGradientFunction[Int, DenseVector[Double]](nll _)
     val opt = try new LBFGS[DenseVector[Double]](
       maxIter = maxIter, m = 7, tolerance = math.min(tol, 1e-8))

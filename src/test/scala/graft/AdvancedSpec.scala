@@ -136,6 +136,29 @@ class AdvancedSpec extends SparkSpec {
     assert(!fit.llf.isNaN)
   }
 
+  test("garch analytic gradient matches central finite differences") {
+    import breeze.linalg.DenseVector
+    val rng = new scala.util.Random(31)
+    val y = Array.fill(200)(rng.nextGaussian() * 0.5)
+    val dims = Map("GARCH" -> 4, "GJR-GARCH" -> 5, "EGARCH" -> 5)
+    for ((model, dim) <- dims; trial <- 1 to 5) {
+      val th = DenseVector.fill(dim)(rng.nextGaussian() * 0.5)
+      // keep EGARCH beta param away from tanh saturation
+      if (model == "EGARCH") th(3) = rng.nextDouble() * 2.0 - 1.0
+      val (f0, g) = Garch.nllGrad(model, y)(th)
+      assert(!f0.isNaN && f0 < 1e9, s"$model trial $trial landed in penalty zone")
+      val h = 1e-6
+      for (j <- 0 until dim) {
+        val tp = th.copy; tp(j) += h
+        val tm = th.copy; tm(j) -= h
+        val fd = (Garch.nllGrad(model, y)(tp)._1 - Garch.nllGrad(model, y)(tm)._1) / (2 * h)
+        val tol = 1e-4 * math.max(1.0, math.abs(fd))
+        assert(math.abs(g(j) - fd) < tol,
+          s"$model trial $trial d$j: analytic ${g(j)} vs fd $fd")
+      }
+    }
+  }
+
   test("garch volatility analysis emits one row per qualifying series") {
     // panel series are length 60 > 50 => 15 rows
     val out = Garch.volatilityAnalysis(melted)
