@@ -32,11 +32,43 @@ object SparkEntry {
     * from the same tiny aggregates of events/lineitem, so materialize each
     * once per (session, dir) instead of re-scanning the fact table per
     * query. Panels are a few thousand rows — cache cost is nil, the saved
-    * work is one full scan + aggregation per downstream query. */
+    * work is one full scan + aggregation per downstream query.
+    *
+    * Lifecycle: bounded LRU (oldest entry unpersisted on eviction), so a
+    * long-lived service can't accumulate unbounded cached frames or pin
+    * arbitrarily many sessions; `clearPanelCache(session)` drops a
+    * session's entries eagerly (also the staleness hook if a directory's
+    * contents change under the same path). */
+  private val panelMemoMax = 16
   private val panelMemo =
-    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+    new java.util.LinkedHashMap[(Int, String, String), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String, String), DataFrame]): Boolean =
+        if (size() > panelMemoMax) {
+          try e.getValue.unpersist(false) catch { case _: Throwable => () }
+          true
+        } else false
+    }
   private def memoPanel(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
-    panelMemo.getOrElseUpdate((System.identityHashCode(s), dir, key), build.cache())
+    panelMemo.synchronized {
+      val k = (System.identityHashCode(s), dir, key)
+      val got = panelMemo.get(k)
+      if (got != null) got
+      else { val df = build.cache(); panelMemo.put(k, df); df }
+    }
+
+  /** Unpersist and drop every panel memoized for `session`. */
+  def clearPanelCache(session: SparkSession): Unit = panelMemo.synchronized {
+    val id = System.identityHashCode(session)
+    val it = panelMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == id) {
+        try e.getValue.unpersist(false) catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Distribution diagnostics (SURVEY §7.2) over the events panel. */

@@ -66,10 +66,16 @@ class TimeSeriesStudy(
   def frequencyDomain(detrend: Boolean = true): DataFrame =
     Periodogram.frequencyDomain(melted, detrend)
 
-  /** 5 — per-date cross-sectional dispersion of one feature (G4). */
+  /** 5 — per-date cross-sectional dispersion of one feature (G4).
+    * Reference quirk (time_series_study.py:448-450): with NO group levels
+    * the wide frame has a single column, and the reference returns a 0.0
+    * series over the date index (not NaN) — replicated here; with groups,
+    * a single-group date yields null like pandas' ddof=1 row std. */
   def crossSectionalDispersion(feature: String): DataFrame = {
     require(features.contains(feature), s"Unknown feature: $feature")
-    Moments.crossSectionDispersion(melted, feature)
+    val d = Moments.crossSectionDispersion(melted, feature)
+    if (groupCols.nonEmpty) d
+    else d.select(col("date"), lit(0.0).as(s"dispersion_$feature"))
   }
 
   /** 6 — AR(1) predictability R² (W3). */
@@ -111,13 +117,13 @@ class TimeSeriesStudy(
       "mutual_info" -> mi.orderBy("pair", "group_key"))
   }
 
-  /** 8 — Markov regime detection for one feature (K9). The tabular output
-    * is 2-regime (the reference's default and its golden run);
-    * `Regimes.fit(y, k)` supports general k for programmatic use. */
+  /** 8 — Markov regime detection for one feature (K9). nRegimes = 2 keeps
+    * the reference's exact golden-run column set; any k ≥ 2 emits the
+    * k-regime columns dynamically (regime_j_prob, pjj, mu_j). */
   def regimeDetection(feature: String, nRegimes: Int = 2): DataFrame = {
-    require(nRegimes == 2,
-      "tabular output is 2-regime; use Regimes.fit(y, k) for general k")
-    Regimes.regimeDetection(melted.filter(col("feature") === feature))
+    val m = melted.filter(col("feature") === feature)
+    if (nRegimes == 2) Regimes.regimeDetection(m)
+    else Regimes.regimeDetectionK(m, nRegimes)
   }
 
   /** 9 — volatility analysis for one feature (K10);

@@ -19,13 +19,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * millions of embeddings (see `CosineExprSpec` for the equivalence test
   * and `BenchNotes` in ARCHITECTURE.md for measurements).
   *
-  * Null if either side is null; NaN propagates like the HOF version
-  * (0-norm inputs divide to NaN).
+  * Null if either side is null, and null if either array CONTAINS a null
+  * element — exactly the zip_with/aggregate semantics (a null element
+  * poisons the whole fold). The element checks are only generated when the
+  * input type says containsNull, so clean embedding scans keep the tight
+  * branch-free loop. NaN propagates like the HOF version (0-norm inputs
+  * divide to NaN).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -37,15 +43,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"cosine_similarity needs two array<double> inputs, got ${left.dataType} / ${right.dataType}")
   }
 
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
+    val checkNulls = elementsNullable
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
       val x = a.getDouble(i)
       val y = b.getDouble(i)
       dot += x * y
@@ -65,15 +78,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $x = $a.getDouble($i);
          |  double $y = $b.getDouble($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 
@@ -87,13 +107,22 @@ object CosineSimilarity {
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 }
 
-/** Native dot product of two `array<double>` columns — same motivation as
-  * [[CosineSimilarity]]: one fused codegen'd pass instead of a
-  * CodegenFallback `aggregate(zip_with(...))`. Used per-hyperplane in
-  * sign-LSH bucketing, where a row evaluates `bits` dot products. */
+/** Native dot product of two `array<double>` columns — same motivation and
+  * null semantics as [[CosineSimilarity]] (null element → null result,
+  * checks only generated for containsNull inputs): one fused codegen'd pass
+  * instead of a CodegenFallback `aggregate(zip_with(...))`. Used
+  * per-hyperplane in sign-LSH bucketing, where a row evaluates `bits` dot
+  * products. */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -109,9 +138,14 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
+    val checkNulls = elementsNullable
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
+      dot += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     dot
   }
 
@@ -120,13 +154,20 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $dot += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = $dot;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot;
+         |}
        """.stripMargin
     })
 

@@ -346,4 +346,64 @@ object Regimes {
       .toDF()
       .orderBy("feature", "group_key")
   }
+
+  /** General-k tabular regime detection: same pipeline as the 2-regime
+    * `regimeDetection` with k-dependent columns (`regime_j_prob`, `pjj`,
+    * `mu_j`) built dynamically. The 2-regime method stays as-is for exact
+    * reference column parity; this one serves programmatic k ≥ 2 use
+    * (reference's own tabular output is 2-regime only). */
+  def regimeDetectionK(melted: DataFrame, kRegimes: Int, minLen: Int = 20): DataFrame = {
+    require(kRegimes >= 2, s"need at least 2 regimes, got $kRegimes")
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    val k = kRegimes
+    val schema = StructType(
+      Seq(StructField("group_key", StringType), StructField("feature", StringType)) ++
+        (1 to k).map(j => StructField(s"regime_${j}_prob", DoubleType)) ++
+        Seq(StructField("regime_switches", IntegerType),
+          StructField("regime_switches_true", IntegerType),
+          StructField("log_likelihood", DoubleType),
+          StructField("aic", DoubleType), StructField("bic", DoubleType)) ++
+        (0 until k).map(j => StructField(s"p$j$j", DoubleType)) ++
+        (1 to k).map(j => StructField(s"mu_$j", DoubleType)) :+
+        StructField("sigma2", DoubleType))
+    val ss = melted.sparkSession
+    import ss.implicits._
+    val nullTail = Seq.fill(schema.length - 2)(null)
+    melted
+      .filter(Panel.finite(col("value")))
+      .select("group_key", "feature", "date", "value")
+      .as[(String, String, java.sql.Timestamp, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, java.sql.Timestamp, Double)]) =>
+        val (g, f) = key
+        val y = it.toArray.sortBy(r => (r._3.getTime, r._4)).map(_._4)
+        if (y.length < minLen) Iterator.empty
+        else {
+          try {
+            val ft = fit(y, k)
+            val n = y.length
+            val kParams = k * (k - 1) + k + 1 // transitions + means + variance
+            val aic = 2.0 * kParams - 2.0 * ft.llf
+            val bic = math.log(n.toDouble) * kParams - 2.0 * ft.llf
+            val probs = Array.tabulate(k)(j => ft.smoothed.map(_(j)).sum / n)
+            // quirk R2 generalized: per-regime date-of-max, consecutive diffs
+            val tmax = Array.tabulate(k)(j =>
+              ft.smoothed.map(_(j)).zipWithIndex.maxBy(v => (v._1, -v._2))._2)
+            val switchesQuirk = (1 until k).count(i => tmax(i) != tmax(i - 1))
+            val states = ft.smoothed.map(r => r.zipWithIndex.maxBy(v => (v._1, -v._2))._2)
+            val switchesTrue = (1 until n).count(t => states(t) != states(t - 1))
+            val vals: Seq[Any] =
+              Seq[Any](g, f) ++ probs.toSeq ++
+                Seq[Any](switchesQuirk, switchesTrue, ft.llf, aic, bic) ++
+                (0 until k).map(j => ft.p(j)(j)) ++ ft.mu.toSeq :+ ft.sigma2
+            Iterator.single(Row(vals: _*))
+          } catch {
+            case _: Throwable => Iterator.single(Row(Seq[Any](g, f) ++ nullTail: _*))
+          }
+        }
+      }(Encoders.row(schema))
+      .toDF()
+      .orderBy("feature", "group_key")
+  }
 }

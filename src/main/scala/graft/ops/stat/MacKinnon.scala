@@ -11,9 +11,10 @@ package graft.ops.stat
   * polynomial above; stat above τ_max → p = 1, below τ_min → p = 0.
   *
   * Constants for the "c" (constant) and "ct" (constant+trend) response
-  * surfaces, N = 1..8. The "c" table is validated against recorded
-  * reference outputs (see GoldenParitySpec); "n" (no deterministics) shares
-  * the "c" table per the published tables' usage for residual-based tests.
+  * surfaces, N = 1..8, and the "n" (no deterministics) surface, N = 1.
+  * The "c" table is validated against recorded reference outputs
+  * (GoldenParitySpec); the "n" table against the classical no-constant DF
+  * critical values (PropertySpec: τ=−1.94 → p≈0.05, τ=−2.57 → p≈0.01).
   */
 object MacKinnon {
 
@@ -43,6 +44,14 @@ object MacKinnon {
     Array(4.3708, 6.4278e-1, -2.4858e-1, -1.7814e-2),
     Array(4.7712, 6.8803e-1, -2.2997e-1, -1.2414e-2))
 
+  // no-deterministics ("n"/"nc") surface — published for N = 1 only (a
+  // residual-based test always includes the constant absorbed upstream)
+  private val tauStarNc = -1.04
+  private val tauMinNc = -19.04
+  private val tauNcSmallP = Array(0.6344, 1.2378, 3.2496e-2)
+  // large-p scaled by [1, 1e-1, 1e-1, 1e-2]
+  private val tauNcLargeP = Array(0.4797, 9.3557e-1, -6.999e-2, 3.3066e-2)
+
   private val tauStarCt = Array(-2.89, -3.19, -3.5, -3.65, -3.8, -4.36, -4.36, -4.36)
   private val tauMinCt = Array(-16.18, -21.15, -25.37, -26.63, -26.53, -26.18, -27.17, -27.58)
   private val tauMaxCt = Array(0.7, 0.63, 0.71, 0.93, 1.19, 1.42, 1.61, 1.79)
@@ -69,19 +78,18 @@ object MacKinnon {
 
   /** Approximate p-value for tau `stat`. regression ∈ {"n","c","ct"}.
     *
-    * LIMITATION: "n" (no deterministic terms) is approximated by the "c"
-    * surface. The published tables include a distinct no-constant surface
-    * whose p-values differ materially in the mid-range (e.g. stat = −1.5:
-    * ~0.12 vs ~0.53); its coefficients are not transcribed here. Nothing
-    * in the engine's public analysis surface hits this path — the
-    * reference only exercises 'c'/'ct', and cointegration computes its p
-    * from the N=2 "c" surface by construction — but direct callers of
-    * `UnitRoots.adfuller(x, "n")` should treat the p-value as a rough
-    * approximation (the statistic itself is exact). */
+    * "n" (no deterministic terms) uses the published no-constant surface,
+    * which is tabulated for N = 1 only — the one case it is defined for
+    * (a residual-based test of N ≥ 2 series absorbs a constant upstream).
+    * Mid-range sanity anchor: stat = −1.5 → p ≈ 0.125 (the "c" surface
+    * would wrongly say ~0.53 there). */
   def p(stat: Double, regression: String, n: Int): Double = {
     require(n >= 1 && n <= 8, s"N=$n outside tabulated range")
+    require(regression != "n" || n == 1,
+      "the no-constant surface is published for N=1 only")
     val i = n - 1
     val (star, mn, mx, small, large) = regression match {
+      case "n" => (tauStarNc, tauMinNc, Double.PositiveInfinity, tauNcSmallP, tauNcLargeP)
       case "ct" => (tauStarCt(i), tauMinCt(i), tauMaxCt(i), tauCtSmallP(i), tauCtLargeP(i))
       case _ => (tauStarC(i), tauMinC(i), tauMaxC(i), tauCSmallP(i), tauCLargeP(i))
     }

@@ -52,6 +52,35 @@ class AdvancedSpec extends SparkSpec {
     assert(exact >= 3, s"only $exact/5 groups matched the recorded optimum")
   }
 
+  test("general-k regime detection recovers 3 well-separated means") {
+    val rng = new scala.util.Random(41)
+    val n = 600
+    val mus = Array(-5.0, 0.0, 5.0)
+    // sticky 3-state chain: stay 0.95, move to either neighbor equally
+    val y = new Array[Double](n)
+    val dates = new Array[java.sql.Timestamp](n)
+    var st = 0
+    for (t <- 0 until n) {
+      if (rng.nextDouble() > 0.95) st = (st + 1 + rng.nextInt(2)) % 3
+      y(t) = mus(st) + rng.nextGaussian() * 0.5
+      dates(t) = java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(2020, 1, 1, 0, 0).plusDays(t))
+    }
+    val df = dates.zip(y).toSeq.toDF("date", "value")
+      .select($"date", org.apache.spark.sql.functions.lit("g").as("group_key"),
+        org.apache.spark.sql.functions.lit("value").as("feature"), $"value")
+    val out = Regimes.regimeDetectionK(df, 3).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val got = Seq(r.getAs[Double]("mu_1"), r.getAs[Double]("mu_2"), r.getAs[Double]("mu_3")).sorted
+    mus.zip(got).foreach { case (w, o) =>
+      assert(math.abs(w - o) < 0.5, s"means $got vs ${mus.toSeq}")
+    }
+    assert(!r.getAs[Double]("log_likelihood").isNaN)
+    assert((0 until 3).forall(j => r.getAs[Double](s"p$j$j") > 0.5),
+      "sticky chain should recover sticky diagonals")
+    assert(r.getAs[Double]("sigma2") < 1.0)
+  }
+
   test("garch recovers known parameters on a synthetic series") {
     // deterministic GARCH(1,1): omega=0.1, alpha=0.1, beta=0.8, mu=0
     val rng = new scala.util.Random(7)

@@ -43,6 +43,26 @@ class CosineExprSpec extends SparkSpec {
     assert(rows(1).getDouble(0).isNaN)
   }
 
+  test("null ELEMENT yields null, matching the HOF composition (both paths)") {
+    // interpreted path (local relation) and codegen path (parquet scan)
+    val data = Seq(
+      (1L, Array[java.lang.Double](1.0, null, 3.0), Array[java.lang.Double](1.0, 2.0, 3.0)),
+      (2L, Array[java.lang.Double](1.0, 2.0, 3.0), Array[java.lang.Double](1.0, 2.0, null)),
+      (3L, Array[java.lang.Double](1.0, 2.0, 3.0), Array[java.lang.Double](3.0, 2.0, 1.0)))
+    val local = data.toDF("id", "a", "b")
+    val tmp = java.nio.file.Files.createTempDirectory("cos_null").toString
+    local.write.mode("overwrite").parquet(tmp)
+    for (df <- Seq(local, spark.read.parquet(tmp))) {
+      val rows = df.orderBy("id").select(
+        cosineSim($"a", $"b").as("native"),
+        Dedup.cosineHof($"a", $"b").as("hof"),
+        graft.expr.DotProduct.dotProduct($"a", $"b").as("dot")).collect()
+      assert(rows(0).isNullAt(0) && rows(0).isNullAt(1) && rows(0).isNullAt(2))
+      assert(rows(1).isNullAt(0) && rows(1).isNullAt(1) && rows(1).isNullAt(2))
+      assert(!rows(2).isNullAt(0) && math.abs(rows(2).getDouble(0) - rows(2).getDouble(1)) < 1e-12)
+    }
+  }
+
   test("dot product expression equals the HOF composition") {
     val df = vecs(100, 16, 4)
     val d = df.select(

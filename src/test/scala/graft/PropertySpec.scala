@@ -74,6 +74,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mackinnon no-constant surface hits the classical DF critical values") {
+    // published no-constant Dickey–Fuller critical values: 5% ≈ −1.94,
+    // 1% ≈ −2.57 — the surface must return the matching tail probabilities
+    assert(math.abs(MacKinnon.p(-1.94, "n", 1) - 0.05) < 0.002,
+      s"p(-1.94) = ${MacKinnon.p(-1.94, "n", 1)}")
+    assert(math.abs(MacKinnon.p(-2.57, "n", 1) - 0.01) < 0.001,
+      s"p(-2.57) = ${MacKinnon.p(-2.57, "n", 1)}")
+    // monotone in stat across the star boundary
+    val ps = Seq(-3.0, -2.0, -1.2, -1.0, -0.5, 0.0, 1.0).map(MacKinnon.p(_, "n", 1))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b + 1e-12 }, ps.toString)
+  }
+
   test("kpss p clipped to [0.01, 0.10]") {
     forAll(series) { x =>
       whenever(x.length >= 25 && x.distinct.length > 2) {
