@@ -537,6 +537,50 @@ object SparkEntry {
         round6("avg_outlier_score"), round6("max_outlier_score"), round6("min_outlier_score"))
   }
 
+  /** DuckDB mirror of the engine's 1-D LOF (Breunig et al. 2000 with
+    * tie-inclusive neighborhoods and the np.percentile-style contamination
+    * cut): pairwise-distance self-join → k-distance → reachability → lrd →
+    * LOF, per (group). Pins K11's deterministic path per round (iforest is
+    * seeded-random and stays property-tested). */
+  private def lofSql: String =
+    s"""WITH panel AS ($evPanelSql),
+       |v AS (SELECT group_key, value, row_number() OVER (PARTITION BY group_key ORDER BY date) AS rid,
+       |  count(*) OVER (PARTITION BY group_key) AS n FROM panel),
+       |g AS (SELECT group_key, max(n) AS n,
+       |  greatest(1, least(least(20, max(n) // 2), max(n) - 1)) AS k FROM v GROUP BY 1),
+       |d AS (SELECT a.group_key, a.rid AS p, b.rid AS o, abs(a.value - b.value) AS dist
+       |  FROM v a JOIN v b ON a.group_key = b.group_key AND a.rid <> b.rid),
+       |r AS (SELECT d.*, row_number() OVER (PARTITION BY d.group_key, d.p ORDER BY d.dist) AS rn FROM d),
+       |kd AS (SELECT r.group_key, r.p, max(CASE WHEN r.rn <= g.k THEN r.dist END) AS kd
+       |  FROM r JOIN g USING (group_key) GROUP BY 1, 2),
+       |nb AS (SELECT d.group_key, d.p, d.o, d.dist
+       |  FROM d JOIN kd ON d.group_key = kd.group_key AND d.p = kd.p AND d.dist <= kd.kd),
+       |lrd AS (SELECT nb.group_key, nb.p,
+       |  1.0 / (sum(greatest(ko.kd, nb.dist)) / count(*) + 1e-10) AS lrd
+       |  FROM nb JOIN kd ko ON nb.group_key = ko.group_key AND nb.o = ko.p GROUP BY 1, 2),
+       |lof AS (SELECT nb.group_key, nb.p,
+       |  -((sum(lo.lrd) / count(*)) / any_value(lp.lrd)) AS nof
+       |  FROM nb JOIN lrd lo ON nb.group_key = lo.group_key AND nb.o = lo.p
+       |  JOIN lrd lp ON nb.group_key = lp.group_key AND nb.p = lp.p
+       |  GROUP BY 1, 2),
+       |s AS (SELECT group_key, nof, row_number() OVER (PARTITION BY group_key ORDER BY nof) AS rn,
+       |  count(*) OVER (PARTITION BY group_key) AS n FROM lof),
+       |th AS (SELECT group_key,
+       |  max(CASE WHEN rn = cast(floor(0.1 * (n - 1)) AS BIGINT) + 1 THEN nof END) AS lo_v,
+       |  max(CASE WHEN rn = least(cast(floor(0.1 * (n - 1)) AS BIGINT) + 2, n) THEN nof END) AS hi_v,
+       |  max(0.1 * (n - 1) - floor(0.1 * (n - 1))) AS frac FROM s GROUP BY 1),
+       |t2 AS (SELECT group_key, lo_v + frac * (hi_v - lo_v) AS threshold FROM th)
+       |SELECT l.group_key, 'value' AS feature, 'local_outlier_factor' AS method,
+       |count(*) AS n,
+       |count(CASE WHEN l.nof < t2.threshold THEN 1 END) AS n_outliers,
+       |floor((count(CASE WHEN l.nof < t2.threshold THEN 1 END)::DOUBLE / count(*)) * 1e6 + 0.5) / 1e6 AS outlier_rate,
+       |floor((coalesce(sum(CASE WHEN l.nof < t2.threshold THEN l.nof END)
+       |  / nullif(count(CASE WHEN l.nof < t2.threshold THEN 1 END), 0), 0.0)) * 1e6 + 0.5) / 1e6 AS avg_outlier_score,
+       |floor((max(l.nof)) * 1e6 + 0.5) / 1e6 AS max_outlier_score,
+       |floor((min(l.nof)) * 1e6 + 0.5) / 1e6 AS min_outlier_score
+       |FROM lof l JOIN t2 USING (group_key)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- §7.4 extensions: dedup / similarity / text / json / windows --------
 
   private def dedupExactDocs(s: SparkSession, dir: String): DataFrame =
@@ -580,18 +624,79 @@ object SparkEntry {
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
 
-  private def qualityDocs(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val fps = TextStats.docFingerprints(docs, "doc_id", "text")
-    docs
-      .select(col("doc_id"), col("lang"),
+  /** DuckDB mirror of the lang-id heuristic: the function-word ratios are
+    * exact integer divisions and the argmax tie-break (score desc, code
+    * desc — array_max struct ordering) is reproduced with a window, so the
+    * whole classification is bit-deterministic cross-engine. Word lists are
+    * generated from the SAME TextStats.Profiles the engine uses. */
+  private def langidSql: String = {
+    val scoreCols = TextStats.Profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> x IN ($list)))::DOUBLE / greatest(len(toks), 1) AS s_$lang"
+    }
+    val entries = (TextStats.Profiles.keys.toSeq.sorted :+ "zh")
+      .map(l => s"{'s': s_$l, 'l': '$l'}").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+       |    (length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')))::DOUBLE
+       |      / greatest(length(text), 1) AS cjk,
+       |    row_number() OVER () AS rid
+       |  FROM documents),
+       |sc AS (
+       |  SELECT lang, rid, ${scoreCols.mkString(", ")}, cjk * 2.0 AS s_zh FROM t),
+       |u AS (
+       |  SELECT lang, rid, unnest([$entries]) AS e FROM sc),
+       |r AS (
+       |  SELECT lang, e['s'] AS s, e['l'] AS l,
+       |    row_number() OVER (PARTITION BY rid ORDER BY e['s'] DESC, e['l'] DESC) AS rn
+       |  FROM u)
+       |SELECT lang, CASE WHEN s > 0.0 THEN l ELSE 'unk' END AS lang_pred, count(*) AS n
+       |FROM r WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Quality scoring per language — every component (length band, punct/
+    * digit noise, word-length band, bpe-ish token count) is integer-ratio
+    * arithmetic, so it carries a hard DuckDB oracle. The xxhash64-based
+    * winnowing fingerprints live in q_fingerprint_docs (engine-specific
+    * hashing — rows-only check, pinned by TextExtSpec). */
+  private def qualityDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
         TextStats.qualityScore(col("text")).as("q"),
         TextStats.bpeishTokenCount(col("text")).as("bpe"))
-      .join(fps, "doc_id")
       .groupBy("lang")
       .agg(count(lit(1)).as("n"), r6(avg("q")).as("avg_quality"),
-        r6(avg("bpe")).as("avg_bpeish_tokens"),
-        countDistinct("fingerprint").as("n_distinct_fingerprints"))
+        r6(avg("bpe")).as("avg_bpeish_tokens"))
+      .orderBy("lang")
+
+  private val qualitySql =
+    """WITH q AS (
+      |  SELECT lang,
+      |    least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
+      |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+      |      / greatest(length(text), 1) AS pr,
+      |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+      |      / greatest(length(text), 1) AS dr,
+      |    length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE /
+      |      greatest(CASE WHEN trim(text) = '' THEN 0
+      |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS wl,
+      |    len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe
+      |  FROM documents),
+      |s AS (
+      |  SELECT lang, bpe,
+      |    greatest(least(len_score * 0.4 + (1.0 - least((pr + dr) * 4.0, 1.0)) * 0.4 +
+      |      (CASE WHEN wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 1.0), 0.0) AS q
+      |  FROM q)
+      |SELECT lang, count(*) AS n, floor((avg(q)) * 1e6 + 0.5) / 1e6 AS avg_quality,
+      |floor((avg(bpe)) * 1e6 + 0.5) / 1e6 AS avg_bpeish_tokens
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def fingerprintDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextStats.docFingerprints(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), countDistinct("fingerprint").as("n_distinct_fingerprints"))
       .orderBy("lang")
   }
 
@@ -649,6 +754,7 @@ object SparkEntry {
     "q_text_stats_docs" -> textStatsDocs,
     "q_langid_docs" -> langidDocs,
     "q_quality_docs" -> qualityDocs,
+    "q_fingerprint_docs" -> fingerprintDocs,
     "q_similarity_topk_brute" -> similarityTopkBrute,
     "q_similarity_topk_lsh" -> similarityTopkLsh,
     "q_multimodal_features" -> multimodalFeatures,
@@ -813,10 +919,13 @@ object SparkEntry {
     "q_weighted_bins_lineitem" -> weightedBinsSql,
     "q_frequency_lineitem" -> frequencyLineitemSql,
     "q_unitroot_events" -> unitrootSql,
+    "q_quality_docs" -> qualitySql,
+    "q_langid_docs" -> langidSql,
+    "q_outliers_lof_events" -> lofSql,
     // q_dedup_minhash_docs / q_simhash_docs / q_similarity_topk_lsh /
-    // q_langid_docs / q_quality_docs / q_multimodal_features: hash-seeded /
-    // heuristic operators — engine-specific by construction, validated by
-    // construction-based ScalaTests (DedupSpec/TextExtSpec) instead.
+    // q_fingerprint_docs / q_multimodal_features: hash-seeded operators —
+    // engine-specific by construction, validated by construction-based
+    // ScalaTests (DedupSpec/TextExtSpec) instead.
     // q_stationarity_events / q_crossfeature_lineitem: iterative statistical
     // kernels (AIC lag search, OLS chains, MLE) — not SQL-expressible;
     // driver records rows-only checks. Their closed-form cores ARE pinned:

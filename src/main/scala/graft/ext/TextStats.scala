@@ -66,7 +66,7 @@ object TextStats {
   /** Tiny per-language function-word profiles (public common-word lists) +
     * a CJK character ratio for zh. Deterministic n-gram-free heuristic —
     * good enough to route documents; not a trained model. */
-  private val Profiles: Map[String, Seq[String]] = Map(
+  private[graft] val Profiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "you", "this"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von"),
     "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por"),
