@@ -413,6 +413,65 @@ object SparkEntry {
       .select(col("group_key"), col("pair"),
         round6("coint_stat"), round6("coint_p"), round6("granger_p"))
 
+  // ---- K6/K7 hard-oracle probe: EG OLS + lag-0 DF + lag-1 Granger χ² ------
+
+  /** Pins the cross-feature kernels' arithmetic with a DuckDB oracle each
+    * round: Engle–Granger step-1 OLS (alpha/beta), the lag-0 DF t on its
+    * residuals (regression "n" — the statistic `coint` uses when AIC picks
+    * lag 0), and the lag-1 Granger ssr-χ². The data-dependent lag searches
+    * (AIC autolag, min-p over lags) stay golden-parity-pinned in ScalaTest;
+    * this closes the loop on the shared OLS/t/χ² machinery per round. */
+  private def crossfeatureCoreLineitem(s: SparkSession, dir: String): DataFrame =
+    CrossFeature.pairCore(lineitemDailyPanel(s, dir), "date", "group_key",
+        "l_quantity", "l_extendedprice")
+      .select(col("group_key"), col("pair"),
+        round6("eg_beta"), round6("eg_alpha"), round6("eg_df0_stat"),
+        round6("granger_chi2_lag1"))
+      .orderBy("group_key")
+
+  /** DuckDB mirror. EG OLS via covariance algebra; residual DF with no
+    * deterministic terms uses RAW sums (no centering) and dof = m−1; the
+    * lag-1 Granger χ² uses the centered two-regressor normal equations on
+    * the 1-trimmed sample. All outputs are O(1)–O(10²) where the r6 grid
+    * sits comfortably above cross-engine ulp drift. */
+  private def crossfeatureCoreSql: String =
+    s"""WITH panel AS ($liPanelSql),
+       |d AS (SELECT group_key, date, l_quantity AS y0, l_extendedprice AS y1 FROM panel
+       |  WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+       |    AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+       |eg AS (SELECT group_key, count(*) AS n,
+       |  covar_pop(y1, y0) / var_pop(y1) AS beta,
+       |  avg(y0) - covar_pop(y1, y0) / var_pop(y1) * avg(y1) AS alpha
+       |  FROM d GROUP BY 1),
+       |r AS (SELECT d.group_key, d.date, d.y0 - eg.alpha - eg.beta * d.y1 AS e
+       |  FROM d JOIN eg USING (group_key)),
+       |rl AS (SELECT group_key, e - lag(e) OVER w AS de, lag(e) OVER w AS el
+       |  FROM r WINDOW w AS (PARTITION BY group_key ORDER BY date)),
+       |dfr AS (SELECT group_key, count(*) AS m, sum(el * de) / sum(el * el) AS b,
+       |  sum(de * de) AS sdd, sum(el * de) AS sed, sum(el * el) AS see
+       |  FROM rl WHERE el IS NOT NULL GROUP BY 1),
+       |dfs AS (SELECT group_key, b / sqrt(((sdd - b * sed) / (m - 1)) / see) AS df0 FROM dfr),
+       |gl AS (SELECT group_key, y0 AS a, lag(y0) OVER w AS al, lag(y1) OVER w AS bl
+       |  FROM d WINDOW w AS (PARTITION BY group_key ORDER BY date)),
+       |gs AS (SELECT group_key, count(*) AS n,
+       |  var_pop(a) * count(*) AS syy,
+       |  var_pop(al) * count(*) AS s11, var_pop(bl) * count(*) AS s22,
+       |  covar_pop(al, bl) * count(*) AS s12,
+       |  covar_pop(al, a) * count(*) AS s1y, covar_pop(bl, a) * count(*) AS s2y
+       |  FROM gl WHERE al IS NOT NULL GROUP BY 1),
+       |gc AS (SELECT group_key, n, syy - s1y * s1y / s11 AS ssr_r,
+       |  syy - ((s22 * s1y - s12 * s2y) * s1y + (s11 * s2y - s12 * s1y) * s2y)
+       |      / (s11 * s22 - s12 * s12) AS ssr_u
+       |  FROM gs)
+       |SELECT eg.group_key, 'l_quantity|l_extendedprice' AS pair,
+       |floor((CASE WHEN eg.n >= 20 THEN eg.beta END) * 1e6 + 0.5) / 1e6 AS eg_beta,
+       |floor((CASE WHEN eg.n >= 20 THEN eg.alpha END) * 1e6 + 0.5) / 1e6 AS eg_alpha,
+       |floor((CASE WHEN eg.n >= 20 THEN dfs.df0 END) * 1e6 + 0.5) / 1e6 AS eg_df0_stat,
+       |floor((CASE WHEN eg.n >= 20 THEN gc.n * (gc.ssr_r - gc.ssr_u) / gc.ssr_u END) * 1e6 + 0.5) / 1e6
+       |  AS granger_chi2_lag1
+       |FROM eg JOIN dfs USING (group_key) JOIN gc USING (group_key)
+       |ORDER BY group_key""".stripMargin
+
   // ---- K12: weighted forward bins (flagship kernel, DuckDB-oracled) -------
 
   /** A2 event-stream mapping over lineitem (FIXTURES.md): ~4k groups of
@@ -520,6 +579,67 @@ object SparkEntry {
         round6("avg_volatility"), round6("vol_std"), round6("vol_skew"),
         round6("vol_kurt"), round6("persistence"))
   }
+
+  // ---- K10 hard-oracle probe: GARCH/GJR/EGARCH NLL at start params --------
+
+  /** Pins the volatility kernels' likelihood machinery with a DuckDB oracle
+    * each round — see Garch.nllCores. */
+  private def volatilityCoreLineitem(s: SparkSession, dir: String): DataFrame = {
+    val melted = Panel.melt(lineitemDailyPanel(s, dir), "date", Seq("group_key"), liFeatures)
+    Garch.nllCores(melted)
+      .select(col("group_key"), col("feature"), col("n"),
+        round6("garch_nll0"), round6("gjr_nll0"), round6("egarch_nll0"))
+      .orderBy("feature", "group_key")
+  }
+
+  /** DuckDB mirror: the three variance recursions fold left-to-right via
+    * `list_reduce` over date-ordered residual structs (the init element
+    * carries the EWMA backcast state; for EGARCH, its log), accumulating
+    * Σ(ln σ²_t + ε²_t/σ²_t) alongside — the same O(n) order of operations
+    * as the engine's loops, so r6 absorbs the drift. DuckDB 1.0 evaluates
+    * struct-literal fields sequentially inside the lambda (a later field
+    * sees an earlier field's UPDATED value), so 'nll' must be declared
+    * before the state field 'v' it reads — this ordering is also correct
+    * under snapshot semantics. */
+  private def volatilityCoreSql: String =
+    s"""WITH panel AS ($liPanelSql),
+       |m AS ($liMeltedSql),
+       |f AS (SELECT group_key, feature, date, value FROM m
+       |  WHERE value IS NOT NULL AND NOT isnan(value)),
+       |st AS (SELECT group_key, feature, count(*) AS n, avg(value) AS mu,
+       |  var_pop(value) AS vp FROM f GROUP BY 1, 2 HAVING count(*) >= 50),
+       |e AS (SELECT f.group_key, f.feature, f.value - st.mu AS e, st.n,
+       |  row_number() OVER (PARTITION BY f.group_key, f.feature ORDER BY f.date) - 1 AS t
+       |  FROM f JOIN st USING (group_key, feature)),
+       |bc AS (SELECT group_key, feature,
+       |  sum(CASE WHEN t < least(75, n) THEN pow(0.94, t) * e * e END)
+       |  / sum(CASE WHEN t < least(75, n) THEN pow(0.94, t) END) AS bc
+       |  FROM e GROUP BY 1, 2),
+       |lst AS (SELECT group_key, feature,
+       |  list({'nll': 0.0::DOUBLE, 'v': e} ORDER BY t) AS es FROM e GROUP BY 1, 2),
+       |a AS (SELECT st.group_key, st.feature, st.n, bc.bc, lst.es,
+       |  greatest(0.10 * st.vp, 1e-12) AS wg,
+       |  greatest(0.09 * st.vp, 1e-12) AS wj,
+       |  0.1 * ln(greatest(st.vp, 1e-12)) AS we
+       |  FROM st JOIN bc USING (group_key, feature) JOIN lst USING (group_key, feature)),
+       |r AS (SELECT group_key, feature, n,
+       |  list_reduce(list_prepend({'nll': 0.0::DOUBLE, 'v': bc}, es),
+       |    (acc, x) -> {'nll': acc.nll + ln(acc.v) + x.v * x.v / acc.v,
+       |                 'v': wg + 0.05 * x.v * x.v + 0.85 * acc.v}).nll AS g_acc,
+       |  list_reduce(list_prepend({'nll': 0.0::DOUBLE, 'v': bc}, es),
+       |    (acc, x) -> {'nll': acc.nll + ln(acc.v) + x.v * x.v / acc.v,
+       |                 'v': wj + (0.05 + CASE WHEN x.v < 0 THEN 0.02 ELSE 0.0 END) * x.v * x.v
+       |                      + 0.85 * acc.v}).nll AS j_acc,
+       |  list_reduce(list_prepend({'nll': 0.0::DOUBLE, 'v': ln(greatest(bc, 1e-300))}, es),
+       |    (acc, x) -> {'nll': acc.nll + acc.v + x.v * x.v / exp(acc.v),
+       |                 'v': we + 0.9 * acc.v
+       |                      + 0.1 * (abs(x.v / sqrt(exp(acc.v))) - sqrt(2.0 / pi()))}).nll AS e_acc
+       |  FROM a)
+       |SELECT group_key, feature, n,
+       |floor((0.5 * (n * ln(2 * pi()) + g_acc)) * 1e6 + 0.5) / 1e6 AS garch_nll0,
+       |floor((0.5 * (n * ln(2 * pi()) + j_acc)) * 1e6 + 0.5) / 1e6 AS gjr_nll0,
+       |floor((0.5 * (n * ln(2 * pi()) + e_acc)) * 1e6 + 0.5) / 1e6 AS egarch_nll0
+       |FROM r ORDER BY feature, group_key""".stripMargin
 
   private def outliersIforestEvents(s: SparkSession, dir: String): DataFrame = {
     val melted = Panel.melt(eventsDailyPanel(s, dir), "date", Seq("group_key"), Seq("value"))
@@ -741,9 +861,11 @@ object SparkEntry {
     "q_frequency_events" -> frequencyEvents,
     "q_frequency_lineitem" -> frequencyLineitem,
     "q_crossfeature_lineitem" -> crossfeatureLineitem,
+    "q_crossfeature_core_lineitem" -> crossfeatureCoreLineitem,
     "q_weighted_bins_lineitem" -> weightedBinsLineitem,
     "q_regimes_events" -> regimesEvents,
     "q_volatility_lineitem" -> volatilityLineitem,
+    "q_volatility_core_lineitem" -> volatilityCoreLineitem,
     "q_outliers_iforest_events" -> outliersIforestEvents,
     "q_outliers_lof_events" -> outliersLofEvents,
     "q_dedup_exact_docs" -> dedupExactDocs,
@@ -919,6 +1041,8 @@ object SparkEntry {
     "q_weighted_bins_lineitem" -> weightedBinsSql,
     "q_frequency_lineitem" -> frequencyLineitemSql,
     "q_unitroot_events" -> unitrootSql,
+    "q_crossfeature_core_lineitem" -> crossfeatureCoreSql,
+    "q_volatility_core_lineitem" -> volatilityCoreSql,
     "q_quality_docs" -> qualitySql,
     "q_langid_docs" -> langidSql,
     "q_outliers_lof_events" -> lofSql,

@@ -21,11 +21,31 @@ import graft.ops.stat.{MacKinnon, Stats}
   */
 object CrossFeature {
 
+  /** Engle–Granger step 1: OLS of y0 on [y1, const]. beta = coef(0),
+    * alpha = coef(1). */
+  def egFit(y0: Array[Double], y1: Array[Double]): graft.ops.stat.OlsFit =
+    Stats.ols(y0, Array(y1, Stats.ones(y0.length)))
+
   /** (stat, p) of the Engle–Granger two-step test. */
   def coint(y0: Array[Double], y1: Array[Double]): (Double, Double) = {
-    val fit = Stats.ols(y0, Array(y1, Stats.ones(y0.length)))
+    val fit = egFit(y0, y1)
     val (stat, _, _) = UnitRoots.adfuller(fit.resid.toArray, "n")
     (stat, MacKinnon.p(stat, "c", 2))
+  }
+
+  /** ssr_chi2 statistic for "b's lags help predict a" at a single lag l:
+    * χ² = nobs·(ssr_restricted − ssr_unrestricted)/ssr_unrestricted on the
+    * l-trimmed sample — the exact quantity grangerMinP thresholds. */
+  def grangerChi2(a: Array[Double], b: Array[Double], l: Int): Double = {
+    val n = a.length - l
+    val endog = a.drop(l)
+    val aLags = (1 to l).map(j => a.slice(l - j, a.length - j))
+    val bLags = (1 to l).map(j => b.slice(l - j, b.length - j))
+    val own = (aLags :+ Stats.ones(n)).toArray
+    val joint = (aLags ++ bLags :+ Stats.ones(n)).toArray
+    val ssrOwn = Stats.ols(endog, own).ssr
+    val ssrJoint = Stats.ols(endog, joint).ssr
+    n * (ssrOwn - ssrJoint) / ssrJoint
   }
 
   /** Minimum ssr_chi2test p over lags 1..maxLag for "b's lags help predict
@@ -35,16 +55,7 @@ object CrossFeature {
     var minP = Double.PositiveInfinity
     var l = 1
     while (l <= maxLag) {
-      val n = a.length - l
-      val endog = a.drop(l)
-      val aLags = (1 to l).map(j => a.slice(l - j, a.length - j))
-      val bLags = (1 to l).map(j => b.slice(l - j, b.length - j))
-      val own = (aLags :+ Stats.ones(n)).toArray
-      val joint = (aLags ++ bLags :+ Stats.ones(n)).toArray
-      val ssrOwn = Stats.ols(endog, own).ssr
-      val ssrJoint = Stats.ols(endog, joint).ssr
-      val chi2 = n * (ssrOwn - ssrJoint) / ssrJoint
-      val p = Stats.chi2Sf(chi2, l)
+      val p = Stats.chi2Sf(grangerChi2(a, b, l), l)
       if (p < minP) minP = p
       l += 1
     }
@@ -57,6 +68,53 @@ object CrossFeature {
       coint_stat: Option[Double],
       coint_p: Option[Double],
       granger_p: Option[Double])
+
+  case class CoreRow(
+      group_key: String,
+      pair: String,
+      eg_beta: Option[Double],
+      eg_alpha: Option[Double],
+      eg_df0_stat: Option[Double],
+      granger_chi2_lag1: Option[Double])
+
+  /** Deterministic, SQL-oracle-friendly cores of K6/K7 — the pieces of
+    * `pairAnalysis` that don't involve a data-dependent lag search:
+    * Engle–Granger step-1 OLS (alpha, beta), the lag-0 Dickey–Fuller t on
+    * its residuals (regression "n", i.e. the statistic `coint` would use
+    * when AIC selects lag 0), and the lag-1 Granger ssr-χ². Exercises the
+    * same `egFit`/`adfuller`/`grangerChi2` code paths as the full test so
+    * a DuckDB oracle pins their arithmetic per round. */
+  def pairCore(
+      wide: DataFrame,
+      dateCol: String,
+      groupCol: String,
+      fa: String,
+      fb: String,
+      minLen: Int = 20): DataFrame = {
+    val ss = wide.sparkSession
+    import ss.implicits._
+    val pairName = s"$fa|$fb"
+    wide
+      .filter(Panel.finite(col(fa)) && Panel.finite(col(fb)))
+      .select(col(groupCol).cast("string"), col(dateCol), col(fa), col(fb))
+      .as[(String, java.sql.Timestamp, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (g: String, it: Iterator[(String, java.sql.Timestamp, Double, Double)]) =>
+        val rows = it.toArray.sortBy(r => (r._2.getTime, r._3, r._4))
+        val a = rows.map(_._3)
+        val b = rows.map(_._4)
+        if (a.length < minLen) CoreRow(g, pairName, None, None, None, None)
+        else {
+          val fit = egFit(a, b)
+          val (df0, _, _) =
+            UnitRoots.adfuller(fit.resid.toArray, "n", maxlagOverride = Some(0))
+          CoreRow(g, pairName, Some(fit.beta(0)), Some(fit.beta(1)), Some(df0),
+            Some(grangerChi2(a, b, 1)))
+        }
+      }
+      .toDF()
+      .orderBy("group_key")
+  }
 
   /** Per-group cointegration + Granger for one feature pair of a wide
     * panel. Rows where either side is null/NaN are dropped (inner-join

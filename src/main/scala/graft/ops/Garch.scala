@@ -246,10 +246,11 @@ object Garch {
     (nllAcc, gth)
   }
 
-  private def nll(model: String, y: Array[Double])(th: DenseVector[Double]): Double = {
-    val (mu, omega, alpha, beta, gamma) =
-      try untransform(model, th)
-      catch { case _: Throwable => return 1e12 }
+  /** NLL at explicit untransformed parameters — the exact objective the MLE
+    * minimizes (backcast + variancePath + Gaussian accumulation). Public to
+    * graft so the SQL-oracle core query can pin its arithmetic per round. */
+  private[graft] def nllAt(model: String, y: Array[Double],
+      mu: Double, omega: Double, alpha: Double, beta: Double, gamma: Double): Double = {
     val s2s = variancePath(model, y, mu, omega, alpha, beta, gamma)
     var ll = 0.0
     var t = 0
@@ -261,6 +262,13 @@ object Garch {
       t += 1
     }
     if (ll.isNaN) 1e12 else -ll
+  }
+
+  private def nll(model: String, y: Array[Double])(th: DenseVector[Double]): Double = {
+    val (mu, omega, alpha, beta, gamma) =
+      try untransform(model, th)
+      catch { case _: Throwable => return 1e12 }
+    nllAt(model, y, mu, omega, alpha, beta, gamma)
   }
 
   /** MLE fit for the given model type. */
@@ -321,6 +329,47 @@ object Garch {
     val skew = g1 * math.sqrt(n * (n - 1)) / (n - 2)
     val kurt = (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6.0)
     (mean, std, skew, kurt)
+  }
+
+  case class GarchCoreRow(
+      group_key: String, feature: String, n: Long,
+      garch_nll0: Double, gjr_nll0: Double, egarch_nll0: Double)
+
+  /** K10 hard-oracle core: NLL of each model evaluated at the optimizer's
+    * deterministic starting parameters (μ = sample mean; ω/α/β/γ = the
+    * `fit` start point in untransformed coordinates). Exercises the exact
+    * likelihood machinery the MLE minimizes — EWMA backcast, all three
+    * variance recursions, Gaussian accumulation — at parameter values a
+    * DuckDB oracle can reproduce (the recursions fold via `list_reduce`).
+    * The data-dependent optimum itself stays pinned by the parameter-
+    * recovery ScalaTests. */
+  def nllCores(melted: DataFrame, minLen: Int = 50): DataFrame = {
+    val ss = melted.sparkSession
+    import ss.implicits._
+    melted
+      .filter(Panel.finite(col("value")))
+      .select("group_key", "feature", "date", "value")
+      .as[(String, String, java.sql.Timestamp, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, java.sql.Timestamp, Double)]) =>
+        val (g, f) = key
+        val y = it.toArray.sortBy(r => (r._3.getTime, r._4)).map(_._4)
+        val n = y.length
+        if (n < minLen) Iterator.empty
+        else {
+          val mean = y.sum / n
+          val vp = y.map(v => (v - mean) * (v - mean)).sum / n
+          val garch = nllAt("GARCH", y, mean,
+            math.max(0.10 * vp, 1e-12), 0.05, 0.85, 0.0)
+          val gjr = nllAt("GJR-GARCH", y, mean,
+            math.max(0.09 * vp, 1e-12), 0.05, 0.85, 0.02)
+          val eg = nllAt("EGARCH", y, mean,
+            0.1 * math.log(math.max(vp, 1e-12)), 0.1, 0.9, 0.0)
+          Iterator.single(GarchCoreRow(g, f, n.toLong, garch, gjr, eg))
+        }
+      }
+      .toDF()
+      .orderBy("feature", "group_key")
   }
 
   /** Per-(group × feature) volatility summary for the chosen model type;

@@ -1,7 +1,8 @@
 package graft
 
 import graft.core.Panel
-import graft.ops.{Garch, Outliers, Regimes}
+import graft.ops.{CrossFeature, Garch, Outliers, Regimes}
+import graft.ops.stat.Stats
 
 /** Specs for K9 regimes (golden parity vs the reference's recorded
   * statsmodels run), K10 GARCH (synthetic-parameter recovery — the
@@ -163,6 +164,52 @@ class AdvancedSpec extends SparkSpec {
     assert(fit.gamma < 0, s"gamma ${fit.gamma} (leverage sign)")
     assert(fit.condVol.forall(v => v > 0 && !v.isNaN && !v.isInfinite))
     assert(!fit.llf.isNaN)
+  }
+
+  test("nllCores matches an independent recursion at the start parameters") {
+    val rng = new scala.util.Random(31)
+    val n = 400
+    val y = Array.fill(n)(5.0 + rng.nextGaussian())
+    val dates = (0 until n).map(i => new java.sql.Timestamp(86400000L * i))
+    val df = y.zip(dates).toSeq
+      .map { case (v, d) => ("g", "f", d, v) }
+      .toDF("group_key", "feature", "date", "value")
+    val row = Garch.nllCores(df, minLen = 50).collect().head
+    // independent GARCH recursion (not via variancePath)
+    val mean = y.sum / n
+    val vp = y.map(v => (v - mean) * (v - mean)).sum / n
+    val e2 = y.map(v => (v - mean) * (v - mean))
+    val m = math.min(75, n)
+    val ws = (0 until m).map(i => math.pow(0.94, i))
+    val bc = (0 until m).map(i => ws(i) * e2(i)).sum / ws.sum
+    val om = math.max(0.10 * vp, 1e-12)
+    var s2 = bc
+    var nll = 0.0
+    for (t <- 0 until n) {
+      if (t > 0) s2 = om + 0.05 * e2(t - 1) + 0.85 * s2
+      nll += 0.5 * (math.log(2 * math.Pi) + math.log(s2) + e2(t) / s2)
+    }
+    assert(math.abs(row.getAs[Double]("garch_nll0") - nll) < 1e-8)
+    // at gamma=0 the GJR recursion with its own omega differs, EGARCH is finite
+    assert(!row.getAs[Double]("gjr_nll0").isNaN)
+    assert(!row.getAs[Double]("egarch_nll0").isNaN)
+  }
+
+  test("grangerChi2 is the statistic grangerMinP thresholds at maxLag=1") {
+    val rng = new scala.util.Random(41)
+    val n = 200
+    val b = Array.fill(n)(rng.nextGaussian())
+    val a = Array.tabulate(n)(i => (if (i > 0) 0.6 * b(i - 1) else 0.0) + 0.2 * rng.nextGaussian())
+    val chi2 = CrossFeature.grangerChi2(a, b, 1)
+    assert(math.abs(CrossFeature.grangerMinP(a, b, 1) - Stats.chi2Sf(chi2, 1)) < 1e-14)
+    assert(chi2 > 10.0, s"b strongly causes a: $chi2") // strong signal by construction
+    // egFit matches the closed-form bivariate OLS
+    val fit = CrossFeature.egFit(a, b)
+    val (ma, mb) = (a.sum / n, b.sum / n)
+    val beta = a.zip(b).map { case (x, z) => (x - ma) * (z - mb) }.sum /
+      b.map(z => (z - mb) * (z - mb)).sum
+    assert(math.abs(fit.beta(0) - beta) < 1e-10)
+    assert(math.abs(fit.beta(1) - (ma - beta * mb)) < 1e-10)
   }
 
   test("garch analytic gradient matches central finite differences") {
