@@ -571,6 +571,64 @@ object SparkEntry {
         round6("p00"), round6("p11"))
   }
 
+  // ---- K9 hard-oracle probe: Hamilton filter at start parameters ----------
+
+  /** Pins the regime kernel's forward-filter recursion with a DuckDB oracle
+    * each round — see Regimes.filterCores. */
+  private def regimesCoreEvents(s: SparkSession, dir: String): DataFrame = {
+    val melted = Panel.melt(eventsDailyPanel(s, dir), "date", Seq("group_key"), Seq("value"))
+    Regimes.filterCores(melted)
+      .select(col("group_key"), col("feature"), col("n"),
+        round6("hamilton_llf0"), round6("mean_filtered_p0"))
+      .orderBy("group_key")
+  }
+
+  /** DuckDB mirror: the predict→update→normalize recursion folds via
+    * `list_reduce` (init element = the t=0 steady-state step). DuckDB's
+    * lambda struct fields mutate SEQUENTIALLY — a later field's expression
+    * sees an earlier field's updated value, even inside nested sub-structs
+    * (verified empirically) — so the state is carried single-field
+    * (f1 ≡ 1 − f0, exactly as the engine's `hamiltonPass` computes it),
+    * with the state field 'f0' declared after the accumulators that read
+    * it and the pass-through 'v' declared last. Transition literals are
+    * written (1 − 0.9), not 0.1, to constant-fold to the same double the
+    * engine's 1.0 − p00 produces. */
+  private def regimesCoreSql: String = {
+    val d0 = "exp(-0.5 * (x.v - mu0) * (x.v - mu0) / vp) / c"
+    val d1 = "exp(-0.5 * (x.v - mu1) * (x.v - mu1) / vp) / c"
+    val r0 = s"(acc.f0 * 0.9 + (1 - acc.f0) * (1 - 0.9)) * $d0"
+    val r1 = s"(acc.f0 * (1 - 0.9) + (1 - acc.f0) * 0.9) * $d1"
+    val sS = s"($r0 + $r1)"
+    val pi0 = "((1 - 0.9) / (2 - 0.9 - 0.9))"
+    s"""WITH panel AS ($evPanelSql),
+       |f AS (SELECT group_key, date, value FROM panel
+       |  WHERE value IS NOT NULL AND NOT isnan(value)),
+       |st AS (SELECT group_key, count(*) AS n, avg(value) AS mu, var_pop(value) AS vp
+       |  FROM f GROUP BY 1 HAVING count(*) >= 20 AND var_pop(value) > 0),
+       |pr AS (SELECT group_key, n, vp, mu - sqrt(vp) AS mu0, mu + sqrt(vp) AS mu1,
+       |  sqrt(2 * pi() * vp) AS c FROM st),
+       |lst AS (SELECT group_key, list(value ORDER BY date) AS ys FROM f GROUP BY 1),
+       |i0 AS (SELECT pr.*, lst.ys,
+       |  $pi0 * exp(-0.5 * (ys[1] - mu0) * (ys[1] - mu0) / vp) / c AS ir0,
+       |  (1 - $pi0) * exp(-0.5 * (ys[1] - mu1) * (ys[1] - mu1) / vp) / c AS ir1
+       |  FROM pr JOIN lst USING (group_key)),
+       |i1 AS (SELECT *, ir0 + ir1 AS is0 FROM i0),
+       |r AS (SELECT group_key, n,
+       |  list_reduce(list_prepend(
+       |    {'ll': ln(is0), 'sf0': ir0 / is0, 'f0': ir0 / is0, 'v': 0.0::DOUBLE},
+       |    [{'ll': 0.0::DOUBLE, 'sf0': 0.0::DOUBLE, 'f0': 0.0::DOUBLE, 'v': yv}
+       |      for yv in ys[2:]]),
+       |    (acc, x) -> {'ll': acc.ll + ln($sS),
+       |                 'sf0': acc.sf0 + $r0 / $sS,
+       |                 'f0': $r0 / $sS,
+       |                 'v': 0.0::DOUBLE}) AS fin
+       |  FROM i1)
+       |SELECT group_key, 'value' AS feature, n,
+       |floor((fin.ll) * 1e6 + 0.5) / 1e6 AS hamilton_llf0,
+       |floor((fin.sf0 / n) * 1e6 + 0.5) / 1e6 AS mean_filtered_p0
+       |FROM r ORDER BY group_key""".stripMargin
+  }
+
   private def volatilityLineitem(s: SparkSession, dir: String): DataFrame = {
     val melted = Panel.melt(lineitemDailyPanel(s, dir), "date", Seq("group_key"), liFeatures)
     Garch.volatilityAnalysis(melted)
@@ -712,6 +770,40 @@ object SparkEntry {
 
   private def simhashDocs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")
+
+  /** Hard-oracle probe for the dedup verify stage: exact 3-gram Jaccard
+    * over ALL pairs of a bounded id window (≤250 docs at any SF — this is
+    * a correctness probe, not the scale path; the scale path is the banded
+    * LSH above, whose xxhash64 bucketing DuckDB can't replay). Jaccard over
+    * raw string shingles equals the engine's hashed-set Jaccard because
+    * shingle→hash is injective modulo negligible 64-bit collisions; the
+    * 0.02 floor keeps incidental-overlap pairs in the output so the oracle
+    * pins the arithmetic across the value range, not just planted dups. */
+  private def jaccardPairsDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 250)
+      .select(col("doc_id"), Dedup.shingleSet(col("text"), 3).as("sh"))
+    val l = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, col("doc_a") < col("doc_b"))
+      .withColumn("j", Dedup.jaccardOf(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 0.02)
+      .select(col("doc_a"), col("doc_b"), r6(col("j")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def jaccardPairsSql: String =
+    raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE doc_id < 250),
+       |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+       |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(toks[i:i+2], ' ')))
+       |  ELSE [array_to_string(toks, ' ')] END AS sh FROM d),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  len(list_intersect(a.sh, b.sh))::DOUBLE
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
+       |FROM p WHERE j >= 0.02 ORDER BY doc_a, doc_b""".stripMargin
 
   private def jsonEvents(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -864,6 +956,7 @@ object SparkEntry {
     "q_crossfeature_core_lineitem" -> crossfeatureCoreLineitem,
     "q_weighted_bins_lineitem" -> weightedBinsLineitem,
     "q_regimes_events" -> regimesEvents,
+    "q_regimes_core_events" -> regimesCoreEvents,
     "q_volatility_lineitem" -> volatilityLineitem,
     "q_volatility_core_lineitem" -> volatilityCoreLineitem,
     "q_outliers_iforest_events" -> outliersIforestEvents,
@@ -871,6 +964,7 @@ object SparkEntry {
     "q_dedup_exact_docs" -> dedupExactDocs,
     "q_dedup_minhash_docs" -> dedupMinhashDocs,
     "q_simhash_docs" -> simhashDocs,
+    "q_jaccard_pairs_docs" -> jaccardPairsDocs,
     "q_json_events" -> jsonEvents,
     "q_window_events" -> windowEvents,
     "q_text_stats_docs" -> textStatsDocs,
@@ -1043,6 +1137,8 @@ object SparkEntry {
     "q_unitroot_events" -> unitrootSql,
     "q_crossfeature_core_lineitem" -> crossfeatureCoreSql,
     "q_volatility_core_lineitem" -> volatilityCoreSql,
+    "q_jaccard_pairs_docs" -> jaccardPairsSql,
+    "q_regimes_core_events" -> regimesCoreSql,
     "q_quality_docs" -> qualitySql,
     "q_langid_docs" -> langidSql,
     "q_outliers_lof_events" -> lofSql,

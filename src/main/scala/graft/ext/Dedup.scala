@@ -157,10 +157,19 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Distinct string-shingle set of a text column — the raw-string twin of
+    * the hashed verify-stage sets (Jaccard over either is identical because
+    * shingle→hash is injective modulo negligible 64-bit collisions). */
+  def shingleSet(text: Column, k: Int): Column = array_distinct(shingles(text, k))
+
+  /** Exact Jaccard of two pre-distinct shingle-set columns — the verify
+    * stage's |A∩B|/|A∪B| arithmetic. */
+  def jaccardOf(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
   /** Exact n-gram Jaccard similarity for given pairs (utility). */
   def ngramJaccard(a: Column, b: Column, k: Int): Column =
-    size(array_intersect(array_distinct(shingles(a, k)), array_distinct(shingles(b, k)))).cast("double") /
-      size(array_union(array_distinct(shingles(a, k)), array_distinct(shingles(b, k))))
+    jaccardOf(shingleSet(a, k), shingleSet(b, k))
 
   // ---- SimHash -------------------------------------------------------------
 

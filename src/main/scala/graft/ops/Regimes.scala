@@ -295,6 +295,80 @@ object Regimes {
     fits.maxBy(f => if (f.llf.isNaN) Double.NegativeInfinity else f.llf)
   }
 
+  case class RegimeCoreRow(
+      group_key: String, feature: String, n: Long,
+      hamilton_llf0: Double, mean_filtered_p0: Double)
+
+  /** K9 hard-oracle core: one Hamilton-filter forward pass — the E-step
+    * recursion of `emAt` (steady-state init, predict, Gaussian update,
+    * normalize, log-sum accumulation) — at deterministic start parameters:
+    * μ = (mean−sd, mean+sd), σ² = population variance, p00 = p11 = 0.9.
+    * A DuckDB oracle replays the recursion as a `list_reduce` fold,
+    * pinning the filter arithmetic the EM/polish likelihood is built on;
+    * the data-dependent optimum stays pinned by the golden-parity tests.
+    * Emits the filter log-likelihood and the mean filtered probability of
+    * regime 0. */
+  def filterCores(melted: DataFrame, minLen: Int = 20): DataFrame = {
+    val ss = melted.sparkSession
+    import ss.implicits._
+    melted
+      .filter(Panel.finite(col("value")))
+      .select("group_key", "feature", "date", "value")
+      .as[(String, String, java.sql.Timestamp, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, java.sql.Timestamp, Double)]) =>
+        val (g, f) = key
+        val y = it.toArray.sortBy(r => (r._3.getTime, r._4)).map(_._4)
+        val n = y.length
+        if (n < minLen) Iterator.empty
+        else {
+          val mean = y.sum / n
+          val varp = y.map(v => (v - mean) * (v - mean)).sum / n
+          if (varp <= 0) Iterator.empty
+          else {
+            val sd = math.sqrt(varp)
+            val (llf, meanF0) =
+              hamiltonPass(y, 0.9, 0.9, mean - sd, mean + sd, varp)
+            Iterator.single(RegimeCoreRow(g, f, n.toLong, llf, meanF0))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("feature", "group_key")
+  }
+
+  /** Forward filter, 2-regime, SINGLE-state form: the filtered pair is
+    * normalized so it is carried as f0 alone with f1 ≡ 1 − f0 — exactly
+    * (not just up to float) the recursion the DuckDB oracle folds, because
+    * DuckDB's lambda struct fields mutate sequentially (a later field sees
+    * an earlier field's update, even nested), which forbids two mutually-
+    * dependent state fields. Differs from `emAt`'s two-state loop by ulp
+    * only (AdvancedSpec pins the agreement); the closed-form π₀ =
+    * (1−p11)/(2−p00−p11) replaces the power iteration the same way. */
+  private[graft] def hamiltonPass(y: Array[Double], p00: Double, p11: Double,
+      mu0: Double, mu1: Double, sigma2: Double): (Double, Double) = {
+    val n = y.length
+    val c = math.sqrt(2.0 * math.Pi * sigma2)
+    val pi0 = (1.0 - p11) / (2.0 - p00 - p11)
+    var f0 = 0.0
+    var ll = 0.0
+    var sumF0 = 0.0
+    var t = 0
+    while (t < n) {
+      val pred0 = if (t == 0) pi0 else f0 * p00 + (1.0 - f0) * (1.0 - p11)
+      val pred1 = if (t == 0) 1.0 - pi0 else f0 * (1.0 - p00) + (1.0 - f0) * p11
+      val r0 = pred0 * math.exp(-0.5 * (y(t) - mu0) * (y(t) - mu0) / sigma2) / c
+      val r1 = pred1 * math.exp(-0.5 * (y(t) - mu1) * (y(t) - mu1) / sigma2) / c
+      var s = r0 + r1
+      if (s <= 0 || s.isNaN) s = 1e-300
+      ll += math.log(s)
+      f0 = r0 / s
+      sumF0 += f0
+      t += 1
+    }
+    (ll, sumF0 / n)
+  }
+
   case class RegimeRow(
       group_key: String, feature: String,
       regime_1_prob: Option[Double], regime_2_prob: Option[Double],

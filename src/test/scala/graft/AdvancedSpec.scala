@@ -195,6 +195,37 @@ class AdvancedSpec extends SparkSpec {
     assert(!row.getAs[Double]("egarch_nll0").isNaN)
   }
 
+  test("hamiltonPass matches an independent filter recursion at pinned params") {
+    val rng = new scala.util.Random(53)
+    val n = 300
+    val y = Array.tabulate(n)(i => (if ((i / 50) % 2 == 0) -1.0 else 1.0) + 0.3 * rng.nextGaussian())
+    val mean = y.sum / n
+    val vp = y.map(v => (v - mean) * (v - mean)).sum / n
+    val sd = math.sqrt(vp)
+    val (mu0, mu1) = (mean - sd, mean + sd)
+    val (llf, meanF0) = Regimes.hamiltonPass(y, 0.9, 0.9, mu0, mu1, vp)
+    // independent TWO-state recursion (the emAt form): the single-state
+    // core (f1 = 1 - f0) must agree to ulp-level accumulation error
+    val c = math.sqrt(2.0 * math.Pi * vp)
+    var (f0, f1) = (0.0, 0.0)
+    var ll = 0.0
+    var sf0 = 0.0
+    for (t <- 0 until n) {
+      val (pr0, pr1) =
+        if (t == 0) (0.5, 0.5) else (f0 * 0.9 + f1 * 0.1, f0 * 0.1 + f1 * 0.9)
+      val r0 = pr0 * math.exp(-0.5 * (y(t) - mu0) * (y(t) - mu0) / vp) / c
+      val r1 = pr1 * math.exp(-0.5 * (y(t) - mu1) * (y(t) - mu1) / vp) / c
+      val s = r0 + r1
+      ll += math.log(s)
+      f0 = r0 / s; f1 = r1 / s
+      sf0 += f0
+    }
+    assert(math.abs(llf - ll) < 1e-9, s"$llf vs $ll")
+    assert(math.abs(meanF0 - sf0 / n) < 1e-12)
+    // the alternating series spends about half its time in each regime
+    assert(meanF0 > 0.3 && meanF0 < 0.7)
+  }
+
   test("grangerChi2 is the statistic grangerMinP thresholds at maxLag=1") {
     val rng = new scala.util.Random(41)
     val n = 200
