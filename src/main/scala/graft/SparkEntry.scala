@@ -782,7 +782,11 @@ object SparkEntry {
   private def jaccardPairsDocs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).filter(col("doc_id") < 250)
       .select(col("doc_id"), Dedup.shingleSet(col("text"), 3).as("sh"))
-    val l = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    // spread the streamed side of the nested-loop join: without this the
+    // ~250 probe rows land in one partition and every pairwise set-op runs
+    // in a single task (measured 3.5 s → sub-second at 32 cores)
+    val l = d.repartition(32, col("doc_id"))
+      .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val r = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     l.join(r, col("doc_a") < col("doc_b"))
       .withColumn("j", Dedup.jaccardOf(col("sh_a"), col("sh_b")))
@@ -817,6 +821,22 @@ object SparkEntry {
     StreamOps.tumblingWindowBatch(Tables.events(s, dir))
       .select(col("window_start"), col("event_type"), col("n"),
         round6("sum_value"), round6("avg_value"))
+
+  /** Gap-based session windows (30-minute inactivity gap), summarized per
+    * event_type. Oracle = gaps-and-islands SQL (new session ⇔ Δts ≥ gap —
+    * session_window's end bound is exclusive); session duration adds the
+    * trailing gap because `session_window.end` = last event + gap. */
+  private def sessionEvents(s: SparkSession, dir: String): DataFrame =
+    StreamOps.sessionWindowBatch(Tables.events(s, dir), "30 minutes")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("n").as("n_events"),
+        max("n").as("max_session_n"),
+        r6(avg((unix_micros(col("session_end")) - unix_micros(col("session_start"))) / lit(1e6)))
+          .as("avg_session_sec"),
+        r6(sum("sum_value")).as("sum_value"))
+      .orderBy("event_type")
 
   private def textStatsDocs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -924,6 +944,11 @@ object SparkEntry {
     Similarity.lshTopK(Tables.embeddings(s, dir), similarityQueries(s, dir), k = 5)
       .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
 
+  private def similarityTopkIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, dir), similarityQueries(s, dir),
+        k = 5, nlist = 16, nprobe = 4)
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
+
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.decodeFeatures(media).toDF()
@@ -967,12 +992,14 @@ object SparkEntry {
     "q_jaccard_pairs_docs" -> jaccardPairsDocs,
     "q_json_events" -> jsonEvents,
     "q_window_events" -> windowEvents,
+    "q_session_events" -> sessionEvents,
     "q_text_stats_docs" -> textStatsDocs,
     "q_langid_docs" -> langidDocs,
     "q_quality_docs" -> qualityDocs,
     "q_fingerprint_docs" -> fingerprintDocs,
     "q_similarity_topk_brute" -> similarityTopkBrute,
     "q_similarity_topk_lsh" -> similarityTopkLsh,
+    "q_similarity_topk_ivf" -> similarityTopkIvf,
     "q_multimodal_features" -> multimodalFeatures,
   )
 
@@ -1139,6 +1166,19 @@ object SparkEntry {
     "q_volatility_core_lineitem" -> volatilityCoreSql,
     "q_jaccard_pairs_docs" -> jaccardPairsSql,
     "q_regimes_core_events" -> regimesCoreSql,
+    "q_session_events" ->
+      """WITH d AS (SELECT event_type, ts, value,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+        |sid AS (SELECT event_type, ts, value,
+        |  sum(brk) OVER (PARTITION BY event_type ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d),
+        |sess AS (SELECT event_type, sid, count(*) AS n, sum(value) AS sv,
+        |  epoch_us(min(ts)) AS st, epoch_us(max(ts)) + 1800000000 AS en
+        |  FROM sid GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_sessions, sum(n) AS n_events, max(n) AS max_session_n,
+        |floor((avg((en - st) / 1e6)) * 1e6 + 0.5) / 1e6 AS avg_session_sec,
+        |floor((sum(sv)) * 1e6 + 0.5) / 1e6 AS sum_value
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_quality_docs" -> qualitySql,
     "q_langid_docs" -> langidSql,
     "q_outliers_lof_events" -> lofSql,

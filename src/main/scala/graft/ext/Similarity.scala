@@ -45,6 +45,109 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Assignment expression: cell index of the max-cosine centroid (lowest
+    * index on ties, via the (cos, −idx) struct-max trick). */
+  private def cellOf(emb: org.apache.spark.sql.Column,
+      cents: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        Dedup.cosine(emb, array(c.map(lit): _*)).as("c"),
+        lit(-i).as("ni"))
+    }
+    -array_max(array(scored: _*)).getField("ni")
+  }
+
+  /** Deterministic Lloyd k-means over (a deterministic sample of) the
+    * embeddings — the IVF coarse quantizer. Init = the `nlist` lowest-id
+    * vectors; fixed `iters` iterations; assignment by max cosine (lowest
+    * cell on ties); an emptied cell keeps its previous centroid. The
+    * centroid table is a MODEL (nlist×dim doubles — like the LSH
+    * hyperplanes), so collecting it per iteration is a tiny aggregate
+    * collect, not a data collect; the per-iteration heavy work is one
+    * broadcast-assign scan + one (cell, dim) mean shuffle. Training can
+    * run on a `sampleMod`-strided sample — centroids only need the coarse
+    * shape of the distribution, so at 1B vectors you train on ~1M. */
+  def trainIvfCentroids(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      nlist: Int = 16,
+      iters: Int = 5,
+      sampleMod: Long = 1L): Array[Array[Double]] = {
+    val base = embeddings
+      .select(col(idCol).cast("long").as("vec_id"), col(embCol).cast("array<double>").as("emb"))
+    val sample = if (sampleMod > 1L) base.filter(col("vec_id") % sampleMod === 0) else base
+    var cents: Array[Array[Double]] = sample.orderBy("vec_id").limit(nlist)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(cents.length == nlist, s"need >= $nlist vectors to init IVF")
+    val dim = cents.head.length
+    var it = 0
+    while (it < iters) {
+      val means = sample
+        .select(cellOf(col("emb"), cents).as("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg("v").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      val touched = new Array[Boolean](nlist)
+      means.foreach { r =>
+        val cell = r.getAs[Int]("cell")
+        next(cell)(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+        touched(cell) = true
+      }
+      // a cell that captured nothing keeps its previous centroid (already
+      // cloned above; `touched` exists for clarity/debugging)
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF top-k: brute-force cosine restricted to the `nprobe` cells whose
+    * centroids are nearest the query. Same k-capped aggregation as the
+    * other paths; the candidate set is the probed cells' contents —
+    * N·nprobe/nlist expected, independent of the query count, and the
+    * cell equijoin shuffles on cell id exactly like the LSH bucket join.
+    * Recall vs brute force is validated in DedupSpec. */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 3,
+      iters: Int = 5,
+      trainSampleMod: Long = 1L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_emb"): DataFrame = {
+    val cents = trainIvfCentroids(embeddings, idCol, embCol, nlist, iters, trainSampleMod)
+    val data = embeddings.select(
+      col(idCol).cast("long").as("vec_id"),
+      col(embCol).cast("array<double>").as("emb"))
+      .withColumn("cell", cellOf(col("emb"), cents))
+    // nprobe nearest centroids per query: scored struct array, sorted
+    // descending by (cos, idx), sliced — queries are small by contract
+    val scoredCells = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        Dedup.cosine(col("qemb"), array(c.map(lit): _*)).as("c"),
+        lit(i).as("idx"))
+    }
+    val probed = queries
+      .select(col(queryIdCol).as("query_id"), col(queryEmbCol).cast("array<double>").as("qemb"))
+      .withColumn("probe",
+        slice(reverse(sort_array(array(scoredCells: _*))), 1, nprobe))
+      .select(col("query_id"), col("qemb"), explode(col("probe.idx")).as("cell"))
+    val topk = udaf(new TopKAgg(k))
+    probed.join(data, "cell")
+      .withColumn("cos", Dedup.cosine(col("emb"), col("qemb")))
+      .groupBy("query_id")
+      .agg(topk(col("vec_id"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sv")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("sv.vec_id").as("vec_id"), col("sv.cos").as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Approximate top-k: sign-LSH buckets with 1-bit multiprobe. Recall is
     * validated against the brute-force baseline in SimilaritySpec. */
   def lshTopK(

@@ -58,6 +58,36 @@ object StreamOps {
       .writeStream.outputMode("complete").format("memory").queryName(sinkTable).start()
   }
 
+  /** Shared gap-based session-window aggregation: count + sum of value per
+    * (session, event_type). A session closes when no event arrives within
+    * `gap` of the latest event; `session_window.end` = last event + gap. */
+  private def sessionAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Batch variant — identical replay semantics; DuckDB-oracle-able as a
+    * gaps-and-islands query (new session ⇔ Δts ≥ gap). */
+  def sessionWindowBatch(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    sessionAgg(events, gap).orderBy("event_type", "session_start")
+
+  /** Streaming variant: session windows require a watermark; complete-mode
+    * memory sink for test replay equality. */
+  def sessionWindowStream(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      sinkTable: String,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", watermark)
+    sessionAgg(stream, gap)
+      .writeStream.outputMode("complete").format("memory").queryName(sinkTable).start()
+  }
+
   /** Streaming variant: parquet-source file stream with a watermark.
     * Returns the started query writing to an in-memory sink table named
     * `sinkTable` (append mode is wrong for aggregations without watermark

@@ -104,4 +104,28 @@ class DedupSpec extends SparkSpec {
     // rank-1 (self) always found: its bucket equals the query bucket
     (0L until 5L).foreach(i => assert(approx.contains((i, i))))
   }
+
+  test("IVF topk achieves high recall vs brute force on clustered data") {
+    val rng = new scala.util.Random(17)
+    val centers = Array.fill(20)(Array.fill(16)(rng.nextGaussian()))
+    val rows = (0L until 300L).map { i =>
+      val c = centers((i % 20).toInt)
+      (i, c.map(v => (v + rng.nextGaussian() * 0.05).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_emb"))
+    val brute = Similarity.bruteForceTopK(df, q, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val approx = Similarity.ivfTopK(df, q, k = 5, nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+    // self always found: the query's own cell is always its top probe
+    (0L until 5L).foreach(i => assert(approx.contains((i, i))))
+    // training twice is deterministic
+    val c1 = Similarity.trainIvfCentroids(df, nlist = 8, iters = 3)
+    val c2 = Similarity.trainIvfCentroids(df, nlist = 8, iters = 3)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+  }
 }

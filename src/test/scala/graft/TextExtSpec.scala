@@ -142,6 +142,30 @@ class TextExtSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session window matches the batch variant") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("stream_s").toString
+    graft.core.Tables.events(spark, SparkSpec.sf0001)
+      .select("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val q = StreamOps.sessionWindowStream(spark, dir, schema, "s_out")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("s_out").orderBy("event_type", "session_start").collect()
+      val batch = StreamOps.sessionWindowBatch(spark.read.parquet(dir)).collect()
+      assert(streamed.length == batch.length && streamed.nonEmpty)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.getAs[java.sql.Timestamp]("session_start") == b.getAs[java.sql.Timestamp]("session_start"))
+        assert(s.getAs[java.sql.Timestamp]("session_end") == b.getAs[java.sql.Timestamp]("session_end"))
+        assert(s.getAs[Long]("n") == b.getAs[Long]("n"))
+        assert(math.abs(s.getAs[Double]("sum_value") - b.getAs[Double]("sum_value")) < 1e-9)
+      }
+    } finally q.stop()
+  }
+
   test("streaming tumbling window matches the batch variant") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("stream_src").toString
