@@ -72,34 +72,64 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       nlist: Int = 16,
-      iters: Int = 5,
+      iters: Int = 3,
       sampleMod: Long = 1L): Array[Array[Double]] = {
     val base = embeddings
       .select(col(idCol).cast("long").as("vec_id"), col(embCol).cast("array<double>").as("emb"))
-    val sample = if (sampleMod > 1L) base.filter(col("vec_id") % sampleMod === 0) else base
-    var cents: Array[Array[Double]] = sample.orderBy("vec_id").limit(nlist)
-      .collect().map(_.getSeq[Double](1).toArray)
-    require(cents.length == nlist, s"need >= $nlist vectors to init IVF")
-    val dim = cents.head.length
-    var it = 0
-    while (it < iters) {
-      val means = sample
-        .select(cellOf(col("emb"), cents).as("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg("v").as("m"))
-        .collect()
-      val next = cents.map(_.clone())
-      val touched = new Array[Boolean](nlist)
-      means.foreach { r =>
-        val cell = r.getAs[Int]("cell")
-        next(cell)(r.getAs[Int]("pos")) = r.getAs[Double]("m")
-        touched(cell) = true
+    // few, fatter partitions: the training sample is small by design and
+    // each Lloyd job is dominated by task-scheduling overhead otherwise
+    val sample =
+      (if (sampleMod > 1L) base.filter(col("vec_id") % sampleMod === 0) else base)
+        .coalesce(8).cache()
+    try {
+      var cents: Array[Array[Double]] = sample.orderBy("vec_id").limit(nlist)
+        .collect().map(_.getSeq[Double](1).toArray)
+      require(cents.length == nlist, s"need >= $nlist vectors to init IVF")
+      var it = 0
+      while (it < iters) {
+        // assignment via a closure UDF, NOT the codegen'd cellOf: centroid
+        // values change every iteration, so literal-embedding would
+        // generate (and Janino-compile) fresh code per iteration — measured
+        // ~2 s/iteration of pure compilation. The UDF costs nothing to
+        // plan, and training runs on a sample by design; the one-time
+        // full-corpus assignment in ivfTopK stays on the codegen path.
+        val frozen = cents.map(_.clone())
+        val assign = udf { (emb: Seq[Double]) =>
+          var best = 0
+          var bestC = Double.NegativeInfinity
+          var i = 0
+          while (i < frozen.length) {
+            val cvec = frozen(i)
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var j = 0
+            while (j < cvec.length) {
+              dot += emb(j) * cvec(j); na += emb(j) * emb(j); nb += cvec(j) * cvec(j); j += 1
+            }
+            val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+            if (cos > bestC) { bestC = cos; best = i } // strict: lowest cell on ties
+            i += 1
+          }
+          best
+        }
+        // assign BEFORE exploding: a projection inside the generate's select
+        // list is re-evaluated once per exploded row (64× per vector); the
+        // Generate barrier keeps the per-vector UDF at one call per vector
+        val means = sample
+          .select(col("emb"), assign(col("emb")).as("cell"))
+          .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
+          .groupBy("cell", "pos").agg(avg("v").as("m"))
+          .collect()
+        val next = cents.map(_.clone())
+        means.foreach { r =>
+          next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+        }
+        // a cell that captured nothing keeps its previous centroid (the
+        // clone above) — the standard empty-cluster fallback
+        cents = next
+        it += 1
       }
-      // a cell that captured nothing keeps its previous centroid (already
-      // cloned above; `touched` exists for clarity/debugging)
-      cents = next
-      it += 1
-    }
-    cents
+      cents
+    } finally sample.unpersist(false)
   }
 
   /** IVF top-k: brute-force cosine restricted to the `nprobe` cells whose
@@ -114,7 +144,7 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 3,
-      iters: Int = 5,
+      iters: Int = 3,
       trainSampleMod: Long = 1L,
       idCol: String = "vec_id",
       embCol: String = "embedding",
