@@ -161,12 +161,137 @@ object Regimes {
     emAt(y, p, mu, sigma2)
   }
 
+  /** Forward-only filter log-likelihood (no smoother, no state storage) —
+    * the polish objective. Cheaper than emAt by the whole backward pass. */
+  private def filterLlf(y: Array[Double], p: Array[Array[Double]],
+      mu: Array[Double], sigma2: Double): Double = {
+    val n = y.length
+    val k = mu.length
+    val pi = steadyState(p)
+    val f = new Array[Double](k)
+    val raw = new Array[Double](k)
+    var ll = 0.0
+    var t = 0
+    while (t < n) {
+      var s = 0.0
+      var j = 0
+      while (j < k) {
+        var pred = 0.0
+        if (t == 0) pred = pi(j)
+        else { var i = 0; while (i < k) { pred += f(i) * p(i)(j); i += 1 } }
+        val z = (y(t) - mu(j)) * (y(t) - mu(j)) / sigma2
+        raw(j) = pred * math.exp(-0.5 * z) / math.sqrt(2.0 * math.Pi * sigma2)
+        s += raw(j)
+        j += 1
+      }
+      if (s <= 0 || s.isNaN) s = 1e-300
+      ll += math.log(s)
+      j = 0
+      while (j < k) { f(j) = raw(j) / s; j += 1 }
+      t += 1
+    }
+    ll
+  }
+
+  /** k=2 filter NLL with its ANALYTIC gradient in the polish's transformed
+    * coordinates θ = (a0, a1, μ0, μ1, v): p(j,0) = sigmoid(a_j),
+    * v = ln σ², π from the closed form π0 = p10/(p01+p10). Forward-mode:
+    * the sensitivity of the filtered pair w.r.t. each parameter is carried
+    * through the predict→update→normalize recursion alongside the state —
+    * one O(n·k·dim) pass instead of dim+1 full filter evaluations per
+    * finite-difference gradient (and no line-search zoom noise from
+    * subtractive cancellation). */
+  private[graft] def filterNllGrad2(y: Array[Double])(
+      th: breeze.linalg.DenseVector[Double]): (Double, breeze.linalg.DenseVector[Double]) = {
+    import breeze.linalg.DenseVector
+    val n = y.length
+    val s0 = 1.0 / (1.0 + math.exp(-th(0))) // p00
+    val s1 = 1.0 / (1.0 + math.exp(-th(1))) // p10
+    val mu = Array(th(2), th(3))
+    val s2 = math.exp(th(4))
+    val p = Array(Array(s0, 1.0 - s0), Array(s1, 1.0 - s1))
+    val ds0 = s0 * (1.0 - s0)
+    val ds1 = s1 * (1.0 - s1)
+    // dp(i)(j)(q): derivative of p(i)(j) w.r.t. a_q; row i depends on a_i only
+    val dp = Array.ofDim[Double](2, 2, 2)
+    dp(0)(0)(0) = ds0; dp(0)(1)(0) = -ds0
+    dp(1)(0)(1) = ds1; dp(1)(1)(1) = -ds1
+    // stationary init: pi0 = p10 / (p01 + p10), p01 = 1 - p00
+    val den = (1.0 - s0) + s1
+    val pi0 = s1 / den
+    val dpi0 = new Array[Double](5)
+    dpi0(0) = s1 / (den * den) * ds0        // ∂π0/∂p00 · ∂p00/∂a0
+    dpi0(1) = (1.0 - s0) / (den * den) * ds1 // ∂π0/∂p10 · ∂p10/∂a1
+    val c = math.sqrt(2.0 * math.Pi * s2)
+
+    val f = new Array[Double](2)
+    val df = Array.ofDim[Double](2, 5)
+    var ll = 0.0
+    val dll = new Array[Double](5)
+    val pred = new Array[Double](2)
+    val dpred = Array.ofDim[Double](2, 5)
+    val raw = new Array[Double](2)
+    val draw = Array.ofDim[Double](2, 5)
+    var t = 0
+    while (t < n) {
+      var j = 0
+      while (j < 2) {
+        if (t == 0) {
+          pred(j) = if (j == 0) pi0 else 1.0 - pi0
+          var q = 0
+          while (q < 5) { dpred(j)(q) = if (j == 0) dpi0(q) else -dpi0(q); q += 1 }
+        } else {
+          pred(j) = f(0) * p(0)(j) + f(1) * p(1)(j)
+          var q = 0
+          while (q < 5) {
+            var d = df(0)(q) * p(0)(j) + df(1)(q) * p(1)(j)
+            if (q < 2) d += f(0) * dp(0)(j)(q) + f(1) * dp(1)(j)(q)
+            dpred(j)(q) = d
+            q += 1
+          }
+        }
+        val e = y(t) - mu(j)
+        val dj = math.exp(-0.5 * e * e / s2) / c
+        raw(j) = pred(j) * dj
+        // dd/dμ_j = d·e/σ²; dd/dv = d·(e²/(2σ²) − 1/2); zero w.r.t. a's
+        var q = 0
+        while (q < 5) {
+          var d = dpred(j)(q) * dj
+          if (q == 2 + j) d += pred(j) * dj * e / s2
+          if (q == 4) d += pred(j) * dj * (e * e / (2.0 * s2) - 0.5)
+          draw(j)(q) = d
+          q += 1
+        }
+        j += 1
+      }
+      var s = raw(0) + raw(1)
+      if (s <= 0 || s.isNaN) s = 1e-300
+      ll += math.log(s)
+      var q = 0
+      while (q < 5) {
+        val dsq = draw(0)(q) + draw(1)(q)
+        dll(q) += dsq / s
+        df(0)(q) = (draw(0)(q) - (raw(0) / s) * dsq) / s
+        df(1)(q) = (draw(1)(q) - (raw(1) / s) * dsq) / s
+        q += 1
+      }
+      f(0) = raw(0) / s
+      f(1) = raw(1) / s
+      t += 1
+    }
+    if (ll.isNaN || ll.isInfinite)
+      (1e10 * (1.0 + (th dot th)), th * 2e10) // convex penalty bowl (see Garch)
+    else (-ll, DenseVector.tabulate(5)(q => -dll(q)))
+  }
+
   /** L-BFGS polish of an EM fit on the exact filter likelihood, general k.
     * Transformed params: per transition row, k−1 softmax logits (last entry
     * pinned to 0); k means; log variance — k(k−1)+k+1 free parameters
     * (5 for k=2, matching the reference's parameter count). EM crawls on
     * the shared-variance ridge; the quasi-Newton step snaps it to the
-    * local maximum, matching a BFGS-polished reference fit. */
+    * local maximum, matching a BFGS-polished reference fit. k=2 uses the
+    * analytic filter gradient; k>2 falls back to finite differences over
+    * the forward-only likelihood. */
   private def polish(y: Array[Double], f: MsFit, maxIter: Int, tol: Double): MsFit = {
     import breeze.linalg.DenseVector
     import breeze.optimize.{ApproximateGradientFunction, LBFGS}
@@ -205,10 +330,16 @@ object Regimes {
 
     def nll(th: DenseVector[Double]): Double = {
       val (p, mu, s2) = unpack(th)
-      -emAt(y, p, mu, s2).llf
+      -filterLlf(y, p, mu, s2)
     }
     Garch.muteBreezeOptimizerLogs
-    val g = new ApproximateGradientFunction[Int, DenseVector[Double]](nll _)
+    val g: breeze.optimize.DiffFunction[DenseVector[Double]] =
+      if (k == 2)
+        new breeze.optimize.DiffFunction[DenseVector[Double]] {
+          def calculate(th: DenseVector[Double]): (Double, DenseVector[Double]) =
+            filterNllGrad2(y)(th)
+        }
+      else new ApproximateGradientFunction[Int, DenseVector[Double]](nll _)
     val opt = try new LBFGS[DenseVector[Double]](
       maxIter = maxIter, m = 7, tolerance = math.min(tol, 1e-8))
       .minimize(g, start) catch { case _: Throwable => start }

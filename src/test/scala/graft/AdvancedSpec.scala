@@ -195,6 +195,24 @@ class AdvancedSpec extends SparkSpec {
     assert(!row.getAs[Double]("egarch_nll0").isNaN)
   }
 
+  test("regime filter analytic gradient matches central finite differences") {
+    import breeze.linalg.DenseVector
+    val rng = new scala.util.Random(61)
+    val n = 200
+    val y = Array.tabulate(n)(i => (if ((i / 40) % 2 == 0) -1.2 else 1.1) + 0.4 * rng.nextGaussian())
+    val th = DenseVector(2.0, 1.5, -1.0, 1.0, math.log(0.2))
+    val (f0, g) = Regimes.filterNllGrad2(y)(th)
+    assert(!f0.isNaN)
+    val h = 1e-6
+    for (q <- 0 until 5) {
+      val tp = th.copy; tp(q) += h
+      val tm = th.copy; tm(q) -= h
+      val fd = (Regimes.filterNllGrad2(y)(tp)._1 - Regimes.filterNllGrad2(y)(tm)._1) / (2 * h)
+      assert(math.abs(g(q) - fd) < 1e-4 * math.max(1.0, math.abs(fd)),
+        s"param $q: analytic ${g(q)} vs fd $fd")
+    }
+  }
+
   test("hamiltonPass matches an independent filter recursion at pinned params") {
     val rng = new scala.util.Random(53)
     val n = 300
