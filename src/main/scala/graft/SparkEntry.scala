@@ -949,6 +949,21 @@ object SparkEntry {
         k = 5, nlist = 16, nprobe = 4)
       .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
 
+  /** Hard-oracle probe for the native codegen'd DotProduct expression
+    * (graft.expr): per-bucket stats of the L2 norm computed as
+    * √(emb·emb). DuckDB mirrors with a list fold; float→double widening is
+    * exact on both engines, r6 absorbs summation-order ulp drift. */
+  private def embeddingNormsEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = col("embedding").cast("array<double>")
+    Tables.embeddings(s, dir)
+      .select((col("vec_id") % 10).as("bucket"),
+        sqrt(graft.expr.DotProduct.dotProduct(emb, emb)).as("nrm"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), r6(avg("nrm")).as("avg_norm"),
+        r6(min("nrm")).as("min_norm"), r6(max("nrm")).as("max_norm"))
+      .orderBy("bucket")
+  }
+
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.decodeFeatures(media).toDF()
@@ -1000,6 +1015,7 @@ object SparkEntry {
     "q_similarity_topk_brute" -> similarityTopkBrute,
     "q_similarity_topk_lsh" -> similarityTopkLsh,
     "q_similarity_topk_ivf" -> similarityTopkIvf,
+    "q_embedding_norms" -> embeddingNormsEmbeddings,
     "q_multimodal_features" -> multimodalFeatures,
   )
 
@@ -1166,6 +1182,15 @@ object SparkEntry {
     "q_volatility_core_lineitem" -> volatilityCoreSql,
     "q_jaccard_pairs_docs" -> jaccardPairsSql,
     "q_regimes_core_events" -> regimesCoreSql,
+    "q_embedding_norms" ->
+      """WITH n AS (SELECT vec_id % 10 AS bucket,
+        |  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        |  FROM embeddings)
+        |SELECT bucket, count(*) AS n,
+        |floor((avg(nrm)) * 1e6 + 0.5) / 1e6 AS avg_norm,
+        |floor((min(nrm)) * 1e6 + 0.5) / 1e6 AS min_norm,
+        |floor((max(nrm)) * 1e6 + 0.5) / 1e6 AS max_norm
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_session_events" ->
       """WITH d AS (SELECT event_type, ts, value,
         |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
