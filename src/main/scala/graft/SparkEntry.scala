@@ -923,6 +923,43 @@ object SparkEntry {
       |floor((avg(bpe)) * 1e6 + 0.5) / 1e6 AS avg_bpeish_tokens
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Pipeline quality filter: keep the top half per language by quality
+    * score, summarize what survived. Oracle mirrors the exact ranking
+    * (q desc, doc_id) with a window over the shared quality expression. */
+  private def qualityFilterDocs(s: SparkSession, dir: String): DataFrame =
+    TextStats.topQualityPerGroup(Tables.documents(s, dir), "lang", keepFrac = 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), r6(avg("quality")).as("avg_kept_quality"),
+        r6(min("quality")).as("min_kept_quality"))
+      .orderBy("lang")
+
+  private val qualityFilterSql =
+    """WITH q AS (
+      |  SELECT lang, doc_id,
+      |    least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
+      |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+      |      / greatest(length(text), 1) AS pr,
+      |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+      |      / greatest(length(text), 1) AS dr,
+      |    length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE /
+      |      greatest(CASE WHEN trim(text) = '' THEN 0
+      |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS wl
+      |  FROM documents),
+      |s AS (
+      |  SELECT lang, doc_id,
+      |    greatest(least(len_score * 0.4 + (1.0 - least((pr + dr) * 4.0, 1.0)) * 0.4 +
+      |      (CASE WHEN wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 1.0), 0.0) AS q
+      |  FROM q),
+      |r AS (
+      |  SELECT lang, q,
+      |    row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM s)
+      |SELECT lang, count(*) AS n_kept,
+      |floor((avg(q)) * 1e6 + 0.5) / 1e6 AS avg_kept_quality,
+      |floor((min(q)) * 1e6 + 0.5) / 1e6 AS min_kept_quality
+      |FROM r WHERE rn <= ceil(cnt * 0.5) GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def fingerprintDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     TextStats.docFingerprints(docs, "doc_id", "text")
@@ -1011,6 +1048,7 @@ object SparkEntry {
     "q_text_stats_docs" -> textStatsDocs,
     "q_langid_docs" -> langidDocs,
     "q_quality_docs" -> qualityDocs,
+    "q_quality_filter_docs" -> qualityFilterDocs,
     "q_fingerprint_docs" -> fingerprintDocs,
     "q_similarity_topk_brute" -> similarityTopkBrute,
     "q_similarity_topk_lsh" -> similarityTopkLsh,
@@ -1205,6 +1243,7 @@ object SparkEntry {
         |floor((sum(sv)) * 1e6 + 0.5) / 1e6 AS sum_value
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_quality_docs" -> qualitySql,
+    "q_quality_filter_docs" -> qualityFilterSql,
     "q_langid_docs" -> langidSql,
     "q_outliers_lof_events" -> lofSql,
     // q_dedup_minhash_docs / q_simhash_docs / q_similarity_topk_lsh /

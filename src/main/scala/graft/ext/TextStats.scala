@@ -61,6 +61,31 @@ object TextStats {
       lit(1.0)), lit(0.0))
   }
 
+  /** Training-pipeline quality filter: keep the top ⌈keepFrac·|group|⌉
+    * documents per group by quality score (ties broken by id — exact,
+    * cross-engine-deterministic ranking). The window partitions on the
+    * group column, so the parallelism axis is group cardinality; at
+    * corpus scales where one group outweighs a partition, swap the exact
+    * rank for a per-group quantile threshold (agg + broadcast join) and
+    * accept boundary-tie inexactness. */
+  def topQualityPerGroup(
+      docs: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      keepFrac: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col("__q").desc, col(idCol))
+    val wg = Window.partitionBy(groupCol)
+    docs
+      .withColumn("__q", qualityScore(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wg))
+      .filter(col("__rn") <= ceil(col("__cnt") * keepFrac))
+      .withColumnRenamed("__q", "quality")
+      .drop("__rn", "__cnt")
+  }
+
   // ---- language identification --------------------------------------------
 
   /** Tiny per-language function-word profiles (public common-word lists) +

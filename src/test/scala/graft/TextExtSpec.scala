@@ -62,6 +62,21 @@ class TextExtSpec extends SparkSpec {
     assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("topQualityPerGroup keeps ceil(frac*n) best-scored docs per group") {
+    val good = "This is a perfectly reasonable paragraph of English text with several words " * 3
+    val bad = "!!!! ???? #### 1234 5678 @@@@"
+    val docs = (0L until 10L).map(i => (i, "g", if (i < 6) good + i else bad + i)) ++
+      Seq((10L, "h", good), (11L, "h", bad), (12L, "h", bad))
+    val kept = TextStats.topQualityPerGroup(docs.toDF("doc_id", "lang", "text"), "lang")
+      .collect()
+    val byLang = kept.groupBy(_.getAs[String]("lang")).view.mapValues(_.map(_.getAs[Long]("doc_id")).sorted)
+    assert(byLang("g").length == 5) // ceil(10*0.5)
+    assert(byLang("h").length == 2) // ceil(3*0.5)
+    assert(byLang("g").forall(_ < 6), s"kept ${byLang("g").mkString(",")}") // good docs win
+    assert(byLang("h").contains(10L))
+    kept.foreach(r => assert(r.getAs[Double]("quality") >= 0.0))
+  }
+
   test("relational fingerprint rows equal the Column-form winnowing set") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
