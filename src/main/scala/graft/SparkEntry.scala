@@ -405,6 +405,64 @@ object SparkEntry {
        |floor((adf.adf0) * 1e6 + 0.5) / 1e6 AS adf_lag0_stat
        |FROM kp JOIN adf USING (group_key) ORDER BY group_key""".stripMargin
 
+  // ---- K1 autolag probe: AIC race at maxlag=1 ------------------------------
+
+  /** Pins `adfuller`'s autolag mechanism with a DuckDB oracle — see
+    * UnitRoots.adfAutolag1Stats. */
+  private def adfAutolagEvents(s: SparkSession, dir: String): DataFrame = {
+    val melted = Panel.melt(eventsDailyPanel(s, dir), "date", Seq("group_key"), Seq("value"))
+    UnitRoots.adfAutolag1Stats(melted)
+      .select(col("group_key"), col("feature"),
+        round6("adf_al1_stat"), col("adf_al1_lag"))
+      .orderBy("group_key")
+  }
+
+  /** DuckDB mirror of the maxlag=1 autolag: both candidate models share
+    * the 2-trimmed sample (engine: adfuller's nobsA = n−1−maxlag rows);
+    * AIC = n·(ln 2π + ln(ssr/n) + 1) + 2k with k = 2 or 3 (the −2llf
+    * form); ties keep the smaller lag; the winner refits on its OWN
+    * sample (lag 0: all n−1 diffs; lag 1: the same trimmed sample). */
+  private def adfAutolagSql: String =
+    s"""WITH panel AS ($evPanelSql),
+       |d AS (SELECT group_key, value AS x,
+       |  row_number() OVER (PARTITION BY group_key ORDER BY date) - 1 AS rn,
+       |  count(*) OVER (PARTITION BY group_key) AS n0,
+       |  lag(value) OVER (PARTITION BY group_key ORDER BY date) AS x1,
+       |  lag(value, 2) OVER (PARTITION BY group_key ORDER BY date) AS x2
+       |  FROM panel WHERE value IS NOT NULL AND NOT isnan(value)),
+       |r AS (SELECT group_key, rn, n0, x - x1 AS dy, x1 AS lvl, x1 - x2 AS dl1 FROM d),
+       |selA AS (SELECT group_key, count(*) AS m,
+       |  var_pop(dy) * count(*) AS syy,
+       |  var_pop(lvl) * count(*) AS s11, var_pop(dl1) * count(*) AS s22,
+       |  covar_pop(lvl, dl1) * count(*) AS s12,
+       |  covar_pop(lvl, dy) * count(*) AS s1y, covar_pop(dl1, dy) * count(*) AS s2y
+       |  FROM r WHERE rn >= 2 GROUP BY 1),
+       |aic AS (SELECT group_key, m, s11, s22, s12, s1y, s2y,
+       |  syy - s1y * s1y / s11 AS ssr0,
+       |  syy - ((s22 * s1y - s12 * s2y) * s1y + (s11 * s2y - s12 * s1y) * s2y)
+       |      / (s11 * s22 - s12 * s12) AS ssr1
+       |  FROM selA),
+       |pick AS (SELECT group_key, m, s11, s22, s12, s1y, s2y, ssr0, ssr1,
+       |  CASE WHEN m * (ln(2 * pi()) + ln(ssr0 / m) + 1) + 2 * 2
+       |         <= m * (ln(2 * pi()) + ln(ssr1 / m) + 1) + 2 * 3
+       |       THEN 0 ELSE 1 END AS lag
+       |  FROM aic),
+       |fit0 AS (SELECT group_key, count(*) AS m,
+       |  covar_pop(lvl, dy) / var_pop(lvl) AS b,
+       |  var_pop(dy) * count(*) AS syy, covar_pop(lvl, dy) * count(*) AS sxy,
+       |  var_pop(lvl) * count(*) AS sxx
+       |  FROM r WHERE rn >= 1 GROUP BY 1),
+       |t0 AS (SELECT group_key, b / sqrt(((syy - b * sxy) / (m - 2)) / sxx) AS t FROM fit0),
+       |t1 AS (SELECT group_key,
+       |  ((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12))
+       |  / sqrt((ssr1 / (m - 3)) * s22 / (s11 * s22 - s12 * s12)) AS t
+       |  FROM pick)
+       |SELECT p.group_key, 'value' AS feature,
+       |floor((CASE WHEN p.lag = 0 THEN t0.t ELSE t1.t END) * 1e6 + 0.5) / 1e6 AS adf_al1_stat,
+       |cast(p.lag AS INT) AS adf_al1_lag
+       |FROM pick p JOIN t0 USING (group_key) JOIN t1 USING (group_key)
+       |ORDER BY group_key""".stripMargin
+
   // ---- K6/K7: cointegration + granger kernels (no SQL oracle) -------------
 
   private def crossfeatureLineitem(s: SparkSession, dir: String): DataFrame =
@@ -1027,6 +1085,7 @@ object SparkEntry {
     "q_ljungbox_events" -> ljungboxEvents,
     "q_stationarity_events" -> stationarityEvents,
     "q_unitroot_events" -> unitrootEvents,
+    "q_adf_autolag_events" -> adfAutolagEvents,
     "q_frequency_events" -> frequencyEvents,
     "q_frequency_lineitem" -> frequencyLineitem,
     "q_crossfeature_lineitem" -> crossfeatureLineitem,
@@ -1217,6 +1276,7 @@ object SparkEntry {
     "q_frequency_lineitem" -> frequencyLineitemSql,
     "q_unitroot_events" -> unitrootSql,
     "q_crossfeature_core_lineitem" -> crossfeatureCoreSql,
+    "q_adf_autolag_events" -> adfAutolagSql,
     "q_volatility_core_lineitem" -> volatilityCoreSql,
     "q_jaccard_pairs_docs" -> jaccardPairsSql,
     "q_regimes_core_events" -> regimesCoreSql,

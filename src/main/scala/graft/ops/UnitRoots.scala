@@ -160,6 +160,42 @@ object UnitRoots {
       .orderBy("feature", "group_key")
   }
 
+  case class AdfAutolagRow(
+      group_key: String,
+      feature: String,
+      adf_al1_stat: Option[Double],
+      adf_al1_lag: Option[Int])
+
+  /** K1 hard-oracle probe of the AUTOLAG mechanism at maxlag = 1: the AIC
+    * race between the lag-0 and lag-1 models on the shared trimmed sample,
+    * then the refit of the winner on its own sample — i.e. `adfuller`'s
+    * actual selection logic, exercised through the same code path
+    * (`maxlagOverride = Some(1)`), every piece of which (OLS ssr, the
+    * Gaussian llf/AIC formula, the augmented-regression t) is closed-form
+    * covariance algebra a DuckDB oracle can replay. */
+  def adfAutolag1Stats(melted: DataFrame, minLen: Int = 10): DataFrame = {
+    val ss = melted.sparkSession
+    import ss.implicits._
+    melted
+      .filter(Panel.finite(col("value")))
+      .select("group_key", "feature", "date", "value")
+      .as[(String, String, java.sql.Timestamp, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, java.sql.Timestamp, Double)]) =>
+        val (g, f) = key
+        val x = it.toArray.sortBy(r => (r._3.getTime, r._4)).map(_._4)
+        if (x.length < minLen) Iterator.empty
+        else {
+          val (st, lg) =
+            try { val (s, _, l) = adfuller(x, "c", maxlagOverride = Some(1)); (Some(s), Some(l)) }
+            catch { case _: Throwable => (None, None) }
+          Iterator.single(AdfAutolagRow(g, f, st, lg))
+        }
+      }
+      .toDF()
+      .orderBy("feature", "group_key")
+  }
+
   case class StationarityRow(
       group_key: String,
       feature: String,
