@@ -88,6 +88,45 @@ object StreamOps {
       .writeStream.outputMode("complete").format("memory").queryName(sinkTable).start()
   }
 
+  /** Streaming exact dedup — the custom-state face of
+    * `Dedup.dropExactDuplicates` via `flatMapGroupsWithState`: keyed on
+    * the content hash, a Boolean per-key GroupState marks hashes already
+    * emitted; the first micro-batch containing a hash emits that batch's
+    * lowest-id row, later occurrences are dropped. Identical to the batch
+    * operator whenever a hash's first appearance batch contains its
+    * global minimum id (always true in the single-batch replay the test
+    * runs); across micro-batches, first-arrival wins — the inherent
+    * streaming semantics. State is one Boolean per distinct hash; bound
+    * it in production with a GroupStateTimeout if the corpus is open-
+    * ended. */
+  def dedupStream(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      sinkTable: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val hashed = spark.readStream.schema(schema).parquet(sourceDir)
+      .select(col(idCol).cast("long").as("id"),
+        sha2(col(textCol), 256).as("h"))
+      .as[(Long, String)]
+    val deduped = hashed
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (h: String, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((rows.minBy(_._1)._1, h))
+          }
+      }
+      .toDF("id", "h")
+    deduped.writeStream.outputMode("append").format("memory").queryName(sinkTable).start()
+  }
+
   /** Streaming variant: parquet-source file stream with a watermark.
     * Returns the started query writing to an in-memory sink table named
     * `sinkTable` (append mode is wrong for aggregations without watermark

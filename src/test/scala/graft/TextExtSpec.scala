@@ -181,6 +181,27 @@ class TextExtSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming stateful dedup matches batch dropExactDuplicates") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("stream_d").toString
+    // corpus with planted exact duplicates
+    (0L until 40L).map(i => (i, s"doc content ${i % 15}"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = StreamOps.dedupStream(spark, dir, schema, "d_out")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("d_out").collect().map(_.getAs[Long]("id")).toSet
+      val batch = graft.ext.Dedup.dropExactDuplicates(spark.read.parquet(dir))
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      assert(streamed.size == 15) // one survivor per distinct text
+      assert(streamed.forall(_ < 15)) // lowest id per content wins
+    } finally q.stop()
+  }
+
   test("streaming tumbling window matches the batch variant") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("stream_src").toString
