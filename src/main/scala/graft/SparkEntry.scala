@@ -1269,7 +1269,8 @@ object SparkEntry {
         |  list_cosine_similarity(e.embedding::DOUBLE[], q.qemb) AS cos
         |  FROM embeddings e CROSS JOIN q),
         |r AS (SELECT query_id, vec_id, cos,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM s)
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM s WHERE vec_id IS NOT NULL AND cos IS NOT NULL AND NOT isnan(cos))
         |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_weighted_bins_lineitem" -> weightedBinsSql,

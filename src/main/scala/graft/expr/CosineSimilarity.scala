@@ -19,12 +19,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * millions of embeddings (see `CosineExprSpec` for the equivalence test
   * and `BenchNotes` in ARCHITECTURE.md for measurements).
   *
-  * Null if either side is null, and null if either array CONTAINS a null
-  * element — exactly the zip_with/aggregate semantics (a null element
-  * poisons the whole fold). The element checks are only generated when the
-  * input type says containsNull, so clean embedding scans keep the tight
-  * branch-free loop. NaN propagates like the HOF version (0-norm inputs
-  * divide to NaN).
+  * Null if either side is null, if the lengths differ (zip_with pads the
+  * shorter side with nulls, poisoning the fold), and if either array
+  * CONTAINS a null element — exactly the zip_with/aggregate semantics.
+  * The element checks are only generated when the input type says
+  * containsNull, so clean embedding scans keep the tight branch-free
+  * loop. NaN propagates like the HOF version (0-norm inputs divide to
+  * NaN).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -51,7 +52,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val checkNulls = elementsNullable
     var dot = 0.0
     var na = 0.0
@@ -83,13 +85,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
           s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.isNull} = $a.numElements() != $b.numElements();
+         |int $n = $a.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullCheck
-         |  double $x = $a.getDouble($i);
-         |  double $y = $b.getDouble($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    double $x = $a.getDouble($i);
+         |    double $y = $b.getDouble($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
          |}
          |if (!${ev.isNull}) {
          |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -108,8 +113,9 @@ object CosineSimilarity {
 }
 
 /** Native dot product of two `array<double>` columns — same motivation and
-  * null semantics as [[CosineSimilarity]] (null element → null result,
-  * checks only generated for containsNull inputs): one fused codegen'd pass
+  * null semantics as [[CosineSimilarity]] (null element or length mismatch
+  * → null result, element checks only generated for containsNull inputs):
+  * one fused codegen'd pass
   * instead of a CodegenFallback `aggregate(zip_with(...))`. Used
   * per-hyperplane in sign-LSH bucketing, where a row evaluates `bits` dot
   * products. */
@@ -137,7 +143,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val checkNulls = elementsNullable
     var dot = 0.0
     var i = 0
@@ -159,11 +166,14 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
           s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.isNull} = $a.numElements() != $b.numElements();
+         |int $n = $a.numElements();
          |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullCheck
-         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |if (!${ev.isNull}) {
          |  ${ev.value} = $dot;

@@ -89,9 +89,17 @@ object Dedup {
       .select("doc_id", "sh")
   }
 
+  /** The i-th minhash permutation aggregate: min over xxhash64(shingle, i)
+    * — overflow-free under ANSI mode, one codegen'd min-aggregate per
+    * hash. SHARED by minhashSignatures and minhashNearDuplicates so the
+    * two entry points can never drift to different permutation schemes. */
+  private def signatureAggs(numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"mh_$i"))
+
   /** Per-doc MinHash signature: explode shingles once, derive `numHashes`
-    * permutations from a single xxhash64 via (aᵢ·h + bᵢ) and take the min
-    * of each — `numHashes` cheap codegen'd min-aggregates, one shuffle. */
+    * permutations from a single xxhash64 and take the min of each —
+    * `numHashes` cheap codegen'd min-aggregates, one shuffle (groupBy
+    * reuses the window's doc_id partitioning). */
   def minhashSignatures(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -99,10 +107,7 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 32): DataFrame = {
     val rows = shingleHashRows(docs, idCol, textCol, shingleK)
-    // i-th permutation = xxhash64 of (shingle-hash, i) — overflow-free under
-    // ANSI mode and still one codegen'd min-aggregate per hash; groupBy
-    // reuses the window's doc_id partitioning (no extra exchange)
-    val aggs = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"mh_$i"))
+    val aggs = signatureAggs(numHashes)
     rows.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -125,8 +130,7 @@ object Dedup {
     // shuffle subtree (posexplode + window lead + partial agg), Spark's
     // ReuseExchange dedupes the corpus scan and the token-stream shuffle at
     // runtime — the previous two-pipeline version paid both twice.
-    val sigAggs = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"mh_$i"))
-    val aggs = sigAggs :+ collect_set("sh").as("shset")
+    val aggs = signatureAggs(numHashes) :+ collect_set("sh").as("shset")
     val sigsAndSets = shingleHashRows(docs, idCol, textCol, shingleK)
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until bands).map { bnd =>

@@ -37,6 +37,7 @@ object Similarity {
       .crossJoin(broadcast(queries.select(
         col(queryIdCol).as("query_id"), col(queryEmbCol).cast("array<double>").as("qemb"))))
       .withColumn("cos", Dedup.cosine(col("emb"), col("qemb")))
+      .filter(col("vec_id").isNotNull && col("cos").isNotNull && !isnan(col("cos")))
       .groupBy("query_id")
       .agg(topk(col("vec_id"), col("cos")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sv")))
@@ -170,6 +171,7 @@ object Similarity {
     val topk = udaf(new TopKAgg(k))
     probed.join(data, "cell")
       .withColumn("cos", Dedup.cosine(col("emb"), col("qemb")))
+      .filter(col("vec_id").isNotNull && col("cos").isNotNull && !isnan(col("cos")))
       .groupBy("query_id")
       .agg(topk(col("vec_id"), col("cos")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sv")))
@@ -213,6 +215,7 @@ object Similarity {
     val topk = udaf(new TopKAgg(k))
     probed.join(data, "bucket")
       .withColumn("cos", Dedup.cosine(col("emb"), col("qemb")))
+      .filter(col("vec_id").isNotNull && col("cos").isNotNull && !isnan(col("cos")))
       .groupBy("query_id")
       .agg(topk(col("vec_id").cast("long"), col("cos")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sv")))

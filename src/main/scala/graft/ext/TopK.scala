@@ -22,6 +22,11 @@ case class ScoredVec(vec_id: Long, cos: Double)
   * search, so ordered insertion is O(k) — cheaper and allocation-lighter
   * than a heap at these sizes. Output is a relational array<struct>, so the
   * caller can posexplode it into (rank, vec_id, cos) rows.
+  *
+  * Contract: callers must pre-filter null ids / null or NaN scores — the
+  * typed input deserializer asserts non-null primitives, and `better`'s
+  * strict comparisons would silently drop NaN rows (every Similarity path
+  * filters `cos IS NOT NULL AND NOT isnan(cos)`, mirrored in the oracle).
   */
 class TopKAgg(k: Int) extends Aggregator[ScoredVec, Array[ScoredVec], Array[ScoredVec]] {
   require(k > 0, "k must be positive")

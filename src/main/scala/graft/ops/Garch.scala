@@ -28,11 +28,15 @@ object Garch {
   /** Breeze's L-BFGS logs every line-search retry at ERROR through slf4j.
     * The fits guard non-convergence themselves (penalty bowl here; best-llf
     * fallback in Regimes.polish), so the retries are expected noise on
-    * near-flat objectives — mute the logger once per JVM. */
+    * near-flat objectives — mute the logger once per JVM. This is a global
+    * config mutation a host application may not want (it also hides that
+    * application's own Breeze diagnostics): set
+    * `-Dgraft.muteBreezeLogs=false` to keep the logger untouched. */
   private[ops] lazy val muteBreezeOptimizerLogs: Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "breeze.optimize", org.apache.logging.log4j.Level.OFF)
-    catch { case _: Throwable => () }
+    if (sys.props.getOrElse("graft.muteBreezeLogs", "true") != "false")
+      try org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "breeze.optimize", org.apache.logging.log4j.Level.OFF)
+      catch { case _: Throwable => () }
 
   final case class GarchFit(
       model: String, mu: Double, omega: Double, alpha: Double, beta: Double,

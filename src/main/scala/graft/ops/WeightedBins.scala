@@ -111,8 +111,16 @@ object WeightedBins {
     import ss.implicits._
     val tie: Column =
       if (tieCols.isEmpty) lit(0L)
-      else if (tieCols.size == 1) col(tieCols.head).cast("long")
-      else xxhash64(tieCols.map(col): _*)
+      else if (tieCols.size == 1) {
+        // direct cast ONLY for integral columns (order-preserving AND safe);
+        // strings would throw CAST_INVALID_INPUT under ANSI and timestamps
+        // would collapse sub-second ties to epoch seconds — hash those
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        df.schema(tieCols.head).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => col(tieCols.head).cast("long")
+          case _ => xxhash64(col(tieCols.head))
+        }
+      } else xxhash64(tieCols.map(col): _*)
     val ds = df.select(
       col(id1Col).cast("string").as("id1"),
       col(id2Col).cast("string").as("id2"),

@@ -63,6 +63,25 @@ class CosineExprSpec extends SparkSpec {
     }
   }
 
+  test("length mismatch yields null, matching zip_with padding (both paths)") {
+    val data = Seq(
+      (1L, Array(1.0, 2.0, 3.0), Array(1.0, 2.0)),
+      (2L, Array(1.0, 2.0), Array(1.0, 2.0, 3.0)),
+      (3L, Array(1.0, 2.0), Array(2.0, 1.0)))
+    val local = data.toDF("id", "a", "b")
+    val tmp = java.nio.file.Files.createTempDirectory("cos_len").toString
+    local.write.mode("overwrite").parquet(tmp)
+    for (df <- Seq(local, spark.read.parquet(tmp))) {
+      val rows = df.orderBy("id").select(
+        cosineSim($"a", $"b").as("native"),
+        Dedup.cosineHof($"a", $"b").as("hof"),
+        graft.expr.DotProduct.dotProduct($"a", $"b").as("dot")).collect()
+      assert(rows(0).isNullAt(0) && rows(0).isNullAt(1) && rows(0).isNullAt(2))
+      assert(rows(1).isNullAt(0) && rows(1).isNullAt(1) && rows(1).isNullAt(2))
+      assert(!rows(2).isNullAt(0) && math.abs(rows(2).getDouble(0) - rows(2).getDouble(1)) < 1e-12)
+    }
+  }
+
   test("dot product expression equals the HOF composition") {
     val df = vecs(100, 16, 4)
     val d = df.select(
