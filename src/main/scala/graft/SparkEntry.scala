@@ -121,8 +121,18 @@ object SparkEntry {
     val ev = Tables.events(s, dir)
       .filter(Panel.finite(col("value")))
       .select("event_type", "value")
+    // Fixed-point moments: value is 2-decimal data, so cents and
+    // value²·1e4 are exact integers; long sums make mu/sigma independent
+    // of partition order on both engines (float accumulation order would
+    // otherwise perturb z at the ulp level — enough to flip the z>3
+    // count or the canon's 6th decimal; see sessionEvents).
     val stats = ev.groupBy("event_type")
-      .agg(avg("value").as("mu"), stddev_pop("value").as("sigma"))
+      .agg(
+        (sum(round(col("value") * 100).cast("long")) / lit(100.0) / count(lit(1))).as("mu"),
+        (sum(round(col("value") * col("value") * 1e4).cast("long")) / lit(1e4) / count(lit(1)))
+          .as("ex2"))
+      .withColumn("sigma", sqrt(col("ex2") - col("mu") * col("mu")))
+      .drop("ex2")
     val z = ev.join(broadcast(stats), "event_type")
       .withColumn("z", abs((col("value") - col("mu")) / col("sigma")))
     z.groupBy(col("event_type").as("group_key"))
@@ -875,15 +885,30 @@ object SparkEntry {
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** Tumbling windows; sums emitted in fixed point (exact cents — see
+    * sessionEvents for why the plain float canon is boundary-unstable on
+    * 2-decimal data). avg = cents/100/n so both engines divide the same
+    * exact sum rather than re-accumulating floats. */
   private def windowEvents(s: SparkSession, dir: String): DataFrame =
     StreamOps.tumblingWindowBatch(Tables.events(s, dir))
       .select(col("window_start"), col("event_type"), col("n"),
-        round6("sum_value"), round6("avg_value"))
+        (round(col("sum_value") * 100).cast("long") / lit(100.0)).as("sum_value"),
+        r6(round(col("sum_value") * 100).cast("long") / lit(100.0) / col("n")).as("avg_value"))
 
   /** Gap-based session windows (30-minute inactivity gap), summarized per
     * event_type. Oracle = gaps-and-islands SQL (new session ⇔ Δts ≥ gap —
     * session_window's end bound is exclusive); session duration adds the
-    * trailing gap because `session_window.end` = last event + gap. */
+    * trailing gap because `session_window.end` = last event + gap.
+    *
+    * `sum_value` and `avg_session_sec` are summed in FIXED POINT (exact
+    * cents / integer microseconds) because `events.value` is 2-decimal
+    * data: every group sum is an exact multiple of 0.01, so the float
+    * canon `floor(x*1e6+0.5)` lands exactly on a boundary and a 1-ulp
+    * partition-order difference between Spark's and DuckDB's float
+    * summation flips the 6th decimal. Fixed-point bigint sums are
+    * order-independent and bit-identical on both engines. Recovering
+    * cents via round(sum*100) is exact while the per-session float-sum
+    * error stays below half a cent (bound: n·ulp(Σ|v|) ≈ 1e-8 here). */
   private def sessionEvents(s: SparkSession, dir: String): DataFrame =
     StreamOps.sessionWindowBatch(Tables.events(s, dir), "30 minutes")
       .groupBy("event_type")
@@ -891,9 +916,9 @@ object SparkEntry {
         count(lit(1)).as("n_sessions"),
         sum("n").as("n_events"),
         max("n").as("max_session_n"),
-        r6(avg((unix_micros(col("session_end")) - unix_micros(col("session_start"))) / lit(1e6)))
-          .as("avg_session_sec"),
-        r6(sum("sum_value")).as("sum_value"))
+        r6(sum(unix_micros(col("session_end")) - unix_micros(col("session_start")))
+          / (count(lit(1)) * lit(1e6))).as("avg_session_sec"),
+        (sum(round(col("sum_value") * 100).cast("long")) / lit(100.0)).as("sum_value"))
       .orderBy("event_type")
 
   private def textStatsDocs(s: SparkSession, dir: String): DataFrame =
@@ -1141,9 +1166,13 @@ object SparkEntry {
         |) SELECT date, floor((stddev_samp(value)) * 1e6 + 0.5) / 1e6 AS dispersion_value
         |FROM panel GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_zscore_outliers" ->
-      """WITH s AS (
-        |  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+      """WITH m AS (
+        |  SELECT event_type,
+        |    sum(cast(round(value * 100) AS BIGINT)) / 100.0 / count(*) AS mu,
+        |    sum(cast(round(value * value * 1e4) AS BIGINT)) / 1e4 / count(*) AS ex2
         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1
+        |), s AS (
+        |  SELECT event_type, mu, sqrt(ex2 - mu * mu) AS sigma FROM m
         |), z AS (
         |  SELECT e.event_type, abs((e.value - s.mu) / s.sigma) AS z
         |  FROM events e JOIN s USING (event_type)
@@ -1251,7 +1280,8 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_window_events" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
-        |floor((sum(value)) * 1e6 + 0.5) / 1e6 AS sum_value, floor((avg(value)) * 1e6 + 0.5) / 1e6 AS avg_value
+        |sum(cast(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+        |floor((sum(cast(round(value * 100) AS BIGINT)) / 100.0 / count(*)) * 1e6 + 0.5) / 1e6 AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_text_stats_docs" ->
       """SELECT lang, source, count(*) AS n_docs, floor((avg(n_chars)) * 1e6 + 0.5) / 1e6 AS avg_chars,
@@ -1300,8 +1330,8 @@ object SparkEntry {
         |  epoch_us(min(ts)) AS st, epoch_us(max(ts)) + 1800000000 AS en
         |  FROM sid GROUP BY 1, 2)
         |SELECT event_type, count(*) AS n_sessions, sum(n) AS n_events, max(n) AS max_session_n,
-        |floor((avg((en - st) / 1e6)) * 1e6 + 0.5) / 1e6 AS avg_session_sec,
-        |floor((sum(sv)) * 1e6 + 0.5) / 1e6 AS sum_value
+        |floor((sum(en - st) / (count(*) * 1e6)) * 1e6 + 0.5) / 1e6 AS avg_session_sec,
+        |sum(cast(round(sv * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_quality_docs" -> qualitySql,
     "q_quality_filter_docs" -> qualityFilterSql,
