@@ -1,5 +1,9 @@
 package graft.ext
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,15 +11,21 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing (SURVEY §7.4): media as opaque `binary`
   * columns with typed metadata, processed by partition-batched kernels.
   *
-  * The Spark-side machinery — schema, partitioning, batch iteration,
-  * output shape — is real and tested. The actual codecs are STUBBED: this
-  * container ships no image/audio libraries, so `decodeStub` parses only
-  * the deterministic 16-byte header layout below and emits a fake-but-
-  * deterministic feature vector. Swapping in a real decoder means
-  * replacing ONLY the body of [[MediaKernels.decode]]; every plan stays
-  * identical.
+  * The image path is REAL: `syntheticMedia` emits genuine PNG files for
+  * image rows (encoded with `javax.imageio`, deterministic pixels derived
+  * from the seed), and [[MediaKernels.decode]] decodes any PNG/BMP/GIF
+  * payload back to pixels and computes the 8-dim feature vector from the
+  * decoded raster (channel means, luma moments/extrema, bright-pixel
+  * fraction). Width/height in the output are the DECODED dimensions, not
+  * the metadata's claim.
   *
-  * Header layout (bytes, big-endian): magic "GRFT" (4) | format u8
+  * Audio/video codecs remain stubbed (this container ships no media
+  * libraries): those rows carry the deterministic 16-byte GRFT header +
+  * fake payload below, and decode falls back to payload-byte statistics.
+  * Swapping in a real audio/video codec means replacing ONLY the fallback
+  * branch of [[MediaKernels.decode]]; every plan stays identical.
+  *
+  * GRFT header layout (bytes, big-endian): magic "GRFT" (4) | format u8
   * (0=img,1=audio,2=video) | width u16 | height u16 | nFrames u16 |
   * reserved (5).
   */
@@ -30,22 +40,55 @@ object Multimodal {
       StructField("height", IntegerType, nullable = true),
       StructField("n_frames", IntegerType, nullable = true))), nullable = true)))
 
+  /** splitmix64 — deterministic pixel stream independent of JVM hashing. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Encode a real PNG whose pixels derive deterministically from `seed`.
+    * Runs on executors (one small image per row); ImageIO's PNG writer is
+    * pure-JVM and headless-safe. */
+  private[ext] def makePng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val m = mix64(seed ^ (x.toLong << 32) ^ y.toLong)
+        img.setRGB(x, y, (m & 0xFFFFFFL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val pngUdf = udf((seed: Long, w: Int, h: Int) => makePng(seed, w, h))
+
   /** Deterministic synthetic media column from any table (for tests and
-    * the rows-only driver query): payload bytes derive from a seed column,
-    * header from its hash. */
+    * the rows-only driver query): image rows carry REAL PNG bytes (decoded
+    * for real downstream); audio/video rows carry the GRFT fake header +
+    * hash payload until a real codec exists. Dimensions are kept small
+    * (≤127×97) so corpus-wide generation stays cheap. */
   def syntheticMedia(df: DataFrame, idCol: String, seedCol: String): DataFrame = {
     val h = xxhash64(col(seedCol))
     val fmt = pmod(h, lit(3)).cast("int")
-    val w = (pmod(h, lit(480)) + 32).cast("int")
-    val ht = (pmod(h, lit(360)) + 32).cast("int")
+    val w = (pmod(h, lit(120)) + 8).cast("int")
+    val ht = (pmod(h, lit(90)) + 8).cast("int")
     val nf = (pmod(h, lit(24)) + 1).cast("int")
     df.select(
       col(idCol).cast("long").as("media_id"),
-      // header + payload, all expression-built: deterministic fake bytes
-      concat(
-        lit("GRFT").cast("binary"),
-        substring(sha2(col(seedCol).cast("string"), 256).cast("binary"), 1, 12),
-        sha2(concat_ws("|", col(idCol), col(seedCol)), 512).cast("binary")).as("media"),
+      when(fmt === 0, pngUdf(h, w, ht))
+        .otherwise(concat(
+          lit("GRFT").cast("binary"),
+          substring(sha2(col(seedCol).cast("string"), 256).cast("binary"), 1, 12),
+          sha2(concat_ws("|", col(idCol), col(seedCol)), 512).cast("binary")))
+        .as("media"),
       struct(
         element_at(array(lit("img"), lit("audio"), lit("video")), fmt + 1).as("format"),
         w.as("width"), ht.as("height"), nf.as("n_frames")).as("meta"))
@@ -56,19 +99,67 @@ object Multimodal {
       n_frames: Int, payload_bytes: Int, features: Array[Double])
 
   object MediaKernels {
-    /** STUB — replace with a real codec (e.g. JNI image lib / ffmpeg
-      * bindings). Parses the deterministic header and derives a fake
-      * 8-dim feature vector from payload bytes. The signature (bytes in,
-      * fixed-width feature vector out) is the real contract. */
+    private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+
+    private def looksLikeImage(b: Array[Byte]): Boolean =
+      b.length >= 4 && (
+        b.startsWith(PngMagic) ||                        // PNG
+        (b(0) == 'B' && b(1) == 'M') ||                  // BMP
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))     // GIF
+
+    /** Real image decode: PNG/BMP/GIF via `javax.imageio`, features from
+      * the decoded raster —
+      * f0..f2 mean R/G/B, f3 mean luma (BT.601), f4 population std of
+      * luma, f5/f6 min/max luma, f7 fraction of pixels with luma > 0.5;
+      * all in [0,1]. Non-image payloads (the audio/video GRFT stub) fall
+      * back to payload-byte statistics until a real codec replaces that
+      * branch. */
     def decode(mediaId: Long, media: Array[Byte], format: String,
         width: Int, height: Int, nFrames: Int): MediaFeatures = {
-      val payload = if (media.length > 16) media.drop(16) else Array.empty[Byte]
-      val feats = new Array[Double](8)
-      var i = 0
-      while (i < payload.length) { feats(i % 8) += (payload(i) & 0xFF) / 255.0; i += 1 }
-      val n = math.max(payload.length / 8.0, 1.0)
-      MediaFeatures(mediaId, format, width, height, nFrames,
-        payload.length, feats.map(_ / n))
+      val img = if (media != null && looksLikeImage(media)) {
+        try Option(ImageIO.read(new ByteArrayInputStream(media)))
+        catch { case _: java.io.IOException => None }
+      } else None
+      img match {
+        case Some(im) =>
+          val w = im.getWidth; val h = im.getHeight
+          var sr, sg, sb, sl, sl2 = 0.0
+          var minL = Double.MaxValue; var maxL = Double.MinValue
+          var bright = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = im.getRGB(x, y)
+              val r = ((rgb >> 16) & 0xFF) / 255.0
+              val g = ((rgb >> 8) & 0xFF) / 255.0
+              val b = (rgb & 0xFF) / 255.0
+              val l = 0.299 * r + 0.587 * g + 0.114 * b
+              sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+              if (l < minL) minL = l
+              if (l > maxL) maxL = l
+              if (l > 0.5) bright += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          val meanL = sl / n
+          val varL = math.max(sl2 / n - meanL * meanL, 0.0)
+          MediaFeatures(mediaId, format, w, h, nFrames, media.length,
+            Array(sr / n, sg / n, sb / n, meanL, math.sqrt(varL), minL, maxL,
+              bright / n))
+        case None =>
+          // STUB fallback (audio/video): deterministic payload-byte stats.
+          val bytes = if (media == null) Array.empty[Byte] else media
+          val payload = if (bytes.length > 16) bytes.drop(16) else Array.empty[Byte]
+          val feats = new Array[Double](8)
+          var i = 0
+          while (i < payload.length) { feats(i % 8) += (payload(i) & 0xFF) / 255.0; i += 1 }
+          val n = math.max(payload.length / 8.0, 1.0)
+          MediaFeatures(mediaId, format, width, height, nFrames,
+            payload.length, feats.map(_ / n))
+      }
     }
   }
 

@@ -105,22 +105,60 @@ class TextExtSpec extends SparkSpec {
     assert(overlapAC < 0.1, s"AC $overlapAC")
   }
 
-  test("multimodal: synthetic media round-trips through the decode stub") {
-    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon")).toDF("doc_id", "text")
+  test("multimodal: synthetic media round-trips through the decoder") {
+    val docs = (1L to 12L).map(i => (i, s"seed text $i")).toDF("doc_id", "text")
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "media", "meta"))
     val feats = Multimodal.decodeFeatures(media).collect()
-    assert(feats.length == 3)
+    assert(feats.length == 12)
+    val byFormat = feats.groupBy(_.format)
+    assert(byFormat.keySet.subsetOf(Set("img", "audio", "video")))
     feats.foreach { f =>
-      assert(f.payload_bytes == 128) // sha512 hex-string payload
       assert(f.features.length == 8)
       assert(f.features.forall(v => v >= 0 && v <= 1))
-      assert(Seq("img", "audio", "video").contains(f.format))
     }
+    // img rows are REAL PNGs: payload is a PNG file, decoded dims land in
+    // the generator's range, and min<=mean<=max luma orders correctly.
+    val imgRows = feats.filter(_.format == "img")
+    assert(imgRows.nonEmpty)
+    imgRows.foreach { f =>
+      assert(f.payload_bytes > 100) // a real PNG file, not a 128-byte hash
+      assert(f.width >= 8 && f.width < 128 && f.height >= 8 && f.height < 98)
+      assert(f.features(5) <= f.features(3) && f.features(3) <= f.features(6))
+    }
+    // audio/video rows still run the documented stub fallback.
+    feats.filter(_.format != "img").foreach(f => assert(f.payload_bytes == 128))
     // deterministic: same input -> same features
     val again = Multimodal.decodeFeatures(media).collect()
     assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
       .forall { case (x, y) => x.features.sameElements(y.features) })
+  }
+
+  test("multimodal: decode computes exact pixel statistics on a 2x2 PNG") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    // red, green / blue, white
+    val im = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    im.setRGB(0, 0, 0xFF0000); im.setRGB(1, 0, 0x00FF00)
+    im.setRGB(0, 1, 0x0000FF); im.setRGB(1, 1, 0xFFFFFF)
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    val png = bos.toByteArray
+    // meta deliberately claims wrong dims — decode must report the real ones
+    val f = Multimodal.MediaKernels.decode(7L, png, "img", 99, 99, 1)
+    assert(f.width == 2 && f.height == 2 && f.payload_bytes == png.length)
+    val lumas = Seq(0.299, 0.587, 0.114, 0.299 + 0.587 + 0.114)
+    val meanL = lumas.sum / 4
+    val varL = lumas.map(l => l * l).sum / 4 - meanL * meanL
+    val eps = 1e-12
+    assert(math.abs(f.features(0) - 0.5) < eps) // mean R: (1+0+0+1)/4
+    assert(math.abs(f.features(1) - 0.5) < eps) // mean G
+    assert(math.abs(f.features(2) - 0.5) < eps) // mean B
+    assert(math.abs(f.features(3) - meanL) < eps)
+    assert(math.abs(f.features(4) - math.sqrt(varL)) < 1e-9)
+    assert(math.abs(f.features(5) - 0.114) < eps) // min luma (blue)
+    assert(math.abs(f.features(6) - 1.0) < eps)   // max luma (white)
+    assert(math.abs(f.features(7) - 0.5) < eps)   // green+white are > 0.5
   }
 
   test("frame sample plan emits stride indices for video rows only") {
