@@ -1060,14 +1060,32 @@ object SparkEntry {
     Similarity.bruteForceTopK(Tables.embeddings(s, dir), similarityQueries(s, dir), k = 5)
       .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
 
-  private def similarityTopkLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopK(Tables.embeddings(s, dir), similarityQueries(s, dir), k = 5)
-      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
+  /** The approximate ANN paths emit recall@k vs the brute-force result on
+    * the same (bounded) query probe, so the driver tracks approximation
+    * quality per round even though the hash-seeded outputs can't be
+    * SQL-oracled. Documented floor at fixture scale: >= 0.8 (asserted in
+    * DedupSpec). */
+  private def similarityTopkLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = similarityQueries(s, dir)
+    Similarity.withRecallAtK(
+        Similarity.lshTopK(emb, q, k = 5),
+        Similarity.bruteForceTopK(emb, q, k = 5))
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"),
+        round6("recall_at_k"))
+      .orderBy("query_id", "rank")
+  }
 
-  private def similarityTopkIvf(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(Tables.embeddings(s, dir), similarityQueries(s, dir),
-        k = 5, nlist = 16, nprobe = 4)
-      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
+  private def similarityTopkIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = similarityQueries(s, dir)
+    Similarity.withRecallAtK(
+        Similarity.ivfTopK(emb, q, k = 5, nlist = 16, nprobe = 4),
+        Similarity.bruteForceTopK(emb, q, k = 5))
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"),
+        round6("recall_at_k"))
+      .orderBy("query_id", "rank")
+  }
 
   /** Hard-oracle probe for the native codegen'd DotProduct expression
     * (graft.expr): per-bucket stats of the L2 norm computed as

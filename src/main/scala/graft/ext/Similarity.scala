@@ -180,6 +180,24 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Append per-query recall@k vs an exact top-k result to an approximate
+    * top-k frame: recall_at_k = |approx ∩ exact| / |exact| per query_id.
+    * Both inputs are top-k outputs (Q·k rows — model-sized), so the
+    * bookkeeping joins broadcast; the cost of attaching this to a
+    * production query is the exact pass itself, which is the point — run
+    * it on a bounded query probe so the driver can gate approximation
+    * quality per round. */
+  def withRecallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val ex = exact.select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
+    val perQuery = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val hits = approx.select("query_id", "vec_id")
+      .join(ex, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id").agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+    val recall = hits.join(perQuery, "query_id")
+      .select(col("query_id"), (col("n_hit") / col("n_exact")).as("recall_at_k"))
+    approx.join(broadcast(recall), "query_id")
+  }
+
   /** Approximate top-k: sign-LSH buckets with 1-bit multiprobe. Recall is
     * validated against the brute-force baseline in SimilaritySpec. */
   def lshTopK(

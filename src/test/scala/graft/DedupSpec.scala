@@ -103,6 +103,30 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
     // rank-1 (self) always found: its bucket equals the query bucket
     (0L until 5L).foreach(i => assert(approx.contains((i, i))))
+    // the in-query recall column meets the documented fixture-scale floor
+    val withRec = Similarity.withRecallAtK(
+      Similarity.lshTopK(df, q, k = 5, dim = 16, bits = 8),
+      Similarity.bruteForceTopK(df, q, k = 5))
+    withRec.select("query_id", "recall_at_k").distinct().collect().foreach { r =>
+      assert(r.getAs[Double]("recall_at_k") >= 0.8,
+        s"query ${r.get(0)} recall ${r.get(1)}")
+    }
+  }
+
+  test("withRecallAtK matches exact set arithmetic") {
+    val rng = new scala.util.Random(23)
+    val rows = (0L until 60L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_emb"))
+    val exact = Similarity.bruteForceTopK(df, q, k = 4)
+    // an "approximation" that keeps only the top 2 of 4 -> recall 0.5
+    val approx = exact.filter($"rank" <= 2)
+    val rec = Similarity.withRecallAtK(approx, exact)
+    assert(rec.count() == approx.count())
+    rec.select("query_id", "recall_at_k").distinct().collect().foreach { r =>
+      assert(r.getAs[Double]("recall_at_k") == 0.5)
+    }
   }
 
   test("IVF topk achieves high recall vs brute force on clustered data") {
@@ -123,6 +147,14 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
     // self always found: the query's own cell is always its top probe
     (0L until 5L).foreach(i => assert(approx.contains((i, i))))
+    // the in-query recall column meets the documented fixture-scale floor
+    val withRec = Similarity.withRecallAtK(
+      Similarity.ivfTopK(df, q, k = 5, nlist = 8, nprobe = 3),
+      Similarity.bruteForceTopK(df, q, k = 5))
+    withRec.select("query_id", "recall_at_k").distinct().collect().foreach { r =>
+      assert(r.getAs[Double]("recall_at_k") >= 0.8,
+        s"query ${r.get(0)} recall ${r.get(1)}")
+    }
     // training twice is deterministic
     val c1 = Similarity.trainIvfCentroids(df, nlist = 8, iters = 3)
     val c2 = Similarity.trainIvfCentroids(df, nlist = 8, iters = 3)
