@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 
 /** One scored candidate. Top-level (not nested/private) so Catalyst's
   * generated serializers can reach it. */
@@ -68,6 +68,9 @@ class TopKAgg(k: Int) extends Aggregator[ScoredVec, Array[ScoredVec], Array[Scor
 
   def finish(buf: Array[ScoredVec]): Array[ScoredVec] = buf
 
-  def bufferEncoder: Encoder[Array[ScoredVec]] = Encoders.kryo[Array[ScoredVec]]
+  // ExpressionEncoder (not Kryo) for the buffer too: partial-merge state
+  // stays a columnar array<struct> instead of opaque blobs, so wide
+  // shuffles move packed rows rather than serialized Java objects.
+  def bufferEncoder: Encoder[Array[ScoredVec]] = ExpressionEncoder[Array[ScoredVec]]()
   def outputEncoder: Encoder[Array[ScoredVec]] = ExpressionEncoder[Array[ScoredVec]]()
 }
