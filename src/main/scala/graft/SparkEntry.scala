@@ -1102,6 +1102,39 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** Hard-oracle probe for the embedding-cosine near-dup verify stage:
+    * exact all-pairs cosine (the native CosineSimilarity expression) over
+    * a bounded id window (≤200 vectors at any SF), thresholded low enough
+    * (0.3; data max ≈0.44) to keep a spread of values in the output. This
+    * is the probe, not the scale path — the scale path is
+    * Dedup.embeddingNearDuplicates' sign-LSH bucketing, whose seeded
+    * hyperplanes DuckDB can't replay; its recall vs these exact pairs is
+    * pinned in DedupSpec. DuckDB mirrors with list_cosine_similarity
+    * (float→double widening exact; r6 absorbs summation-order ulps). */
+  private def embeddingNearDupDocs(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // spread the streamed side like jaccardPairsDocs: ≤200 probe rows
+    // otherwise nest-loop in one task
+    val l = e.repartition(32, col("vec_id"))
+      .select(col("vec_id").as("vec_a"), col("emb").as("emb_a"))
+    val r = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"))
+    l.join(r, col("vec_a") < col("vec_b"))
+      .withColumn("c", Dedup.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("c") >= 0.3)
+      .select(col("vec_a"), col("vec_b"), r6(col("c")).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private def embeddingNearDupSql: String =
+    raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE vec_id < 200),
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  list_cosine_similarity(a.emb, b.emb) AS c
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, floor(c * 1e6 + 0.5) / 1e6 AS cos
+       |FROM p WHERE c >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
+
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.decodeFeatures(media).toDF()
@@ -1144,6 +1177,7 @@ object SparkEntry {
     "q_dedup_minhash_docs" -> dedupMinhashDocs,
     "q_simhash_docs" -> simhashDocs,
     "q_jaccard_pairs_docs" -> jaccardPairsDocs,
+    "q_embedding_neardup_docs" -> embeddingNearDupDocs,
     "q_json_events" -> jsonEvents,
     "q_window_events" -> windowEvents,
     "q_session_events" -> sessionEvents,
@@ -1328,6 +1362,7 @@ object SparkEntry {
     "q_adf_autolag_events" -> adfAutolagSql,
     "q_volatility_core_lineitem" -> volatilityCoreSql,
     "q_jaccard_pairs_docs" -> jaccardPairsSql,
+    "q_embedding_neardup_docs" -> embeddingNearDupSql,
     "q_regimes_core_events" -> regimesCoreSql,
     "q_embedding_norms" ->
       """WITH n AS (SELECT vec_id % 10 AS bucket,

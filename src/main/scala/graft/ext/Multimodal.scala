@@ -19,10 +19,18 @@ import org.apache.spark.sql.types._
   * fraction). Width/height in the output are the DECODED dimensions, not
   * the metadata's claim.
   *
-  * Audio/video codecs remain stubbed (this container ships no media
+  * The audio path is REAL too: `syntheticMedia` emits genuine RIFF/WAVE
+  * files for audio rows (16-bit mono PCM, deterministic sine derived from
+  * the seed), and [[MediaKernels.decode]] decodes any WAV payload via
+  * `javax.sound.sampled` (pure JVM) and computes the 8-dim feature vector
+  * from the decoded samples (DC mean, RMS, min/max, zero-crossing rate,
+  * mean |x|, loud fraction, duration). `n_frames` in audio output is the
+  * DECODED sample count, not the metadata's claim.
+  *
+  * Only the video codec remains stubbed (this container ships no video
   * libraries): those rows carry the deterministic 16-byte GRFT header +
   * fake payload below, and decode falls back to payload-byte statistics.
-  * Swapping in a real audio/video codec means replacing ONLY the fallback
+  * Swapping in a real video codec means replacing ONLY the fallback
   * branch of [[MediaKernels.decode]]; every plan stays identical.
   *
   * GRFT header layout (bytes, big-endian): magic "GRFT" (4) | format u8
@@ -70,20 +78,58 @@ object Multimodal {
 
   private val pngUdf = udf((seed: Long, w: Int, h: Int) => makePng(seed, w, h))
 
+  /** Serialize 16-bit mono PCM samples as a RIFF/WAVE file (the 44-byte
+    * canonical header; little-endian throughout, as WAV requires). */
+  private[graft] def wavBytes(samples: Array[Short], rate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  /** A real WAV whose samples derive deterministically from `seed`: a
+    * seed-pitched sine (freq 100–999 Hz, amplitude 0.30–0.69) at 8 kHz. */
+  private[graft] def makeWav(seed: Long, nSamples: Int): Array[Byte] = {
+    val rate = 8000
+    val freq = 100 + java.lang.Long.remainderUnsigned(mix64(seed), 900L).toInt
+    val amp = 0.30 + java.lang.Long.remainderUnsigned(mix64(seed + 1), 40L) / 100.0
+    val samples = new Array[Short](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      val v = amp * math.sin(2.0 * math.Pi * freq * i / rate)
+      samples(i) = math.round(v * 32767.0).toShort
+      i += 1
+    }
+    wavBytes(samples, rate)
+  }
+
+  private val wavUdf = udf((seed: Long, n: Int) => makeWav(seed, n))
+
   /** Deterministic synthetic media column from any table (for tests and
-    * the rows-only driver query): image rows carry REAL PNG bytes (decoded
-    * for real downstream); audio/video rows carry the GRFT fake header +
-    * hash payload until a real codec exists. Dimensions are kept small
-    * (≤127×97) so corpus-wide generation stays cheap. */
+    * the rows-only driver query): image rows carry REAL PNG bytes and
+    * audio rows REAL WAV bytes (both decoded for real downstream); video
+    * rows carry the GRFT fake header + hash payload until a real codec
+    * exists. Dimensions are kept small (≤127×97 pixels / ≤2047 samples) so
+    * corpus-wide generation stays cheap. */
   def syntheticMedia(df: DataFrame, idCol: String, seedCol: String): DataFrame = {
     val h = xxhash64(col(seedCol))
     val fmt = pmod(h, lit(3)).cast("int")
     val w = (pmod(h, lit(120)) + 8).cast("int")
     val ht = (pmod(h, lit(90)) + 8).cast("int")
     val nf = (pmod(h, lit(24)) + 1).cast("int")
+    val nSamp = (pmod(h, lit(1536)) + 512).cast("int")
     df.select(
       col(idCol).cast("long").as("media_id"),
       when(fmt === 0, pngUdf(h, w, ht))
+        .when(fmt === 1, wavUdf(h, nSamp))
         .otherwise(concat(
           lit("GRFT").cast("binary"),
           substring(sha2(col(seedCol).cast("string"), 256).cast("binary"), 1, 12),
@@ -107,6 +153,48 @@ object Multimodal {
         (b(0) == 'B' && b(1) == 'M') ||                  // BMP
         (b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))     // GIF
 
+    private def looksLikeWav(b: Array[Byte]): Boolean =
+      b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    /** Real audio decode: WAV via `javax.sound.sampled` (pure-JVM WAVE
+      * reader), normalized to [-1,1] doubles (channel-averaged if
+      * multi-channel). Features: f0 DC mean, f1 RMS, f2 min, f3 max,
+      * f4 zero-crossing rate, f5 mean |x|, f6 fraction |x| > 0.5,
+      * f7 duration in seconds. Returns None for non-WAV / unsupported
+      * encodings so the caller can fall back. */
+    private def decodeWav(b: Array[Byte]): Option[(Array[Double], Float)] = {
+      import javax.sound.sampled.AudioSystem
+      try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(b))
+        try {
+          val f = in.getFormat
+          if (f.getSampleSizeInBits != 16 || f.isBigEndian) None
+          else {
+            val ch = f.getChannels
+            val raw = in.readAllBytes()
+            val n = raw.length / (2 * ch)
+            val out = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val off = (i * ch + c) * 2
+                val v = ((raw(off) & 0xFF) | (raw(off + 1) << 8)).toShort
+                acc += v / 32768.0
+                c += 1
+              }
+              out(i) = acc / ch
+              i += 1
+            }
+            Some((out, f.getSampleRate))
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+    }
+
     /** Real image decode: PNG/BMP/GIF via `javax.imageio`, features from
       * the decoded raster —
       * f0..f2 mean R/G/B, f3 mean luma (BT.601), f4 population std of
@@ -116,6 +204,33 @@ object Multimodal {
       * branch. */
     def decode(mediaId: Long, media: Array[Byte], format: String,
         width: Int, height: Int, nFrames: Int): MediaFeatures = {
+      if (media != null && looksLikeWav(media)) {
+        decodeWav(media) match {
+          case Some((x, rate)) =>
+            val n = x.length
+            var s0 = 0.0; var s2 = 0.0; var sa = 0.0
+            var mn = Double.MaxValue; var mx = Double.MinValue
+            var loud = 0L; var zc = 0L
+            var i = 0
+            while (i < n) {
+              val v = x(i)
+              s0 += v; s2 += v * v; sa += math.abs(v)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              if (math.abs(v) > 0.5) loud += 1
+              if (i > 0 && x(i - 1) * v < 0) zc += 1
+              i += 1
+            }
+            val nd = math.max(n, 1).toDouble
+            return MediaFeatures(mediaId, format, width, height, n,
+              media.length,
+              Array(s0 / nd, math.sqrt(s2 / nd),
+                if (n == 0) 0.0 else mn, if (n == 0) 0.0 else mx,
+                if (n > 1) zc.toDouble / (n - 1) else 0.0,
+                sa / nd, loud / nd, n / rate.toDouble))
+          case None => // fall through to image probe / stub
+        }
+      }
       val img = if (media != null && looksLikeImage(media)) {
         try Option(ImageIO.read(new ByteArrayInputStream(media)))
         catch { case _: java.io.IOException => None }
@@ -150,7 +265,7 @@ object Multimodal {
             Array(sr / n, sg / n, sb / n, meanL, math.sqrt(varL), minL, maxL,
               bright / n))
         case None =>
-          // STUB fallback (audio/video): deterministic payload-byte stats.
+          // STUB fallback (video only now): deterministic payload-byte stats.
           val bytes = if (media == null) Array.empty[Byte] else media
           val payload = if (bytes.length > 16) bytes.drop(16) else Array.empty[Byte]
           val feats = new Array[Double](8)

@@ -13,8 +13,30 @@ import org.apache.spark.sql.functions._
   * whenever Q is small; the LSH path turns the scan into a bucket-equijoin
   * (one shuffle on bucket id) whose probe fan-out is bits+1 buckets per
   * query, independent of N.
+  *
+  * Id contract (all three topK variants): `idCol` must be numeric and is
+  * emitted as `vec_id: bigint` (the k-capped aggregator ranks on a long
+  * key). A non-numeric id throws up front with a clear message rather than
+  * failing mid-job under ANSI cast rules; map string ids to a surrogate
+  * long (e.g. `xxhash64`) before calling. Ids must also be UNIQUE per row:
+  * the LSH path relies on (query, vec) pairs being produced at most once
+  * (see the no-distinct proof inline), so duplicate id rows yield
+  * duplicate top-k entries.
   */
 object Similarity {
+
+  /** Fail fast if `idCol` isn't numeric — the topK operators cast it to
+    * long, which under ANSI mode would otherwise explode mid-job with an
+    * opaque CAST_INVALID_INPUT from inside an executor. */
+  private def requireNumericId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types.NumericType
+    val f = df.schema.find(_.name == idCol).getOrElse(
+      throw new IllegalArgumentException(s"id column '$idCol' not found"))
+    require(f.dataType.isInstanceOf[NumericType],
+      s"id column '$idCol' must be numeric (found ${f.dataType.simpleString}); " +
+        "topK emits vec_id as bigint — map string ids to a surrogate long " +
+        "(e.g. xxhash64) first")
+  }
 
   /** Exact top-k by cosine for each query vector. `queries` must be small
     * (it is broadcast). Deterministic ties: (cos desc, vec_id asc).
@@ -31,6 +53,7 @@ object Similarity {
       embCol: String = "embedding",
       queryIdCol: String = "query_id",
       queryEmbCol: String = "query_emb"): DataFrame = {
+    requireNumericId(embeddings, idCol)
     val topk = udaf(new TopKAgg(k))
     embeddings
       .select(col(idCol).cast("long").as("vec_id"), col(embCol).cast("array<double>").as("emb"))
@@ -151,6 +174,7 @@ object Similarity {
       embCol: String = "embedding",
       queryIdCol: String = "query_id",
       queryEmbCol: String = "query_emb"): DataFrame = {
+    requireNumericId(embeddings, idCol)
     val cents = trainIvfCentroids(embeddings, idCol, embCol, nlist, iters, trainSampleMod)
     val data = embeddings.select(
       col(idCol).cast("long").as("vec_id"),
@@ -211,6 +235,7 @@ object Similarity {
       embCol: String = "embedding",
       queryIdCol: String = "query_id",
       queryEmbCol: String = "query_emb"): DataFrame = {
+    requireNumericId(embeddings, idCol)
     val planes = Dedup.hyperplanes(dim, bits, seed)
     val data = embeddings.select(
       col(idCol).as("vec_id"),

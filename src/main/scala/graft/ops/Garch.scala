@@ -275,7 +275,14 @@ object Garch {
     nllAt(model, y, mu, omega, alpha, beta, gamma)
   }
 
-  /** MLE fit for the given model type. */
+  /** MLE fit for the given model type.
+    *
+    * NOTE (global side effect): the first fit in a JVM silences the
+    * `breeze.optimize` log4j logger — its line-search retries are expected
+    * noise on near-flat objectives, but the muting is JVM-wide and also
+    * hides a host application's own Breeze diagnostics. Set
+    * `-Dgraft.muteBreezeLogs=false` before the first fit to keep the
+    * logger untouched. */
   def fit(y: Array[Double], model: String = "GARCH"): GarchFit = {
     muteBreezeOptimizerLogs
     val n = y.length

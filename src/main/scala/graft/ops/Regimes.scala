@@ -403,7 +403,10 @@ object Regimes {
 
   /** Multi-start EM, each polished by L-BFGS; keeps the best-likelihood
     * fit. Deterministic. EM only needs to reach the right basin (the
-    * polish finishes convergence), so its default budget is modest. */
+    * polish finishes convergence), so its default budget is modest.
+    *
+    * Shares [[Garch.fit]]'s JVM-wide muting of the `breeze.optimize`
+    * logger (opt out with `-Dgraft.muteBreezeLogs=false`). */
   def fit(y: Array[Double], kRegimes: Int = 2, maxIter: Int = 300, tol: Double = 1e-8): MsFit = {
     val n = y.length
     val mean = y.sum / n

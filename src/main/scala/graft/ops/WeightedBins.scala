@@ -91,7 +91,15 @@ object WeightedBins {
     out
   }
 
-  /** DataFrame operator. `tieCols` break timestamp ties deterministically:
+  /** DataFrame operator.
+    *
+    * Fails loudly (executor-side `require`) on any negative `q1Col` value:
+    * negative mass breaks the monotone-prefix invariant the interpolation
+    * depends on, and the alternative is silently wrong output. Callers with
+    * possibly-negative quantities must pre-filter or validate upstream —
+    * one bad row fails the whole job by design.
+    *
+    * `tieCols` break timestamp ties deterministically:
     * a single numeric column is used directly as the sort key (order-
     * preserving, so an external oracle can reproduce the ordering); multiple
     * columns are hashed into one long (deterministic but engine-specific). */

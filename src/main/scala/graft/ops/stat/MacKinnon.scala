@@ -48,6 +48,7 @@ object MacKinnon {
   // residual-based test always includes the constant absorbed upstream)
   private val tauStarNc = -1.04
   private val tauMinNc = -19.04
+  private val tauMaxNc = 2.74  // published upper clamp: p pinned to 1.0 above
   private val tauNcSmallP = Array(0.6344, 1.2378, 3.2496e-2)
   // large-p scaled by [1, 1e-1, 1e-1, 1e-2]
   private val tauNcLargeP = Array(0.4797, 9.3557e-1, -6.999e-2, 3.3066e-2)
@@ -89,7 +90,7 @@ object MacKinnon {
       "the no-constant surface is published for N=1 only")
     val i = n - 1
     val (star, mn, mx, small, large) = regression match {
-      case "n" => (tauStarNc, tauMinNc, Double.PositiveInfinity, tauNcSmallP, tauNcLargeP)
+      case "n" => (tauStarNc, tauMinNc, tauMaxNc, tauNcSmallP, tauNcLargeP)
       case "ct" => (tauStarCt(i), tauMinCt(i), tauMaxCt(i), tauCtSmallP(i), tauCtLargeP(i))
       case _ => (tauStarC(i), tauMinC(i), tauMaxC(i), tauCSmallP(i), tauCLargeP(i))
     }

@@ -96,35 +96,67 @@ object StreamOps {
     * operator whenever a hash's first appearance batch contains its
     * global minimum id (always true in the single-batch replay the test
     * runs); across micro-batches, first-arrival wins — the inherent
-    * streaming semantics. State is one Boolean per distinct hash; bound
-    * it in production with a GroupStateTimeout if the corpus is open-
-    * ended. */
+    * streaming semantics.
+    *
+    * State is one Boolean per distinct hash and is BOUNDED by default:
+    * `stateTtl` sets a processing-time timeout, refreshed every time the
+    * hash is seen (sliding expiry), after which the entry is dropped and
+    * a later duplicate re-admits — the standard bounded-state trade for
+    * an open-ended corpus. Pass `stateTtl = None` for exact unbounded
+    * dedup. A timed-out entry is only reaped when a trigger fires after
+    * expiry, per flatMapGroupsWithState semantics.
+    *
+    * Engine consequence of ProcessingTimeTimeout (Spark's
+    * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is
+    * unconditionally true for it): the engine keeps scheduling
+    * timeout-processing micro-batches even with no new data, so (a) set
+    * `triggerInterval` to pace them — the default here is 500 ms rather
+    * than the ASAP trigger precisely so an idle TTL stream doesn't
+    * busy-spin empty batches — and (b) `processAllAvailable()` never
+    * observes a quiescent stream and will NOT return; tests must poll the
+    * sink with a deadline instead. Neither applies when `stateTtl = None`
+    * (NoTimeout ⇒ ASAP trigger, processAllAvailable safe). */
   def dedupStream(
       spark: SparkSession,
       sourceDir: String,
       schema: StructType,
       sinkTable: String,
       idCol: String = "doc_id",
-      textCol: String = "text"): StreamingQuery = {
+      textCol: String = "text",
+      stateTtl: Option[String] = Some("24 hours"),
+      triggerInterval: String = "500 milliseconds"): StreamingQuery = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     val hashed = spark.readStream.schema(schema).parquet(sourceDir)
       .select(col(idCol).cast("long").as("id"),
         sha2(col(textCol), 256).as("h"))
       .as[(Long, String)]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val deduped = hashed
       .groupByKey(_._2)
       .flatMapGroupsWithState[Boolean, (Long, String)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (h: String, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
-            state.update(true)
-            Iterator.single((rows.minBy(_._1)._1, h))
+          if (state.hasTimedOut) {
+            state.remove() // reap: the next occurrence of this hash re-admits
+            Iterator.empty
+          } else {
+            val first = !state.exists
+            if (first) state.update(true)
+            stateTtl.foreach(state.setTimeoutDuration)
+            if (first) Iterator.single((rows.minBy(_._1)._1, h)) else Iterator.empty
           }
       }
       .toDF("id", "h")
-    deduped.writeStream.outputMode("append").format("memory").queryName(sinkTable).start()
+    val writer = deduped.writeStream
+      .outputMode("append").format("memory").queryName(sinkTable)
+    val paced =
+      if (stateTtl.isDefined)
+        writer.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerInterval))
+      else writer
+    paced.start()
   }
 
   /** Streaming variant: parquet-source file stream with a watermark.

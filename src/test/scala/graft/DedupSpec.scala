@@ -121,6 +121,15 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("topk rejects a non-numeric id column up front with a clear error") {
+    val df = Seq(("a", Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("query_id", "query_emb")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(df, q, k = 1)
+    }
+    assert(e.getMessage.contains("must be numeric"), e.getMessage)
+  }
+
   test("LSH topk achieves high recall vs brute force on clustered data") {
     // clustered embeddings — the workload LSH is for; pure-random vectors
     // have no near neighbors and any bucketing scheme degrades there

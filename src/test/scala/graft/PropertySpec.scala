@@ -84,6 +84,10 @@ class PropertySpec extends SparkSpec {
     // monotone in stat across the star boundary
     val ps = Seq(-3.0, -2.0, -1.2, -1.0, -0.5, 0.0, 1.0).map(MacKinnon.p(_, "n", 1))
     assert(ps.zip(ps.tail).forall { case (a, b) => a <= b + 1e-12 }, ps.toString)
+    // published upper clamp tau_max_nc = 2.74: above it p is exactly 1.0
+    assert(MacKinnon.p(2.75, "n", 1) == 1.0)
+    assert(MacKinnon.p(10.0, "n", 1) == 1.0)
+    assert(MacKinnon.p(2.70, "n", 1) < 1.0)
   }
 
   test("kpss p clipped to [0.01, 0.10]") {
@@ -103,6 +107,61 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(f - 1.0 / period) < 1.0 / n + 1e-9)
       val (_, pw) = Periodogram.periodogram(x)
       assert(pw.forall(_ >= 0))
+    }
+  }
+
+  test("periodogram: Bluestein FFT path agrees with the direct DFT") {
+    val rng = new scala.util.Random(11)
+    // prime, odd-composite, power-of-two, and just-past-pow2 lengths —
+    // the shapes where a padded FFT would silently change semantics
+    for (n <- Seq(16, 37, 100, 257, 1031)) {
+      val x = Array.fill(n)(rng.nextGaussian())
+      val mean = x.sum / n
+      val c = x.map(_ - mean)
+      val direct = Periodogram.directPower(c)
+      val (re, im) = Periodogram.dftBluestein(c)
+      val scale = math.max(direct.max, 1e-12)
+      var k = 0
+      while (k < direct.length) {
+        var p = (re(k) * re(k) + im(k) * im(k)) / n
+        if (k != 0 && !(n % 2 == 0 && k == direct.length - 1)) p *= 2.0
+        assert(math.abs(p - direct(k)) < 1e-9 * scale,
+          s"n=$n k=$k fft=$p direct=${direct(k)}")
+        k += 1
+      }
+    }
+  }
+
+  test("periodogram dispatches to FFT above the threshold and stays exact") {
+    // 100×-longer-series scenario: above directDftThreshold the public
+    // path must route to Bluestein (quick) yet match the quadratic DFT
+    val n = Periodogram.directDftThreshold + 37
+    val rng = new scala.util.Random(13)
+    val period = 50
+    val x = Array.tabulate(n)(t =>
+      math.sin(2 * math.Pi * t / period) + 0.1 * rng.nextGaussian())
+    val t0 = System.nanoTime
+    val (f, p) = Periodogram.periodogram(x)
+    val elapsedMs = (System.nanoTime - t0) / 1e6
+    assert(elapsedMs < 2000, s"FFT path took ${elapsedMs} ms — dispatch broken?")
+    var idx = 1
+    for (k <- 2 until p.length) if (p(k) > p(idx)) idx = k
+    assert(math.abs(f(idx) - 1.0 / period) < 1.0 / n + 1e-9)
+    // spot-check a band of bins against the direct DFT arithmetic
+    val mean = x.sum / n
+    val c = x.map(_ - mean)
+    val m = n / 2 + 1
+    for (k <- Seq(0, 1, idx, m - 1)) {
+      var re = 0.0; var im = 0.0
+      var t = 0
+      while (t < n) {
+        val ang = -2.0 * math.Pi * k * t / n
+        re += c(t) * math.cos(ang); im += c(t) * math.sin(ang); t += 1
+      }
+      var pd = (re * re + im * im) / n
+      if (k != 0 && !(n % 2 == 0 && k == m - 1)) pd *= 2.0
+      assert(math.abs(p(k) - pd) < 1e-8 * math.max(p(idx), 1.0),
+        s"k=$k fft=${p(k)} direct=$pd")
     }
   }
 

@@ -115,7 +115,7 @@ class TextExtSpec extends SparkSpec {
     assert(byFormat.keySet.subsetOf(Set("img", "audio", "video")))
     feats.foreach { f =>
       assert(f.features.length == 8)
-      assert(f.features.forall(v => v >= 0 && v <= 1))
+      assert(f.features.forall(v => !v.isNaN && !v.isInfinite))
     }
     // img rows are REAL PNGs: payload is a PNG file, decoded dims land in
     // the generator's range, and min<=mean<=max luma orders correctly.
@@ -124,10 +124,25 @@ class TextExtSpec extends SparkSpec {
     imgRows.foreach { f =>
       assert(f.payload_bytes > 100) // a real PNG file, not a 128-byte hash
       assert(f.width >= 8 && f.width < 128 && f.height >= 8 && f.height < 98)
+      assert(f.features.forall(v => v >= 0 && v <= 1))
       assert(f.features(5) <= f.features(3) && f.features(3) <= f.features(6))
     }
-    // audio/video rows still run the documented stub fallback.
-    feats.filter(_.format != "img").foreach(f => assert(f.payload_bytes == 128))
+    // audio rows are REAL WAVs: decoded sample stats of the seeded sine —
+    // near-zero DC, RMS ≈ amp/√2 within the generator's amplitude range,
+    // symmetric min/max, duration consistent with n_frames at 8 kHz.
+    val audioRows = feats.filter(_.format == "audio")
+    assert(audioRows.nonEmpty)
+    audioRows.foreach { f =>
+      assert(f.payload_bytes > 44 + 2 * 512) // a real RIFF file, not the 128-byte hash
+      assert(f.n_frames >= 512 && f.n_frames < 2048) // decoded sample count
+      assert(math.abs(f.features(0)) < 0.05, s"DC ${f.features(0)}") // sine mean ~0
+      assert(f.features(1) > 0.15 && f.features(1) < 0.55, s"RMS ${f.features(1)}")
+      assert(f.features(2) < 0 && f.features(3) > 0) // swings both ways
+      assert(f.features(4) > 0) // a sine crosses zero
+      assert(math.abs(f.features(7) - f.n_frames / 8000.0) < 1e-9) // duration
+    }
+    // video rows still run the documented stub fallback.
+    feats.filter(_.format == "video").foreach(f => assert(f.payload_bytes == 128))
     // deterministic: same input -> same features
     val again = Multimodal.decodeFeatures(media).collect()
     assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
@@ -159,6 +174,24 @@ class TextExtSpec extends SparkSpec {
     assert(math.abs(f.features(5) - 0.114) < eps) // min luma (blue)
     assert(math.abs(f.features(6) - 1.0) < eps)   // max luma (white)
     assert(math.abs(f.features(7) - 0.5) < eps)   // green+white are > 0.5
+  }
+
+  test("multimodal: decode computes exact sample statistics on a 4-sample WAV") {
+    // samples ±0.5 exactly (16384/32768): mean 0, RMS 0.5, min −0.5,
+    // max 0.5, zcr 1 (every adjacent pair flips sign), mean|x| 0.5,
+    // loud-fraction 0 (|x| > 0.5 is strict), duration 4/8000 s
+    val wav = Multimodal.wavBytes(Array[Short](16384, -16384, 16384, -16384), 8000)
+    val f = Multimodal.MediaKernels.decode(3L, wav, "audio", 0, 0, 9)
+    assert(f.n_frames == 4) // decoded count, not the metadata claim (9)
+    assert(f.payload_bytes == 44 + 8)
+    assert(math.abs(f.features(0)) < 1e-12)
+    assert(math.abs(f.features(1) - 0.5) < 1e-12)
+    assert(math.abs(f.features(2) + 0.5) < 1e-12)
+    assert(math.abs(f.features(3) - 0.5) < 1e-12)
+    assert(f.features(4) == 1.0)
+    assert(math.abs(f.features(5) - 0.5) < 1e-12)
+    assert(f.features(6) == 0.0)
+    assert(math.abs(f.features(7) - 4.0 / 8000) < 1e-12)
   }
 
   test("frame sample plan emits stride indices for video rows only") {
@@ -228,7 +261,9 @@ class TextExtSpec extends SparkSpec {
       .write.mode("overwrite").parquet(dir)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val q = StreamOps.dedupStream(spark, dir, schema, "d_out")
+    // exact-equality mode: unbounded state (NoTimeout) — which is also
+    // what makes processAllAvailable usable here (see dedupStream doc)
+    val q = StreamOps.dedupStream(spark, dir, schema, "d_out", stateTtl = None)
     try {
       q.processAllAvailable()
       val streamed = spark.table("d_out").collect().map(_.getAs[Long]("id")).toSet
@@ -237,6 +272,46 @@ class TextExtSpec extends SparkSpec {
       assert(streamed == batch, s"streamed $streamed vs batch $batch")
       assert(streamed.size == 15) // one survivor per distinct text
       assert(streamed.forall(_ < 15)) // lowest id per content wins
+    } finally q.stop()
+  }
+
+  test("streaming dedup: expired hashes re-admit after the state TTL") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("stream_ttl").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$name")
+    // the file stream watches dir/*; each subdir write is a new micro-batch
+    val srcGlob = s"$dir/*"
+    // processAllAvailable is unusable with a processing-time TTL (the
+    // engine never quiesces — see the dedupStream scaladoc), so poll the
+    // sink for the expected id set with a deadline instead.
+    def awaitIds(q: org.apache.spark.sql.streaming.StreamingQuery,
+                 expect: Set[Long], timeoutMs: Long = 60000): Unit = {
+      val deadline = System.currentTimeMillis + timeoutMs
+      var ids = Set.empty[Long]
+      while (ids != expect && System.currentTimeMillis < deadline) {
+        Thread.sleep(100)
+        ids = spark.table("ttl_out").collect().map(_.getAs[Long]("id")).toSet
+        assert(ids.subsetOf(expect), s"unexpected ids: ${ids -- expect}")
+      }
+      assert(ids == expect, s"timed out waiting for $expect, got $ids")
+    }
+    writeBatch("b1", Seq((1L, "dup")))
+    val q = StreamOps.dedupStream(spark, srcGlob, schema, "ttl_out",
+      stateTtl = Some("1 millisecond"), triggerInterval = "100 milliseconds")
+    try {
+      awaitIds(q, Set(1L))
+      Thread.sleep(300) // let the 1 ms TTL lapse in processing time
+      // a later trigger reaps the timed-out "dup" state
+      writeBatch("b2", Seq((2L, "other")))
+      awaitIds(q, Set(1L, 2L))
+      Thread.sleep(300) // ensure the reaping trigger has fired post-expiry
+      // the duplicate text now re-admits
+      writeBatch("b3", Seq((3L, "dup")))
+      awaitIds(q, Set(1L, 2L, 3L))
     } finally q.stop()
   }
 
