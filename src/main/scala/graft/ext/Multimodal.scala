@@ -3,6 +3,7 @@ package graft.ext
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -27,15 +28,15 @@ import org.apache.spark.sql.types._
   * mean |x|, loud fraction, duration). `n_frames` in audio output is the
   * DECODED sample count, not the metadata's claim.
   *
-  * Only the video codec remains stubbed (this container ships no video
-  * libraries): those rows carry the deterministic 16-byte GRFT header +
-  * fake payload below, and decode falls back to payload-byte statistics.
-  * Swapping in a real video codec means replacing ONLY the fallback
-  * branch of [[MediaKernels.decode]]; every plan stays identical.
+  * The video path is REAL as well: `syntheticMedia` emits genuine
+  * animated GIFs (multi-frame, via the JDK imageio GIF writer), and
+  * [[MediaKernels.decode]] reads every frame back and computes spatial +
+  * temporal features (per-frame mean-luma variation and activity). No
+  * codec remains stubbed; undecodable/unknown payloads fall back to
+  * payload-byte statistics so the pipeline stays total. A production
+  * swap to e.g. MP4 means replacing only the GIF branch of
+  * [[MediaKernels.decode]]; every plan stays identical.
   *
-  * GRFT header layout (bytes, big-endian): magic "GRFT" (4) | format u8
-  * (0=img,1=audio,2=video) | width u16 | height u16 | nFrames u16 |
-  * reserved (5).
   */
 object Multimodal {
 
@@ -59,7 +60,7 @@ object Multimodal {
   /** Encode a real PNG whose pixels derive deterministically from `seed`.
     * Runs on executors (one small image per row); ImageIO's PNG writer is
     * pure-JVM and headless-safe. */
-  private[ext] def makePng(seed: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def makePng(seed: Long, w: Int, h: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -72,11 +73,46 @@ object Multimodal {
       y += 1
     }
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    // explicit memory-cache stream: ImageIO's default wraps a FILE-cache
+    // temp file per image, which dominates small-image encode time
+    val ios = new MemoryCacheImageOutputStream(bos)
+    val writer = pngSpi.createWriterInstance()
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } finally { writer.dispose(); ios.close() }
     bos.toByteArray
   }
 
   private val pngUdf = udf((seed: Long, w: Int, h: Int) => makePng(seed, w, h))
+
+  /** Writer SPIs cached once per JVM — `getImageWritersByFormatName`
+    * scans the IIORegistry, which is measurable when called per row. An
+    * ImageWriter itself is not thread-safe, so each call still creates a
+    * fresh instance from the cached provider. */
+  private lazy val pngSpi = {
+    val w = ImageIO.getImageWritersByFormatName("png").next()
+    val spi = w.getOriginatingProvider; w.dispose(); spi
+  }
+  private lazy val gifSpi = {
+    val w = ImageIO.getImageWritersByFormatName("gif").next()
+    val spi = w.getOriginatingProvider; w.dispose(); spi
+  }
+
+  /** Deterministic 8·8·4-level RGB palette for generated video frames:
+    * pre-indexed frames skip the GIF writer's per-frame color
+    * quantization, the dominant cost of encoding noisy RGB frames. */
+  private lazy val gifPalette: java.awt.image.IndexColorModel = {
+    val r = new Array[Byte](256); val g = new Array[Byte](256); val b = new Array[Byte](256)
+    var i = 0
+    while (i < 256) {
+      r(i) = (((i >> 5) & 7) * 255 / 7).toByte
+      g(i) = (((i >> 2) & 7) * 255 / 7).toByte
+      b(i) = ((i & 3) * 255 / 3).toByte
+      i += 1
+    }
+    new java.awt.image.IndexColorModel(8, 256, r, g, b)
+  }
 
   /** Serialize 16-bit mono PCM samples as a RIFF/WAVE file (the 44-byte
     * canonical header; little-endian throughout, as WAV requires). */
@@ -113,31 +149,80 @@ object Multimodal {
 
   private val wavUdf = udf((seed: Long, n: Int) => makeWav(seed, n))
 
+  /** Serialize frames as an animated GIF via the JDK's imageio GIF writer
+    * (`writeToSequence`); all frames full-size, default per-frame
+    * metadata. GIF quantizes to a 256-color palette, so pixel statistics
+    * downstream are of the DECODED palettized frames — exactly what a
+    * real pipeline sees. */
+  private[graft] def gifBytes(frames: Array[BufferedImage]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos) // not ImageIO's file cache
+    val writer = gifSpi.createWriterInstance()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** A real animated GIF whose frame pixels derive deterministically from
+    * `seed` (frame index mixed into the hash). */
+  private[graft] def makeGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val frames = Array.tabulate(nFrames) { fidx =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, gifPalette)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val m = mix64(seed ^ (fidx.toLong << 48) ^ (x.toLong << 24) ^ y.toLong)
+          raster.setSample(x, y, 0, (m & 0xFFL).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    gifBytes(frames)
+  }
+
+  private val gifUdf = udf((seed: Long, w: Int, h: Int, nf: Int) => makeGif(seed, w, h, nf))
+
   /** Deterministic synthetic media column from any table (for tests and
-    * the rows-only driver query): image rows carry REAL PNG bytes and
-    * audio rows REAL WAV bytes (both decoded for real downstream); video
-    * rows carry the GRFT fake header + hash payload until a real codec
-    * exists. Dimensions are kept small (≤127×97 pixels / ≤2047 samples) so
-    * corpus-wide generation stays cheap. */
+    * the rows-only driver query): ALL THREE modalities carry REAL files —
+    * image rows PNG, audio rows RIFF/WAVE PCM, video rows animated GIF —
+    * each decoded for real downstream. Dimensions are kept small
+    * (images ≤127×97, audio ≤2047 samples, video ≤31×25×11 frames) so
+    * corpus-wide generation stays cheap; video metadata carries the
+    * actual GIF dimensions. */
   def syntheticMedia(df: DataFrame, idCol: String, seedCol: String): DataFrame = {
     val h = xxhash64(col(seedCol))
     val fmt = pmod(h, lit(3)).cast("int")
     val w = (pmod(h, lit(120)) + 8).cast("int")
     val ht = (pmod(h, lit(90)) + 8).cast("int")
-    val nf = (pmod(h, lit(24)) + 1).cast("int")
     val nSamp = (pmod(h, lit(1536)) + 512).cast("int")
+    val vw = (pmod(h, lit(24)) + 8).cast("int")
+    val vh = (pmod(h, lit(18)) + 8).cast("int")
+    val vf = (pmod(h, lit(6)) + 2).cast("int")
+    val isVideo = fmt === 2
     df.select(
       col(idCol).cast("long").as("media_id"),
       when(fmt === 0, pngUdf(h, w, ht))
         .when(fmt === 1, wavUdf(h, nSamp))
-        .otherwise(concat(
-          lit("GRFT").cast("binary"),
-          substring(sha2(col(seedCol).cast("string"), 256).cast("binary"), 1, 12),
-          sha2(concat_ws("|", col(idCol), col(seedCol)), 512).cast("binary")))
+        .otherwise(gifUdf(h, vw, vh, vf))
         .as("media"),
       struct(
         element_at(array(lit("img"), lit("audio"), lit("video")), fmt + 1).as("format"),
-        w.as("width"), ht.as("height"), nf.as("n_frames")).as("meta"))
+        when(isVideo, vw).otherwise(w).as("width"),
+        when(isVideo, vh).otherwise(ht).as("height"),
+        when(isVideo, vf).otherwise(lit(1)).as("n_frames")).as("meta"))
   }
 
   case class MediaFeatures(
@@ -195,13 +280,71 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
+    /** One-pass raster accumulator shared by the image and video paths.
+      * Luma is BT.601. */
+    private final case class RasterSums(
+        sr: Double, sg: Double, sb: Double, sl: Double, sl2: Double,
+        minL: Double, maxL: Double, bright: Long, nPix: Long)
+
+    private def rasterSums(im: BufferedImage): RasterSums = {
+      val w = im.getWidth; val h = im.getHeight
+      var sr, sg, sb, sl, sl2 = 0.0
+      var minL = Double.MaxValue; var maxL = Double.MinValue
+      var bright = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val r = ((rgb >> 16) & 0xFF) / 255.0
+          val g = ((rgb >> 8) & 0xFF) / 255.0
+          val b = (rgb & 0xFF) / 255.0
+          val l = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+          if (l < minL) minL = l
+          if (l > maxL) maxL = l
+          if (l > 0.5) bright += 1
+          x += 1
+        }
+        y += 1
+      }
+      RasterSums(sr, sg, sb, sl, sl2, minL, maxL, bright, w.toLong * h)
+    }
+
+    /** All frames of a (possibly animated) GIF via the imageio reader's
+      * sequence API. None for non-GIF or decode failure. Our generator
+      * writes full-size frames, so no disposal compositing is needed. */
+    private def decodeGifFrames(b: Array[Byte]): Option[Array[BufferedImage]] = {
+      try {
+        val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(b))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val n = r.getNumImages(true)
+              Some(Array.tabulate(n)(r.read))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
+    }
+
     /** Real image decode: PNG/BMP/GIF via `javax.imageio`, features from
       * the decoded raster —
       * f0..f2 mean R/G/B, f3 mean luma (BT.601), f4 population std of
       * luma, f5/f6 min/max luma, f7 fraction of pixels with luma > 0.5;
-      * all in [0,1]. Non-image payloads (the audio/video GRFT stub) fall
-      * back to payload-byte statistics until a real codec replaces that
-      * branch. */
+      * all in [0,1].
+      *
+      * Real video decode: a multi-frame GIF is treated as video —
+      * f0..f2 mean R/G/B over all frames, f3 mean luma, f4 population
+      * std of PER-FRAME mean luma (temporal variation), f5/f6 min/max
+      * per-frame mean luma, f7 mean |Δ| of consecutive per-frame mean
+      * lumas (temporal activity); `n_frames`/dims are the DECODED counts.
+      *
+      * Unknown payloads fall back to payload-byte statistics. */
     def decode(mediaId: Long, media: Array[Byte], format: String,
         width: Int, height: Int, nFrames: Int): MediaFeatures = {
       if (media != null && looksLikeWav(media)) {
@@ -231,41 +374,57 @@ object Multimodal {
           case None => // fall through to image probe / stub
         }
       }
+      // multi-frame GIF ⇒ video; single-frame GIF falls through to the
+      // plain image path below (same arithmetic either way)
+      if (media != null && media.length >= 4 &&
+          media(0) == 'G' && media(1) == 'I' && media(2) == 'F') {
+        decodeGifFrames(media) match {
+          case Some(frames) if frames.length > 1 =>
+            var sr, sg, sb, sl = 0.0
+            var nPix = 0L
+            val frameMeans = frames.map { f =>
+              val rs = rasterSums(f)
+              sr += rs.sr; sg += rs.sg; sb += rs.sb; sl += rs.sl; nPix += rs.nPix
+              rs.sl / rs.nPix
+            }
+            val nf = frames.length
+            val fmMean = frameMeans.sum / nf
+            val fmVar = math.max(
+              frameMeans.map(m => (m - fmMean) * (m - fmMean)).sum / nf, 0.0)
+            var dAbs = 0.0
+            var i = 1
+            while (i < nf) { dAbs += math.abs(frameMeans(i) - frameMeans(i - 1)); i += 1 }
+            val n = nPix.toDouble
+            return MediaFeatures(mediaId, format,
+              frames(0).getWidth, frames(0).getHeight, nf, media.length,
+              Array(sr / n, sg / n, sb / n, sl / n, math.sqrt(fmVar),
+                frameMeans.min, frameMeans.max,
+                if (nf > 1) dAbs / (nf - 1) else 0.0))
+          case _ => // single frame or unreadable: fall through
+        }
+      }
       val img = if (media != null && looksLikeImage(media)) {
-        try Option(ImageIO.read(new ByteArrayInputStream(media)))
-        catch { case _: java.io.IOException => None }
+        try {
+          val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(media))
+          // ImageIO.read(ImageInputStream) closes the stream itself on a
+          // successful read — closing again throws; only reap on null
+          val im = ImageIO.read(iis)
+          if (im == null) { try iis.close() catch { case _: java.io.IOException => () } }
+          Option(im)
+        } catch { case _: java.io.IOException => None }
       } else None
       img match {
         case Some(im) =>
-          val w = im.getWidth; val h = im.getHeight
-          var sr, sg, sb, sl, sl2 = 0.0
-          var minL = Double.MaxValue; var maxL = Double.MinValue
-          var bright = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = im.getRGB(x, y)
-              val r = ((rgb >> 16) & 0xFF) / 255.0
-              val g = ((rgb >> 8) & 0xFF) / 255.0
-              val b = (rgb & 0xFF) / 255.0
-              val l = 0.299 * r + 0.587 * g + 0.114 * b
-              sr += r; sg += g; sb += b; sl += l; sl2 += l * l
-              if (l < minL) minL = l
-              if (l > maxL) maxL = l
-              if (l > 0.5) bright += 1
-              x += 1
-            }
-            y += 1
-          }
-          val n = (w.toLong * h).toDouble
-          val meanL = sl / n
-          val varL = math.max(sl2 / n - meanL * meanL, 0.0)
-          MediaFeatures(mediaId, format, w, h, nFrames, media.length,
-            Array(sr / n, sg / n, sb / n, meanL, math.sqrt(varL), minL, maxL,
-              bright / n))
+          val rs = rasterSums(im)
+          val n = rs.nPix.toDouble
+          val meanL = rs.sl / n
+          val varL = math.max(rs.sl2 / n - meanL * meanL, 0.0)
+          MediaFeatures(mediaId, format, im.getWidth, im.getHeight, nFrames,
+            media.length,
+            Array(rs.sr / n, rs.sg / n, rs.sb / n, meanL, math.sqrt(varL),
+              rs.minL, rs.maxL, rs.bright / n))
         case None =>
-          // STUB fallback (video only now): deterministic payload-byte stats.
+          // Fallback for unknown/undecodable payloads: payload-byte stats.
           val bytes = if (media == null) Array.empty[Byte] else media
           val payload = if (bytes.length > 16) bytes.drop(16) else Array.empty[Byte]
           val feats = new Array[Double](8)

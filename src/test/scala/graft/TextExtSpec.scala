@@ -141,8 +141,18 @@ class TextExtSpec extends SparkSpec {
       assert(f.features(4) > 0) // a sine crosses zero
       assert(math.abs(f.features(7) - f.n_frames / 8000.0) < 1e-9) // duration
     }
-    // video rows still run the documented stub fallback.
-    feats.filter(_.format == "video").foreach(f => assert(f.payload_bytes == 128))
+    // video rows are REAL animated GIFs: multi-frame decode with
+    // spatial means in [0,1] and decoded dims from the generator range.
+    val videoRows = feats.filter(_.format == "video")
+    assert(videoRows.nonEmpty)
+    videoRows.foreach { f =>
+      assert(f.payload_bytes > 100) // a real GIF file, not a 128-byte hash
+      assert(f.n_frames >= 2 && f.n_frames < 12) // decoded frame count
+      assert(f.width >= 8 && f.width < 32 && f.height >= 8 && f.height < 26)
+      assert(f.features(3) >= 0 && f.features(3) <= 1) // mean luma
+      assert(f.features(5) <= f.features(3) && f.features(3) <= f.features(6))
+      assert(f.features(4) >= 0 && f.features(7) >= 0) // temporal stats
+    }
     // deterministic: same input -> same features
     val again = Multimodal.decodeFeatures(media).collect()
     assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
@@ -192,6 +202,28 @@ class TextExtSpec extends SparkSpec {
     assert(math.abs(f.features(5) - 0.5) < 1e-12)
     assert(f.features(6) == 0.0)
     assert(math.abs(f.features(7) - 4.0 / 8000) < 1e-12)
+  }
+
+  test("multimodal: decode computes exact temporal statistics on a 2-frame GIF") {
+    import java.awt.image.BufferedImage
+    // frame 0 all black (luma 0), frame 1 all white (luma 1) — both exactly
+    // representable in a GIF palette, so decoded stats are exact:
+    // mean luma 0.5, per-frame-mean std 0.5, min 0, max 1, activity |Δ|=1
+    def solid(rgb: Int): BufferedImage = {
+      val im = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 3) im.setRGB(x, y, rgb)
+      im
+    }
+    val gif = Multimodal.gifBytes(Array(solid(0x000000), solid(0xFFFFFF)))
+    val f = Multimodal.MediaKernels.decode(5L, gif, "video", 0, 0, 7)
+    assert(f.n_frames == 2) // decoded, not the metadata claim (7)
+    assert(f.width == 3 && f.height == 2)
+    assert(math.abs(f.features(0) - 0.5) < 1e-12) // mean R
+    assert(math.abs(f.features(3) - 0.5) < 1e-12) // mean luma
+    assert(math.abs(f.features(4) - 0.5) < 1e-12) // std of {0,1}
+    // 0.299+0.587+0.114 sums to 1−ulp in binary, hence the tolerances
+    assert(f.features(5) == 0.0 && math.abs(f.features(6) - 1.0) < 1e-12)
+    assert(math.abs(f.features(7) - 1.0) < 1e-12) // one full-swing delta
   }
 
   test("frame sample plan emits stride indices for video rows only") {
