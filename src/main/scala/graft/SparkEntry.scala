@@ -895,6 +895,17 @@ object SparkEntry {
         (round(col("sum_value") * 100).cast("long") / lit(100.0)).as("sum_value"),
         r6(round(col("sum_value") * 100).cast("long") / lit(100.0) / col("n")).as("avg_value"))
 
+  /** Sliding 2-hour windows every hour over the events stream — each
+    * event lands in exactly two hourly-aligned windows, which the oracle
+    * mirrors by unnesting [trunc_hour(ts), trunc_hour(ts) − 1h]. Cents
+    * rounding of the float sum as in [[windowEvents]] (group sums are a
+    * handful of 2-decimal addends — exact after the cents round). */
+  private def slidingEvents(s: SparkSession, dir: String): DataFrame =
+    StreamOps.slidingWindowBatch(Tables.events(s, dir))
+      .select(col("window_start"), col("event_type"), col("n"),
+        (round(col("sum_value") * 100).cast("long") / lit(100.0)).as("sum_value"),
+        r6(round(col("sum_value") * 100).cast("long") / lit(100.0) / col("n")).as("avg_value"))
+
   /** Gap-based session windows (30-minute inactivity gap), summarized per
     * event_type. Oracle = gaps-and-islands SQL (new session ⇔ Δts ≥ gap —
     * session_window's end bound is exclusive); session duration adds the
@@ -1043,6 +1054,44 @@ object SparkEntry {
       |floor((min(q)) * 1e6 + 0.5) / 1e6 AS min_kept_quality
       |FROM r WHERE rn <= ceil(cnt * 0.5) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Threshold (scale-path) variant of the quality filter: same summary
+    * shape as q_quality_filter_docs, membership by per-group median
+    * threshold instead of exact rank. The oracle reuses the shared
+    * quality CTE and mirrors the threshold with quantile_cont — exact
+    * cross-engine because an even-count interpolated median lands either
+    * between two distinct values (no doc sits on it) or on a duplicated
+    * exact value (bit-identical in both engines). */
+  private def qualityThresholdDocs(s: SparkSession, dir: String): DataFrame =
+    TextStats.topQualityPerGroupByThreshold(Tables.documents(s, dir), "lang", keepFrac = 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), r6(avg("quality")).as("avg_kept_quality"),
+        r6(min("quality")).as("min_kept_quality"))
+      .orderBy("lang")
+
+  private val qualityThresholdSql =
+    """WITH q AS (
+      |  SELECT lang, doc_id,
+      |    least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
+      |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+      |      / greatest(length(text), 1) AS pr,
+      |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+      |      / greatest(length(text), 1) AS dr,
+      |    length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE /
+      |      greatest(CASE WHEN trim(text) = '' THEN 0
+      |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS wl
+      |  FROM documents),
+      |s AS (
+      |  SELECT lang, doc_id,
+      |    greatest(least(len_score * 0.4 + (1.0 - least((pr + dr) * 4.0, 1.0)) * 0.4 +
+      |      (CASE WHEN wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 1.0), 0.0) AS q
+      |  FROM q),
+      |t AS (SELECT lang, quantile_cont(q, 0.5) AS thr FROM s GROUP BY 1)
+      |SELECT s.lang, count(*) AS n_kept,
+      |floor((avg(q)) * 1e6 + 0.5) / 1e6 AS avg_kept_quality,
+      |floor((min(q)) * 1e6 + 0.5) / 1e6 AS min_kept_quality
+      |FROM s JOIN t ON s.lang = t.lang WHERE s.q >= t.thr
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def fingerprintDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     TextStats.docFingerprints(docs, "doc_id", "text")
@@ -1051,6 +1100,51 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), countDistinct("fingerprint").as("n_distinct_fingerprints"))
       .orderBy("lang")
   }
+
+  /** Hard oracle for the winnowing pipeline: the Karp–Rabin rolling-hash
+    * variant over a bounded doc probe, aggregated per doc — count/min/max/
+    * sum pin the entire fingerprint set, so the posexplode → window-min →
+    * valid-start-filter → dedup chain (shared with the xxhash64 hot path)
+    * is verified end-to-end each round. Docs whose normalized text is
+    * shorter than k are excluded on BOTH sides so the degenerate
+    * whole-doc fallback stays out of the mirrored arithmetic. */
+  private def fingerprintRollingDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") < 20 &&
+        length(regexp_replace(col("text"), "\\s+", " ")) >= 8)
+    TextStats.rollingFingerprintRows(docs, "doc_id", "text")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"),
+        max("fp").as("max_fp"), sum("fp").as("sum_fp"))
+      .orderBy("doc_id")
+  }
+
+  private def fingerprintRollingSql: String =
+    raw"""WITH d AS (
+       |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+       |  FROM documents
+       |  WHERE doc_id < 20 AND length(regexp_replace(text, '\s+', ' ', 'g')) >= 8),
+       |b AS (SELECT doc_id, norm, length(norm) AS n FROM d),
+       |g0 AS (SELECT doc_id, norm, n,
+       |  unnest(generate_series(1, n - 8 + 1)) AS i FROM b),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS ord, n - 8 + 1 AS m,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(generate_series(0, 7),
+       |        j -> ascii(substring(norm, i + j, 1))::BIGINT)),
+       |      (h, c) -> (h * 257 + c) % 1000000007) AS gh
+       |  FROM g0),
+       |wm AS (
+       |  SELECT doc_id, ord, m,
+       |    min(gh) OVER (PARTITION BY doc_id ORDER BY ord
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |  FROM g),
+       |f AS (
+       |  SELECT DISTINCT doc_id, fp FROM wm
+       |  WHERE ord <= greatest(m - 4, 0) OR ord = 0)
+       |SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp,
+       |  sum(fp)::BIGINT AS sum_fp
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def similarityQueries(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") < 3)
@@ -1144,6 +1238,23 @@ object SparkEntry {
       .orderBy("format")
   }
 
+  /** Exercises the media TRANSFORM chain end-to-end: resize every image
+    * to 16x12, keep every 2nd video frame, then decode and aggregate the
+    * resulting features per format. Image rows must come back with the
+    * new dimensions and videos with the sampled frame counts — decoded
+    * from the re-encoded bytes, not read from metadata. */
+  private def multimodalTransform(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
+    val out = Multimodal.sampleFrames(Multimodal.resizeImages(media, 16, 12), 2)
+    Multimodal.decodeFeatures(out).toDF()
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"),
+        max("width").as("max_w"), max("height").as("max_h"),
+        max("n_frames").as("max_frames"),
+        r6(avg(element_at(col("features"), 4))).as("avg_luma"))
+      .orderBy("format")
+  }
+
   // ---- registry -----------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1180,17 +1291,21 @@ object SparkEntry {
     "q_embedding_neardup_docs" -> embeddingNearDupDocs,
     "q_json_events" -> jsonEvents,
     "q_window_events" -> windowEvents,
+    "q_sliding_events" -> slidingEvents,
     "q_session_events" -> sessionEvents,
     "q_text_stats_docs" -> textStatsDocs,
     "q_langid_docs" -> langidDocs,
     "q_quality_docs" -> qualityDocs,
     "q_quality_filter_docs" -> qualityFilterDocs,
+    "q_quality_threshold_docs" -> qualityThresholdDocs,
     "q_fingerprint_docs" -> fingerprintDocs,
+    "q_fingerprint_rolling_docs" -> fingerprintRollingDocs,
     "q_similarity_topk_brute" -> similarityTopkBrute,
     "q_similarity_topk_lsh" -> similarityTopkLsh,
     "q_similarity_topk_ivf" -> similarityTopkIvf,
     "q_embedding_norms" -> embeddingNormsEmbeddings,
     "q_multimodal_features" -> multimodalFeatures,
+    "q_multimodal_transform" -> multimodalTransform,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1335,6 +1450,14 @@ object SparkEntry {
         |sum(cast(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
         |floor((sum(cast(round(value * 100) AS BIGINT)) / 100.0 / count(*)) * 1e6 + 0.5) / 1e6 AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sliding_events" ->
+      """WITH w AS (
+        |  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+        |    AS window_start, event_type, value FROM events)
+        |SELECT window_start, event_type, count(*) AS n,
+        |sum(cast(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+        |floor((sum(cast(round(value * 100) AS BIGINT)) / 100.0 / count(*)) * 1e6 + 0.5) / 1e6 AS avg_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_text_stats_docs" ->
       """SELECT lang, source, count(*) AS n_docs, floor((avg(n_chars)) * 1e6 + 0.5) / 1e6 AS avg_chars,
         |floor((avg(CASE WHEN trim(text) = '' THEN 0
@@ -1388,10 +1511,13 @@ object SparkEntry {
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_quality_docs" -> qualitySql,
     "q_quality_filter_docs" -> qualityFilterSql,
+    "q_quality_threshold_docs" -> qualityThresholdSql,
     "q_langid_docs" -> langidSql,
     "q_outliers_lof_events" -> lofSql,
+    "q_fingerprint_rolling_docs" -> fingerprintRollingSql,
     // q_dedup_minhash_docs / q_simhash_docs / q_similarity_topk_lsh /
-    // q_fingerprint_docs / q_multimodal_features: hash-seeded operators —
+    // q_fingerprint_docs / q_multimodal_features / q_multimodal_transform:
+    // hash-seeded operators —
     // engine-specific by construction, validated by construction-based
     // ScalaTests (DedupSpec/TextExtSpec) instead.
     // q_stationarity_events / q_crossfeature_lineitem: iterative statistical

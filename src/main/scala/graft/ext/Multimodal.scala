@@ -72,9 +72,14 @@ object Multimodal {
       }
       y += 1
     }
+    pngBytesOf(img)
+  }
+
+  /** PNG-encode an existing raster. Explicit memory-cache stream:
+    * ImageIO's default wraps a FILE-cache temp file per image, which
+    * dominates small-image encode time. */
+  private[graft] def pngBytesOf(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    // explicit memory-cache stream: ImageIO's default wraps a FILE-cache
-    // temp file per image, which dominates small-image encode time
     val ios = new MemoryCacheImageOutputStream(bos)
     val writer = pngSpi.createWriterInstance()
     try {
@@ -332,6 +337,43 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
+    /** Decode an image payload, scale to (outW, outH) with bilinear
+      * Graphics2D interpolation, re-encode as PNG. None when the payload
+      * isn't a decodable single image. */
+    def resizeImage(b: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+      if (b == null || !looksLikeImage(b)) return None
+      val src =
+        try {
+          val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(b))
+          val im = ImageIO.read(iis) // closes iis on success
+          if (im == null) { try iis.close() catch { case _: java.io.IOException => () } }
+          Option(im)
+        } catch { case _: java.io.IOException => None }
+      src.map { im =>
+        val out = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(im, 0, 0, outW, outH, null)
+        } finally g.dispose()
+        Multimodal.pngBytesOf(out)
+      }
+    }
+
+    /** Keep every `stride`-th frame of an animated GIF (frame 0 always
+      * kept) and re-encode. None when the payload isn't a multi-frame
+      * GIF. The executed form of [[Multimodal.frameSamplePlan]]. */
+    def sampleGifFrames(b: Array[Byte], stride: Int): Option[Array[Byte]] = {
+      require(stride >= 1, s"stride must be >= 1, got $stride")
+      if (b == null || b.length < 4 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F')
+        return None
+      decodeGifFrames(b).collect {
+        case frames if frames.length > 1 =>
+          gifBytes(frames.indices.by(stride).map(frames(_)).toArray)
+      }
+    }
+
     /** Real image decode: PNG/BMP/GIF via `javax.imageio`, features from
       * the decoded raster —
       * f0..f2 mean R/G/B, f3 mean luma (BT.601), f4 population std of
@@ -455,6 +497,50 @@ object Multimodal {
           MediaKernels.decode(id, bytes, fmt, w, h, nf)
         }
       }
+  }
+
+  /** Resize every image row to (outW, outH) — real decode → bilinear
+    * scale → PNG re-encode via [[MediaKernels.resizeImage]]; non-image
+    * rows pass through untouched with their metadata intact. Image
+    * metadata is rewritten to the actual output dimensions. Partition-
+    * parallel, one small raster in flight per row. */
+  def resizeImages(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val kernel = udf { (bytes: Array[Byte]) =>
+      MediaKernels.resizeImage(bytes, outW, outH)
+    }
+    val isImg = col("meta.format") === "img"
+    media.select(
+      col("media_id"),
+      when(isImg, coalesce(kernel(col("media")), col("media")))
+        .otherwise(col("media")).as("media"),
+      struct(
+        col("meta.format").as("format"),
+        when(isImg, lit(outW)).otherwise(col("meta.width")).as("width"),
+        when(isImg, lit(outH)).otherwise(col("meta.height")).as("height"),
+        col("meta.n_frames").as("n_frames")).as("meta"))
+  }
+
+  /** Keep every `stride`-th frame of video rows — the EXECUTED form of
+    * [[frameSamplePlan]]: decode the GIF, slice the frame sequence,
+    * re-encode. Non-video rows pass through untouched; metadata frame
+    * counts are rewritten to the sampled count. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val kernel = udf { (bytes: Array[Byte]) =>
+      MediaKernels.sampleGifFrames(bytes, stride)
+    }
+    val isVid = col("meta.format") === "video"
+    media.select(
+      col("media_id"),
+      when(isVid, coalesce(kernel(col("media")), col("media")))
+        .otherwise(col("media")).as("media"),
+      struct(
+        col("meta.format").as("format"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        when(isVid,
+          ceil(col("meta.n_frames").cast("double") / stride).cast("int"))
+          .otherwise(col("meta.n_frames")).as("n_frames")).as("meta"))
   }
 
   /** Deterministic frame sampling plan for video rows: every `stride`-th

@@ -86,6 +86,30 @@ object TextStats {
       .drop("__rn", "__cnt")
   }
 
+  /** Scale-path quality filter: per-group quantile THRESHOLD (one tiny
+    * aggregate + a broadcast join) instead of [[topQualityPerGroup]]'s
+    * per-group rank window. The rank window serializes each group through
+    * one task, so a corpus dominated by a single group bottlenecks on one
+    * partition; here the data-sized pass is an ordinary partial aggregate
+    * and a map-side broadcast-hash filter — fully parallel regardless of
+    * group skew. The trade: boundary ties admit every doc AT the
+    * threshold (can keep slightly more than keepFrac·|group|), and the
+    * exact-percentile agg still sorts per group — swap `percentile` for
+    * `approx_percentile` when even that matters. */
+  def topQualityPerGroupByThreshold(
+      docs: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      keepFrac: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val q = docs.withColumn("quality", qualityScore(col(textCol)))
+    val thr = q.groupBy(groupCol)
+      .agg(percentile(col("quality"), lit(1.0 - keepFrac)).as("__thr"))
+    q.join(broadcast(thr), Seq(groupCol))
+      .filter(col("quality") >= col("__thr"))
+      .drop("__thr")
+  }
+
   // ---- language identification --------------------------------------------
 
   /** Tiny per-language function-word profiles (public common-word lists) +
@@ -129,7 +153,32 @@ object TextStats {
     * which Catalyst inlines quadratically — fine for short strings in
     * tests, lethal on a corpus; see ARCHITECTURE.md anti-lesson.) */
   def fingerprintRows(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
+      k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =
+    winnowRows(docs, idCol, textCol, k, w, g => xxhash64(g))
+
+  /** Karp–Rabin polynomial gram hash — the hash family the winnowing paper
+    * itself uses: fold `h ← (h·257 + codepoint) mod (10^9+7)` over the
+    * gram's characters. Every intermediate fits a long (h < 10^9, so
+    * h·257 + c < 2^39 — ANSI-safe), and the recurrence is plain integer
+    * arithmetic any engine reproduces bit-identically, which makes
+    * winnowing built on it hard-oracle-able (unlike xxhash64, whose value
+    * is engine-specific by construction). */
+  def rollingHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L),
+      (h, c) => (h * lit(257L) + ascii(c)) % lit(1000000007L))
+
+  /** [[fingerprintRows]] with the [[rollingHash]] gram hash: identical
+    * winnowing structure (posexplode → window min → valid-start filter →
+    * dedup), cross-engine-reproducible values. The xxhash64 variant is
+    * the hot path (no per-char array); this one is the compatibility /
+    * verification surface — the per-round DuckDB oracle replays the whole
+    * pipeline against it, which pins the SHARED selection logic for both. */
+  def rollingFingerprintRows(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =
+    winnowRows(docs, idCol, textCol, k, w, rollingHash)
+
+  private def winnowRows(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, gramHash: Column => Column): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
     val base = docs.select(col(idCol).as("doc_id"), norm.as("norm"))
@@ -141,8 +190,8 @@ object TextStats {
           .as(Seq("ord", "i")),
         col("norm"), col("n"))
       .withColumn("g",
-        when(col("n") >= k, xxhash64(col("norm").substr(col("i"), lit(k))))
-          .otherwise(xxhash64(col("norm"))))
+        when(col("n") >= k, gramHash(col("norm").substr(col("i"), lit(k))))
+          .otherwise(gramHash(col("norm"))))
     val ww = Window.partitionBy("doc_id").orderBy("ord").rowsBetween(0, w - 1)
     grams
       .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))

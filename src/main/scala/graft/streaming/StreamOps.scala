@@ -58,6 +58,41 @@ object StreamOps {
       .writeStream.outputMode("complete").format("memory").queryName(sinkTable).start()
   }
 
+  /** Shared sliding-window aggregation — overlapping windows of
+    * `windowLen` starting every `slide` (epoch-aligned, like tumbling);
+    * each event lands in windowLen/slide windows. Same partial-aggregate
+    * shape as the tumbling variant: the explode-to-windows step is
+    * map-side, so the shuffle carries one partial per (window, group) per
+    * partition, not per event. */
+  private def slidingAgg(events: DataFrame, windowLen: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"), avg("value").as("avg_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"), col("avg_value"))
+
+  /** Batch variant (driver-checkable: the oracle unnests each event into
+    * its windowLen/slide covering hourly starts). */
+  def slidingWindowBatch(events: DataFrame, windowLen: String = "2 hours",
+      slide: String = "1 hour"): DataFrame =
+    slidingAgg(events, windowLen, slide).orderBy("window_start", "event_type")
+
+  /** Streaming variant — same aggregation expression over a watermarked
+    * file stream; complete-mode memory sink for test replay equality. */
+  def slidingWindowStream(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      sinkTable: String,
+      windowLen: String = "2 hours",
+      slide: String = "1 hour",
+      watermark: String = "4 hours"): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", watermark)
+    slidingAgg(stream, windowLen, slide)
+      .writeStream.outputMode("complete").format("memory").queryName(sinkTable).start()
+  }
+
   /** Shared gap-based session-window aggregation: count + sum of value per
     * (session, event_type). A session closes when no event arrives within
     * `gap` of the latest event; `session_window.end` = last event + gap. */

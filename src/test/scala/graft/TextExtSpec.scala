@@ -226,6 +226,83 @@ class TextExtSpec extends SparkSpec {
     assert(math.abs(f.features(7) - 1.0) < 1e-12) // one full-swing delta
   }
 
+  test("multimodal: resize scales a solid PNG exactly and rewrites dims") {
+    import java.awt.image.BufferedImage
+    val im = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) im.setRGB(x, y, 0x336699)
+    val png = Multimodal.pngBytesOf(im)
+    val resized = Multimodal.MediaKernels.resizeImage(png, 2, 2).get
+    val f = Multimodal.MediaKernels.decode(1L, resized, "img", 0, 0, 1)
+    assert(f.width == 2 && f.height == 2)
+    // bilinear scaling of a constant image is exact
+    assert(math.abs(f.features(0) - 0x33 / 255.0) < 1e-12)
+    assert(math.abs(f.features(1) - 0x66 / 255.0) < 1e-12)
+    assert(math.abs(f.features(2) - 0x99 / 255.0) < 1e-12)
+    // non-image payload → None
+    assert(Multimodal.MediaKernels.resizeImage(Array[Byte](1, 2, 3, 4), 2, 2).isEmpty)
+  }
+
+  test("multimodal: sampleFrames keeps every stride-th GIF frame") {
+    import java.awt.image.BufferedImage
+    def solid(rgb: Int): BufferedImage = {
+      val im = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 2) im.setRGB(x, y, rgb)
+      im
+    }
+    // black, white, black, white — stride 2 keeps frames 0 and 2 (black)
+    val gif = Multimodal.gifBytes(
+      Array(solid(0x000000), solid(0xFFFFFF), solid(0x000000), solid(0xFFFFFF)))
+    val sampled = Multimodal.MediaKernels.sampleGifFrames(gif, 2).get
+    val f = Multimodal.MediaKernels.decode(1L, sampled, "video", 0, 0, 4)
+    assert(f.n_frames == 2)
+    assert(f.features(3) < 1e-12, s"mean luma ${f.features(3)}") // both black
+    assert(f.features(4) < 1e-12) // no temporal variation left
+    // stride 1 is identity on the frame count
+    assert(Multimodal.MediaKernels.sampleGifFrames(gif, 1).map(
+      Multimodal.MediaKernels.decode(1L, _, "video", 0, 0, 4).n_frames).contains(4))
+  }
+
+  test("multimodal: DataFrame-level resize + frame sampling transform rows by format") {
+    val docs = (1L to 12L).map(i => (i, s"seed text $i")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val out = Multimodal.sampleFrames(Multimodal.resizeImages(media, 6, 5), 2)
+    val feats = Multimodal.decodeFeatures(out).collect()
+    assert(feats.length == 12)
+    feats.filter(_.format == "img").foreach { f =>
+      assert(f.width == 6 && f.height == 5, s"${f.width}x${f.height}")
+    }
+    feats.filter(_.format == "video").foreach { f =>
+      assert(f.n_frames >= 1 && f.n_frames <= 4) // ceil((2..7)/2)
+    }
+    // audio untouched by both transforms
+    val audioBefore = Multimodal.decodeFeatures(media).collect()
+      .filter(_.format == "audio").map(f => f.media_id -> f.features(1)).toMap
+    feats.filter(_.format == "audio").foreach { f =>
+      assert(math.abs(f.features(1) - audioBefore(f.media_id)) < 1e-12)
+    }
+  }
+
+  test("rolling-hash winnowing: hand-checked fold and tiny-doc selection") {
+    def h(s: String): Long = s.foldLeft(0L)((a, c) => (a * 257 + c.toInt) % 1000000007L)
+    // the column fold matches the scalar fold
+    val hv = Seq("ab", "winnowing fingerprint").toDF("s")
+      .select(TextStats.rollingHash(col("s")).as("h")).collect().map(_.getLong(0))
+    assert(hv(0) == h("ab") && hv(0) == (97L * 257 + 98) % 1000000007L)
+    assert(hv(1) == h("winnowing fingerprint"))
+    // 10-char doc, k=8, w=4: grams at 3 starts, m=3 < w → only ord 0 valid,
+    // fp = min over all three gram hashes
+    val rows = TextStats.rollingFingerprintRows(
+      Seq((1L, "abcdefghij")).toDF("doc_id", "text"), "doc_id", "text").collect()
+    val expected = Seq("abcdefgh", "bcdefghi", "cdefghij").map(h).min
+    assert(rows.length == 1 && rows(0).getLong(1) == expected)
+    // normalization: case-folded, whitespace-collapsed before hashing
+    val eq = TextStats.rollingFingerprintRows(
+      Seq((1L, "AbC  deFGhIj"), (2L, "abc defghij")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().groupBy(_.getLong(0)).map { case (k2, v) =>
+        k2 -> v.map(_.getLong(1)).toSet }
+    assert(eq(1L) == eq(2L))
+  }
+
   test("frame sample plan emits stride indices for video rows only") {
     val docs = (1L to 30L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
@@ -345,6 +422,49 @@ class TextExtSpec extends SparkSpec {
       writeBatch("b3", Seq((3L, "dup")))
       awaitIds(q, Set(1L, 2L, 3L))
     } finally q.stop()
+  }
+
+  test("streaming sliding window matches the batch variant") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("stream_src").toString
+    val events = graft.core.Tables.events(spark, SparkSpec.sf0001)
+      .select("ts", "event_type", "value")
+    events.write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val q = StreamOps.slidingWindowStream(spark, dir, schema, "slide_out")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("slide_out")
+        .orderBy("window_start", "event_type").collect()
+      val batch = StreamOps.slidingWindowBatch(
+        spark.read.parquet(dir)).collect()
+      assert(streamed.length == batch.length && streamed.length > 0)
+      // every event lands in exactly len/slide = 2 windows
+      val nEvents = events.count()
+      assert(batch.map(_.getAs[Long]("n")).sum == 2 * nEvents)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.getAs[java.sql.Timestamp]("window_start") == b.getAs[java.sql.Timestamp]("window_start"))
+        assert(s.getAs[Long]("n") == b.getAs[Long]("n"))
+        assert(math.abs(s.getAs[Double]("avg_value") - b.getAs[Double]("avg_value")) < 1e-9)
+      }
+    } finally q.stop()
+  }
+
+  test("quality threshold filter agrees with the rank filter up to boundary ties") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sf0001)
+    val byRank = TextStats.topQualityPerGroup(docs, "lang", keepFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byThr = TextStats.topQualityPerGroupByThreshold(docs, "lang", keepFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the k-th highest of n values is >= quantile_cont(0.5) for
+    // k = ceil(n/2), so every rank-kept doc clears the threshold; the
+    // threshold variant additionally keeps boundary ties → superset
+    assert(byThr.nonEmpty && byRank.nonEmpty)
+    assert((byRank -- byThr).isEmpty,
+      s"rank-kept docs below the median threshold: ${(byRank -- byThr).take(5)}")
+    assert(byThr.size >= byRank.size)
   }
 
   test("streaming tumbling window matches the batch variant") {
