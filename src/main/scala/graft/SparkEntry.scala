@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Panel, Tables}
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, Similarity, Skew, TextStats}
 import graft.ops._
 import graft.streaming.StreamOps
 
@@ -1146,6 +1146,32 @@ object SparkEntry {
        |  sum(fp)::BIGINT AS sum_fp
        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Salted-join equivalence probe: `Skew.saltedJoin` must produce the
+    * exact rows of a plain inner join by construction (each left row
+    * matches only its own salt's replica of the right side), so the
+    * oracle is the UNSALTED SQL join — greening this row each round pins
+    * the salting rewrite, not just its plan shape. Price sums go through
+    * per-row cents fixed-point (2-decimal data; see sessionEvents);
+    * quantities are small exact integers whose double sum is order-free. */
+  private def saltedJoinLineitem(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_partkey").as("p_partkey"),
+      col("l_quantity"), col("l_extendedprice"))
+    val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    Skew.saltedJoin(li, pt, "p_partkey", saltFactor = 8)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / lit(100.0)).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  private val saltedJoinSql =
+    """SELECT p_brand, count(*) AS n,
+      |CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def similarityQueries(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
@@ -1306,6 +1332,7 @@ object SparkEntry {
     "q_embedding_norms" -> embeddingNormsEmbeddings,
     "q_multimodal_features" -> multimodalFeatures,
     "q_multimodal_transform" -> multimodalTransform,
+    "q_salted_join_lineitem" -> saltedJoinLineitem,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1515,6 +1542,7 @@ object SparkEntry {
     "q_langid_docs" -> langidSql,
     "q_outliers_lof_events" -> lofSql,
     "q_fingerprint_rolling_docs" -> fingerprintRollingSql,
+    "q_salted_join_lineitem" -> saltedJoinSql,
     // q_dedup_minhash_docs / q_simhash_docs / q_similarity_topk_lsh /
     // q_fingerprint_docs / q_multimodal_features / q_multimodal_transform:
     // hash-seeded operators —

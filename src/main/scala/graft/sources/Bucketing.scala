@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table support (SURVEY §7.4 scale path): co-locate rows by a
+  * join/aggregation key at WRITE time so every later equi-join or
+  * aggregation keyed on it plans with zero shuffle.
+  *
+  * Bucketing metadata lives in the session catalog (it is a table
+  * property, not a parquet property), so this goes through
+  * `saveAsTable`/`spark.table`, not path reads. Two tables bucketed on
+  * the same key with the SAME bucket count sort-merge join with no
+  * exchange on either side; a `groupBy(bucketCol)` similarly reuses the
+  * bucket partitioning. On a real cluster the bucket count is chosen
+  * once per table (≈ total cores, or data-size/target-partition-size)
+  * and amortized over every downstream query — the classic trade of one
+  * shuffle at ingest for none at query time. */
+object Bucketing {
+
+  /** Write `df` as a bucketed managed parquet table, optionally
+    * sort-ordered within buckets (sorted buckets let the sort-merge join
+    * skip its per-task sort too). Overwrites any existing table. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+}
