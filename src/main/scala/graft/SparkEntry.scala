@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Panel, Tables}
-import graft.ext.{Dedup, Multimodal, Similarity, Skew, TextStats}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, Skew, TextStats}
 import graft.ops._
 import graft.streaming.StreamOps
 
@@ -1172,6 +1172,76 @@ object SparkEntry {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- deterministic sampling / corpus mixing -----------------------------
+  // The multiplicative-hash selector is plain BIGINT arithmetic, so the
+  // oracle replays MEMBERSHIP itself — these rows pin which documents are
+  // selected, not just aggregate shapes. All outputs are exact integers
+  // (counts / int sums), so no float canon is needed.
+
+  private def sampleDocs(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicSample(Tables.documents(s, dir), "doc_id", frac = 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("lang")
+
+  private val sampleHashSql =
+    "((doc_id % 2147483648) * 2654435761) % 4294967296"
+
+  private val sampleDocsSql =
+    s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
+      |min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents
+      |WHERE $sampleHashSql < CAST(floor(0.5 * 4294967296) AS BIGINT)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def sampleStratifiedDocs(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+        fracs = Map("en" -> 0.25, "de" -> 0.75), defaultFrac = 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+
+  private val sampleStratifiedSql =
+    s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+      |FROM documents
+      |WHERE $sampleHashSql < CASE lang
+      |  WHEN 'en' THEN CAST(floor(0.25 * 4294967296) AS BIGINT)
+      |  WHEN 'de' THEN CAST(floor(0.75 * 4294967296) AS BIGINT)
+      |  ELSE CAST(floor(0.5 * 4294967296) AS BIGINT) END
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Three-corpus weighted mixture: en-heavy, zh-light, the rest at half —
+    * the standard "mix web/books/code at different rates" shape, with the
+    * corpus split carved from `lang` since the fixture corpus is one
+    * table. Membership is the same replayable hash as q_sample_docs. */
+  private def mixDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Sampling.weightedMix(Seq(
+        ("en_heavy", docs.filter(col("lang") === "en"), 0.9),
+        ("zh_light", docs.filter(col("lang") === "zh"), 0.3),
+        ("rest_half", docs.filter(!col("lang").isin("en", "zh")), 0.5)),
+        idCol = "doc_id")
+      .groupBy("mix_source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+        countDistinct("lang").as("n_langs"))
+      .orderBy("mix_source")
+  }
+
+  private val mixDocsSql =
+    s"""WITH m AS (
+      |  SELECT 'en_heavy' AS mix_source, n_chars, lang FROM documents
+      |    WHERE lang = 'en' AND $sampleHashSql < CAST(floor(0.9 * 4294967296) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'zh_light' AS mix_source, n_chars, lang FROM documents
+      |    WHERE lang = 'zh' AND $sampleHashSql < CAST(floor(0.3 * 4294967296) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'rest_half' AS mix_source, n_chars, lang FROM documents
+      |    WHERE lang NOT IN ('en', 'zh') AND $sampleHashSql < CAST(floor(0.5 * 4294967296) AS BIGINT))
+      |SELECT mix_source, count(*) AS n, sum(n_chars) AS sum_chars,
+      |count(DISTINCT lang) AS n_langs
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def similarityQueries(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
@@ -1333,6 +1403,9 @@ object SparkEntry {
     "q_multimodal_features" -> multimodalFeatures,
     "q_multimodal_transform" -> multimodalTransform,
     "q_salted_join_lineitem" -> saltedJoinLineitem,
+    "q_sample_docs" -> sampleDocs,
+    "q_sample_stratified_docs" -> sampleStratifiedDocs,
+    "q_mix_docs" -> mixDocs,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1543,6 +1616,9 @@ object SparkEntry {
     "q_outliers_lof_events" -> lofSql,
     "q_fingerprint_rolling_docs" -> fingerprintRollingSql,
     "q_salted_join_lineitem" -> saltedJoinSql,
+    "q_sample_docs" -> sampleDocsSql,
+    "q_sample_stratified_docs" -> sampleStratifiedSql,
+    "q_mix_docs" -> mixDocsSql,
     // q_dedup_minhash_docs / q_simhash_docs / q_similarity_topk_lsh /
     // q_fingerprint_docs / q_multimodal_features / q_multimodal_transform:
     // hash-seeded operators —

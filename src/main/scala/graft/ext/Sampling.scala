@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling + weighted corpus mixing — the selection ops of
+  * a training-data pipeline (hold-out splits, per-language rebalancing,
+  * multi-corpus mixture weights).
+  *
+  * Everything here is DETERMINISTIC in the row's id, never `rand()`:
+  * task retries and speculative execution see the same decision, the
+  * sample is reproducible across runs/clusters, and membership can be
+  * recomputed downstream (e.g. to join a sampled table back to its
+  * complement). The selector is a Knuth multiplicative hash over the id,
+  * chosen over xxhash64 because its arithmetic is plain BIGINT mod/mul —
+  * replayable in ANSI SQL by any engine, which is what lets the driver
+  * hash-verify these operators end-to-end (see q_sample_* in SparkEntry).
+  */
+object Sampling {
+
+  /** 2^32-ranged multiplicative hash of a long id: pmod(id, 2^31) spreads
+    * through the odd Knuth constant 2654435761. Max intermediate is
+    * (2^31-1)·2654435761 < 2^63 — no ANSI overflow. Low bits of
+    * sequential ids decorrelate (the constant is odd and ≈ 2^32/φ). */
+  def bucketHash(id: Column): Column =
+    pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+
+  private def threshold(frac: Double): Long = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    math.floor(frac * 4294967296.0).toLong
+  }
+
+  /** Keep a deterministic `frac` of rows by id hash. frac=0 keeps none,
+    * frac=1 keeps all; nested samples are monotone (frac a ⊆ frac b for
+    * a <= b) because membership is a threshold on one hash value. */
+  def deterministicSample(df: DataFrame, idCol: String, frac: Double): DataFrame =
+    df.filter(bucketHash(col(idCol)) < lit(threshold(frac)))
+
+  /** Per-group sampling fractions (e.g. language rebalancing): groups
+    * absent from `fracs` fall back to `defaultFrac`. The frac lookup is a
+    * model-sized table broadcast against the corpus — the data-sized pass
+    * stays a map-side filter with no shuffle regardless of group skew. */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
+      fracs: Map[String, Double], defaultFrac: Double = 0.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    fracs.values.foreach(threshold(_)) // validate early
+    val lut = fracs.toSeq.map { case (g, f) => (g, threshold(f)) }
+      .toDF(groupCol, "__thr")
+    df.join(broadcast(lut), Seq(groupCol), "left")
+      .withColumn("__thr", coalesce(col("__thr"), lit(threshold(defaultFrac))))
+      .filter(bucketHash(col(idCol)) < col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Weighted mixture of corpora: deterministically sample each source at
+    * its weight and union, tagging rows with `mixSourceCol`. Schemas must
+    * be union-compatible by name (columns are aligned, not positional).
+    * The union is a no-shuffle concatenation of the per-source map-side
+    * filters — mixture cost is one scan per source, nothing else. */
+  def weightedMix(sources: Seq[(String, DataFrame, Double)], idCol: String,
+      mixSourceCol: String = "mix_source"): DataFrame = {
+    require(sources.nonEmpty, "weightedMix needs at least one source")
+    val tags = sources.map(_._1)
+    require(tags.distinct.length == tags.length, s"duplicate source tags: $tags")
+    sources.map { case (tag, df, w) =>
+      deterministicSample(df, idCol, w).withColumn(mixSourceCol, lit(tag))
+    }.reduce(_.unionByName(_))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (0L until 2000L).map(i => (i, s"g${i % 4}", i * 3))
+    .toDF("id", "grp", "chars")
+
+  test("deterministic sample: reproducible, monotone in frac, exact at 0 and 1") {
+    val a = Sampling.deterministicSample(docs, "id", 0.3).select("id").as[Long].collect().toSet
+    val b = Sampling.deterministicSample(docs, "id", 0.3).select("id").as[Long].collect().toSet
+    assert(a == b, "same frac must select the same rows")
+    val bigger = Sampling.deterministicSample(docs, "id", 0.6).select("id").as[Long].collect().toSet
+    assert(a.subsetOf(bigger), "nested samples must be monotone")
+    assert(Sampling.deterministicSample(docs, "id", 0.0).count() == 0)
+    assert(Sampling.deterministicSample(docs, "id", 1.0).count() == 2000)
+    // uniformity: 30% ± 5pp on 2000 ids
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05, s"got ${a.size} of 2000")
+    intercept[IllegalArgumentException](Sampling.deterministicSample(docs, "id", 1.5))
+  }
+
+  test("stratified sample honors per-group fracs and the default") {
+    val out = Sampling.stratifiedSample(docs, "id", "grp",
+      fracs = Map("g0" -> 1.0, "g1" -> 0.0), defaultFrac = 0.5)
+    val byGrp = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGrp("g0") == 500, s"g0 frac=1 must keep all: $byGrp")
+    assert(!byGrp.contains("g1"), s"g1 frac=0 must keep none: $byGrp")
+    val d = (byGrp.getOrElse("g2", 0L) + byGrp.getOrElse("g3", 0L)) / 1000.0
+    assert(math.abs(d - 0.5) < 0.07, s"default 0.5 off: $byGrp")
+    // membership equals the global sampler's at the same frac
+    val strat = Sampling.stratifiedSample(docs, "id", "grp", Map("g2" -> 0.4))
+      .filter($"grp" === "g2").select("id").as[Long].collect().toSet
+    val glob = Sampling.deterministicSample(docs.filter($"grp" === "g2"), "id", 0.4)
+      .select("id").as[Long].collect().toSet
+    assert(strat == glob)
+  }
+
+  test("stratified sample plans as a broadcast join, not a shuffle") {
+    val out = Sampling.stratifiedSample(docs, "id", "grp", Map("g0" -> 0.5))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("weightedMix tags sources, samples at each weight, rejects dup tags") {
+    val a = docs.filter($"grp" === "g0")
+    val b = docs.filter($"grp" =!= "g0")
+    val mix = Sampling.weightedMix(Seq(("small", a, 0.2), ("big", b, 1.0)), "id")
+    val byTag = mix.groupBy("mix_source").count().as[(String, Long)].collect().toMap
+    assert(byTag("big") == 1500)
+    assert(byTag("small") == Sampling.deterministicSample(a, "id", 0.2).count())
+    assert(mix.columns.contains("mix_source"))
+    intercept[IllegalArgumentException](
+      Sampling.weightedMix(Seq(("x", a, 0.5), ("x", b, 0.5)), "id"))
+  }
+}
