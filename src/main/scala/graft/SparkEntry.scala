@@ -885,6 +885,39 @@ object SparkEntry {
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** Normalization/redaction over the events props strings — the one
+    * fixture column with real punctuation and digits, so every stage of
+    * the normalize chain (lower → punct→space → digit-fold → ws-collapse)
+    * transforms actual data and the oracle must replay the identical
+    * regex semantics in RE2. The PII pass is a pinned no-op here (clean
+    * fixture); its positive behavior is spec-tested on constructed
+    * strings in TextExtSpec. */
+  private def normalizeEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        TextStats.normalizeForDedup(col("props")).as("norm"),
+        length(TextStats.redactPii(col("props"))).as("red_len"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("norm").as("n_distinct_norm"),
+        min("norm").as("min_norm"),
+        sum(length(col("norm"))).as("sum_norm_len"),
+        sum("red_len").as("sum_redacted_len"))
+      .orderBy("event_type")
+
+  private val normalizeEventsSql =
+    raw"""WITH t AS (SELECT event_type,
+       |  trim(regexp_replace(regexp_replace(regexp_replace(lower(props),
+       |    '[[:punct:]]', ' ', 'g'), '[0-9]+', '0', 'g'), '\s+', ' ', 'g')) AS norm,
+       |  length(regexp_replace(regexp_replace(regexp_replace(props,
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |    '(https?://|www\.)[^\s]+', '<URL>', 'g'),
+       |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS red_len
+       |  FROM events)
+       |SELECT event_type, count(*) AS n, count(DISTINCT norm) AS n_distinct_norm,
+       |min(norm) AS min_norm, sum(length(norm))::BIGINT AS sum_norm_len,
+       |sum(red_len)::BIGINT AS sum_redacted_len
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Tumbling windows; sums emitted in fixed point (exact cents — see
     * sessionEvents for why the plain float canon is boundary-unstable on
     * 2-decimal data). avg = cents/100/n so both engines divide the same
@@ -1406,6 +1439,7 @@ object SparkEntry {
     "q_sample_docs" -> sampleDocs,
     "q_sample_stratified_docs" -> sampleStratifiedDocs,
     "q_mix_docs" -> mixDocs,
+    "q_normalize_events" -> normalizeEvents,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1619,6 +1653,7 @@ object SparkEntry {
     "q_sample_docs" -> sampleDocsSql,
     "q_sample_stratified_docs" -> sampleStratifiedSql,
     "q_mix_docs" -> mixDocsSql,
+    "q_normalize_events" -> normalizeEventsSql,
     // q_dedup_minhash_docs / q_simhash_docs / q_similarity_topk_lsh /
     // q_fingerprint_docs / q_multimodal_features / q_multimodal_transform:
     // hash-seeded operators —

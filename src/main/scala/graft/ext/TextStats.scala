@@ -121,6 +121,32 @@ object TextStats {
     "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por"),
     "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un", "une", "dans", "que", "pour"))
 
+  /** Dedup-grade canonical form: lowercase, ASCII punctuation → space,
+    * digit RUNS folded to a single '0' (so "v1.2.3" ≡ "v4.5.6" — version/
+    * id churn shouldn't defeat near-dup detection), whitespace collapsed,
+    * trimmed. Pure codegen'd string expressions — scales as a map-side
+    * transform; the exact chain is mirrored in the q_normalize_events
+    * oracle, so cross-engine regex semantics are pinned per round. */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), "[\\p{Punct}]", " "),
+        "[0-9]+", "0"),
+      "\\s+", " "))
+
+  /** Redact emails → URLs → bare IPv4s (in that order: the email pass must
+    * consume user@host before the URL pass can half-eat the host). The
+    * patterns avoid lookarounds/backrefs so they run identically under
+    * Java regex and RE2-family engines. */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val noUrl = regexp_replace(noEmail,
+      "(https?://|www\\.)[^\\s]+", "<URL>")
+    regexp_replace(noUrl,
+      "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>")
+  }
+
   def cjkRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))).cast("double") /
       greatest(length(text), lit(1))

@@ -491,4 +491,39 @@ class TextExtSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("normalizeForDedup canonicalizes case, punctuation, digit runs, whitespace") {
+    import spark.implicits._
+    val out = Seq(
+      "Hello, World!! v1.2.3   foo",
+      "  {\"k\": 42}  ",
+      "already clean",
+      "").toDF("t")
+      .select(graft.ext.TextStats.normalizeForDedup($"t").as("n"))
+      .as[String].collect()
+    assert(out(0) == "hello world v0 0 0 foo")
+    assert(out(1) == "k 0")
+    assert(out(2) == "already clean")
+    assert(out(3) == "")
+    // version/id churn canonicalizes to the same form (the dedup use case)
+    val pair = Seq("build v1.2.3 ok", "build v9.87.65 ok").toDF("t")
+      .select(graft.ext.TextStats.normalizeForDedup($"t").as("n"))
+      .as[String].collect()
+    assert(pair(0) == pair(1))
+  }
+
+  test("redactPii replaces emails, urls, and bare ipv4s, in that order") {
+    import spark.implicits._
+    val out = Seq(
+      "contact bob@example.com or https://x.io/a?b=1 at 10.0.0.1 now",
+      "see www.foo.com/bar and mail a.b+c@my-host.org",
+      "version 1.2 is not an ip, 256 chars neither",
+      "plain text stays put").toDF("t")
+      .select(graft.ext.TextStats.redactPii($"t").as("r"))
+      .as[String].collect()
+    assert(out(0) == "contact <EMAIL> or <URL> at <IP> now")
+    assert(out(1) == "see <URL> and mail <EMAIL>")
+    assert(out(2) == "version 1.2 is not an ip, 256 chars neither")
+    assert(out(3) == "plain text stays put")
+  }
 }
