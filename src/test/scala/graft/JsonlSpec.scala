@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+import org.apache.spark.SparkException
+import graft.sources.Jsonl
+
+class JsonlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** docs jsonl dir with one malformed line appended to a part file. */
+  private def writeFixture(corrupt: Boolean): String = {
+    val dir = Files.createTempDirectory("jsonl").toString
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sf0001)
+      .select("doc_id", "text", "lang")
+    Jsonl.write(docs.coalesce(1), dir, compression = "none")
+    if (corrupt) {
+      val part = new java.io.File(dir).listFiles()
+        .find(_.getName.endsWith(".json")).get
+      Files.write(Paths.get(part.getPath),
+        "{this is not json\n".getBytes, StandardOpenOption.APPEND)
+      // the append invalidates Hadoop's .crc sidecars — remove them
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    }
+    dir
+  }
+
+  test("jsonl round-trips the documents table losslessly") {
+    val dir = writeFixture(corrupt = false)
+    val back = Jsonl.read(spark, dir, schema).drop("_corrupt_record")
+    val orig = graft.core.Tables.documents(spark, SparkSpec.sf0001)
+      .select("doc_id", "text", "lang")
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
+  test("permissive mode captures the malformed line in _corrupt_record") {
+    val dir = writeFixture(corrupt = true)
+    val df = Jsonl.read(spark, dir, schema).cache()
+    try {
+      val bad = df.filter(col("_corrupt_record").isNotNull)
+        .select("_corrupt_record").as[String].collect()
+      assert(bad.toSeq == Seq("{this is not json"))
+      assert(df.filter(col("_corrupt_record").isNull).count() == df.count() - 1)
+    } finally df.unpersist()
+  }
+
+  test("dropmalformed drops the bad line; failfast throws; bad mode rejected") {
+    val dir = writeFixture(corrupt = true)
+    val n = graft.core.Tables.documents(spark, SparkSpec.sf0001).count()
+    assert(Jsonl.read(spark, dir, schema, mode = "DROPMALFORMED").count() == n)
+    intercept[SparkException] {
+      Jsonl.read(spark, dir, schema, mode = "FAILFAST").count()
+    }
+    intercept[IllegalArgumentException] {
+      Jsonl.read(spark, dir, schema, mode = "WHATEVER")
+    }
+  }
+}
