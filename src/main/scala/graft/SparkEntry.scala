@@ -877,6 +877,42 @@ object SparkEntry {
        |SELECT doc_a, doc_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
        |FROM p WHERE j >= 0.02 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Duplicate-cluster probe: connected components over the SAME bounded
+    * exact-Jaccard pair graph as q_jaccard_pairs_docs, summarized per
+    * component. DuckDB mirrors hash-min label propagation with a
+    * recursive-CTE transitive closure (min reachable id ≡ component
+    * representative), so the clustering step that turns near-dup pairs
+    * into keep/drop decisions is hash-verified each round. */
+  private def neardupComponentsDocs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairsDocs(s, dir).select("doc_a", "doc_b")
+    Dedup.connectedComponents(pairs)
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"), max("id").as("max_member"))
+      .orderBy("component")
+  }
+
+  private def neardupComponentsSql: String =
+    raw"""WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE doc_id < 250),
+       |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+       |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(toks[i:i+2], ' ')))
+       |  ELSE [array_to_string(toks, ' ')] END AS sh FROM d),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |  UNION SELECT doc_b, doc_a FROM p),
+       |n AS (SELECT DISTINCT a AS v FROM e),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM n
+       |  UNION
+       |  SELECT e.a, reach.r FROM e JOIN reach ON reach.v = e.b),
+       |c AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
+       |SELECT component, count(*) AS n_members, max(v) AS max_member
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def jsonEvents(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -1417,6 +1453,7 @@ object SparkEntry {
     "q_dedup_minhash_docs" -> dedupMinhashDocs,
     "q_simhash_docs" -> simhashDocs,
     "q_jaccard_pairs_docs" -> jaccardPairsDocs,
+    "q_neardup_components_docs" -> neardupComponentsDocs,
     "q_embedding_neardup_docs" -> embeddingNearDupDocs,
     "q_json_events" -> jsonEvents,
     "q_window_events" -> windowEvents,
@@ -1619,6 +1656,7 @@ object SparkEntry {
     "q_adf_autolag_events" -> adfAutolagSql,
     "q_volatility_core_lineitem" -> volatilityCoreSql,
     "q_jaccard_pairs_docs" -> jaccardPairsSql,
+    "q_neardup_components_docs" -> neardupComponentsSql,
     "q_embedding_neardup_docs" -> embeddingNearDupSql,
     "q_regimes_core_events" -> regimesCoreSql,
     "q_embedding_norms" ->

@@ -161,6 +161,77 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---- duplicate clusters --------------------------------------------------
+
+  /** Connected components over an undirected candidate-pair edge list —
+    * the step that turns near-dup PAIRS into duplicate CLUSTERS so a
+    * pipeline can keep one representative per cluster. Hash-min label
+    * propagation: every vertex's label converges to the minimum vertex id
+    * reachable from it. Each iteration is one vertex-keyed join + min
+    * aggregation (the standard BSP step — shuffles on vertex id, state is
+    * one label per vertex, never data-sized), and the loop exits on the
+    * first iteration with no label change. Iterations needed = graph
+    * diameter; duplicate clusters are star/clique-shaped (diameter ≤ ~4),
+    * and `maxIter` fail-louds on pathological chains rather than looping
+    * forever — for genuinely deep graphs use the large-star/small-star
+    * variant, which this dedup path does not need.
+    *
+    * Returns (id, component) for every vertex present in `pairs`. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    // Iterative plans MUST truncate lineage every round: `labels` appears
+    // more than once per iteration's plan, so without truncation the
+    // logical tree doubles each round (exponential — the plan PRINTER
+    // alone OOMs near iteration ~15, long before any data pressure).
+    // Eager localCheckpoint pins each round's vertex-sized result and
+    // resets the plan to a leaf; the expensive pair GENERATOR upstream is
+    // likewise evaluated exactly once (first checkpoint below). On a real
+    // cluster prefer a reliable checkpoint dir for executor-loss
+    // resilience; the state being checkpointed is one label per vertex.
+    val fwd = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .localCheckpoint(true)
+    val e = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    var labels = e.select(col("a").as("v")).distinct()
+      .withColumn("comp", col("v")).localCheckpoint(true)
+    var it = 0
+    var changed = 1L
+    while (changed > 0) {
+      require(it < maxIter,
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(graph diameter too large for hash-min propagation)")
+      val nbrMin = e
+        .join(labels.select(col("v").as("b"), col("comp").as("nc")), "b")
+        .groupBy("a").agg(min("nc").as("nbr"))
+        .withColumnRenamed("a", "v")
+      // carry the previous label through the checkpoint so the change
+      // count is a cheap scan of the checkpointed result, not another join
+      val next = labels
+        .join(nbrMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          col("comp").as("old"))
+        .localCheckpoint(true)
+      changed = next.filter(col("comp") =!= col("old")).count()
+      labels = next.drop("old")
+      it += 1
+    }
+    labels.select(col("v").as("id"), col("comp").as("component"))
+  }
+
+  /** Near-dup dedup end-to-end: banded-LSH candidate pairs → exact-Jaccard
+    * verify (≥ `threshold`) → connected components → keep only each
+    * cluster's minimum-id document. Docs in no cluster pass through. */
+  def dropNearDuplicates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDuplicates(docs, idCol, textCol, threshold = threshold)
+      .select("doc_a", "doc_b")
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Distinct string-shingle set of a text column — the raw-string twin of
     * the hashed verify-stage sets (Jaccard over either is identical because
     * shingle→hash is injective modulo negligible 64-bit collisions). */

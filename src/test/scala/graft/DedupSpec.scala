@@ -207,4 +207,46 @@ class DedupSpec extends SparkSpec {
     val c2 = Similarity.trainIvfCentroids(df, nlist = 8, iters = 3)
     assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
   }
+
+  test("connectedComponents labels a path, a clique, and a disjoint pair") {
+    // path 1..6 (diameter 5 — forces several propagation rounds),
+    // clique {10,11,12}, disjoint edge {20,21}
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)) ++
+      Seq((10L, 11L), (10L, 12L), (11L, 12L)) ++ Seq((20L, 21L)))
+      .toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    (1L to 6L).foreach(v => assert(comps(v) == 1L, s"$v -> ${comps(v)}"))
+    Seq(10L, 11L, 12L).foreach(v => assert(comps(v) == 10L))
+    Seq(20L, 21L).foreach(v => assert(comps(v) == 20L))
+    assert(comps.size == 11)
+    // edge order/direction must not matter
+    val flipped = Dedup.connectedComponents(
+      pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(flipped == comps)
+  }
+
+  test("connectedComponents fail-louds past maxIter instead of looping") {
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 3).collect()
+    }
+  }
+
+  test("dropNearDuplicates keeps one representative per near-dup cluster") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    // docs 1-3 near-identical (one cluster), 4-5 distinct singletons
+    val docs = Seq(
+      (1L, base), (2L, base + " tail2"), (3L, base + " tail3"),
+      (4L, "completely different text about other things entirely " * 3),
+      (5L, "yet another unrelated document body with its own words " * 3))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L), s"kept $kept")
+    // no near-dups → identity
+    val clean = docs.filter($"doc_id" >= 4L)
+    assert(Dedup.dropNearDuplicates(clean, threshold = 0.5).count() == 2)
+  }
 }
