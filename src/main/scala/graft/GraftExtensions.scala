@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expr.CosineSimilarity
+import graft.expr.{CosineSimilarity, DotProduct}
 
 /** SparkSessionExtensions hook: registers the engine's native functions
   * for SQL use. Attach with
@@ -19,6 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(args.length == 2, "cosine_sim(a, b) takes two array<double> arguments")
         CosineSimilarity(args.head, args(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "dot_product(a, b) takes two array<double> arguments")
+        DotProduct(args.head, args(1))
       }))
   }
 }

@@ -1280,6 +1280,22 @@ object SparkEntry {
       |  ELSE CAST(floor(0.5 * 4294967296) AS BIGINT) END
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact-k-per-group selection, emitted as raw membership (lang, doc_id)
+    * rows — the strongest possible pin: the oracle must agree on every
+    * selected document, not just counts. */
+  private def sampleTopkDocs(s: SparkSession, dir: String): DataFrame =
+    Sampling.takePerGroup(Tables.documents(s, dir), "doc_id", "lang", k = 10)
+      .select(col("lang"), col("doc_id"))
+      .orderBy("lang", "doc_id")
+
+  private val sampleTopkSql =
+    s"""WITH r AS (SELECT lang, doc_id,
+      |  row_number() OVER (PARTITION BY lang
+      |    ORDER BY $sampleHashSql, doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, doc_id FROM r WHERE rk <= 10
+      |ORDER BY lang, doc_id""".stripMargin
+
   /** Three-corpus weighted mixture: en-heavy, zh-light, the rest at half —
     * the standard "mix web/books/code at different rates" shape, with the
     * corpus split carved from `lang` since the fixture corpus is one
@@ -1475,6 +1491,7 @@ object SparkEntry {
     "q_salted_join_lineitem" -> saltedJoinLineitem,
     "q_sample_docs" -> sampleDocs,
     "q_sample_stratified_docs" -> sampleStratifiedDocs,
+    "q_sample_topk_docs" -> sampleTopkDocs,
     "q_mix_docs" -> mixDocs,
     "q_normalize_events" -> normalizeEvents,
   )
@@ -1690,6 +1707,7 @@ object SparkEntry {
     "q_salted_join_lineitem" -> saltedJoinSql,
     "q_sample_docs" -> sampleDocsSql,
     "q_sample_stratified_docs" -> sampleStratifiedSql,
+    "q_sample_topk_docs" -> sampleTopkSql,
     "q_mix_docs" -> mixDocsSql,
     "q_normalize_events" -> normalizeEventsSql,
     // q_dedup_minhash_docs / q_simhash_docs / q_similarity_topk_lsh /

@@ -53,6 +53,23 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Exactly `k` rows per group (all rows if the group is smaller) —
+    * deterministic: rank by (id hash, id) inside each group, keep the
+    * first k. The hash order makes the selection a uniform sample rather
+    * than a head; the id tiebreak makes it total. One window sort
+    * partitioned by group — parallelism is the group count, like every
+    * other per-group operator here; for a single enormous group prefer
+    * `deterministicSample` with frac ≈ k/n (no global sort). */
+  def takePerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(bucketHash(col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Weighted mixture of corpora: deterministically sample each source at
     * its weight and union, tagging rows with `mixSourceCol`. Schemas must
     * be union-compatible by name (columns are aligned, not positional).

@@ -2,17 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.graftbridge.Bridge
-import graft.expr.CosineSimilarity
+import graft.expr.{CosineSimilarity, DotProduct}
 
 /** GraftExtensions: the injected cosine_sim must resolve and evaluate in
   * plain SQL. Extensions bind at session build, so the live-session path
   * goes through Bridge.registerFunction (same builder). */
 class ExtensionsSpec extends SparkSpec {
 
-  test("GraftExtensions injects cosine_sim into the function registry") {
+  test("GraftExtensions injects cosine_sim and dot_product into the function registry") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
-    assert(Bridge.injectedFunctionNames(ext).contains("cosine_sim"))
+    val names = Bridge.injectedFunctionNames(ext)
+    assert(names.contains("cosine_sim") && names.contains("dot_product"))
   }
 
   test("cosine_sim evaluates from SQL on a live session") {
@@ -23,5 +24,12 @@ class ExtensionsSpec extends SparkSpec {
     val r2 = spark.sql(
       "SELECT cosine_sim(array(1.0d, 0.0d), array(0.0d, 5.0d)) AS c").head()
     assert(math.abs(r2.getDouble(0)) < 1e-12)
+  }
+
+  test("dot_product evaluates from SQL on a live session") {
+    Bridge.registerFunction(spark, "dot_product", args => DotProduct(args.head, args(1)))
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d").head()
+    assert(math.abs(r.getDouble(0) - 32.0) < 1e-12)
   }
 }

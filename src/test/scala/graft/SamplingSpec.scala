@@ -46,6 +46,21 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
 
+  test("takePerGroup keeps exactly k per group, whole groups when small, none at 0") {
+    val out = Sampling.takePerGroup(docs, "id", "grp", 100)
+    val byGrp = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGrp.values.forall(_ == 100), s"$byGrp")
+    // deterministic: same selection twice
+    val a = out.select("id").as[Long].collect().toSet
+    val b = Sampling.takePerGroup(docs, "id", "grp", 100).select("id").as[Long].collect().toSet
+    assert(a == b)
+    // small group keeps everything
+    val tiny = docs.filter($"id" < 3)
+    assert(Sampling.takePerGroup(tiny, "id", "grp", 100).count() == 3)
+    assert(Sampling.takePerGroup(docs, "id", "grp", 0).count() == 0)
+    intercept[IllegalArgumentException](Sampling.takePerGroup(docs, "id", "grp", -1))
+  }
+
   test("weightedMix tags sources, samples at each weight, rejects dup tags") {
     val a = docs.filter($"grp" === "g0")
     val b = docs.filter($"grp" =!= "g0")
