@@ -25,6 +25,19 @@ object Sampling {
   def bucketHash(id: Column): Column =
     pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
 
+  /** Fail-loud id validation (ANSI mode would otherwise throw mid-job on
+    * a non-numeric id): string ids must be mapped to a surrogate long
+    * first — xxhash64 keeps the sampler deterministic, at the cost of the
+    * SQL-replayable oracle property. */
+  private def requireNumericId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types.NumericType
+    val f = df.schema.find(_.name == idCol).getOrElse(
+      throw new IllegalArgumentException(s"id column '$idCol' not found"))
+    require(f.dataType.isInstanceOf[NumericType],
+      s"id column '$idCol' must be numeric (found ${f.dataType.simpleString}); " +
+        "map string ids to a surrogate long (e.g. xxhash64) first")
+  }
+
   private def threshold(frac: Double): Long = {
     require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
     math.floor(frac * 4294967296.0).toLong
@@ -33,8 +46,10 @@ object Sampling {
   /** Keep a deterministic `frac` of rows by id hash. frac=0 keeps none,
     * frac=1 keeps all; nested samples are monotone (frac a ⊆ frac b for
     * a <= b) because membership is a threshold on one hash value. */
-  def deterministicSample(df: DataFrame, idCol: String, frac: Double): DataFrame =
+  def deterministicSample(df: DataFrame, idCol: String, frac: Double): DataFrame = {
+    requireNumericId(df, idCol)
     df.filter(bucketHash(col(idCol)) < lit(threshold(frac)))
+  }
 
   /** Per-group sampling fractions (e.g. language rebalancing): groups
     * absent from `fracs` fall back to `defaultFrac`. The frac lookup is a
@@ -42,6 +57,7 @@ object Sampling {
     * stays a map-side filter with no shuffle regardless of group skew. */
   def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
       fracs: Map[String, Double], defaultFrac: Double = 0.0): DataFrame = {
+    requireNumericId(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
     fracs.values.foreach(threshold(_)) // validate early
@@ -62,6 +78,7 @@ object Sampling {
     * `deterministicSample` with frac ≈ k/n (no global sort). */
   def takePerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int): DataFrame = {
     require(k >= 0, s"k must be >= 0, got $k")
+    requireNumericId(df, idCol)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
       .orderBy(bucketHash(col(idCol)), col(idCol))

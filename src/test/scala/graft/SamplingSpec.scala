@@ -61,6 +61,37 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.takePerGroup(docs, "id", "grp", -1))
   }
 
+  test("samplers reject a non-numeric id column up front") {
+    val bad = docs.withColumn("id", concat(lit("u"), $"id"))
+    intercept[IllegalArgumentException](Sampling.deterministicSample(bad, "id", 0.5))
+    intercept[IllegalArgumentException](Sampling.stratifiedSample(bad, "id", "grp", Map("g0" -> 0.5)))
+    intercept[IllegalArgumentException](Sampling.takePerGroup(bad, "id", "grp", 5))
+    intercept[IllegalArgumentException](Sampling.deterministicSample(docs, "nope", 0.5))
+  }
+
+  test("deterministic sample + normalization compose on a stream (batch ≡ stream)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("sample_stream").toString
+    val src = graft.core.Tables.documents(spark, SparkSpec.sf0001)
+      .select("doc_id", "text")
+    src.write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def xform(df: org.apache.spark.sql.DataFrame) =
+      Sampling.deterministicSample(df, "doc_id", 0.5)
+        .select($"doc_id", graft.ext.TextStats.normalizeForDedup($"text").as("norm"))
+    val q = xform(spark.readStream.schema(schema).parquet(dir))
+      .writeStream.format("memory").queryName("sample_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sample_out").orderBy("doc_id").collect()
+      val batch = xform(spark.read.parquet(dir)).orderBy("doc_id").collect()
+      assert(streamed.length == batch.length && streamed.length > 0)
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
   test("weightedMix tags sources, samples at each weight, rejects dup tags") {
     val a = docs.filter($"grp" === "g0")
     val b = docs.filter($"grp" =!= "g0")
