@@ -877,6 +877,46 @@ object SparkEntry {
        |SELECT doc_a, doc_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
        |FROM p WHERE j >= 0.02 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Whole-LSH-pipeline probe: [[graft.ext.Dedup.minhashNearDuplicatesReplayable]]
+    * on a bounded doc window — Karp–Rabin shingle hashes, affine min-
+    * permutations, polynomial band buckets, bucket equijoin, exact-Jaccard
+    * verify — every stage replayed in DuckDB below. rowsPerBand=1
+    * (numHashes=bands=8) keeps banding sensitive at probe scale (the
+    * fixture corpus has no high-Jaccard planted pairs in this window, so
+    * the threshold sits low to keep real rows in the output); the
+    * production xxhash64 path shares the same lshCore, so a structural
+    * regression (banding, pairing, verify) breaks THIS green row. */
+  private def minhashReplayDocs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDuplicatesReplayable(
+        Tables.documents(s, dir).filter(col("doc_id") < 250),
+        numHashes = 8, bands = 8, threshold = 0.05)
+      .select(col("doc_a"), col("doc_b"), round6("jaccard"))
+
+  private def minhashReplaySql: String =
+    raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE doc_id < 250),
+       |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+       |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(toks[i:i+2], ' ')))
+       |  ELSE [array_to_string(toks, ' ')] END AS sh FROM d),
+       |u AS (SELECT doc_id, unnest(sh) AS shs FROM s),
+       |kr AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(shs)),
+       |      j -> ascii(substring(shs, j, 1))::BIGINT)),
+       |    (h, c) -> (h * 257 + c) % 1000000007) AS k FROM u),
+       |krs AS (SELECT doc_id, list_distinct(list(k)) AS ks FROM kr GROUP BY 1),
+       |mh AS (SELECT doc_id, i, min((k * (2*i + 3) + (7*i + 1)) % 1000000007) AS m
+       |  FROM kr, (SELECT unnest(range(8)) AS i) GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM mh a JOIN mh b ON a.i = b.i AND a.m = b.m AND a.doc_id < b.doc_id),
+       |ver AS (SELECT doc_a, doc_b,
+       |  len(list_intersect(x.ks, y.ks))::DOUBLE
+       |    / len(list_distinct(list_concat(x.ks, y.ks))) AS j
+       |  FROM cand JOIN krs x ON cand.doc_a = x.doc_id
+       |  JOIN krs y ON cand.doc_b = y.doc_id)
+       |SELECT doc_a, doc_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
+       |FROM ver WHERE j >= 0.05 ORDER BY doc_a, doc_b""".stripMargin
+
   /** Duplicate-cluster probe: connected components over the SAME bounded
     * exact-Jaccard pair graph as q_jaccard_pairs_docs, summarized per
     * component. DuckDB mirrors hash-min label propagation with a
@@ -1470,6 +1510,7 @@ object SparkEntry {
     "q_simhash_docs" -> simhashDocs,
     "q_jaccard_pairs_docs" -> jaccardPairsDocs,
     "q_neardup_components_docs" -> neardupComponentsDocs,
+    "q_minhash_replay_docs" -> minhashReplayDocs,
     "q_embedding_neardup_docs" -> embeddingNearDupDocs,
     "q_json_events" -> jsonEvents,
     "q_window_events" -> windowEvents,
@@ -1674,6 +1715,7 @@ object SparkEntry {
     "q_volatility_core_lineitem" -> volatilityCoreSql,
     "q_jaccard_pairs_docs" -> jaccardPairsSql,
     "q_neardup_components_docs" -> neardupComponentsSql,
+    "q_minhash_replay_docs" -> minhashReplaySql,
     "q_embedding_neardup_docs" -> embeddingNearDupSql,
     "q_regimes_core_events" -> regimesCoreSql,
     "q_embedding_norms" ->

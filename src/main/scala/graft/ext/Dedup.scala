@@ -91,8 +91,9 @@ object Dedup {
 
   /** The i-th minhash permutation aggregate: min over xxhash64(shingle, i)
     * — overflow-free under ANSI mode, one codegen'd min-aggregate per
-    * hash. SHARED by minhashSignatures and minhashNearDuplicates so the
-    * two entry points can never drift to different permutation schemes. */
+    * hash. Used by minhashSignatures; [[lshCore]] inlines the same scheme
+    * via its default xxhash64 `perm`, so the signature and near-dup entry
+    * points agree on permutations. */
   private def signatureAggs(numHashes: Int): Seq[Column] =
     (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"mh_$i"))
 
@@ -121,7 +122,52 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
+      threshold: Double = 0.5): DataFrame =
+    lshCore(shingleHashRows(docs, idCol, textCol, shingleK),
+      numHashes, bands, threshold,
+      perm = (sh, i) => xxhash64(sh, lit(i)),
+      bandBucket = mins => xxhash64(mins: _*))
+
+  /** SQL-replayable twin of [[minhashNearDuplicates]]: identical pipeline
+    * ([[lshCore]] — same banding, same bucket equijoin, same exact-Jaccard
+    * verify), with every hash swapped for plain modular arithmetic an ANSI
+    * SQL engine can replay bit-for-bit: Karp–Rabin shingle hashes (base
+    * 257 mod 1e9+7, the [[TextStats.rollingHash]] fold), affine
+    * permutations (sh·(2i+3) + (7i+1) mod p), and a polynomial band
+    * combiner. The xxhash64 path stays the hot path (no per-char array
+    * walk); this one exists so the driver can hash-verify the WHOLE LSH
+    * pipeline on a bounded probe each round (q_minhash_replay_docs) —
+    * the two can never structurally drift because they share lshCore. */
+  def minhashNearDuplicatesReplayable(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    val p = 1000000007L
+    val shRows = docs
+      .select(col(idCol).as("doc_id"),
+        explode(shingleSet(col(textCol), shingleK)).as("shs"))
+      .select(col("doc_id"), TextStats.rollingHash(col("shs")).as("sh"))
+    lshCore(shRows, numHashes, bands, threshold,
+      // sh < p and small multipliers keep every product < 2^63 (ANSI-safe)
+      perm = (sh, i) => (sh * lit(2L * i + 3L) + lit(7L * i + 1L)) % lit(p),
+      bandBucket = mins =>
+        mins.reduce((acc, m) => (acc * lit(1315423911L) + m) % lit(p)))
+  }
+
+  /** The shared LSH pipeline: per-(doc, shingle-hash) rows → `numHashes`
+    * min-permutation aggregates + the exact shingle set in ONE grouped
+    * pass → banded buckets → bucket-local candidate equijoin → exact
+    * Jaccard verify at `threshold`. Hash choices are injected so the
+    * production (xxhash64) and replayable (modular-arithmetic) paths run
+    * the same code. */
+  private def lshCore(shRows: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double,
+      perm: (Column, Int) => Column,
+      bandBucket: Seq[Column] => Column): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // ONE grouped pass computes the minhash signature AND the exact shingle
@@ -130,12 +176,13 @@ object Dedup {
     // shuffle subtree (posexplode + window lead + partial agg), Spark's
     // ReuseExchange dedupes the corpus scan and the token-stream shuffle at
     // runtime — the previous two-pipeline version paid both twice.
-    val aggs = signatureAggs(numHashes) :+ collect_set("sh").as("shset")
-    val sigsAndSets = shingleHashRows(docs, idCol, textCol, shingleK)
+    val aggs = (0 until numHashes).map(i => min(perm(col("sh"), i)).as(s"mh_$i")) :+
+      collect_set("sh").as("shset")
+    val sigsAndSets = shRows
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
-        xxhash64((bnd * rows until (bnd + 1) * rows).map(i => col(s"mh_$i")): _*).as("bucket"))
+        bandBucket((bnd * rows until (bnd + 1) * rows).map(i => col(s"mh_$i"))).as("bucket"))
     }
     val banded = sigsAndSets
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))

@@ -208,6 +208,25 @@ class DedupSpec extends SparkSpec {
     assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("replayable minhash finds planted near-dups like the xxhash64 path") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " extra tail"),
+      (3L, "totally different content body " * 8),
+      (4L, "yet another unrelated text entirely " * 8))
+      .toDF("doc_id", "text")
+    val rep = Dedup.minhashNearDuplicatesReplayable(docs, numHashes = 8, bands = 8,
+        threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(rep.contains((1L, 2L)), s"planted pair missing: $rep")
+    assert(!rep.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).nonEmpty },
+      s"unrelated docs flagged: $rep")
+    // the production path agrees on the same fixture
+    val prod = Dedup.minhashNearDuplicates(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(prod == rep, s"prod $prod vs replayable $rep")
+  }
+
   test("connectedComponents labels a path, a clique, and a disjoint pair") {
     // path 1..6 (diameter 5 — forces several propagation rounds),
     // clique {10,11,12}, disjoint edge {20,21}
