@@ -1367,6 +1367,33 @@ object SparkEntry {
       |count(DISTINCT lang) AS n_langs
       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Sequence packing per language at a 500-token budget — pack
+    * membership is pure window-cumsum arithmetic, so the oracle replays
+    * pack assignment itself, and the summary pins (count, token-sum) of
+    * every pack. */
+  private def packDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        TextStats.wsTokenCount(col("text")).as("toks"))
+    val packed = graft.ext.Packing.packByTokenBudget(
+      docs, "toks", "doc_id", capacity = 500, groupCol = Some("lang"))
+    graft.ext.Packing.packSummary(packed, "toks", Some("lang"))
+      .orderBy("lang", "pack_id")
+  }
+
+  private val packDocsSql =
+    raw"""WITH t AS (SELECT lang, doc_id,
+       |  CASE WHEN trim(text) = '' THEN 0
+       |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks
+       |  FROM documents),
+       |c AS (SELECT lang, toks,
+       |  sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS prior
+       |  FROM t)
+       |SELECT lang, CAST(floor(prior / 500) AS BIGINT) AS pack_id,
+       |count(*) AS n_docs, sum(toks)::BIGINT AS sum_tokens
+       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private def similarityQueries(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
@@ -1395,7 +1422,10 @@ object SparkEntry {
     val emb = Tables.embeddings(s, dir)
     val q = similarityQueries(s, dir)
     Similarity.withRecallAtK(
-        Similarity.ivfTopK(emb, q, k = 5, nlist = 16, nprobe = 4),
+        // trainSampleMod=2 exercises the documented scale path (train the
+        // coarse quantizer on a sample, assign the full corpus); the
+        // emitted recall column is the per-round quality gate
+        Similarity.ivfTopK(emb, q, k = 5, nlist = 16, nprobe = 4, trainSampleMod = 2),
         Similarity.bruteForceTopK(emb, q, k = 5))
       .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"),
         round6("recall_at_k"))
@@ -1535,6 +1565,7 @@ object SparkEntry {
     "q_sample_topk_docs" -> sampleTopkDocs,
     "q_mix_docs" -> mixDocs,
     "q_normalize_events" -> normalizeEvents,
+    "q_pack_docs" -> packDocs,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1752,6 +1783,7 @@ object SparkEntry {
     "q_sample_topk_docs" -> sampleTopkSql,
     "q_mix_docs" -> mixDocsSql,
     "q_normalize_events" -> normalizeEventsSql,
+    "q_pack_docs" -> packDocsSql,
     // q_dedup_minhash_docs / q_simhash_docs / q_similarity_topk_lsh /
     // q_fingerprint_docs / q_multimodal_features / q_multimodal_transform:
     // hash-seeded operators —
