@@ -223,9 +223,19 @@ object Dedup {
     * forever — for genuinely deep graphs use the large-star/small-star
     * variant, which this dedup path does not need.
     *
+    * Graphs of at most `collectThreshold` edges run union-find on the
+    * driver instead: a dedup candidate graph is MODEL-sized (edges ∝
+    * near-dup pairs found, not corpus rows — a corpus that produces a
+    * billion-edge dup graph has a bigger problem than clustering), and
+    * the BSP loop's per-round fixed cost (2 jobs × ~log2(diameter)
+    * rounds) dwarfs a one-pass path-compressed union-find on anything
+    * that fits in driver memory. Both paths produce the identical
+    * min-id labeling; set `collectThreshold = 0` to force BSP.
+    *
     * Returns (id, component) for every vertex present in `pairs`. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+      bCol: String = "doc_b", maxIter: Int = 20,
+      collectThreshold: Long = 1000000L): DataFrame = {
     // Iterative plans MUST truncate lineage every round: `labels` appears
     // more than once per iteration's plan, so without truncation the
     // logical tree doubles each round (exponential — the plan PRINTER
@@ -238,6 +248,7 @@ object Dedup {
     val fwd = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .localCheckpoint(true)
     val nEdges = fwd.count()
+    if (nEdges <= collectThreshold) return unionFindLocal(fwd)
     // right-size the iteration frames: label/edge tables are graph-sized,
     // not corpus-sized, and a small graph spread over the session's default
     // shuffle partitioning pays ~all its time in empty-task scheduling
@@ -281,6 +292,35 @@ object Dedup {
       it += 1
     }
     labels.select(col("v").as("id"), col("comp").as("component"))
+  }
+
+  /** Driver-side union-find with path compression + union-by-min: the
+    * small-graph fast path of [[connectedComponents]]. Representative =
+    * minimum id in the set, matching the BSP labeling exactly. */
+  private def unionFindLocal(fwd: DataFrame): DataFrame = {
+    val spark = fwd.sparkSession
+    import spark.implicits._
+    val edges = fwd.select(col("a"), col("b")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent(root) != root) root = parent(root)
+      var cur = x
+      while (parent(cur) != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // union by min so the representative IS the component minimum
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.sorted
+      .map(v => (v, find(v)))
+      .toDF("id", "component")
   }
 
   /** Near-dup dedup end-to-end: banded-LSH candidate pairs → exact-Jaccard

@@ -244,13 +244,19 @@ class DedupSpec extends SparkSpec {
       pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
     assert(flipped == comps)
+    // the distributed BSP path (collectThreshold = 0) labels identically
+    val bsp = Dedup.connectedComponents(pairs, collectThreshold = 0L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(bsp == comps)
   }
 
-  test("connectedComponents fail-louds past maxIter instead of looping") {
+  test("connectedComponents BSP path fail-louds past maxIter instead of looping") {
     val chain = (1L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chain, maxIter = 3).collect()
+      Dedup.connectedComponents(chain, maxIter = 3, collectThreshold = 0L).collect()
     }
+    // the driver union-find path has no iteration bound to hit
+    assert(Dedup.connectedComponents(chain).filter($"component" === 1L).count() == 30)
   }
 
   test("dropNearDuplicates keeps one representative per near-dup cluster") {
