@@ -1506,6 +1506,21 @@ object SparkEntry {
       .orderBy("format")
   }
 
+  /** Multimodal → ANN composition: luminance-embed the synthetic images,
+    * then brute-force image near-dup search over the SAME top-k operator
+    * the text embeddings use. Self-match at rank 1 with cosine 1 is the
+    * structural invariant (asserted in TextExtSpec); rows-only here —
+    * DuckDB can't decode PNGs. */
+  private def multimodalEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(
+      Tables.documents(s, dir).filter(col("doc_id") < 60), "doc_id", "text")
+    val emb = Multimodal.imageEmbeddings(media, grid = 8)
+    val q = emb.filter(col("vec_id") < 9)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    Similarity.bruteForceTopK(emb, q, k = 3)
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
+  }
+
   // ---- registry -----------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1559,6 +1574,7 @@ object SparkEntry {
     "q_embedding_norms" -> embeddingNormsEmbeddings,
     "q_multimodal_features" -> multimodalFeatures,
     "q_multimodal_transform" -> multimodalTransform,
+    "q_multimodal_embedding" -> multimodalEmbedding,
     "q_salted_join_lineitem" -> saltedJoinLineitem,
     "q_sample_docs" -> sampleDocs,
     "q_sample_stratified_docs" -> sampleStratifiedDocs,

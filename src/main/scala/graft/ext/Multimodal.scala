@@ -342,10 +342,38 @@ object Multimodal {
       * isn't a decodable single image. */
     def resizeImage(b: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
       if (b == null || !looksLikeImage(b)) return None
+      resizeRaster(b, outW, outH).map(Multimodal.pngBytesOf)
+    }
+
+    /** Fixed-dimension luminance embedding of a still image: decode →
+      * bilinear scale to grid×grid → row-major BT.601 luma vector in
+      * [0,1]. None for non-image / undecodable payloads. */
+    def imageEmbedding(b: Array[Byte], grid: Int): Option[Array[Float]] = {
+      if (b == null || !looksLikeImage(b)) return None
+      resizeRaster(b, grid, grid).map { im =>
+        val out = new Array[Float](grid * grid)
+        var y = 0
+        while (y < grid) {
+          var x = 0
+          while (x < grid) {
+            val rgb = im.getRGB(x, y)
+            val r = ((rgb >> 16) & 0xFF) / 255.0
+            val g = ((rgb >> 8) & 0xFF) / 255.0
+            val bl = (rgb & 0xFF) / 255.0
+            out(y * grid + x) = (0.299 * r + 0.587 * g + 0.114 * bl).toFloat
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    }
+
+    private def resizeRaster(b: Array[Byte], outW: Int, outH: Int): Option[BufferedImage] = {
       val src =
         try {
           val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(b))
-          val im = ImageIO.read(iis) // closes iis on success
+          val im = ImageIO.read(iis)
           if (im == null) { try iis.close() catch { case _: java.io.IOException => () } }
           Option(im)
         } catch { case _: java.io.IOException => None }
@@ -357,7 +385,7 @@ object Multimodal {
             java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
           g.drawImage(im, 0, 0, outW, outH, null)
         } finally g.dispose()
-        Multimodal.pngBytesOf(out)
+        out
       }
     }
 
@@ -541,6 +569,25 @@ object Multimodal {
         when(isVid,
           ceil(col("meta.n_frames").cast("double") / stride).cast("int"))
           .otherwise(col("meta.n_frames")).as("n_frames")).as("meta"))
+  }
+
+  /** Fixed-dimension luminance embeddings for image rows: real decode →
+    * bilinear scale to grid×grid → row-major luma vector in [0,1],
+    * emitted as `embedding: array<float>` so the column plugs straight
+    * into [[Similarity.bruteForceTopK]]/[[Similarity.lshTopK]]/
+    * [[Similarity.ivfTopK]] — image near-dup search over the same ANN
+    * operators as text embeddings. Non-image / undecodable rows are
+    * dropped (an all-null embedding has no cosine). Partition-parallel,
+    * one grid×grid raster in flight per row. */
+  def imageEmbeddings(media: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 1 && grid <= 64, s"grid must be in [1,64], got $grid")
+    val kernel = udf { (bytes: Array[Byte]) =>
+      MediaKernels.imageEmbedding(bytes, grid)
+    }
+    media
+      .filter(col("meta.format") === "img")
+      .select(col("media_id").as("vec_id"), kernel(col("media")).as("embedding"))
+      .filter(col("embedding").isNotNull)
   }
 
   /** Deterministic frame sampling plan for video rows: every `stride`-th

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Multimodal, TextStats}
+import graft.ext.{Multimodal, Similarity, TextStats}
 import graft.streaming.StreamOps
 
 class TextExtSpec extends SparkSpec {
@@ -103,6 +103,39 @@ class TextExtSpec extends SparkSpec {
     val overlapAC = r(1L).intersect(r(3L)).size.toDouble / r(1L).size
     assert(overlapAB > 0.7, s"AB $overlapAB")
     assert(overlapAC < 0.1, s"AC $overlapAC")
+  }
+
+  test("multimodal: image embeddings decode to grid luma vectors and feed ANN") {
+    val docs = (1L to 24L).map(i => (i, s"seed text $i")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val emb = Multimodal.imageEmbeddings(media, grid = 4)
+    val rows = emb.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    assert(rows.nonEmpty)
+    // only image rows embed, vectors are grid^2 lumas in [0,1]
+    val imgIds = media.filter($"meta.format" === "img")
+      .select("media_id").as[Long].collect().toSet
+    assert(rows.keySet == imgIds)
+    rows.values.foreach { v =>
+      assert(v.length == 16)
+      assert(v.forall(x => x >= 0f && x <= 1f))
+      assert(v.distinct.length > 1, "degenerate flat embedding")
+    }
+    // determinism: re-embedding yields identical vectors
+    val again = Multimodal.imageEmbeddings(media, grid = 4).collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    assert(rows.keySet == again.keySet)
+    rows.foreach { case (k, v) => assert(v.sameElements(again(k))) }
+    // composition with the ANN operator: every query's rank-1 is itself
+    val q = emb.limit(3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_emb"))
+    val top = Similarity.bruteForceTopK(emb, q, k = 2)
+      .filter($"rank" === 1)
+      .select("query_id", "vec_id", "cos").collect()
+    top.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
   }
 
   test("multimodal: synthetic media round-trips through the decoder") {
