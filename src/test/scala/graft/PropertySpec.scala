@@ -23,6 +23,58 @@ class PropertySpec extends SparkSpec {
   private val series = Gen.choose(25, 80).flatMap(n =>
     Gen.listOfN(n, Gen.choose(-50.0, 50.0)).map(_.toArray))
 
+  /** Local mirror of Sampling.bucketHash / threshold — the formulas the
+    * DuckDB oracles replay. */
+  private def localHash(id: Long): Long =
+    (((id % 2147483648L) + 2147483648L) % 2147483648L) * 2654435761L % 4294967296L
+  private def localThreshold(frac: Double): Long =
+    math.floor(frac * 4294967296.0).toLong
+
+  test("sampling membership: monotone in frac, exact at endpoints, mirrors the Column") {
+    val gen = for {
+      id <- Gen.choose(0L, 4000000000L)
+      f1 <- Gen.choose(0.0, 1.0)
+      f2 <- Gen.choose(0.0, 1.0)
+    } yield (id, math.min(f1, f2), math.max(f1, f2))
+    forAll(gen, 300) { case (id, lo, hi) =>
+      val h = localHash(id)
+      assert(h >= 0 && h < 4294967296L)
+      // monotone: membership at lo implies membership at hi
+      if (h < localThreshold(lo)) assert(h < localThreshold(hi))
+      assert(h >= localThreshold(0.0))
+      assert(h < localThreshold(1.0))
+    }
+    // the local mirror IS the Column expression (one job, many ids)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ids = (0 until 200).map(i => i * 7919L + 13L)
+    val fromCol = ids.toDF("id")
+      .select(col("id"), graft.ext.Sampling.bucketHash(col("id")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    ids.foreach(id => assert(fromCol(id) == localHash(id), s"id $id"))
+  }
+
+  test("packing: pack ids contiguous from 0; budget holds below the last doc") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      toks <- Gen.listOfN(n, Gen.choose(1L, 400L))
+      cap <- Gen.choose(50L, 1000L)
+    } yield (toks, cap)
+    forAll(gen, 200) { case (toks, cap) =>
+      val priors = toks.scanLeft(0L)(_ + _).init
+      val packs = priors.map(p => p / cap)
+      // starts at 0 and never goes backwards (a doc larger than the
+      // capacity legitimately skips pack ids)
+      assert(packs.head == 0L)
+      assert(packs.zip(packs.tail).forall { case (a, b) => b >= a })
+      // budget: a pack's tokens minus its last doc fit inside capacity
+      toks.zip(packs).groupBy(_._2).values.foreach { grp =>
+        val total = grp.map(_._1).sum
+        assert(total - grp.last._1 < cap, s"cap $cap grp $grp")
+      }
+    }
+  }
+
   test("weighted bins: mass conservation and bounded averages") {
     val gen = for {
       n <- Gen.choose(3, 30)
