@@ -917,6 +917,40 @@ object SparkEntry {
        |SELECT doc_a, doc_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
        |FROM ver WHERE j >= 0.05 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** SimHash arithmetic probe: replayable fingerprints on a bounded doc
+    * window, emitted as all pairwise Hamming distances — DuckDB recomputes
+    * every vote bit from the Karp–Rabin parity scheme and counts bit
+    * disagreements without ever packing a 64-bit word (bit 63 would
+    * overflow signed BIGINT), while Spark packs and uses
+    * bit_count(a XOR b). Agreement pins the vote sum, the sign
+    * convention (ties → 0), and the bit packing in one row set. */
+  private def simhashReplayDocs(s: SparkSession, dir: String): DataFrame = {
+    val fp = Dedup.simhashReplayable(
+      Tables.documents(s, dir).filter(col("doc_id") < 40))
+    fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def simhashReplaySql: String =
+    raw"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+       |  FROM documents WHERE doc_id < 40),
+       |kr AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(t)),
+       |      c -> ascii(substring(t, c, 1))::BIGINT)),
+       |    (h, c) -> (h * 257 + c) % 1000000007) AS k FROM tok),
+       |votes AS (SELECT doc_id, j,
+       |    sum(CASE WHEN (k * ((2654435761 * (j + 1)) % 1000000007)) % 1000000007
+       |      > 500000003 THEN 1 ELSE -1 END) AS v
+       |  FROM kr, (SELECT unnest(range(64)) AS j) GROUP BY 1, 2),
+       |bits AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes),
+       |h AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)::BIGINT AS hamming
+       |  FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, hamming FROM h ORDER BY doc_a, doc_b""".stripMargin
+
   /** Duplicate-cluster probe: connected components over the SAME bounded
     * exact-Jaccard pair graph as q_jaccard_pairs_docs, summarized per
     * component. DuckDB mirrors hash-min label propagation with a
@@ -1556,6 +1590,7 @@ object SparkEntry {
     "q_jaccard_pairs_docs" -> jaccardPairsDocs,
     "q_neardup_components_docs" -> neardupComponentsDocs,
     "q_minhash_replay_docs" -> minhashReplayDocs,
+    "q_simhash_replay_docs" -> simhashReplayDocs,
     "q_embedding_neardup_docs" -> embeddingNearDupDocs,
     "q_json_events" -> jsonEvents,
     "q_window_events" -> windowEvents,
@@ -1763,6 +1798,7 @@ object SparkEntry {
     "q_jaccard_pairs_docs" -> jaccardPairsSql,
     "q_neardup_components_docs" -> neardupComponentsSql,
     "q_minhash_replay_docs" -> minhashReplaySql,
+    "q_simhash_replay_docs" -> simhashReplaySql,
     "q_embedding_neardup_docs" -> embeddingNearDupSql,
     "q_regimes_core_events" -> regimesCoreSql,
     "q_embedding_norms" ->

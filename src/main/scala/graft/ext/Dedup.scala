@@ -389,6 +389,34 @@ object Dedup {
       .agg(agg(col("h")).as("simhash"))
   }
 
+  /** SQL-replayable SimHash twin: the identical vote/sign pipeline through
+    * the SAME [[SimHashAgg]], with each token's 64 vote bits derived from
+    * modular arithmetic instead of xxhash64's bits — bit j is the
+    * top-half test of a per-j multiplicative mix of the token's
+    * Karp–Rabin hash ((k·A_j mod p) > p/2; a parity-of-affine bit is too
+    * linear in k and the bits correlate), assembled into one long so the
+    * aggregator is shared verbatim. An ANSI SQL engine replays
+    * fingerprint bits and pairwise Hamming distances exactly
+    * (q_simhash_replay_docs), pinning the vote arithmetic and sign
+    * convention the production path shares. */
+  def simhashReplayable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val p = 1000000007L
+    val agg = udaf(new SimHashAgg)
+    val kr = TextStats.rollingHash(col("tok"))
+    val assembled = (0 until 64).map { j =>
+      val aj = 2654435761L * (j + 1) % p
+      // k < p and A_j < p keep k·A_j < 2^63 — ANSI-safe
+      shiftleft(when(pmod(kr * lit(aj), lit(p)) > lit(p / 2), lit(1L))
+        .otherwise(lit(0L)), j)
+    }.reduce(_.bitwiseOR(_))
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", assembled)
+      .groupBy("doc_id")
+      .agg(agg(col("h")).as("simhash"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
     * via 16-bit band pigeonholing (any pair within distance ≤ 3 shares at
     * least one of 4 bands). */

@@ -227,6 +227,21 @@ class DedupSpec extends SparkSpec {
     assert(prod == rep, s"prod $prod vs replayable $rep")
   }
 
+  test("replayable simhash: identical docs distance 0, near docs closer than unrelated") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base + " tail word extra"),
+      (4L, "entirely different vocabulary everywhere " * 6))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simhashReplayable(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(ham(1L, 2L) == 0)
+    assert(ham(1L, 3L) < ham(1L, 4L),
+      s"near ${ham(1L, 3L)} !< far ${ham(1L, 4L)}")
+    assert(ham(1L, 3L) <= 12)
+  }
+
   test("connectedComponents labels a path, a clique, and a disjoint pair") {
     // path 1..6 (diameter 5 — forces several propagation rounds),
     // clique {10,11,12}, disjoint edge {20,21}
