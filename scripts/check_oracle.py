@@ -42,6 +42,19 @@ for name in sorted(oracle):
         print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
         ok = False
     else:
+        # Driver-faithful: the driver hashes TYPED values, so an int64 spark
+        # column vs a float64/object oracle column hash-mismatches even when
+        # every value compares equal (this is exactly how q_session_events
+        # stayed red for two rounds while this mirror said PASS).  Compare
+        # dtype KIND per column: int-vs-float, numeric-vs-object etc. = FAIL.
+        for c in got.columns:
+            ka, kb = got[c].dtype.kind, want[c].dtype.kind
+            # normalize int flavors (i/u) together; datetimes (M) together
+            norm = lambda k: {"u": "i"}.get(k, k)
+            if norm(ka) != norm(kb):
+                print(f"FAIL {name}.{c}: dtype {got[c].dtype} (spark) vs "
+                      f"{want[c].dtype} (oracle) — driver hash would diverge")
+                ok = False
         for c in got.columns:
             a, b = got[c], want[c]
             if a.dtype.kind == "f" or b.dtype.kind == "f":

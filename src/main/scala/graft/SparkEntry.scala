@@ -1332,7 +1332,7 @@ object SparkEntry {
     "((doc_id % 2147483648) * 2654435761) % 4294967296"
 
   private val sampleDocsSql =
-    s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
+    s"""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM documents
       |WHERE $sampleHashSql < CAST(floor(0.5 * 4294967296) AS BIGINT)
@@ -1346,7 +1346,7 @@ object SparkEntry {
       .orderBy("lang")
 
   private val sampleStratifiedSql =
-    s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+    s"""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents
       |WHERE $sampleHashSql < CASE lang
       |  WHEN 'en' THEN CAST(floor(0.25 * 4294967296) AS BIGINT)
@@ -1397,7 +1397,7 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT 'rest_half' AS mix_source, n_chars, lang FROM documents
       |    WHERE lang NOT IN ('en', 'zh') AND $sampleHashSql < CAST(floor(0.5 * 4294967296) AS BIGINT))
-      |SELECT mix_source, count(*) AS n, sum(n_chars) AS sum_chars,
+      |SELECT mix_source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |count(DISTINCT lang) AS n_langs
       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -1819,7 +1819,7 @@ object SparkEntry {
         |sess AS (SELECT event_type, sid, count(*) AS n, sum(value) AS sv,
         |  epoch_us(min(ts)) AS st, epoch_us(max(ts)) + 1800000000 AS en
         |  FROM sid GROUP BY 1, 2)
-        |SELECT event_type, count(*) AS n_sessions, sum(n) AS n_events, max(n) AS max_session_n,
+        |SELECT event_type, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events, max(n) AS max_session_n,
         |floor((sum(en - st) / (count(*) * 1e6)) * 1e6 + 0.5) / 1e6 AS avg_session_sec,
         |sum(cast(round(sv * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
