@@ -473,6 +473,60 @@ object SparkEntry {
        |FROM pick p JOIN t0 USING (group_key) JOIN t1 USING (group_key)
        |ORDER BY group_key""".stripMargin
 
+  /** K2 core probe: the DETRENDED ('ct') KPSS branch at pinned Bartlett
+    * bandwidth 4 — the one unit-root path q_unitroot_events doesn't
+    * oracle (its KPSS is demeaned 'c' with automatic bandwidth). Runs the
+    * production `kpss` kernel via `nlagsOverride`; emits the statistic
+    * AND the table-interpolated p, so the published-table interpolation
+    * with its natural [0.01, 0.10] clipping is oracled too. */
+  private def kpssCoreEvents(s: SparkSession, dir: String): DataFrame = {
+    val melted = Panel.melt(eventsDailyPanel(s, dir), "date", Seq("group_key"), Seq("value"))
+    UnitRoots.kpssCtStats(melted, nlags = 4)
+      .select(col("group_key"), col("feature"),
+        round6("kpss_ct_stat"), round6("kpss_ct_p"))
+      .orderBy("group_key")
+  }
+
+  /** DuckDB mirror of kpssCoreEvents: OLS-on-(1,t) residuals per group
+    * (closed-form covariance algebra), Bartlett long-run variance at
+    * fixed lag 4 (weights 1 − i/5), partial-sum eta / n², and the
+    * piecewise-linear published-table p clipped at the table ends. */
+  private def kpssCoreSql: String =
+    s"""WITH panel AS ($evPanelSql),
+       |d AS (SELECT group_key, value,
+       |  row_number() OVER (PARTITION BY group_key ORDER BY date) AS t,
+       |  count(*) OVER (PARTITION BY group_key) AS n FROM panel),
+       |ols AS (SELECT group_key,
+       |  covar_pop(t, value) / var_pop(t) AS beta,
+       |  avg(value) - covar_pop(t, value) / var_pop(t) * avg(t) AS alpha
+       |  FROM d GROUP BY 1),
+       |r AS (SELECT d.group_key, d.t, d.n,
+       |  d.value - ols.alpha - ols.beta * d.t AS r
+       |  FROM d JOIN ols USING (group_key)),
+       |dots AS (SELECT a.group_key, a.t - b.t AS i, sum(a.r * b.r) AS dot
+       |  FROM r a JOIN r b ON a.group_key = b.group_key
+       |    AND a.t > b.t AND a.t - b.t <= 4
+       |  GROUP BY 1, 2),
+       |base AS (SELECT group_key, max(n) AS n, sum(r * r) AS rr FROM r GROUP BY 1),
+       |lrv AS (SELECT b.group_key, b.n,
+       |  (b.rr + coalesce(sum(2.0 * d.dot * (1.0 - d.i / 5.0)), 0)) / b.n AS lrv
+       |  FROM base b LEFT JOIN dots d USING (group_key) GROUP BY 1, 2, b.rr),
+       |et AS (SELECT group_key, sum(cum * cum) AS etasum FROM
+       |  (SELECT group_key, sum(r) OVER (PARTITION BY group_key ORDER BY t
+       |     ROWS UNBOUNDED PRECEDING) AS cum FROM r) GROUP BY 1),
+       |kp AS (SELECT l.group_key,
+       |  (e.etasum / (CAST(l.n AS DOUBLE) * l.n)) / l.lrv AS stat
+       |  FROM lrv l JOIN et e USING (group_key))
+       |SELECT group_key, 'value' AS feature,
+       |floor(stat * 1e6 + 0.5) / 1e6 AS kpss_ct_stat,
+       |floor((CASE WHEN stat <= 0.119 THEN 0.10
+       |  WHEN stat >= 0.216 THEN 0.01
+       |  WHEN stat < 0.146 THEN 0.10 + (0.05 - 0.10) * (stat - 0.119) / (0.146 - 0.119)
+       |  WHEN stat < 0.176 THEN 0.05 + (0.025 - 0.05) * (stat - 0.146) / (0.176 - 0.146)
+       |  ELSE 0.025 + (0.01 - 0.025) * (stat - 0.176) / (0.216 - 0.176) END) * 1e6 + 0.5) / 1e6
+       |  AS kpss_ct_p
+       |FROM kp ORDER BY group_key""".stripMargin
+
   // ---- K6/K7: cointegration + granger kernels (no SQL oracle) -------------
 
   private def crossfeatureLineitem(s: SparkSession, dir: String): DataFrame =
@@ -1573,6 +1627,7 @@ object SparkEntry {
     "q_stationarity_events" -> stationarityEvents,
     "q_unitroot_events" -> unitrootEvents,
     "q_adf_autolag_events" -> adfAutolagEvents,
+    "q_kpss_core_events" -> kpssCoreEvents,
     "q_frequency_events" -> frequencyEvents,
     "q_frequency_lineitem" -> frequencyLineitem,
     "q_crossfeature_lineitem" -> crossfeatureLineitem,
@@ -1794,6 +1849,7 @@ object SparkEntry {
     "q_unitroot_events" -> unitrootSql,
     "q_crossfeature_core_lineitem" -> crossfeatureCoreSql,
     "q_adf_autolag_events" -> adfAutolagSql,
+    "q_kpss_core_events" -> kpssCoreSql,
     "q_volatility_core_lineitem" -> volatilityCoreSql,
     "q_jaccard_pairs_docs" -> jaccardPairsSql,
     "q_neardup_components_docs" -> neardupComponentsSql,

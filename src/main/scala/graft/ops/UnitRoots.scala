@@ -73,9 +73,13 @@ object UnitRoots {
     (stat, p, bestLag)
   }
 
-  /** KPSS statistic, table-interpolated p, and the automatic Bartlett
-    * bandwidth actually used. regression ∈ {"c","ct"}. */
-  def kpss(x: Array[Double], regression: String = "c"): (Double, Double, Int) = {
+  /** KPSS statistic, table-interpolated p, and the Bartlett bandwidth
+    * actually used. regression ∈ {"c","ct"}. `nlagsOverride` pins the
+    * bandwidth (SQL-oracle-friendly: a fixed-lag Bartlett long-run
+    * variance is closed-form covariance algebra); default is the Hobijn
+    * et al. automatic rule. */
+  def kpss(x: Array[Double], regression: String = "c",
+      nlagsOverride: Option[Int] = None): (Double, Double, Int) = {
     val n = x.length
     val resids: Array[Double] =
       if (regression == "ct") {
@@ -86,24 +90,30 @@ object UnitRoots {
         x.map(_ - mu)
       }
 
-    // Hobijn et al. automatic bandwidth
-    val covlags = math.pow(n, 2.0 / 9.0).toInt
-    var s0 = resids.map(r => r * r).sum / n
-    var s1 = 0.0
-    var i = 1
-    while (i <= covlags) {
-      val rp = Stats.dot(resids.drop(i), resids, n - i) / (n / 2.0)
-      s0 += rp
-      s1 += i * rp
-      i += 1
+    // Hobijn et al. automatic bandwidth (unless pinned by the caller)
+    val nlags = nlagsOverride match {
+      case Some(l) =>
+        require(l >= 0 && l < n, s"nlags must be in [0, n), got $l for n=$n")
+        l
+      case None =>
+        val covlags = math.pow(n, 2.0 / 9.0).toInt
+        var s0 = resids.map(r => r * r).sum / n
+        var s1 = 0.0
+        var i = 1
+        while (i <= covlags) {
+          val rp = Stats.dot(resids.drop(i), resids, n - i) / (n / 2.0)
+          s0 += rp
+          s1 += i * rp
+          i += 1
+        }
+        val sHat = s1 / s0
+        val gammaHat = 1.1447 * math.pow(sHat * sHat, 1.0 / 3.0)
+        math.min((gammaHat * math.pow(n, 1.0 / 3.0)).toInt, n - 1)
     }
-    val sHat = s1 / s0
-    val gammaHat = 1.1447 * math.pow(sHat * sHat, 1.0 / 3.0)
-    val nlags = math.min((gammaHat * math.pow(n, 1.0 / 3.0)).toInt, n - 1)
 
     // Bartlett-weighted long-run variance + statistic
     var lrv = resids.map(r => r * r).sum
-    i = 1
+    var i = 1
     while (i <= nlags) {
       lrv += 2.0 * Stats.dot(resids.drop(i), resids, n - i) * (1.0 - i / (nlags + 1.0))
       i += 1
@@ -154,6 +164,45 @@ object UnitRoots {
             try { val (s, _, _) = adfuller(x, "c", maxlagOverride = Some(0)); Some(s) }
             catch { case _: Throwable => None }
           Iterator.single(UnitRootStatRow(g, f, ks, kl, as))
+        }
+      }
+      .toDF()
+      .orderBy("feature", "group_key")
+  }
+
+  case class KpssCtRow(
+      group_key: String,
+      feature: String,
+      kpss_ct_stat: Option[Double],
+      kpss_ct_p: Option[Double])
+
+  /** K2 hard-oracle probe of the DETRENDED ('ct') KPSS branch at a pinned
+    * Bartlett bandwidth — the one unit-root path `unitRootStats` doesn't
+    * oracle (its KPSS is the demeaned 'c' variant with automatic
+    * bandwidth). With nlags fixed, every piece is closed-form covariance
+    * algebra a DuckDB oracle can replay: OLS-on-(1,t) residuals, the
+    * Bartlett-weighted long-run variance, the partial-sum eta statistic,
+    * and the published-table linear interpolation for p (naturally clipped
+    * to [0.01, 0.10]). Runs through the same `kpss` kernel code path via
+    * `nlagsOverride`, so greening this row pins the production code.
+    * Reference semantics: time_series_study.py:212-214. */
+  def kpssCtStats(melted: DataFrame, nlags: Int = 4, minLen: Int = 10): DataFrame = {
+    val ss = melted.sparkSession
+    import ss.implicits._
+    melted
+      .filter(Panel.finite(col("value")))
+      .select("group_key", "feature", "date", "value")
+      .as[(String, String, java.sql.Timestamp, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, java.sql.Timestamp, Double)]) =>
+        val (g, f) = key
+        val x = it.toArray.sortBy(r => (r._3.getTime, r._4)).map(_._4)
+        if (x.length < minLen) Iterator.empty
+        else {
+          val (st, p) =
+            try { val (s, pv, _) = kpss(x, "ct", nlagsOverride = Some(nlags)); (Some(s), Some(pv)) }
+            catch { case _: Throwable => (None, None) }
+          Iterator.single(KpssCtRow(g, f, st, p))
         }
       }
       .toDF()

@@ -151,6 +151,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kpss nlagsOverride pins the bandwidth without changing the arithmetic") {
+    forAll(series) { x =>
+      whenever(x.length >= 25 && x.distinct.length > 2) {
+        for (reg <- Seq("c", "ct")) {
+          val (s0, p0, l0) = UnitRoots.kpss(x, reg)
+          val (s1, p1, l1) = UnitRoots.kpss(x, reg, nlagsOverride = Some(l0))
+          assert(l1 == l0 && s1 == s0 && p1 == p0,
+            s"$reg: override at auto bandwidth $l0 diverged: $s1 vs $s0")
+        }
+      }
+    }
+  }
+
   test("periodogram: power non-negative, detrended sine peaks at its frequency") {
     forAll(Gen.choose(4, 12)) { period =>
       val n = 96
