@@ -1490,6 +1490,43 @@ object SparkEntry {
     Similarity.bruteForceTopK(Tables.embeddings(s, dir), similarityQueries(s, dir), k = 5)
       .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
 
+  /** Whole-ANN-pipeline probe: [[graft.ext.Similarity.lshTopKReplayable]] —
+    * the production lshTopK pipeline (same bucketing expression, bits+1
+    * multiprobe, no-distinct candidate equijoin, k-capped TopKAgg ranking)
+    * with integer-arithmetic hyperplanes the oracle regenerates from two
+    * loop indices. DuckDB replays bucket assignment (sequential
+    * list_reduce fold — the same left-to-right IEEE dot product as the
+    * codegen'd DotProduct expression, so every sign decision matches),
+    * multiprobe, cosine, and (cos desc, vec_id) ranking. */
+  private def lshReplayTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopKReplayable(Tables.embeddings(s, dir), similarityQueries(s, dir), k = 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
+
+  private def lshReplaySql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |b AS (SELECT vec_id, j,
+      |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(range(1, 65), i -> emb[i] *
+      |        CAST((2654435761 * (j * 64 + i) + 97) % 1000000007 - 500000003 AS DOUBLE))),
+      |    (acc, x) -> acc + x) > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END AS bit
+      |  FROM e, (SELECT unnest(range(10)) AS j)),
+      |buck AS (SELECT vec_id, sum(bit)::BIGINT AS bucket FROM b GROUP BY 1),
+      |data AS (SELECT e.vec_id, e.emb, buck.bucket FROM e JOIN buck USING (vec_id)),
+      |q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket
+      |  FROM data WHERE vec_id < 3),
+      |probes AS (SELECT query_id, qemb,
+      |    CASE WHEN p = 10 THEN qbucket
+      |         ELSE xor(qbucket, (1::BIGINT << p)) END AS bucket
+      |  FROM q, (SELECT unnest(range(11)) AS p)),
+      |sc AS (SELECT probes.query_id, data.vec_id,
+      |    list_cosine_similarity(data.emb, probes.qemb) AS cos
+      |  FROM probes JOIN data USING (bucket)),
+      |r AS (SELECT query_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM sc WHERE vec_id IS NOT NULL AND cos IS NOT NULL AND NOT isnan(cos))
+      |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** The approximate ANN paths emit recall@k vs the brute-force result on
     * the same (bounded) query probe, so the driver tracks approximation
     * quality per round even though the hash-seeded outputs can't be
@@ -1660,6 +1697,7 @@ object SparkEntry {
     "q_fingerprint_rolling_docs" -> fingerprintRollingDocs,
     "q_similarity_topk_brute" -> similarityTopkBrute,
     "q_similarity_topk_lsh" -> similarityTopkLsh,
+    "q_lsh_replay_topk" -> lshReplayTopk,
     "q_similarity_topk_ivf" -> similarityTopkIvf,
     "q_embedding_norms" -> embeddingNormsEmbeddings,
     "q_multimodal_features" -> multimodalFeatures,
@@ -1854,6 +1892,7 @@ object SparkEntry {
     "q_jaccard_pairs_docs" -> jaccardPairsSql,
     "q_neardup_components_docs" -> neardupComponentsSql,
     "q_minhash_replay_docs" -> minhashReplaySql,
+    "q_lsh_replay_topk" -> lshReplaySql,
     "q_simhash_replay_docs" -> simhashReplaySql,
     "q_embedding_neardup_docs" -> embeddingNearDupSql,
     "q_regimes_core_events" -> regimesCoreSql,

@@ -223,7 +223,12 @@ object Similarity {
   }
 
   /** Approximate top-k: sign-LSH buckets with 1-bit multiprobe. Recall is
-    * validated against the brute-force baseline in SimilaritySpec. */
+    * validated against the brute-force baseline in SimilaritySpec.
+    *
+    * Precondition: `idCol` values must be unique in `embeddings` — the
+    * no-distinct candidate generation below counts on each vector living
+    * in exactly one bucket, so duplicate ids yield duplicate (query, vec)
+    * candidates (and duplicate top-k rows). */
   def lshTopK(
       embeddings: DataFrame,
       queries: DataFrame,
@@ -234,9 +239,54 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       queryIdCol: String = "query_id",
-      queryEmbCol: String = "query_emb"): DataFrame = {
+      queryEmbCol: String = "query_emb"): DataFrame =
+    lshTopKWithPlanes(embeddings, queries, k, Dedup.hyperplanes(dim, bits, seed),
+      idCol, embCol, queryIdCol, queryEmbCol)
+
+  /** Deterministic INTEGER-coordinate hyperplanes for the replayable twin:
+    * plane(j)(i) = ((2654435761·(j·dim + i + 1) + 97) mod 1000000007) −
+    * 500000003, exact in a double (< 2^53), so a SQL engine can regenerate
+    * the planes from two loop indices with BIGINT arithmetic and every
+    * sign decision replays bit-for-bit (the dot product is the same
+    * left-to-right IEEE double fold on both sides). Quality-wise the
+    * coordinates are uniform on [−5e8, 5e8] — random-projection LSH only
+    * needs symmetric direction sampling, not Gaussian coordinates. */
+  private[ext] def integerPlanes(dim: Int, bits: Int): Array[Array[Double]] =
+    Array.tabulate(bits)(j => Array.tabulate(dim)(i =>
+      ((2654435761L * (j.toLong * dim + i + 1) + 97L) % 1000000007L - 500000003L).toDouble))
+
+  /** SQL-replayable twin of [[lshTopK]] (the minhash/simhash twin recipe
+    * applied to ANN): the IDENTICAL pipeline — same bucketing expression,
+    * same bits+1 multiprobe, same no-distinct candidate equijoin, same
+    * k-capped [[TopKAgg]] ranking — through [[lshTopKWithPlanes]], with
+    * [[integerPlanes]] instead of seeded Gaussian planes so an oracle can
+    * replay bucket assignment, cosine, and rank exactly. A structural
+    * regression in the production path (bucketing, probing, ranking)
+    * breaks this query's green row. */
+  def lshTopKReplayable(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int = 64,
+      bits: Int = 10,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_emb"): DataFrame =
+    lshTopKWithPlanes(embeddings, queries, k, integerPlanes(dim, bits),
+      idCol, embCol, queryIdCol, queryEmbCol)
+
+  private def lshTopKWithPlanes(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      planes: Array[Array[Double]],
+      idCol: String,
+      embCol: String,
+      queryIdCol: String,
+      queryEmbCol: String): DataFrame = {
     requireNumericId(embeddings, idCol)
-    val planes = Dedup.hyperplanes(dim, bits, seed)
+    val bits = planes.length
     val data = embeddings.select(
       col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("emb"),

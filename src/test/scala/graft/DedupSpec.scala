@@ -160,6 +160,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("replayable LSH topk (integer planes) keeps recall on clustered data") {
+    // same clustered workload as the Gaussian-plane test: the replayable
+    // twin must be a usable ANN operator, not just an oracle instrument
+    val rng = new scala.util.Random(9)
+    val centers = Array.fill(20)(Array.fill(16)(rng.nextGaussian()))
+    val rows = (0L until 300L).map { i =>
+      val c = centers((i % 20).toInt)
+      (i, c.map(v => (v + rng.nextGaussian() * 0.05).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_emb"))
+    val brute = Similarity.bruteForceTopK(df, q, k = 5, idCol = "vec_id")
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val approx = Similarity.lshTopKReplayable(df, q, k = 5, dim = 16, bits = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+    // self-match invariant holds regardless of the plane family
+    (0L until 5L).foreach(i => assert(approx.contains((i, i))))
+  }
+
   test("withRecallAtK matches exact set arithmetic") {
     val rng = new scala.util.Random(23)
     val rows = (0L until 60L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
