@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Readers for the driver's parquet tables (TESTDATA.md / FIXTURES.md §B).
   *
@@ -33,4 +33,30 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** CSV source — the reference's user workflows load CSVs into the study
+    * (reference README.md:129-135); this is the engine-side equivalent.
+    * Pass an explicit `schema` in anything production-sized: schema
+    * inference costs a FULL extra pass over the files before the real scan
+    * (at 100 TB that is a second 100 TB read), so the inference fallback
+    * here is a convenience for notebooks and fixtures only. With an
+    * explicit schema the read is single-pass and column pruning /
+    * predicate pushdown plan as usual. */
+  def readCsv(spark: SparkSession, path: String,
+      schema: Option[StructType] = None,
+      header: Boolean = true,
+      delimiter: String = ","): DataFrame = {
+    val r = spark.read.option("header", header.toString).option("sep", delimiter)
+    schema match {
+      case Some(s) => r.schema(s).csv(path)
+      case None => r.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** CSV sink (S2 twin of the parquet sink): header'd directory write.
+    * Partitioned output — each task writes its own part file; coalesce
+    * first only if a single file is genuinely required (it serializes the
+    * write). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.option("header", "true").mode("overwrite").csv(path)
 }
