@@ -1527,6 +1527,49 @@ object SparkEntry {
       |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Whole-IVF-pipeline probe: [[graft.ext.Similarity.ivfTopKReplayable]]
+    * — the production ivfTopK search path (codegen'd max-cosine cell
+    * assignment, nprobe centroid probing with its (cos desc, idx desc)
+    * tie order, cell equijoin, k-capped TopKAgg) with PINNED
+    * integer-arithmetic centroids the oracle regenerates from loop
+    * indices. DuckDB replays assignment argmax, probe ranking, cosine,
+    * and final (cos desc, vec_id) rank. */
+  private def ivfReplayTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopKReplayable(Tables.embeddings(s, dir), similarityQueries(s, dir),
+        k = 5, dim = 64, nlist = 8, nprobe = 3)
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
+
+  private def ivfReplaySql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |cents AS (SELECT i, list_transform(range(1, 65),
+      |    d -> CAST((2654435761 * (i * 64 + d) + 97) % 1000000007 - 500000003 AS DOUBLE)) AS c
+      |  FROM (SELECT unnest(range(8)) AS i)),
+      |sc AS (SELECT e.vec_id, e.emb, cents.i,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(range(1, 65), d -> e.emb[d] * cents.c[d])), (a, x) -> a + x)
+      |    / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |        list_transform(range(1, 65), d -> e.emb[d] * e.emb[d])), (a, x) -> a + x))
+      |      * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |        list_transform(range(1, 65), d -> cents.c[d] * cents.c[d])), (a, x) -> a + x)))
+      |    AS cos
+      |  FROM e, cents),
+      |cell AS (SELECT vec_id, emb, i AS cell FROM
+      |  (SELECT vec_id, emb, i, row_number() OVER (PARTITION BY vec_id
+      |     ORDER BY cos DESC, i ASC) AS rn FROM sc) WHERE rn = 1),
+      |probes AS (SELECT vec_id AS query_id, emb AS qemb, i AS cell FROM
+      |  (SELECT vec_id, emb, i, row_number() OVER (PARTITION BY vec_id
+      |     ORDER BY cos DESC, i DESC) AS rn FROM sc WHERE vec_id < 3)
+      |  WHERE rn <= 3),
+      |cand AS (SELECT probes.query_id, probes.qemb, cell.vec_id, cell.emb
+      |  FROM probes JOIN cell USING (cell)),
+      |scq AS (SELECT query_id, vec_id,
+      |    list_cosine_similarity(emb, qemb) AS cos FROM cand),
+      |r AS (SELECT query_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scq WHERE vec_id IS NOT NULL AND cos IS NOT NULL AND NOT isnan(cos))
+      |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** The approximate ANN paths emit recall@k vs the brute-force result on
     * the same (bounded) query probe, so the driver tracks approximation
     * quality per round even though the hash-seeded outputs can't be
@@ -1698,6 +1741,7 @@ object SparkEntry {
     "q_similarity_topk_brute" -> similarityTopkBrute,
     "q_similarity_topk_lsh" -> similarityTopkLsh,
     "q_lsh_replay_topk" -> lshReplayTopk,
+    "q_ivf_replay_topk" -> ivfReplayTopk,
     "q_similarity_topk_ivf" -> similarityTopkIvf,
     "q_embedding_norms" -> embeddingNormsEmbeddings,
     "q_multimodal_features" -> multimodalFeatures,
@@ -1893,6 +1937,7 @@ object SparkEntry {
     "q_neardup_components_docs" -> neardupComponentsSql,
     "q_minhash_replay_docs" -> minhashReplaySql,
     "q_lsh_replay_topk" -> lshReplaySql,
+    "q_ivf_replay_topk" -> ivfReplaySql,
     "q_simhash_replay_docs" -> simhashReplaySql,
     "q_embedding_neardup_docs" -> embeddingNearDupSql,
     "q_regimes_core_events" -> regimesCoreSql,

@@ -174,8 +174,46 @@ object Similarity {
       embCol: String = "embedding",
       queryIdCol: String = "query_id",
       queryEmbCol: String = "query_emb"): DataFrame = {
-    requireNumericId(embeddings, idCol)
     val cents = trainIvfCentroids(embeddings, idCol, embCol, nlist, iters, trainSampleMod)
+    ivfTopKWithCentroids(embeddings, queries, k, cents, nprobe,
+      idCol, embCol, queryIdCol, queryEmbCol)
+  }
+
+  /** SQL-replayable twin of [[ivfTopK]] (the lshTopKReplayable recipe on
+    * the IVF path): the IDENTICAL search pipeline — same codegen'd cell
+    * assignment, same nprobe centroid probing with its (cos desc, idx
+    * desc) tie order, same cell equijoin and k-capped [[TopKAgg]] ranking
+    * — through [[ivfTopKWithCentroids]], but with [[integerPlanes]] as
+    * PINNED centroids instead of Lloyd-trained ones, so an oracle can
+    * regenerate the quantizer from two loop indices and replay
+    * assignment, probing, cosine, and rank exactly. Trained centroids can
+    * only improve recall over these fixed random directions; the twin
+    * pins the search machinery, which training does not change. */
+  def ivfTopKReplayable(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int = 64,
+      nlist: Int = 8,
+      nprobe: Int = 3,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_emb"): DataFrame =
+    ivfTopKWithCentroids(embeddings, queries, k, integerPlanes(dim, nlist), nprobe,
+      idCol, embCol, queryIdCol, queryEmbCol)
+
+  private def ivfTopKWithCentroids(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      cents: Array[Array[Double]],
+      nprobe: Int,
+      idCol: String,
+      embCol: String,
+      queryIdCol: String,
+      queryEmbCol: String): DataFrame = {
+    requireNumericId(embeddings, idCol)
     val data = embeddings.select(
       col(idCol).cast("long").as("vec_id"),
       col(embCol).cast("array<double>").as("emb"))
