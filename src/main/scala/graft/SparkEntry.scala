@@ -1182,6 +1182,49 @@ object SparkEntry {
     * arithmetic, so it carries a hard DuckDB oracle. The xxhash64-based
     * winnowing fingerprints live in q_fingerprint_docs (engine-specific
     * hashing — rows-only check, pinned by TextExtSpec). */
+  /** Gopher-style repetition rules over the whole corpus, summarized per
+    * language — avg/max duplicate-trigram fraction, avg top-bigram share,
+    * and the count of docs over the classic 0.5 repetition threshold. The
+    * oracle replays tokenization, gram construction, the per-doc count
+    * algebra, and the aggregate, so the full [[TextStats.repetitionStats]]
+    * pipeline is pinned (not just its output shape). */
+  private def repetitionDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextStats.repetitionStats(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        r6(avg("dup_trigram_frac")).as("avg_dup_trigram_frac"),
+        r6(max("dup_trigram_frac")).as("max_dup_trigram_frac"),
+        r6(avg("top_bigram_frac")).as("avg_top_bigram_frac"),
+        sum(when(col("dup_trigram_frac") > 0.5, 1L).otherwise(0L)).as("n_repetitive"))
+      .orderBy("lang")
+  }
+
+  private val repetitionSql =
+    raw"""WITH d AS (SELECT doc_id, lang,
+      |  string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      |  FROM d WHERE len(toks) >= 2),
+      |tri AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+      |  FROM d WHERE len(toks) >= 3),
+      |bc AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, sum(c) AS n, max(c) AS mx FROM bc GROUP BY 1),
+      |tc AS (SELECT doc_id, gram, count(*) AS c FROM tri GROUP BY 1, 2),
+      |ts AS (SELECT doc_id, sum(c) AS n, count(*) AS dct FROM tc GROUP BY 1),
+      |per AS (SELECT d.doc_id, d.lang,
+      |  coalesce((ts.n - ts.dct) * 1.0 / ts.n, 0.0) AS dup3,
+      |  coalesce(bs.mx * 1.0 / bs.n, 0.0) AS top2
+      |  FROM d LEFT JOIN bs USING (doc_id) LEFT JOIN ts USING (doc_id))
+      |SELECT lang, count(*) AS n_docs,
+      |floor(avg(dup3) * 1e6 + 0.5) / 1e6 AS avg_dup_trigram_frac,
+      |floor(max(dup3) * 1e6 + 0.5) / 1e6 AS max_dup_trigram_frac,
+      |floor(avg(top2) * 1e6 + 0.5) / 1e6 AS avg_top_bigram_frac,
+      |CAST(sum(CASE WHEN dup3 > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+      |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def qualityDocs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("lang"),
@@ -1734,6 +1777,7 @@ object SparkEntry {
     "q_text_stats_docs" -> textStatsDocs,
     "q_langid_docs" -> langidDocs,
     "q_quality_docs" -> qualityDocs,
+    "q_repetition_docs" -> repetitionDocs,
     "q_quality_filter_docs" -> qualityFilterDocs,
     "q_quality_threshold_docs" -> qualityThresholdDocs,
     "q_fingerprint_docs" -> fingerprintDocs,
@@ -1964,6 +2008,7 @@ object SparkEntry {
         |sum(cast(round(sv * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_quality_docs" -> qualitySql,
+    "q_repetition_docs" -> repetitionSql,
     "q_quality_filter_docs" -> qualityFilterSql,
     "q_quality_threshold_docs" -> qualityThresholdSql,
     "q_langid_docs" -> langidSql,

@@ -110,6 +110,59 @@ object TextStats {
       .drop("__thr")
   }
 
+  // ---- within-doc repetition (Gopher-style quality rules) ------------------
+
+  /** Per-document repetition metrics — the standard "remove pathologically
+    * repetitive documents" quality rules for training corpora (public
+    * Gopher/MassiveText-style heuristics):
+    *   - `dup_trigram_frac`: fraction of word 3-grams that are duplicates,
+    *     (n − distinct)/n — high for looping/boilerplate text;
+    *   - `top_bigram_frac`: share of all word 2-grams taken by the single
+    *     most frequent one — high for "foo bar foo bar …" stutter;
+    *   - `n_tokens` for downstream thresholds. Both fractions are 0.0 for
+    *     docs too short to form the n-gram.
+    *
+    * Shape: posexplode → doc-keyed window `lead` builds the grams (NOT a
+    * `transform` lambda over the token array — Catalyst inlines the
+    * derived-array expression per element, going quadratic in doc length;
+    * see the winnowing op), then (doc, gram) partial-agg counts. Every
+    * shuffle is doc/gram-keyed — parallelism scales with the corpus, no
+    * per-doc state beyond the aggregation row. Tokenization is the dedup
+    * family's `split(lower(trim(text)), "\\s+")`, so repetition thresholds
+    * compose with the minhash/simhash pipeline unchanged. */
+  def repetitionStats(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+    val tok = base.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val g = tok
+      .withColumn("t1", lead("t", 1).over(w))
+      .withColumn("t2", lead("t", 2).over(w))
+    val bi = g.filter(col("t1").isNotNull)
+      .select(col("doc_id"), lit("b").as("k"), concat_ws(" ", col("t"), col("t1")).as("gram"))
+    val tri = g.filter(col("t2").isNotNull)
+      .select(col("doc_id"), lit("t").as("k"),
+        concat_ws(" ", col("t"), col("t1"), col("t2")).as("gram"))
+    val per = bi.unionByName(tri)
+      .groupBy("doc_id", "k", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "k")
+      .agg(sum("c").as("n"), count(lit(1)).as("d"), max("c").as("mx"))
+    val wide = per.groupBy("doc_id").pivot("k", Seq("b", "t"))
+      .agg(first("n").as("n"), first("d").as("d"), first("mx").as("mx"))
+    base.select(col("doc_id"), size(col("toks")).as("n_tokens"))
+      .join(wide, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("t_n").isNull || col("t_n") === 0, 0.0)
+          .otherwise((col("t_n") - col("t_d")).cast("double") / col("t_n"))
+          .as("dup_trigram_frac"),
+        when(col("b_n").isNull || col("b_n") === 0, 0.0)
+          .otherwise(col("b_mx").cast("double") / col("b_n"))
+          .as("top_bigram_frac"))
+  }
+
   // ---- language identification --------------------------------------------
 
   /** Tiny per-language function-word profiles (public common-word lists) +

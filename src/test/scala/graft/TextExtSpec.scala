@@ -7,6 +7,27 @@ import graft.streaming.StreamOps
 class TextExtSpec extends SparkSpec {
   import spark.implicits._
 
+  test("repetitionStats: hand-computed fractions, short-doc zeros") {
+    val df = Seq(
+      (1L, "foo bar foo bar foo"),  // bigrams: foo-bar x2, bar-foo x2; trigrams: fbf x2, bfb x1
+      (2L, "a b c d"),              // all grams unique
+      (3L, "solo"),                 // too short for any gram
+      (4L, "x x x x x x")           // maximal repetition
+    ).toDF("doc_id", "text")
+    val r = TextStats.repetitionStats(df).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Int]("n_tokens"), x.getAs[Double]("dup_trigram_frac"),
+         x.getAs[Double]("top_bigram_frac"))).toMap
+    assert(r(1L)._1 == 5)
+    assert(math.abs(r(1L)._2 - 1.0 / 3) < 1e-12)  // 3 trigrams, 2 distinct
+    assert(math.abs(r(1L)._3 - 2.0 / 4) < 1e-12)  // top bigram 2 of 4
+    assert(r(2L)._2 == 0.0)                        // unique trigrams
+    assert(math.abs(r(2L)._3 - 1.0 / 3) < 1e-12)   // 3 bigrams, each 1-of-3
+    assert(r(3L)._2 == 0.0 && r(3L)._3 == 0.0)    // no grams at all
+    assert(math.abs(r(4L)._2 - 3.0 / 4) < 1e-12)  // 4 trigrams, 1 distinct
+    assert(r(4L)._3 == 1.0)                        // one bigram owns them all
+  }
+
   test("token counts and ratios on known strings") {
     val r = Seq("Hello, world! 123")
       .toDF("text")
