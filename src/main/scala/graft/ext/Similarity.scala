@@ -81,6 +81,51 @@ object Similarity {
     -array_max(array(scored: _*)).getField("ni")
   }
 
+  /** Closure-UDF argmax assignment — arithmetic and tie rule identical to
+    * [[cellOf]] (strict >, so the lowest cell index wins ties) but free to
+    * plan: used for training iterations (centroids change per iteration,
+    * so literal-embedding would Janino-compile fresh code each time) and
+    * for large quantizers where cellOf's nlist-proportional codegen would
+    * dominate wall-clock. */
+  private def assignUdf(cents: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val frozen = cents.map(_.clone())
+    udf { (emb: Seq[Double]) =>
+      var best = 0
+      var bestC = Double.NegativeInfinity
+      var i = 0
+      while (i < frozen.length) {
+        val cvec = frozen(i)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var j = 0
+        while (j < cvec.length) {
+          dot += emb(j) * cvec(j); na += emb(j) * emb(j); nb += cvec(j) * cvec(j); j += 1
+        }
+        val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+        if (cos > bestC) { bestC = cos; best = i }
+        i += 1
+      }
+      best
+    }
+  }
+
+  /** Closure-UDF nprobe probing for large quantizers — result order
+    * identical to the small-quantizer reverse(sort_array) expression:
+    * cos descending, ties by HIGHER cell index. */
+  private def probeUdf(cents: Array[Array[Double]], nprobe: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val frozen = cents.map(_.clone())
+    udf { (qemb: Seq[Double]) =>
+      frozen.indices.map { i =>
+        val cvec = frozen(i)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var j = 0
+        while (j < cvec.length) {
+          dot += qemb(j) * cvec(j); na += qemb(j) * qemb(j); nb += cvec(j) * cvec(j); j += 1
+        }
+        (dot / (math.sqrt(na) * math.sqrt(nb)), i)
+      }.sortBy { case (c, i) => (-c, -i) }.take(nprobe).map(_._2).toArray
+    }
+  }
+
   /** Deterministic Lloyd k-means over (a deterministic sample of) the
     * embeddings — the IVF coarse quantizer. Init = the `nlist` lowest-id
     * vectors; fixed `iters` iterations; assignment by max cosine (lowest
@@ -111,30 +156,14 @@ object Similarity {
       require(cents.length == nlist, s"need >= $nlist vectors to init IVF")
       var it = 0
       while (it < iters) {
-        // assignment via a closure UDF, NOT the codegen'd cellOf: centroid
-        // values change every iteration, so literal-embedding would
-        // generate (and Janino-compile) fresh code per iteration — measured
-        // ~2 s/iteration of pure compilation. The UDF costs nothing to
-        // plan, and training runs on a sample by design; the one-time
-        // full-corpus assignment in ivfTopK stays on the codegen path.
-        val frozen = cents.map(_.clone())
-        val assign = udf { (emb: Seq[Double]) =>
-          var best = 0
-          var bestC = Double.NegativeInfinity
-          var i = 0
-          while (i < frozen.length) {
-            val cvec = frozen(i)
-            var dot = 0.0; var na = 0.0; var nb = 0.0
-            var j = 0
-            while (j < cvec.length) {
-              dot += emb(j) * cvec(j); na += emb(j) * emb(j); nb += cvec(j) * cvec(j); j += 1
-            }
-            val cos = dot / (math.sqrt(na) * math.sqrt(nb))
-            if (cos > bestC) { bestC = cos; best = i } // strict: lowest cell on ties
-            i += 1
-          }
-          best
-        }
+        // assignment via the closure-UDF path, NOT the codegen'd cellOf:
+        // centroid values change every iteration, so literal-embedding
+        // would generate (and Janino-compile) fresh code per iteration —
+        // measured ~2 s/iteration of pure compilation. The UDF costs
+        // nothing to plan, and training runs on a sample by design; the
+        // one-time full-corpus assignment in ivfTopK uses codegen only
+        // while the quantizer is small (see ivfTopKWithCentroids).
+        val assign = assignUdf(cents)
         // assign BEFORE exploding: a projection inside the generate's select
         // list is re-evaluated once per exploded row (64× per vector); the
         // Generate barrier keeps the per-vector UDF at one call per vector
@@ -214,22 +243,39 @@ object Similarity {
       queryIdCol: String,
       queryEmbCol: String): DataFrame = {
     requireNumericId(embeddings, idCol)
+    // Assignment mechanism by quantizer size: the codegen'd cellOf embeds
+    // every centroid as an array literal in ONE expression, so Janino
+    // compile time grows with nlist — fine to ~16 cells, but a real IVF
+    // (nlist in the thousands at 1B vectors) would spend minutes compiling
+    // before the first row. Above the cutoff, a closure-UDF argmax with the
+    // SAME arithmetic and tie rule (strict >, lowest cell wins) costs
+    // nothing to plan; the per-row work is identical.
+    val cellAssign: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (cents.length <= 16) emb => cellOf(emb, cents)
+      else { val u = assignUdf(cents); emb => u(emb) }
     val data = embeddings.select(
       col(idCol).cast("long").as("vec_id"),
       col(embCol).cast("array<double>").as("emb"))
-      .withColumn("cell", cellOf(col("emb"), cents))
+      .withColumn("cell", cellAssign(col("emb")))
     // nprobe nearest centroids per query: scored struct array, sorted
-    // descending by (cos, idx), sliced — queries are small by contract
-    val scoredCells = cents.zipWithIndex.map { case (c, i) =>
-      struct(
-        Dedup.cosine(col("qemb"), array(c.map(lit): _*)).as("c"),
-        lit(i).as("idx"))
-    }
-    val probed = queries
+    // descending by (cos, idx), sliced — queries are small by contract.
+    // Same nlist-proportional-codegen concern as assignment: large
+    // quantizers probe via a closure UDF that replicates the
+    // reverse(sort_array) order exactly (cos desc, ties idx desc).
+    val qBase = queries
       .select(col(queryIdCol).as("query_id"), col(queryEmbCol).cast("array<double>").as("qemb"))
-      .withColumn("probe",
-        slice(reverse(sort_array(array(scoredCells: _*))), 1, nprobe))
-      .select(col("query_id"), col("qemb"), explode(col("probe.idx")).as("cell"))
+    val probeCells =
+      if (cents.length <= 16) {
+        val scoredCells = cents.zipWithIndex.map { case (c, i) =>
+          struct(
+            Dedup.cosine(col("qemb"), array(c.map(lit): _*)).as("c"),
+            lit(i).as("idx"))
+        }
+        slice(reverse(sort_array(array(scoredCells: _*))), 1, nprobe).getField("idx")
+      } else probeUdf(cents, nprobe)(col("qemb"))
+    val probed = qBase
+      .withColumn("probe", probeCells)
+      .select(col("query_id"), col("qemb"), explode(col("probe")).as("cell"))
     val topk = udaf(new TopKAgg(k))
     probed.join(data, "cell")
       .withColumn("cos", Dedup.cosine(col("emb"), col("qemb")))
