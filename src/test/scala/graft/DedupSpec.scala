@@ -203,6 +203,27 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")  // fixed random-direction quantizer floor
   }
 
+  test("IVF large-quantizer (closure-UDF) path: self-matches and recall hold") {
+    // nlist > 16 routes assignment and probing through the UDF argmax
+    // instead of the literal-codegen expressions — same invariants must hold
+    val rng = new scala.util.Random(9)
+    val centers = Array.fill(20)(Array.fill(16)(rng.nextGaussian()))
+    val rows = (0L until 300L).map { i =>
+      val c = centers((i % 20).toInt)
+      (i, c.map(v => (v + rng.nextGaussian() * 0.05).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_emb"))
+    val brute = Similarity.bruteForceTopK(df, q, k = 5, idCol = "vec_id")
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val approx = Similarity.ivfTopKReplayable(df, q, k = 5, dim = 16, nlist = 24, nprobe = 6)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    (0L until 5L).foreach(i => assert(approx.contains((i, i))))
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("withRecallAtK matches exact set arithmetic") {
     val rng = new scala.util.Random(23)
     val rows = (0L until 60L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
