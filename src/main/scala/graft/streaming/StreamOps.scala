@@ -214,4 +214,29 @@ object StreamOps {
       .queryName(sinkTable)
       .start()
   }
+
+  /** APPEND-mode tumbling windows — the production sink shape: a window
+    * row is emitted exactly once, when the watermark passes its end, and
+    * events arriving with event time behind the watermark are DROPPED
+    * (complete mode, above, keeps all state forever and re-emits — fine
+    * for memory-sink tests, wrong for an unbounded pipeline writing to
+    * parquet/Kafka). State is bounded by windows-in-flight per group:
+    * watermark delay ÷ window length rows, independent of stream length.
+    * Late-drop semantics are pinned in TextExtSpec. */
+  def tumblingWindowStreamAppend(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      sinkTable: String,
+      windowLen: String = "1 hour",
+      watermark: String = "1 hour"): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", watermark)
+    windowAgg(stream, windowLen)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkTable)
+      .start()
+  }
 }

@@ -521,6 +521,46 @@ class TextExtSpec extends SparkSpec {
     assert(byThr.size >= byRank.size)
   }
 
+  test("append-mode stream finalizes windows once and drops late data") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("stream_late").toString
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def feed(rows: (String, Double)*): Unit =
+      rows.map { case (t, v) => (ts(t), "a", v) }
+        .toDF("ts", "event_type", "value")
+        .write.mode("append").parquet(dir)
+    feed(("10:05", 1.0), ("10:10", 2.0))
+    val q = StreamOps.tumblingWindowStreamAppend(spark, dir, schema, "late_out",
+      windowLen = "1 hour", watermark = "1 hour")
+    try {
+      q.processAllAvailable()                    // wm after: 09:10 — nothing final
+      feed(("13:00", 4.0))
+      q.processAllAvailable()                    // wm after: 12:00
+      // late row: event time 10:30 is behind the 12:00 watermark → dropped;
+      // same batch also finalizes the [10:00, 11:00) window (end <= wm)
+      feed(("10:30", 100.0), ("13:30", 8.0))
+      q.processAllAvailable()
+      // advance the watermark past 14:00 so the 13:00 window finalizes too
+      feed(("16:00", 0.0))
+      q.processAllAvailable()
+      feed(("16:30", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("late_out")
+        .collect().map(r => r.getAs[java.sql.Timestamp]("window_start") ->
+          (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toMap
+      // [10:00, 11:00): emitted ONCE with the on-time rows only — the late
+      // 100.0 never entered the aggregate
+      assert(out(ts("10:00")) == (2L, 3.0), s"10:00 window: ${out.get(ts("10:00"))}")
+      // [13:00, 14:00): both rows, finalized after the watermark passed 14:00
+      assert(out(ts("13:00")) == (2L, 12.0), s"13:00 window: ${out.get(ts("13:00"))}")
+      // the 16:00 window is still open — append mode must NOT have emitted it
+      assert(!out.contains(ts("16:00")), s"unfinalized window emitted: $out")
+    } finally q.stop()
+  }
+
   test("streaming tumbling window matches the batch variant") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("stream_src").toString
