@@ -138,15 +138,22 @@ object TextStats {
     val base = docs.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
     val tok = base.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "t")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
+    // both gram kinds from ONE window pass: a union of two filtered
+    // branches would duplicate the posexplode+window subtree (plan audit
+    // showed the scan and window evaluated twice); explode a 2-struct
+    // array instead and drop the null (end-of-doc) grams after
     val g = tok
       .withColumn("t1", lead("t", 1).over(w))
       .withColumn("t2", lead("t", 2).over(w))
-    val bi = g.filter(col("t1").isNotNull)
-      .select(col("doc_id"), lit("b").as("k"), concat_ws(" ", col("t"), col("t1")).as("gram"))
-    val tri = g.filter(col("t2").isNotNull)
-      .select(col("doc_id"), lit("t").as("k"),
-        concat_ws(" ", col("t"), col("t1"), col("t2")).as("gram"))
-    val per = bi.unionByName(tri)
+      .select(col("doc_id"), explode(array(
+        struct(lit("b").as("k"),
+          when(col("t1").isNotNull, concat_ws(" ", col("t"), col("t1"))).as("gram")),
+        struct(lit("t").as("k"),
+          when(col("t2").isNotNull,
+            concat_ws(" ", col("t"), col("t1"), col("t2"))).as("gram")))).as("kg"))
+      .select(col("doc_id"), col("kg.k").as("k"), col("kg.gram").as("gram"))
+      .filter(col("gram").isNotNull)
+    val per = g
       .groupBy("doc_id", "k", "gram").agg(count(lit(1)).as("c"))
       .groupBy("doc_id", "k")
       .agg(sum("c").as("n"), count(lit(1)).as("d"), max("c").as("mx"))
