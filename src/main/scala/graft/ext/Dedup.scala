@@ -171,15 +171,23 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // ONE grouped pass computes the minhash signature AND the exact shingle
-    // set per doc: the signature/band branch and the two verify joins below
-    // all re-reference this frame, and because they share an identical
-    // shuffle subtree (posexplode + window lead + partial agg), Spark's
-    // ReuseExchange dedupes the corpus scan and the token-stream shuffle at
-    // runtime — the previous two-pipeline version paid both twice.
+    // set per doc, MATERIALIZED once: this frame has four consumers (the
+    // band branch twice, via the candidate self-join, and the two verify
+    // joins), and column pruning specializes each consumer's aggregate to
+    // the columns it reads — the subtrees stop being identical, so
+    // ReuseExchange never fires (round-4 plan audit: 4 parquet scans, 8
+    // window evals, 0 ReusedExchange) and the corpus-wide signature pass
+    // ran FOUR times. The eager localCheckpoint pins one execution of the
+    // scan + token shuffle + 33-buffer aggregate and hands every consumer
+    // a leaf — the same mechanism connectedComponents uses. State is one
+    // compact row per doc (32 longs + the shingle-hash set); on a real
+    // cluster prefer a reliable checkpoint dir for executor-loss
+    // resilience, exactly as documented there.
     val aggs = (0 until numHashes).map(i => min(perm(col("sh"), i)).as(s"mh_$i")) :+
       collect_set("sh").as("shset")
     val sigsAndSets = shRows
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
     val bandCols = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
         bandBucket((bnd * rows until (bnd + 1) * rows).map(i => col(s"mh_$i"))).as("bucket"))

@@ -31,42 +31,35 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs(0).getAs[Double]("jaccard") - 55.0 / 61.0) < 1e-9)
   }
 
-  test("minhash single-pass: one physical scan of the docs source") {
-    // The signature/band branch and the two verify joins all re-reference
-    // one grouped frame; ReuseExchange must collapse their structurally
-    // equal subtrees to ONE corpus scan. This is planner behavior, not a
-    // contract — this test fails loudly if a refactor makes the subtrees
-    // structurally unequal and silently restores the double scan.
-    // Pin the at-scale plan shape: with broadcast joins allowed, tiny
-    // inputs get BroadcastExchanges which cannot reuse the shuffle subtree
-    // (5 scans — irrelevant at corpus scale, where the joins sort-merge).
-    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val aqeBcast = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    try {
-      val dir = java.nio.file.Files.createTempDirectory("mh_plan").toString
-      val base = (1 to 40).map(i => s"w$i").mkString(" ")
-      (1L to 6L).map(i => (i, if (i <= 2) base else s"doc $i " * 10))
-        .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
-      val src = spark.read.parquet(dir)
-      val nd = Dedup.minhashNearDuplicates(src, threshold = 0.5)
-      nd.collect() // materialize so the adaptive plan is final
-      // AdaptiveSparkPlan.toString prints BOTH the final and the initial
-      // plan; only the final section reflects what actually ran.
-      val planStr = nd.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head
-      val scans = "FileScan parquet".r.findAllIn(planStr).length
-      assert(scans == 1, s"expected exactly 1 parquet scan, got $scans:\n$planStr")
-      val reuses = "ReusedExchange".r.findAllIn(planStr).length
-      assert(reuses >= 2, s"expected >=2 reused exchanges, got $reuses:\n$planStr")
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
-      aqeBcast match {
-        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
-        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
-      }
-    }
+  test("minhash signature pass runs once: consumers read a checkpoint leaf") {
+    // The signature frame has FOUR consumers (the band branch twice, via
+    // the candidate self-join, plus the two verify joins). The previous
+    // design leaned on ReuseExchange to collapse them, which only held in
+    // the forced sort-merge regime: with broadcast joins (the default at
+    // fixture scale), column pruning specializes each consumer's aggregate
+    // and the round-4 plan audit measured 4 parquet scans, 8 window evals,
+    // 0 reuses. lshCore now eagerly localCheckpoints the signature frame,
+    // so the corpus scan + token shuffle + 33-buffer aggregate run exactly
+    // once in EVERY join regime — the executed plan must contain zero
+    // FileScans of the source (all consumers read the checkpointed leaf).
+    val dir = java.nio.file.Files.createTempDirectory("mh_plan").toString
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    (1L to 6L).map(i => (i, if (i <= 2) base else s"doc $i " * 10))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val nd = Dedup.minhashNearDuplicates(src, threshold = 0.5)
+    val rows = nd.collect() // materialize so the adaptive plan is final
+    // the planted exact-dup pair must still verify at jaccard 1.0
+    assert(rows.exists(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L && r.getAs[Double]("jaccard") == 1.0))
+    // AdaptiveSparkPlan.toString prints BOTH the final and the initial
+    // plan; only the final section reflects what actually ran.
+    val planStr = nd.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(planStr).length
+    assert(scans == 0, s"expected no parquet scans (checkpoint leaf), got $scans:\n$planStr")
+    assert(planStr.contains("ExistingRDD"),
+      s"expected the checkpointed signature leaf in the plan:\n$planStr")
   }
 
   test("ngram jaccard of identical texts is 1, disjoint is 0") {
