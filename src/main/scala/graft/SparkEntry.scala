@@ -1225,6 +1225,37 @@ object SparkEntry {
       |CAST(sum(CASE WHEN dup3 > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Benchmark decontamination probe: docs 0–24 stand in as the eval
+    * suite, the rest as the training corpus; any corpus doc sharing a
+    * 4-token gram with the benchmark is flagged. Emitted as RAW
+    * membership (lang, doc_id) — the oracle must agree on every flagged
+    * document, replaying tokenization, gram construction, the
+    * gram-overlap semi-join, and the short-doc exclusion with string
+    * grams (the engine joins on chained xxhash64 of token hashes; equal
+    * token sequences hash equal, unequal collide at 64-bit-negligible
+    * rates, so the two formulations agree — the same hashed-vs-string
+    * argument as the Jaccard verify stage). */
+  private def decontaminateDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextStats.contaminatedDocIds(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25), k = 4)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+  }
+
+  private val decontaminateSql =
+    raw"""WITH d AS (SELECT doc_id, lang,
+      |  string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |bg AS (SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 2),
+      |    i -> array_to_string(toks[i:i+3], ' '))) AS gram
+      |  FROM d WHERE doc_id < 25 AND len(toks) >= 4),
+      |cg AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(toks) - 2),
+      |    i -> array_to_string(toks[i:i+3], ' '))) AS gram
+      |  FROM d WHERE doc_id >= 25 AND len(toks) >= 4)
+      |SELECT DISTINCT lang, doc_id FROM cg JOIN bg USING (gram)
+      |ORDER BY lang, doc_id""".stripMargin
+
   private def qualityDocs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("lang"),
@@ -1778,6 +1809,7 @@ object SparkEntry {
     "q_langid_docs" -> langidDocs,
     "q_quality_docs" -> qualityDocs,
     "q_repetition_docs" -> repetitionDocs,
+    "q_decontaminate_docs" -> decontaminateDocs,
     "q_quality_filter_docs" -> qualityFilterDocs,
     "q_quality_threshold_docs" -> qualityThresholdDocs,
     "q_fingerprint_docs" -> fingerprintDocs,
@@ -2009,6 +2041,7 @@ object SparkEntry {
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_quality_docs" -> qualitySql,
     "q_repetition_docs" -> repetitionSql,
+    "q_decontaminate_docs" -> decontaminateSql,
     "q_quality_filter_docs" -> qualityFilterSql,
     "q_quality_threshold_docs" -> qualityThresholdSql,
     "q_langid_docs" -> langidSql,

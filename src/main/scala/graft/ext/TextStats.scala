@@ -170,6 +170,63 @@ object TextStats {
           .as("top_bigram_frac"))
   }
 
+  // ---- benchmark decontamination -------------------------------------------
+
+  /** Token k-gram rows, hashed: the contamination-check gram stream.
+    * Same posexplode + window-lead shape as [[repetitionStats]] (no
+    * derived-array lambdas); the gram identity is a chained xxhash64 of
+    * the k token hashes, so equal token sequences collide exactly and
+    * unequal ones collide at 64-bit-negligible rates. Docs shorter than
+    * k tokens produce NO grams — a short doc is never flagged (the
+    * alternative, whole-doc digests, has permutation-collision semantics
+    * an exact oracle cannot replay). */
+  private def tokenGramHashRows(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val wdoc = Window.partitionBy("doc_id")
+    df.select(col(idCol).as("doc_id"),
+        posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("h0", xxhash64(col("tok")))
+      .withColumn("ntok", count(lit(1)).over(wdoc))
+      .withColumn("sh", xxhash64((0 until k).map(j => lead(col("h0"), j).over(w)): _*))
+      .filter(col("ntok") >= k && col("pos") <= col("ntok") - k)
+      .select("doc_id", "sh")
+  }
+
+  /** Benchmark decontamination, membership side: corpus docs that share
+    * at least one k-token gram with ANY benchmark document — the standard
+    * "drop training documents that contain eval data" check (public
+    * GPT-3/PaLM-style n-gram overlap decontamination). The benchmark gram
+    * set is model-sized by contract (it is the eval suite), so the plan is
+    * a map-side corpus gram stream semi-joined against a BROADCAST of the
+    * distinct benchmark grams — the corpus is never shuffled; the only
+    * exchange is the distinct over flagged doc ids. */
+  def contaminatedDocIds(
+      corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bg = tokenGramHashRows(benchmark, idCol, textCol, k).select("sh").distinct()
+    tokenGramHashRows(corpus, idCol, textCol, k)
+      .join(broadcast(bg), "sh")
+      .select(col("doc_id").as(idCol))
+      .distinct()
+  }
+
+  /** Benchmark decontamination, filter side: the corpus minus every doc
+    * [[contaminatedDocIds]] flags. */
+  def decontaminate(
+      corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5): org.apache.spark.sql.DataFrame =
+    corpus.join(contaminatedDocIds(corpus, benchmark, idCol, textCol, k),
+      Seq(idCol), "left_anti")
+
   // ---- language identification --------------------------------------------
 
   /** Tiny per-language function-word profiles (public common-word lists) +

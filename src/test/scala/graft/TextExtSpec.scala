@@ -7,6 +7,23 @@ import graft.streaming.StreamOps
 class TextExtSpec extends SparkSpec {
   import spark.implicits._
 
+  test("decontamination flags gram overlap, spares clean and short docs") {
+    val bench = Seq((100L, "the secret eval answer is forty two exactly"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "some training text with the secret eval answer hidden inside"), // shares a 4-gram
+      (2L, "completely unrelated training material about other topics"),    // clean
+      (3L, "secret eval answer"),                                           // 3 tokens < k: never flagged
+      (4L, "is forty two exactly and more words follow here")               // shares a 4-gram
+    ).toDF("doc_id", "text")
+    val flagged = TextStats.contaminatedDocIds(corpus, bench, k = 4)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged == Set(1L, 4L), s"flagged $flagged")
+    val clean = TextStats.decontaminate(corpus, bench, k = 4)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(clean == Set(2L, 3L), s"clean $clean")
+  }
+
   test("repetitionStats: hand-computed fractions, short-doc zeros") {
     val df = Seq(
       (1L, "foo bar foo bar foo"),  // bigrams: foo-bar x2, bar-foo x2; trigrams: fbf x2, bfb x1
