@@ -149,4 +149,33 @@ class TimeSeriesStudy(
 
   def saveCsv(result: DataFrame, path: String): Unit =
     result.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** End-to-end workflow parity with the reference's driver script
+    * (test_time_series_study.py:50-131): run every analysis and write each
+    * result table to `<resultsDir>/out_<name>` as header'd CSV, returning
+    * the tables by the same names. Per-feature analyses (dispersion,
+    * regimes, volatility, outliers) run on `feature` (default: the first
+    * feature, like the script's choice). Callers should `.cache()` the
+    * input first — every analysis re-reads the panel. */
+  def runAll(resultsDir: String, feature: String = features.head): Map[String, DataFrame] = {
+    val (statRes, statSum) = stationarityTests()
+    val base = Map(
+      "distribution" -> distributionDiagnostics(),
+      "stationarity" -> statRes,
+      "stationarity_summary" -> statSum,
+      "memory" -> memoryDependence(),
+      "frequency" -> frequencyDomain(),
+      "dispersion" -> crossSectionalDispersion(feature),
+      "ar1" -> predictabilityAr1(),
+      "regimes" -> regimeDetection(feature),
+      "volatility" -> volatilityAnalysis(feature),
+      "outliers" -> outlierDetection(feature))
+    val cross =
+      if (features.length >= 2)
+        crossFeatureComparisons().map { case (k, v) => s"cross_$k" -> v }
+      else Map.empty[String, DataFrame]
+    val all = base ++ cross
+    all.foreach { case (name, result) => saveCsv(result, s"$resultsDir/out_$name") }
+    all
+  }
 }

@@ -23,6 +23,23 @@ class TimeSeriesStudySpec extends SparkSpec {
     }
   }
 
+  test("runAll mirrors the reference driver: every table written as CSV") {
+    val dir = java.nio.file.Files.createTempDirectory("runall").toString
+    val tables = study.runAll(dir)
+    // the ten analyses plus the six cross-feature tables
+    assert(tables.keySet == Set(
+      "distribution", "stationarity", "stationarity_summary", "memory",
+      "frequency", "dispersion", "ar1", "regimes", "volatility", "outliers",
+      "cross_lagged_corr", "cross_lagged_corr_long", "cross_rolling_corr",
+      "cross_cointegration", "cross_granger", "cross_mutual_info"),
+      tables.keySet.toString)
+    tables.foreach { case (name, df) =>
+      assert(df.count() > 0, s"$name returned no rows")
+      val out = spark.read.option("header", "true").csv(s"$dir/out_$name")
+      assert(out.count() == df.count(), s"$name CSV row count")
+    }
+  }
+
   test("all ten analyses run end to end on the fixture panel") {
     assert(study.distributionDiagnostics().count() == 15)
     val (res, sum) = study.stationarityTests()
