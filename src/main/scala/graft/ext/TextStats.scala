@@ -172,27 +172,48 @@ object TextStats {
 
   // ---- benchmark decontamination -------------------------------------------
 
-  /** Token k-gram rows, hashed: the contamination-check gram stream.
-    * Same posexplode + window-lead shape as [[repetitionStats]] (no
-    * derived-array lambdas); the gram identity is a chained xxhash64 of
-    * the k token hashes, so equal token sequences collide exactly and
-    * unequal ones collide at 64-bit-negligible rates. Docs shorter than
+  /** Token k-gram rows, hashed: the contamination-check gram stream,
+    * built SHUFFLE-FREE. The repetitionStats window-lead shape would
+    * shuffle the exploded token stream by doc_id — a corpus-wide exchange
+    * this operator doesn't otherwise need (unlike minhash, whose groupBy
+    * wants that partitioning anyway). A per-row kernel builds the sliding
+    * 64-bit FNV-1a gram hashes straight from the token array (the
+    * expression-only alternative, indexed lambdas over a derived array,
+    * re-evaluates the split per element and goes quadratic in doc
+    * length). Gram identity only needs SELF-consistency between the
+    * corpus and benchmark sides — both run this kernel — so equal token
+    * sequences collide exactly and unequal ones at 64-bit-negligible
+    * rates; the oracle replays with raw string grams. Docs shorter than
     * k tokens produce NO grams — a short doc is never flagged (the
     * alternative, whole-doc digests, has permutation-collision semantics
     * an exact oracle cannot replay). */
-  private def tokenGramHashRows(df: org.apache.spark.sql.DataFrame,
-      idCol: String, textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val wdoc = Window.partitionBy("doc_id")
-    df.select(col(idCol).as("doc_id"),
-        posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "tok")))
-      .withColumn("h0", xxhash64(col("tok")))
-      .withColumn("ntok", count(lit(1)).over(wdoc))
-      .withColumn("sh", xxhash64((0 until k).map(j => lead(col("h0"), j).over(w)): _*))
-      .filter(col("ntok") >= k && col("pos") <= col("ntok") - k)
-      .select("doc_id", "sh")
+  private def gramHashesUdf(k: Int) = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.length < k) Array.empty[Long]
+    else {
+      val out = new Array[Long](toks.length - k + 1)
+      var i = 0
+      while (i <= toks.length - k) {
+        var h = 0xcbf29ce484222325L // FNV-1a 64-bit offset basis
+        var j = 0
+        while (j < k) {
+          val s = toks(i + j)
+          var c = 0
+          while (c < s.length) { h ^= s.charAt(c); h *= 0x100000001b3L; c += 1 }
+          h ^= 0x1fL // token separator, so ("ab","c") != ("a","bc")
+          h *= 0x100000001b3L
+          j += 1
+        }
+        out(i) = h
+        i += 1
+      }
+      out
+    }
   }
+
+  private def tokenGramHashRows(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(gramHashesUdf(k)(Dedup.tokens(col(textCol)))).as("sh"))
 
   /** Benchmark decontamination, membership side: corpus docs that share
     * at least one k-token gram with ANY benchmark document — the standard
