@@ -1231,10 +1231,10 @@ object SparkEntry {
     * membership (lang, doc_id) — the oracle must agree on every flagged
     * document, replaying tokenization, gram construction, the
     * gram-overlap semi-join, and the short-doc exclusion with string
-    * grams (the engine joins on chained xxhash64 of token hashes; equal
-    * token sequences hash equal, unequal collide at 64-bit-negligible
-    * rates, so the two formulations agree — the same hashed-vs-string
-    * argument as the Jaccard verify stage). */
+    * grams (the engine joins on a 64-bit FNV-1a gram hash computed by the
+    * same kernel on both sides; equal token sequences hash equal, unequal
+    * collide at 64-bit-negligible rates, so the two formulations agree —
+    * the same hashed-vs-string argument as the Jaccard verify stage). */
   private def decontaminateDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     TextStats.contaminatedDocIds(
