@@ -7,6 +7,20 @@ import graft.streaming.StreamOps
 class TextExtSpec extends SparkSpec {
   import spark.implicits._
 
+  test("decontamination gram identity: token boundaries matter") {
+    // ("ab","c") and ("a","bc") concatenate identically — the separator
+    // folded into the gram hash must keep them distinct, or token-boundary
+    // shifts would cause false contamination flags
+    val bench = Seq((1L, "ab c ab c")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "a bc a bc"),    // same chars, different token boundaries: clean
+      (11L, "ab c ab c more") // true overlap: flagged
+    ).toDF("doc_id", "text")
+    val flagged = TextStats.contaminatedDocIds(corpus, bench, k = 4)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged == Set(11L), s"flagged $flagged")
+  }
+
   test("decontamination flags gram overlap, spares clean and short docs") {
     val bench = Seq((100L, "the secret eval answer is forty two exactly"))
       .toDF("doc_id", "text")
