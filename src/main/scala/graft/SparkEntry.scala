@@ -1417,6 +1417,53 @@ object SparkEntry {
        |  sum(fp)::BIGINT AS sum_fp
        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** MOSS-style shared-span pair probe: the full winnowing → frequency
+    * cap → bucket pairing → shared-count threshold chain on the
+    * replayable Karp–Rabin fingerprints, emitted as RAW pair membership
+    * (doc_a, doc_b, n_shared) — the oracle must agree on every pair and
+    * every shared count. cap=5/minShared=3 keeps the fixture output at a
+    * discriminative ~430 pairs (the corpus vocab is tiny, so looser
+    * settings approach all-pairs). Short docs excluded on both sides,
+    * like q_fingerprint_rolling_docs. */
+  private def fingerprintPairsDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") < 120 &&
+        length(regexp_replace(col("text"), "\\s+", " ")) >= 8)
+    TextStats.fingerprintNearDuplicatesReplayable(docs, minShared = 3, maxDocsPerFp = 5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def fingerprintPairsSql: String =
+    raw"""WITH d AS (
+       |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+       |  FROM documents
+       |  WHERE doc_id < 120 AND length(regexp_replace(text, '\s+', ' ', 'g')) >= 8),
+       |b AS (SELECT doc_id, norm, length(norm) AS n FROM d),
+       |g0 AS (SELECT doc_id, norm, n,
+       |  unnest(generate_series(1, n - 8 + 1)) AS i FROM b),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS ord, n - 8 + 1 AS m,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(generate_series(0, 7),
+       |        j -> ascii(substring(norm, i + j, 1))::BIGINT)),
+       |      (h, c) -> (h * 257 + c) % 1000000007) AS gh
+       |  FROM g0),
+       |wm AS (
+       |  SELECT doc_id, ord, m,
+       |    min(gh) OVER (PARTITION BY doc_id ORDER BY ord
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |  FROM g),
+       |f AS (
+       |  SELECT DISTINCT doc_id, fp FROM wm
+       |  WHERE ord <= greatest(m - 4, 0) OR ord = 0),
+       |freq AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 5),
+       |kept AS (SELECT f.doc_id, f.fp FROM f JOIN freq USING (fp)),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Salted-join equivalence probe: `Skew.saltedJoin` must produce the
     * exact rows of a plain inner join by construction (each left row
     * matches only its own salt's replica of the right side), so the
@@ -1814,6 +1861,7 @@ object SparkEntry {
     "q_quality_threshold_docs" -> qualityThresholdDocs,
     "q_fingerprint_docs" -> fingerprintDocs,
     "q_fingerprint_rolling_docs" -> fingerprintRollingDocs,
+    "q_fingerprint_pairs_docs" -> fingerprintPairsDocs,
     "q_similarity_topk_brute" -> similarityTopkBrute,
     "q_similarity_topk_lsh" -> similarityTopkLsh,
     "q_lsh_replay_topk" -> lshReplayTopk,
@@ -2047,6 +2095,7 @@ object SparkEntry {
     "q_langid_docs" -> langidSql,
     "q_outliers_lof_events" -> lofSql,
     "q_fingerprint_rolling_docs" -> fingerprintRollingSql,
+    "q_fingerprint_pairs_docs" -> fingerprintPairsSql,
     "q_salted_join_lineitem" -> saltedJoinSql,
     "q_sample_docs" -> sampleDocsSql,
     "q_sample_stratified_docs" -> sampleStratifiedSql,

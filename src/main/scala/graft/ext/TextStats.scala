@@ -367,6 +367,61 @@ object TextStats {
       .distinct()
   }
 
+  /** MOSS-style shared-span near-dup pairs: doc pairs sharing at least
+    * `minShared` winnowing fingerprints — catches a copied paragraph
+    * inside otherwise-different documents, which shingle-set Jaccard
+    * dilutes toward zero as the surrounding text grows. Fingerprints
+    * appearing in more than `maxDocsPerFp` docs are dropped before
+    * pairing (boilerplate/stop-fragments would otherwise generate
+    * quadratic bucket blowup — the standard frequency cap); pairing is
+    * fingerprint-bucket-local, ≤ cap² pairs per fingerprint. The fp frame
+    * feeds three consumers (the frequency filter and both self-join
+    * sides), so it is checkpointed once — the lshCore lesson: column
+    * pruning specializes multi-consumer subtrees and ReuseExchange
+    * cannot be relied on to dedupe them. */
+  def fingerprintNearDuplicates(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDocsPerFp: Long = 50): org.apache.spark.sql.DataFrame =
+    fpPairCore(fingerprintRows(docs, idCol, textCol, k, w), minShared, maxDocsPerFp)
+
+  /** [[fingerprintNearDuplicates]] over the Karp–Rabin rolling-hash
+    * fingerprints — the SQL-replayable twin (same pair core, same
+    * winnowing structure; only the gram hash differs), so an oracle can
+    * replay fingerprint selection, the frequency cap, bucket pairing,
+    * and the shared-count threshold end-to-end. */
+  def fingerprintNearDuplicatesReplayable(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDocsPerFp: Long = 50): org.apache.spark.sql.DataFrame =
+    fpPairCore(rollingFingerprintRows(docs, idCol, textCol, k, w), minShared, maxDocsPerFp)
+
+  private def fpPairCore(fps0: org.apache.spark.sql.DataFrame,
+      minShared: Int, maxDocsPerFp: Long): org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDocsPerFp >= 2, s"maxDocsPerFp must be >= 2, got $maxDocsPerFp")
+    val fps = fps0.localCheckpoint(true)
+    val kept = fps.join(
+        fps.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= maxDocsPerFp)
+          .select("fp"),
+        "fp")
+      .localCheckpoint(true) // self-joined below: two consumers again
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** One 64-bit fingerprint per doc from the winnowed set (relational). */
   def docFingerprints(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =

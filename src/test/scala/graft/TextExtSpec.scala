@@ -7,6 +7,30 @@ import graft.streaming.StreamOps
 class TextExtSpec extends SparkSpec {
   import spark.implicits._
 
+  test("fingerprint pairs: copied paragraph found, frequency cap kills boilerplate") {
+    val para = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val boiler = "standard footer text appears everywhere unchanged"
+    val df = Seq(
+      (1L, s"first document unique opening $para unique closing one"),
+      (2L, s"second article other words entirely $para and a different end"),
+      (3L, "third unrelated content sharing nothing with the others at all"),
+      // boilerplate in EVERY doc: its fingerprints exceed maxDocsPerFp and
+      // must not create pairs on their own
+      (4L, s"fourth piece $boiler"), (5L, s"fifth piece $boiler"),
+      (6L, s"sixth piece $boiler"), (7L, s"seventh piece $boiler")
+    ).toDF("doc_id", "text")
+    val pairs = TextStats.fingerprintNearDuplicates(df, minShared = 3, maxDocsPerFp = 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)), s"shared paragraph not found: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $pairs")
+    // the boilerplate quadruple is capped out (fp doc-frequency 4 > 3)
+    assert(!pairs.exists(p => p._1 >= 4L), s"boilerplate pairs leaked: $pairs")
+    // replayable twin agrees on the pair structure for the same inputs
+    val rp = TextStats.fingerprintNearDuplicatesReplayable(df, minShared = 3, maxDocsPerFp = 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(rp.contains((1L, 2L)) && !rp.exists(p => p._1 >= 4L), s"replayable: $rp")
+  }
+
   test("decontamination gram identity: token boundaries matter") {
     // ("ab","c") and ("a","bc") concatenate identically — the separator
     // folded into the gram hash must keep them distinct, or token-boundary
