@@ -248,6 +248,30 @@ object TextStats {
     corpus.join(contaminatedDocIds(corpus, benchmark, idCol, textCol, k),
       Seq(idCol), "left_anti")
 
+  /** Streaming-composable decontamination: a STATELESS per-row filter —
+    * the benchmark gram set is model-sized by contract, so it collects to
+    * a driver Set once and ships in the task closure; each arriving doc
+    * is kept iff none of its k-token grams hit the set. Works identically
+    * on a batch frame or a `readStream` frame (no aggregation, no
+    * watermark, no state store — batch ≡ stream is structural), which is
+    * the shape a continuous ingestion pipeline needs. For the batch
+    * corpus-vs-corpus form prefer [[decontaminate]] (keeps everything
+    * distributed). */
+  def decontaminateWithGramSet(
+      corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val benchGrams: Set[Long] =
+      tokenGramHashRows(benchmark, idCol, textCol, k).select("sh").distinct()
+        .collect().map(_.getLong(0)).toSet
+    val gh = gramHashesUdf(k)
+    val clean = udf { (hashes: Seq[Long]) => !hashes.exists(benchGrams.contains) }
+    corpus.filter(clean(gh(Dedup.tokens(col(textCol)))))
+  }
+
   // ---- language identification --------------------------------------------
 
   /** Tiny per-language function-word profiles (public common-word lists) +

@@ -31,6 +31,36 @@ class TextExtSpec extends SparkSpec {
     assert(rp.contains((1L, 2L)) && !rp.exists(p => p._1 >= 4L), s"replayable: $rp")
   }
 
+  test("streaming decontamination: stateless filter, batch result on a stream") {
+    import org.apache.spark.sql.types._
+    val bench = Seq((100L, "the secret eval answer is forty two exactly"))
+      .toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, "some training text with the secret eval answer hidden inside"),
+      (2L, "completely unrelated training material about other topics"),
+      (3L, "is forty two exactly and more words follow here"))
+    val dir = java.nio.file.Files.createTempDirectory("decon_stream").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // batch form of the same filter
+    val batchClean = TextStats.decontaminateWithGramSet(
+        spark.read.parquet(dir), bench, k = 4)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(batchClean == Set(2L), s"batch $batchClean")
+    // identical call on a readStream frame — stateless, so append mode works
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = TextStats.decontaminateWithGramSet(stream, bench, k = 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("decon_out").start()
+    try {
+      q.processAllAvailable()
+      val streamClean = spark.table("decon_out")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(streamClean == batchClean, s"stream $streamClean vs batch $batchClean")
+    } finally q.stop()
+  }
+
   test("decontamination gram identity: token boundaries matter") {
     // ("ab","c") and ("a","bc") concatenate identically — the separator
     // folded into the gram hash must keep them distinct, or token-boundary
