@@ -344,6 +344,30 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dropNearDuplicates]] keeping the BEST document per duplicate
+    * cluster instead of the minimum id: the representative is the member
+    * maximizing `scoreCol` (ties broken by higher id — deterministic).
+    * This is the form real corpus pipelines want — dedup shouldn't throw
+    * away the cleanest copy because a noisier one has a smaller id. Same
+    * pipeline as dropNearDuplicates (same pairs, same components); the
+    * only addition is a component-keyed `max_by` over the cluster members
+    * — component count ≤ dup-pair count, so the extra aggregate is
+    * model-sized relative to the corpus. */
+  def dropNearDuplicatesKeeping(docs: DataFrame, scoreCol: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDuplicates(docs, idCol, textCol, threshold = threshold)
+      .select("doc_a", "doc_b")
+    val members = connectedComponents(pairs)
+      .join(docs.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__score")), "id")
+    val winners = members.groupBy("component")
+      .agg(max_by(col("id"), struct(col("__score"), col("id"))).as("__winner"))
+    val losers = members.join(winners, "component")
+      .filter(col("id") =!= col("__winner"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Distinct string-shingle set of a text column — the raw-string twin of
     * the hashed verify-stage sets (Jaccard over either is identical because
     * shingle→hash is injective modulo negligible 64-bit collisions). */

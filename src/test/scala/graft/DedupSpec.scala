@@ -346,4 +346,23 @@ class DedupSpec extends SparkSpec {
     val clean = docs.filter($"doc_id" >= 4L)
     assert(Dedup.dropNearDuplicates(clean, threshold = 0.5).count() == 2)
   }
+
+  test("dropNearDuplicatesKeeping keeps the best-scoring cluster member") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, 0.2), (2L, base + " tail2", 0.9), (3L, base + " tail3", 0.5),
+      (4L, "completely different text about other things entirely " * 3, 0.1),
+      (5L, "yet another unrelated document body with its own words " * 3, 0.8))
+      .toDF("doc_id", "text", "quality")
+    // min-id dedup would keep doc 1; score-aware dedup must keep doc 2
+    val kept = Dedup.dropNearDuplicatesKeeping(docs, "quality", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 5L), s"kept $kept")
+    // tie on score → higher id wins (deterministic)
+    val tied = Seq((10L, base, 0.5), (11L, base + " tail", 0.5))
+      .toDF("doc_id", "text", "quality")
+    val keptTied = Dedup.dropNearDuplicatesKeeping(tied, "quality", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTied == Set(11L), s"kept $keptTied")
+  }
 }
