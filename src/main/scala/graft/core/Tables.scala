@@ -59,4 +59,16 @@ object Tables {
     * write). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.option("header", "true").mode("overwrite").csv(path)
+
+  /** ORC source/sink — the other columnar format warehouses exchange.
+    * Same planner properties as parquet (columnar scan, predicate
+    * pushdown, column pruning, self-describing schema), so no schema
+    * argument is needed; prefer parquet for new data, read ORC where it
+    * already exists. (Avro is NOT offered: the spark-avro datasource is
+    * an external module absent from this classpath.) */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

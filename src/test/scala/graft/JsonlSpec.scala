@@ -48,6 +48,20 @@ class JsonlSpec extends SparkSpec {
     assert(graft.core.Tables.readCsv(spark, dir).count() == orig.count())
   }
 
+  test("orc source/sink round-trips the documents table with pushdown intact") {
+    val dir = Files.createTempDirectory("orcrt").toString
+    val orig = graft.core.Tables.documents(spark, SparkSpec.sf0001)
+    graft.core.Tables.writeOrc(orig, dir)
+    val back = graft.core.Tables.readOrc(spark, dir)
+    assert(back.schema == orig.schema)
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = back.filter(col("doc_id") < 10).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]") ||
+      plan.contains("LessThan(doc_id,10)"), plan)
+  }
+
   test("jsonl round-trips the documents table losslessly") {
     val dir = writeFixture(corrupt = false)
     val back = Jsonl.read(spark, dir, schema).drop("_corrupt_record")
