@@ -176,44 +176,24 @@ object TextStats {
     * built SHUFFLE-FREE. The repetitionStats window-lead shape would
     * shuffle the exploded token stream by doc_id — a corpus-wide exchange
     * this operator doesn't otherwise need (unlike minhash, whose groupBy
-    * wants that partitioning anyway). A per-row kernel builds the sliding
-    * 64-bit FNV-1a gram hashes straight from the token array (the
-    * expression-only alternative, indexed lambdas over a derived array,
-    * re-evaluates the split per element and goes quadratic in doc
-    * length). Gram identity only needs SELF-consistency between the
+    * wants that partitioning anyway). The native codegen'd
+    * [[graft.expr.TokenGramHashes]] expression builds the sliding 64-bit
+    * FNV-1a gram hashes straight from the token array in one fused pass
+    * (a built-in indexed lambda over the derived array would re-evaluate
+    * the split per element — quadratic in doc length — and a Scala UDF
+    * pays a serializer boundary per row, both measured worse). Gram
+    * identity only needs SELF-consistency between the
     * corpus and benchmark sides — both run this kernel — so equal token
     * sequences collide exactly and unequal ones at 64-bit-negligible
     * rates; the oracle replays with raw string grams. Docs shorter than
     * k tokens produce NO grams — a short doc is never flagged (the
     * alternative, whole-doc digests, has permutation-collision semantics
     * an exact oracle cannot replay). */
-  private def gramHashesUdf(k: Int) = udf { (toks: Seq[String]) =>
-    if (toks == null || toks.length < k) Array.empty[Long]
-    else {
-      val out = new Array[Long](toks.length - k + 1)
-      var i = 0
-      while (i <= toks.length - k) {
-        var h = 0xcbf29ce484222325L // FNV-1a 64-bit offset basis
-        var j = 0
-        while (j < k) {
-          val s = toks(i + j)
-          var c = 0
-          while (c < s.length) { h ^= s.charAt(c); h *= 0x100000001b3L; c += 1 }
-          h ^= 0x1fL // token separator, so ("ab","c") != ("a","bc")
-          h *= 0x100000001b3L
-          j += 1
-        }
-        out(i) = h
-        i += 1
-      }
-      out
-    }
-  }
-
   private def tokenGramHashRows(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, k: Int): org.apache.spark.sql.DataFrame =
     df.select(col(idCol).as("doc_id"),
-      explode(gramHashesUdf(k)(Dedup.tokens(col(textCol)))).as("sh"))
+      explode(graft.expr.TokenGramHashes.tokenGramHashes(
+        Dedup.tokens(col(textCol)), k)).as("sh"))
 
   /** Benchmark decontamination, membership side: corpus docs that share
     * at least one k-token gram with ANY benchmark document — the standard
@@ -267,9 +247,9 @@ object TextStats {
     val benchGrams: Set[Long] =
       tokenGramHashRows(benchmark, idCol, textCol, k).select("sh").distinct()
         .collect().map(_.getLong(0)).toSet
-    val gh = gramHashesUdf(k)
     val clean = udf { (hashes: Seq[Long]) => !hashes.exists(benchGrams.contains) }
-    corpus.filter(clean(gh(Dedup.tokens(col(textCol)))))
+    corpus.filter(clean(graft.expr.TokenGramHashes.tokenGramHashes(
+      Dedup.tokens(col(textCol)), k)))
   }
 
   // ---- language identification --------------------------------------------

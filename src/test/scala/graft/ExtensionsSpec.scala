@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.graftbridge.Bridge
-import graft.expr.{CosineSimilarity, DotProduct}
+import graft.expr.{CosineSimilarity, DotProduct, TokenGramHashes}
 
 /** GraftExtensions: the injected cosine_sim must resolve and evaluate in
   * plain SQL. Extensions bind at session build, so the live-session path
@@ -13,7 +13,8 @@ class ExtensionsSpec extends SparkSpec {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     val names = Bridge.injectedFunctionNames(ext)
-    assert(names.contains("cosine_sim") && names.contains("dot_product"))
+    assert(names.contains("cosine_sim") && names.contains("dot_product") &&
+      names.contains("token_gram_hashes"))
   }
 
   test("cosine_sim evaluates from SQL on a live session") {
@@ -24,6 +25,22 @@ class ExtensionsSpec extends SparkSpec {
     val r2 = spark.sql(
       "SELECT cosine_sim(array(1.0d, 0.0d), array(0.0d, 5.0d)) AS c").head()
     assert(math.abs(r2.getDouble(0)) < 1e-12)
+  }
+
+  test("token_gram_hashes evaluates from SQL on a live session") {
+    Bridge.registerFunction(spark, "token_gram_hashes", args => {
+      val k = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"k must be literal, got $other")
+      }
+      TokenGramHashes(args.head, k)
+    })
+    val r = spark.sql(
+      "SELECT size(token_gram_hashes(array('a','b','c','d'), 2)) AS n").head()
+    assert(r.getInt(0) == 3)
+    val short = spark.sql(
+      "SELECT size(token_gram_hashes(array('a'), 2)) AS n").head()
+    assert(short.getInt(0) == 0)
   }
 
   test("dot_product evaluates from SQL on a live session") {
