@@ -56,11 +56,24 @@ object Bench {
     }
     // 3-decimal values keep the JSON line short enough to survive the
     // driver's stdout tail-capture window (round 3's full-precision line got
-    // its head truncated and failed to parse driver-side).
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // its head truncated and failed to parse driver-side). Locale.ROOT keeps
+    // the decimal separator a '.' regardless of JVM default locale — a
+    // comma-locale JVM would otherwise emit invalid JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Two channels: a bare stdout line (build.sbt forks run with
+    // StdoutOutput, so no sbt "[info] " prefix corrupts it) and a file the
+    // driver can read if stdout capture truncates.
+    println(line)
+    try {
+      val p = java.nio.file.Paths.get("bench_out.json")
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -490,12 +490,16 @@ object SparkEntry {
   /** DuckDB mirror of kpssCoreEvents: OLS-on-(1,t) residuals per group
     * (closed-form covariance algebra), Bartlett long-run variance at
     * fixed lag 4 (weights 1 − i/5), partial-sum eta / n², and the
-    * piecewise-linear published-table p clipped at the table ends. */
+    * piecewise-linear published-table p clipped at the table ends. The
+    * finite-value WHERE and the n >= 10 gate mirror the kernel's
+    * preconditions (Panel.finite + minLen=10), so a fixture with short or
+    * non-finite groups can't silently diverge. */
   private def kpssCoreSql: String =
     s"""WITH panel AS ($evPanelSql),
        |d AS (SELECT group_key, value,
        |  row_number() OVER (PARTITION BY group_key ORDER BY date) AS t,
-       |  count(*) OVER (PARTITION BY group_key) AS n FROM panel),
+       |  count(*) OVER (PARTITION BY group_key) AS n FROM panel
+       |  WHERE value IS NOT NULL AND isfinite(value)),
        |ols AS (SELECT group_key,
        |  covar_pop(t, value) / var_pop(t) AS beta,
        |  avg(value) - covar_pop(t, value) / var_pop(t) * avg(t) AS alpha
@@ -516,7 +520,8 @@ object SparkEntry {
        |     ROWS UNBOUNDED PRECEDING) AS cum FROM r) GROUP BY 1),
        |kp AS (SELECT l.group_key,
        |  (e.etasum / (CAST(l.n AS DOUBLE) * l.n)) / l.lrv AS stat
-       |  FROM lrv l JOIN et e USING (group_key))
+       |  FROM lrv l JOIN et e USING (group_key)
+       |  WHERE l.n >= 10)
        |SELECT group_key, 'value' AS feature,
        |floor(stat * 1e6 + 0.5) / 1e6 AS kpss_ct_stat,
        |floor((CASE WHEN stat <= 0.119 THEN 0.10

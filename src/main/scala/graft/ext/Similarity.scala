@@ -70,12 +70,17 @@ object Similarity {
   }
 
   /** Assignment expression: cell index of the max-cosine centroid (lowest
-    * index on ties, via the (cos, −idx) struct-max trick). */
-  private def cellOf(emb: org.apache.spark.sql.Column,
+    * index on ties, via the (cos, −idx) struct-max trick). NaN cosines
+    * (zero-norm vector or centroid) are mapped to −∞ so they never win —
+    * without that, array_max's NaN-compares-greatest would pick a NaN
+    * cell here while [[assignUdf]]'s strict > skips it, and assignment
+    * would depend on nlist. */
+  private[graft] def cellOf(emb: org.apache.spark.sql.Column,
       cents: Array[Array[Double]]): org.apache.spark.sql.Column = {
     val scored = cents.zipWithIndex.map { case (c, i) =>
       struct(
-        Dedup.cosine(emb, array(c.map(lit): _*)).as("c"),
+        nanvl(Dedup.cosine(emb, array(c.map(lit): _*)),
+          lit(Double.NegativeInfinity)).as("c"),
         lit(-i).as("ni"))
     }
     -array_max(array(scored: _*)).getField("ni")
@@ -87,7 +92,7 @@ object Similarity {
     * so literal-embedding would Janino-compile fresh code each time) and
     * for large quantizers where cellOf's nlist-proportional codegen would
     * dominate wall-clock. */
-  private def assignUdf(cents: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+  private[graft] def assignUdf(cents: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val frozen = cents.map(_.clone())
     udf { (emb: Seq[Double]) =>
       var best = 0
@@ -100,7 +105,10 @@ object Similarity {
         while (j < cvec.length) {
           dot += emb(j) * cvec(j); na += emb(j) * emb(j); nb += cvec(j) * cvec(j); j += 1
         }
-        val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+        // NaN (zero-norm) → −∞, matching cellOf's nanvl: degenerate
+        // vectors land in cell 0 on BOTH paths regardless of nlist
+        val c0 = dot / (math.sqrt(na) * math.sqrt(nb))
+        val cos = if (java.lang.Double.isNaN(c0)) Double.NegativeInfinity else c0
         if (cos > bestC) { bestC = cos; best = i }
         i += 1
       }
@@ -111,7 +119,7 @@ object Similarity {
   /** Closure-UDF nprobe probing for large quantizers — result order
     * identical to the small-quantizer reverse(sort_array) expression:
     * cos descending, ties by HIGHER cell index. */
-  private def probeUdf(cents: Array[Array[Double]], nprobe: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+  private[graft] def probeUdf(cents: Array[Array[Double]], nprobe: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val frozen = cents.map(_.clone())
     udf { (qemb: Seq[Double]) =>
       frozen.indices.map { i =>
@@ -121,7 +129,10 @@ object Similarity {
         while (j < cvec.length) {
           dot += qemb(j) * cvec(j); na += qemb(j) * qemb(j); nb += cvec(j) * cvec(j); j += 1
         }
-        (dot / (math.sqrt(na) * math.sqrt(nb)), i)
+        // NaN → −∞ like the expression path's nanvl, so degenerate
+        // centroids sort LAST under both probe mechanisms
+        val c0 = dot / (math.sqrt(na) * math.sqrt(nb))
+        (if (java.lang.Double.isNaN(c0)) Double.NegativeInfinity else c0, i)
       }.sortBy { case (c, i) => (-c, -i) }.take(nprobe).map(_._2).toArray
     }
   }
@@ -268,7 +279,10 @@ object Similarity {
       if (cents.length <= 16) {
         val scoredCells = cents.zipWithIndex.map { case (c, i) =>
           struct(
-            Dedup.cosine(col("qemb"), array(c.map(lit): _*)).as("c"),
+            // nanvl: NaN (zero-norm) centroids must sort last, matching
+            // probeUdf — sort_array would otherwise rank NaN greatest
+            nanvl(Dedup.cosine(col("qemb"), array(c.map(lit): _*)),
+              lit(Double.NegativeInfinity)).as("c"),
             lit(i).as("idx"))
         }
         slice(reverse(sort_array(array(scoredCells: _*))), 1, nprobe).getField("idx")

@@ -247,7 +247,11 @@ object TextStats {
     val benchGrams: Set[Long] =
       tokenGramHashRows(benchmark, idCol, textCol, k).select("sh").distinct()
         .collect().map(_.getLong(0)).toSet
-    val clean = udf { (hashes: Seq[Long]) => !hashes.exists(benchGrams.contains) }
+    // null text → null gram array; keep the doc, matching the batch
+    // anti-join form (a null-text doc emits no gram rows so is never
+    // flagged there) — without the guard this UDF NPEs on real corpora.
+    val clean = udf { (hashes: Seq[Long]) =>
+      hashes == null || !hashes.exists(benchGrams.contains) }
     corpus.filter(clean(graft.expr.TokenGramHashes.tokenGramHashes(
       Dedup.tokens(col(textCol)), k)))
   }

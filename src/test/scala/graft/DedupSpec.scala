@@ -196,6 +196,34 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")  // fixed random-direction quantizer floor
   }
 
+  test("IVF assignment/probe paths agree on NaN (zero-norm) vectors") {
+    // a zero-norm centroid yields NaN cosine against every vector; a
+    // zero-norm embedding yields NaN against every centroid. Both the
+    // codegen'd expression path (<=16 cells) and the closure-UDF path
+    // (>16 cells) must map NaN to -inf, or cell assignment would depend
+    // on nlist (array_max ranks NaN greatest; strict > skips it).
+    val cents = Array(
+      Array(0.0, 0.0, 0.0, 0.0),   // degenerate centroid: must never win
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0))
+    val df = Seq(
+      (1L, Seq(0.9, 0.1, 0.0, 0.0)),  // nearest real centroid: cell 1
+      (2L, Seq(0.0, 0.0, 0.0, 0.0))   // zero-norm: all NaN -> cell 0 both paths
+    ).toDF("vec_id", "emb")
+    val exprCells = df.withColumn("cell", Similarity.cellOf(col("emb"), cents))
+      .orderBy("vec_id").collect().map(_.getAs[Int]("cell")).toSeq
+    val udfCells = df.withColumn("cell", Similarity.assignUdf(cents)(col("emb")))
+      .orderBy("vec_id").collect().map(_.getAs[Int]("cell")).toSeq
+    assert(exprCells == udfCells, s"expr $exprCells vs udf $udfCells")
+    assert(exprCells == Seq(1, 0), s"got $exprCells")
+    // probe order: the degenerate centroid sorts LAST on both paths
+    val probes = df.filter(col("vec_id") === 1L)
+      .select(col("emb").as("qemb"))
+      .withColumn("u", Similarity.probeUdf(cents, 3)(col("qemb")))
+      .head().getAs[scala.collection.Seq[Int]]("u").toSeq
+    assert(probes == Seq(1, 2, 0), s"probe order $probes")
+  }
+
   test("IVF large-quantizer (closure-UDF) path: self-matches and recall hold") {
     // nlist > 16 routes assignment and probing through the UDF argmax
     // instead of the literal-codegen expressions — same invariants must hold

@@ -38,7 +38,8 @@ class TextExtSpec extends SparkSpec {
     val rows = Seq(
       (1L, "some training text with the secret eval answer hidden inside"),
       (2L, "completely unrelated training material about other topics"),
-      (3L, "is forty two exactly and more words follow here"))
+      (3L, "is forty two exactly and more words follow here"),
+      (4L, null.asInstanceOf[String])) // null text: kept, like the anti-join form
     val dir = java.nio.file.Files.createTempDirectory("decon_stream").toString
     rows.toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
     val schema = StructType(Seq(
@@ -47,7 +48,11 @@ class TextExtSpec extends SparkSpec {
     val batchClean = TextStats.decontaminateWithGramSet(
         spark.read.parquet(dir), bench, k = 4)
       .collect().map(_.getAs[Long]("doc_id")).toSet
-    assert(batchClean == Set(2L), s"batch $batchClean")
+    assert(batchClean == Set(2L, 4L), s"batch $batchClean")
+    // the anti-join form keeps null-text docs too — the two forms agree
+    val antiClean = TextStats.decontaminate(spark.read.parquet(dir), bench, k = 4)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(antiClean == batchClean, s"anti-join $antiClean vs gram-set $batchClean")
     // identical call on a readStream frame — stateless, so append mode works
     val stream = spark.readStream.schema(schema).parquet(dir)
     val q = TextStats.decontaminateWithGramSet(stream, bench, k = 4)
