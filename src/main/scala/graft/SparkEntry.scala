@@ -1046,6 +1046,51 @@ object SparkEntry {
        |SELECT component, count(*) AS n_members, max(v) AS max_member
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Score-aware keep policy probe: [[Dedup.losersKeeping]] (the exact
+    * production path inside dropNearDuplicatesKeeping) on the SAME bounded
+    * exact-Jaccard pair graph as q_neardup_components_docs, with n_chars
+    * as the quality score — emits the surviving docs. DuckDB replays
+    * components via the recursive-CTE closure plus one per-component
+    * argmax (score desc, id desc — the struct-max tie rule), so the
+    * whole keep/drop decision including ties is hash-verified. */
+  private def neardupKeepingDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 250)
+    val pairs = jaccardPairsDocs(s, dir).select("doc_a", "doc_b")
+    docs.join(Dedup.losersKeeping(pairs, docs, "n_chars"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private def neardupKeepingSql: String =
+    raw"""WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE doc_id < 250),
+       |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+       |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(toks[i:i+2], ' ')))
+       |  ELSE [array_to_string(toks, ' ')] END AS sh FROM d),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |  UNION SELECT doc_b, doc_a FROM p),
+       |n AS (SELECT DISTINCT a AS v FROM e),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM n
+       |  UNION
+       |  SELECT e.a, reach.r FROM e JOIN reach ON reach.v = e.b),
+       |c AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+       |m AS (SELECT c.v, c.component, doc.n_chars
+       |  FROM c JOIN documents doc ON doc.doc_id = c.v),
+       |w AS (SELECT component, v AS winner FROM (
+       |  SELECT component, v, row_number() OVER (
+       |    PARTITION BY component ORDER BY n_chars DESC, v DESC) AS rn FROM m)
+       |  WHERE rn = 1),
+       |losers AS (SELECT m.v FROM m JOIN w USING (component) WHERE m.v <> w.winner)
+       |SELECT doc_id, n_chars FROM documents
+       |WHERE doc_id < 250 AND doc_id NOT IN (SELECT v FROM losers)
+       |ORDER BY doc_id""".stripMargin
+
   private def jsonEvents(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -1850,6 +1895,7 @@ object SparkEntry {
     "q_simhash_docs" -> simhashDocs,
     "q_jaccard_pairs_docs" -> jaccardPairsDocs,
     "q_neardup_components_docs" -> neardupComponentsDocs,
+    "q_neardup_keeping_docs" -> neardupKeepingDocs,
     "q_minhash_replay_docs" -> minhashReplayDocs,
     "q_simhash_replay_docs" -> simhashReplayDocs,
     "q_embedding_neardup_docs" -> embeddingNearDupDocs,
@@ -2064,6 +2110,7 @@ object SparkEntry {
     "q_volatility_core_lineitem" -> volatilityCoreSql,
     "q_jaccard_pairs_docs" -> jaccardPairsSql,
     "q_neardup_components_docs" -> neardupComponentsSql,
+    "q_neardup_keeping_docs" -> neardupKeepingSql,
     "q_minhash_replay_docs" -> minhashReplaySql,
     "q_lsh_replay_topk" -> lshReplaySql,
     "q_ivf_replay_topk" -> ivfReplaySql,

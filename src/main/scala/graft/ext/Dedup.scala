@@ -358,14 +358,25 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val pairs = minhashNearDuplicates(docs, idCol, textCol, threshold = threshold)
       .select("doc_a", "doc_b")
+    docs.join(losersKeeping(pairs, docs, scoreCol, idCol), Seq(idCol), "left_anti")
+  }
+
+  /** The keeping policy's drop set, factored out so a driver query can
+    * oracle it on a replayable pair graph: cluster the verified duplicate
+    * pairs by connected components, keep per cluster the member maximizing
+    * (`scoreCol`, id) — lexicographic struct max, so score ties break to
+    * the HIGHER id deterministically — and return every other member's id.
+    * Component count ≤ pair count, so the aggregate is model-sized
+    * relative to the corpus. */
+  def losersKeeping(pairs: DataFrame, docs: DataFrame, scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
     val members = connectedComponents(pairs)
       .join(docs.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__score")), "id")
     val winners = members.groupBy("component")
       .agg(max_by(col("id"), struct(col("__score"), col("id"))).as("__winner"))
-    val losers = members.join(winners, "component")
+    members.join(winners, "component")
       .filter(col("id") =!= col("__winner"))
       .select(col("id").as(idCol))
-    docs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Distinct string-shingle set of a text column — the raw-string twin of
