@@ -1860,6 +1860,43 @@ object SparkEntry {
       .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
   }
 
+  /** Multimodal replayable twin: closed-form gradient PNGs (channels are
+    * small-integer functions of (x, y, id) — `Multimodal.makeGradientPng`)
+    * through the PRODUCTION pipeline: real PNG encode, real ImageIO
+    * decode, identity-size raster, BT.601 luma float32 embedding, then
+    * brute-force cosine top-k. DuckDB regenerates the embeddings from the
+    * closed form (float32 rounding replayed via ::REAL) and replays the
+    * ranking — pinning codec round-trip, luma arithmetic, embedding
+    * layout, and downstream ANN in one hash-checked row set. The codec
+    * family was previously the only extension family with no hard
+    * cross-engine evidence. */
+  private def multimodalReplayDocs(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select("doc_id").filter(col("doc_id") < 12)
+    val media = Multimodal.gradientMedia(ids, "doc_id", 8, 8)
+    val emb = Multimodal.imageEmbeddings(media, grid = 8)
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def multimodalReplaySql: String =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 12),
+      |emb AS (SELECT doc_id AS vec_id, list_transform(range(64), j ->
+      |  CAST(CAST(0.299 * (((7 * (j % 8) + 3 * (j // 8) + doc_id) % 256) / 255.0)
+      |    + 0.587 * (((5 * (j % 8) + 13 * doc_id) % 256) / 255.0)
+      |    + 0.114 * (((11 * (j // 8) + 7 * doc_id) % 256) / 255.0) AS REAL)
+      |    AS DOUBLE)) AS emb FROM ids),
+      |q AS (SELECT vec_id AS query_id, emb AS qemb FROM emb WHERE vec_id < 3),
+      |s AS (SELECT q.query_id, e.vec_id,
+      |  list_cosine_similarity(e.emb, q.qemb) AS cos FROM emb e CROSS JOIN q),
+      |r AS (SELECT query_id, vec_id, cos,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM s WHERE cos IS NOT NULL AND NOT isnan(cos))
+      |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1922,6 +1959,7 @@ object SparkEntry {
     "q_multimodal_features" -> multimodalFeatures,
     "q_multimodal_transform" -> multimodalTransform,
     "q_multimodal_embedding" -> multimodalEmbedding,
+    "q_multimodal_replay" -> multimodalReplayDocs,
     "q_salted_join_lineitem" -> saltedJoinLineitem,
     "q_sample_docs" -> sampleDocs,
     "q_sample_stratified_docs" -> sampleStratifiedDocs,
@@ -2111,6 +2149,7 @@ object SparkEntry {
     "q_jaccard_pairs_docs" -> jaccardPairsSql,
     "q_neardup_components_docs" -> neardupComponentsSql,
     "q_neardup_keeping_docs" -> neardupKeepingSql,
+    "q_multimodal_replay" -> multimodalReplaySql,
     "q_minhash_replay_docs" -> minhashReplaySql,
     "q_lsh_replay_topk" -> lshReplaySql,
     "q_ivf_replay_topk" -> ivfReplaySql,

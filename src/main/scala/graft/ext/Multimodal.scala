@@ -91,6 +91,42 @@ object Multimodal {
 
   private val pngUdf = udf((seed: Long, w: Int, h: Int) => makePng(seed, w, h))
 
+  /** Closed-form gradient PNG: pixel (x,y) of image `id` has channels
+    * R = (7x + 3y + id) mod 256, G = (5x + 13·id) mod 256,
+    * B = (11y + 7·id) mod 256 — small-integer arithmetic a SQL oracle can
+    * regenerate exactly, encoded through the same PNG writer as every
+    * other synthetic image. PNG is lossless, so the production decode
+    * recovers these exact channels: the whole decode → luma → embedding →
+    * ANN pipeline becomes replayable cross-engine. */
+  private[graft] def makeGradientPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((7 * x + 3 * y + id) % 256).toInt
+        val g = ((5 * x + 13 * id) % 256).toInt
+        val b = ((11 * y + 7 * id) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    pngBytesOf(img)
+  }
+
+  /** A media frame ([[MediaSchema]] shape) of [[makeGradientPng]] images,
+    * one per id row — the replayable-twin input for the multimodal
+    * pipeline oracle. */
+  def gradientMedia(ids: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val u = udf((id: Long) => makeGradientPng(id, w, h))
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .withColumn("media", u(col("media_id")))
+      .withColumn("meta", struct(
+        lit("img").as("format"), lit(w).as("width"),
+        lit(h).as("height"), lit(1).as("n_frames")))
+  }
+
   /** Writer SPIs cached once per JVM — `getImageWritersByFormatName`
     * scans the IIORegistry, which is measurable when called per row. An
     * ImageWriter itself is not thread-safe, so each call still creates a

@@ -249,6 +249,27 @@ class TextExtSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: gradient PNG decodes to the exact closed-form luma") {
+    // the replayable-twin premise: PNG encode -> ImageIO decode ->
+    // identity-size raster -> luma recovers EXACTLY the closed-form
+    // channels makeGradientPng wrote. Float-exact equality, no epsilon —
+    // any codec or resize deviation must fail here, not in the driver's
+    // DuckDB replay.
+    val ids = Seq(0L, 3L, 7L, 11L).toDF("doc_id")
+    val media = Multimodal.gradientMedia(ids, "doc_id", 8, 8)
+    val emb = Multimodal.imageEmbeddings(media, grid = 8).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    assert(emb.keySet == Set(0L, 3L, 7L, 11L))
+    for (id <- emb.keys; j <- 0 until 64) {
+      val x = j % 8; val y = j / 8
+      val r = ((7 * x + 3 * y + id) % 256).toDouble / 255.0
+      val g = ((5 * x + 13 * id) % 256).toDouble / 255.0
+      val b = ((11 * y + 7 * id) % 256).toDouble / 255.0
+      val expect = (0.299 * r + 0.587 * g + 0.114 * b).toFloat
+      assert(emb(id)(j) == expect, s"id=$id j=$j got ${emb(id)(j)} want $expect")
+    }
+  }
+
   test("multimodal: synthetic media round-trips through the decoder") {
     val docs = (1L to 12L).map(i => (i, s"seed text $i")).toDF("doc_id", "text")
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
