@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+
+/** Scale probe for the IVF large-quantizer path (committed so the probe
+  * is re-runnable per round — results in ARCHITECTURE.md):
+  * a 10× embedding table (10 deterministically perturbed copies of the
+  * given SF's embeddings) searched at a realistic coarse quantizer
+  * (nlist ≥ 256 → the closure-UDF assignment/probe path), timed cold and
+  * warm, with recall@10 against the brute-force baseline.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ProbeIvf [nlist] [nprobe]
+  */
+object ProbeIvf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nlist = if (args.length > 0) args(0).toInt else 256
+    val nprobe = if (args.length > 1) args(1).toInt else 16
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val n = base.count()
+    // 10 perturbed copies: copy k shifts ids by k·n and adds k·1e-3 to
+    // every component — distinct vectors, same cluster structure
+    val big = (0 until 10).map { k =>
+      base.select((col("vec_id") + lit(k * n)).as("vec_id"),
+        transform(col("embedding"), v => v + lit(k * 1e-3)).as("embedding"))
+    }.reduce(_ union _).repartition(32).cache()
+    println(s"probe table: ${big.count()} vectors")
+
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb")).cache()
+    queries.count()
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val exact = time("brute (cold)") {
+      val d = Similarity.bruteForceTopK(big, queries, k = 10); d.count(); d
+    }
+    time("brute (warm)") { Similarity.bruteForceTopK(big, queries, k = 10).count() }
+
+    val cents = time(s"ivf train nlist=$nlist (3 iters, stride-5 sample)") {
+      Similarity.trainIvfCentroids(big, nlist = nlist, iters = 3, sampleMod = 5L)
+    }
+    def search(): DataFrame =
+      Similarity.ivfTopKWithCentroids(big, queries, 10, cents, nprobe,
+        "vec_id", "embedding", "query_id", "query_emb")
+    val approx = time(s"ivf search nlist=$nlist nprobe=$nprobe (cold)") {
+      val d = search(); d.count(); d
+    }
+    time("ivf search (warm)") { search().count() }
+    time("ivf search (warm2)") { search().count() }
+
+    val recall = Similarity.withRecallAtK(approx, exact)
+      .select("query_id", "recall_at_k").distinct()
+      .agg(avg("recall_at_k")).head().getDouble(0)
+    println(f"recall@10 vs brute: $recall%.3f")
+    spark.stop()
+  }
+}

@@ -243,7 +243,7 @@ object Similarity {
     ivfTopKWithCentroids(embeddings, queries, k, integerPlanes(dim, nlist), nprobe,
       idCol, embCol, queryIdCol, queryEmbCol)
 
-  private def ivfTopKWithCentroids(
+  private[graft] def ivfTopKWithCentroids(
       embeddings: DataFrame,
       queries: DataFrame,
       k: Int,
