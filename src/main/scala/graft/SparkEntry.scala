@@ -1897,6 +1897,33 @@ object SparkEntry {
       |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Façade smoke: the reference-parity `TimeSeriesStudy.runAll` driven
+    * end-to-end on the events daily panel under the driver harness —
+    * every analysis executes, each result lands as header'd CSV (S2),
+    * and one table round-trips back through the CSV source (explicit
+    * schema, single-pass) and out-and-back through ORC. Emits a
+    * per-table row-count manifest. Rows-only by contract: every kernel
+    * underneath is oracled by its own query; this row proves the
+    * user-facing wiring (façade → sinks → sources) works outside the
+    * specs. (At sf0.01 the `volatility` count is legitimately 0 — the
+    * events panel has ~30 days per group, under GARCH's minLen=50
+    * short-series guard.) */
+  private def studyFacadeEvents(s: SparkSession, dir: String): DataFrame = {
+    val panel = eventsDailyPanel(s, dir).cache()
+    try {
+      val study = new TimeSeriesStudy(panel, "date", Seq("group_key"))
+      val tmp = java.nio.file.Files.createTempDirectory("study_facade").toString
+      val results = study.runAll(tmp)
+      val back = Tables.readCsv(s, s"$tmp/out_memory", Some(results("memory").schema))
+      Tables.writeOrc(back, s"$tmp/memory_orc")
+      val orcN = Tables.readOrc(s, s"$tmp/memory_orc").count()
+      val manifest = results.toSeq.sortBy(_._1)
+        .map { case (n, d) => (n, d.count()) } :+ ("memory_csv_orc_roundtrip" -> orcN)
+      import s.implicits._
+      manifest.toDF("table_name", "n_rows").orderBy("table_name")
+    } finally panel.unpersist()
+  }
+
   // ---- registry -----------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1960,6 +1987,7 @@ object SparkEntry {
     "q_multimodal_transform" -> multimodalTransform,
     "q_multimodal_embedding" -> multimodalEmbedding,
     "q_multimodal_replay" -> multimodalReplayDocs,
+    "q_study_facade_events" -> studyFacadeEvents,
     "q_salted_join_lineitem" -> saltedJoinLineitem,
     "q_sample_docs" -> sampleDocs,
     "q_sample_stratified_docs" -> sampleStratifiedDocs,
