@@ -1917,8 +1917,14 @@ object SparkEntry {
       val back = Tables.readCsv(s, s"$tmp/out_memory", Some(results("memory").schema))
       Tables.writeOrc(back, s"$tmp/memory_orc")
       val orcN = Tables.readOrc(s, s"$tmp/memory_orc").count()
+      // count the WRITTEN CSVs (schema from the result frames), not the
+      // frames themselves — counting a frame would re-execute its whole
+      // analysis (runAll already ran each once for the sink), and reading
+      // the sink back is the stronger check anyway
       val manifest = results.toSeq.sortBy(_._1)
-        .map { case (n, d) => (n, d.count()) } :+ ("memory_csv_orc_roundtrip" -> orcN)
+        .map { case (n, d) =>
+          (n, Tables.readCsv(s, s"$tmp/out_$n", Some(d.schema)).count())
+        } :+ ("memory_csv_orc_roundtrip" -> orcN)
       import s.implicits._
       manifest.toDF("table_name", "n_rows").orderBy("table_name")
     } finally panel.unpersist()
