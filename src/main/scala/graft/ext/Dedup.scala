@@ -185,9 +185,8 @@ object Dedup {
     // resilience, exactly as documented there.
     val aggs = (0 until numHashes).map(i => min(perm(col("sh"), i)).as(s"mh_$i")) :+
       collect_set("sh").as("shset")
-    val sigsAndSets = shRows
-      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(true)
+    val sigsAndSets = graft.core.Ckpt.pin(shRows
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
     val bandCols = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
         bandBucket((bnd * rows until (bnd + 1) * rows).map(i => col(s"mh_$i"))).as("bucket"))
@@ -248,13 +247,13 @@ object Dedup {
     // more than once per iteration's plan, so without truncation the
     // logical tree doubles each round (exponential — the plan PRINTER
     // alone OOMs near iteration ~15, long before any data pressure).
-    // Eager localCheckpoint pins each round's vertex-sized result and
-    // resets the plan to a leaf; the expensive pair GENERATOR upstream is
-    // likewise evaluated exactly once (first checkpoint below). On a real
-    // cluster prefer a reliable checkpoint dir for executor-loss
-    // resilience; the state being checkpointed is one label per vertex.
-    val fwd = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .localCheckpoint(true)
+    // Eager Ckpt.pin pins each round's vertex-sized result and resets the
+    // plan to a leaf; the expensive pair GENERATOR upstream is likewise
+    // evaluated exactly once (first pin below). With a reliable checkpoint
+    // dir set on the session, pin routes to df.checkpoint() and the state
+    // (one label per vertex) survives executor loss — see core/Ckpt.
+    val fwd = graft.core.Ckpt.pin(
+      pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
     val nEdges = fwd.count()
     if (nEdges <= collectThreshold) return unionFindLocal(fwd)
     // right-size the iteration frames: label/edge tables are graph-sized,
@@ -264,10 +263,10 @@ object Dedup {
     // big graphs parallel; the per-round shuffles then AQE-coalesce to match.
     val p = math.max(1, math.min(fwd.rdd.getNumPartitions,
       (nEdges / 1000000L).toInt + 1))
-    val e = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
-      .distinct().repartition(p).localCheckpoint(true)
-    var labels = e.select(col("a").as("v")).distinct()
-      .withColumn("comp", col("v")).localCheckpoint(true)
+    val e = graft.core.Ckpt.pin(fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .distinct().repartition(p))
+    var labels = graft.core.Ckpt.pin(e.select(col("a").as("v")).distinct()
+      .withColumn("comp", col("v")))
     var it = 0
     var changed = 1L
     while (changed > 0) {
@@ -287,12 +286,11 @@ object Dedup {
       // Propagation distance doubles per round, so rounds ~ log2(diameter)
       // instead of diameter — on long chains this is the difference between
       // 5 and 30 rounds, and each round is a fixed number of jobs.
-      val next = hop.as("x")
+      val next = graft.core.Ckpt.pin(hop.as("x")
         .join(hop.select(col("v").as("comp"), col("comp").as("cc")).as("j"),
           Seq("comp"), "left")
         .select(col("v"), least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"),
-          col("old"))
-        .localCheckpoint(true)
+          col("old")))
       // carry the previous label through the checkpoint so the change
       // count is a cheap scan of the checkpointed result, not another join
       changed = next.filter(col("comp") =!= col("old")).count()

@@ -416,13 +416,12 @@ object TextStats {
       minShared: Int, maxDocsPerFp: Long): org.apache.spark.sql.DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDocsPerFp >= 2, s"maxDocsPerFp must be >= 2, got $maxDocsPerFp")
-    val fps = fps0.localCheckpoint(true)
-    val kept = fps.join(
+    val fps = graft.core.Ckpt.pin(fps0)
+    val kept = graft.core.Ckpt.pin(fps.join(
         fps.groupBy("fp").agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2 && col("df") <= maxDocsPerFp)
           .select("fp"),
-        "fp")
-      .localCheckpoint(true) // self-joined below: two consumers again
+        "fp")) // self-joined below: two consumers again
     kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

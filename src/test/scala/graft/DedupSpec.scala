@@ -350,6 +350,25 @@ class DedupSpec extends SparkSpec {
     assert(bsp == comps)
   }
 
+  test("Ckpt.pin routes to reliable checkpoints when a checkpoint dir is set") {
+    // with spark.sparkContext.setCheckpointDir configured, every plan-
+    // pinning site (LSH signature frame, components state, fp frame)
+    // switches from executor-local to reliable checkpoints — the
+    // executor-loss-resilient mode a long cluster run needs. Same
+    // results, and the checkpoint data actually lands in the dir.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+      val m = Dedup.connectedComponents(pairs, collectThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L), s"$m")
+      val nFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(nFiles > 0, "no reliable checkpoint data written")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("connectedComponents BSP path fail-louds past maxIter instead of looping") {
     val chain = (1L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     intercept[IllegalArgumentException] {
