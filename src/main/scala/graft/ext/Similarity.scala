@@ -243,6 +243,53 @@ object Similarity {
     ivfTopKWithCentroids(embeddings, queries, k, integerPlanes(dim, nlist), nprobe,
       idCol, embCol, queryIdCol, queryEmbCol)
 
+  /** IVF cell assignment as a standalone frame `(vec_id, emb, cell)` —
+    * the materializable half of the index. At large nlist the per-vector
+    * O(nlist·dim) assignment is the dominant map-side term of every
+    * search (round-5 probe: it, not the candidate scan, moved the
+    * wall-clock between nlist=256 and 512), so a real deployment computes
+    * it ONCE and persists it next to the vectors — e.g.
+    * `assignCells(e, cents).write.partitionBy("cell").parquet(...)` —
+    * after which [[ivfTopKPreAssigned]] searches it with partition
+    * pruning on the probed cells and no assignment scan at all.
+    *
+    * Assignment mechanism by quantizer size: the codegen'd cellOf embeds
+    * every centroid as an array literal in ONE expression, so Janino
+    * compile time grows with nlist — fine to ~16 cells, but a real IVF
+    * (nlist in the thousands at 1B vectors) would spend minutes compiling
+    * before the first row. Above the cutoff, a closure-UDF argmax with the
+    * SAME arithmetic and tie rule (strict >, lowest cell wins; NaN → −∞)
+    * costs nothing to plan; the per-row work is identical. */
+  def assignCells(
+      embeddings: DataFrame,
+      cents: Array[Array[Double]],
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    requireNumericId(embeddings, idCol)
+    val cellAssign: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (cents.length <= 16) emb => cellOf(emb, cents)
+      else { val u = assignUdf(cents); emb => u(emb) }
+    embeddings.select(
+      col(idCol).cast("long").as("vec_id"),
+      col(embCol).cast("array<double>").as("emb"))
+      .withColumn("cell", cellAssign(col("emb")))
+  }
+
+  /** Search a PRE-ASSIGNED cell frame (the [[assignCells]] schema:
+    * vec_id, emb, cell) — the amortized form of [[ivfTopK]]: no
+    * assignment pass over the corpus; when the frame is read from
+    * cell-partitioned storage the probed-cell equijoin prunes partitions
+    * so only ~nprobe/nlist of the corpus is scanned. */
+  def ivfTopKPreAssigned(
+      assigned: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      cents: Array[Array[Double]],
+      nprobe: Int,
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_emb"): DataFrame =
+    searchCells(assigned, queries, k, cents, nprobe, queryIdCol, queryEmbCol)
+
   private[graft] def ivfTopKWithCentroids(
       embeddings: DataFrame,
       queries: DataFrame,
@@ -252,22 +299,18 @@ object Similarity {
       idCol: String,
       embCol: String,
       queryIdCol: String,
+      queryEmbCol: String): DataFrame =
+    searchCells(assignCells(embeddings, cents, idCol, embCol),
+      queries, k, cents, nprobe, queryIdCol, queryEmbCol)
+
+  private def searchCells(
+      data: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      cents: Array[Array[Double]],
+      nprobe: Int,
+      queryIdCol: String,
       queryEmbCol: String): DataFrame = {
-    requireNumericId(embeddings, idCol)
-    // Assignment mechanism by quantizer size: the codegen'd cellOf embeds
-    // every centroid as an array literal in ONE expression, so Janino
-    // compile time grows with nlist — fine to ~16 cells, but a real IVF
-    // (nlist in the thousands at 1B vectors) would spend minutes compiling
-    // before the first row. Above the cutoff, a closure-UDF argmax with the
-    // SAME arithmetic and tie rule (strict >, lowest cell wins) costs
-    // nothing to plan; the per-row work is identical.
-    val cellAssign: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      if (cents.length <= 16) emb => cellOf(emb, cents)
-      else { val u = assignUdf(cents); emb => u(emb) }
-    val data = embeddings.select(
-      col(idCol).cast("long").as("vec_id"),
-      col(embCol).cast("array<double>").as("emb"))
-      .withColumn("cell", cellAssign(col("emb")))
     // nprobe nearest centroids per query: scored struct array, sorted
     // descending by (cos, idx), sliced — queries are small by contract.
     // Same nlist-proportional-codegen concern as assignment: large
@@ -349,7 +392,7 @@ object Similarity {
     * left-to-right IEEE double fold on both sides). Quality-wise the
     * coordinates are uniform on [−5e8, 5e8] — random-projection LSH only
     * needs symmetric direction sampling, not Gaussian coordinates. */
-  private[ext] def integerPlanes(dim: Int, bits: Int): Array[Array[Double]] =
+  private[graft] def integerPlanes(dim: Int, bits: Int): Array[Array[Double]] =
     Array.tabulate(bits)(j => Array.tabulate(dim)(i =>
       ((2654435761L * (j.toLong * dim + i + 1) + 97L) % 1000000007L - 500000003L).toDouble))
 

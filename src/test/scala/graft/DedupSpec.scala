@@ -245,6 +245,27 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("pre-assigned IVF search equals direct search (amortized index path)") {
+    // assignCells -> persist partitioned by cell -> ivfTopKPreAssigned:
+    // the amortized deployment shape. Must rank identically to the
+    // direct ivfTopKWithCentroids pipeline on the same pinned quantizer.
+    val rng = new scala.util.Random(7)
+    val df = (0L until 300L).map { i =>
+      (i, Seq.fill(16)(rng.nextGaussian()))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.integerPlanes(16, 8)
+    val q = df.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_emb"))
+    val direct = Similarity.ivfTopKReplayable(df, q, k = 5, dim = 16, nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cells").toString
+    Similarity.assignCells(df, cents).write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val assigned = spark.read.parquet(dir)
+    val pre = Similarity.ivfTopKPreAssigned(assigned, q, k = 5, cents, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(pre == direct, s"pre $pre vs direct $direct")
+  }
+
   test("withRecallAtK matches exact set arithmetic") {
     val rng = new scala.util.Random(23)
     val rows = (0L until 60L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
