@@ -1930,6 +1930,63 @@ object SparkEntry {
     } finally panel.unpersist()
   }
 
+  /** Int8 scalar quantization probe: per-vector scale + code stats over a
+    * bounded id window — DuckDB replays the whole transform (max|v|/127
+    * scale, floor(x+0.5) round-half-up codes, zero-vector CASE), pinning
+    * the storage format the quantized ANN path depends on. */
+  private def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val q = ext.Quantize.quantizeEmbeddings(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 50))
+    q.select(col("vec_id"), round6("scale"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("sum_codes"),
+        array_min(col("codes")).cast("long").as("min_code"),
+        array_max(col("codes")).cast("long").as("max_code"))
+      .orderBy("vec_id")
+  }
+
+  private def quantizeEmbeddingsSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+      |  FROM embeddings WHERE vec_id < 50),
+      |s AS (SELECT vec_id, emb,
+      |  list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale FROM e),
+      |c AS (SELECT vec_id, scale, CASE WHEN scale > 0
+      |  THEN list_transform(emb, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+      |  ELSE list_transform(emb, x -> 0::BIGINT) END AS codes FROM s)
+      |SELECT vec_id, floor(scale * 1e6 + 0.5) / 1e6 AS scale,
+      |CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+      |CAST(list_min(codes) AS BIGINT) AS min_code,
+      |CAST(list_max(codes) AS BIGINT) AS max_code
+      |FROM c ORDER BY vec_id""".stripMargin
+
+  /** Quantized ANN: cosine top-k straight over the int8 codes (per-vector
+    * scale cancels in cosine — no dequantization in the scan) against
+    * full-precision queries; the oracle replays quantization AND ranking. */
+  private def quantizedTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("query_emb"))
+    ext.Quantize.quantizedTopK(ext.Quantize.quantizeEmbeddings(emb), q, k = 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def quantizedTopkSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |s AS (SELECT vec_id, emb,
+      |  list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale FROM e),
+      |c AS (SELECT vec_id, CASE WHEN scale > 0
+      |  THEN list_transform(emb, x -> floor(x / scale + 0.5))
+      |  ELSE list_transform(emb, x -> 0.0) END AS codes FROM s),
+      |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 3),
+      |sc AS (SELECT q.query_id, c.vec_id,
+      |  list_cosine_similarity(c.codes, q.qemb) AS cos FROM c CROSS JOIN q),
+      |r AS (SELECT query_id, vec_id, cos,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM sc WHERE cos IS NOT NULL AND NOT isnan(cos))
+      |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1994,6 +2051,8 @@ object SparkEntry {
     "q_multimodal_embedding" -> multimodalEmbedding,
     "q_multimodal_replay" -> multimodalReplayDocs,
     "q_study_facade_events" -> studyFacadeEvents,
+    "q_quantize_embeddings" -> quantizeEmbeddings,
+    "q_quantized_topk" -> quantizedTopk,
     "q_salted_join_lineitem" -> saltedJoinLineitem,
     "q_sample_docs" -> sampleDocs,
     "q_sample_stratified_docs" -> sampleStratifiedDocs,
@@ -2184,6 +2243,8 @@ object SparkEntry {
     "q_neardup_components_docs" -> neardupComponentsSql,
     "q_neardup_keeping_docs" -> neardupKeepingSql,
     "q_multimodal_replay" -> multimodalReplaySql,
+    "q_quantize_embeddings" -> quantizeEmbeddingsSql,
+    "q_quantized_topk" -> quantizedTopkSql,
     "q_minhash_replay_docs" -> minhashReplaySql,
     "q_lsh_replay_topk" -> lshReplaySql,
     "q_ivf_replay_topk" -> ivfReplaySql,

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Quantize, Similarity}
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("int8 round-trip error bounded by scale/2; zero vectors safe") {
+    val df = Seq(
+      (1L, Seq(0.5, -1.0, 0.25, 0.125)),
+      (2L, Seq(3.0, 2.0, -3.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val q = Quantize.quantizeEmbeddings(df)
+    val rows = Quantize.dequantize(q)
+      .join(df.withColumnRenamed("embedding", "orig"), "vec_id")
+      .select("vec_id", "scale", "embedding", "orig").collect()
+    rows.foreach { r =>
+      val s = r.getDouble(1)
+      val deq = r.getSeq[Double](2); val orig = r.getSeq[Double](3)
+      deq.zip(orig).foreach { case (d, o) =>
+        assert(math.abs(d - o) <= s / 2 + 1e-12,
+          s"vec ${r.getLong(0)}: err ${math.abs(d - o)} > ${s / 2}")
+      }
+    }
+    // codes live in [-127, 127]; extremes hit exactly
+    val c2 = q.filter($"vec_id" === 2L).head().getSeq[Byte](2)
+    assert(c2.contains(127.toByte) && c2.contains(-127.toByte), s"$c2")
+    // zero vector: scale 0, all-zero codes, and dequantize returns zeros
+    val z = q.filter($"vec_id" === 3L).head()
+    assert(z.getDouble(1) == 0.0)
+    assert(z.getSeq[Byte](2).forall(_ == 0))
+  }
+
+  test("quantized top-k ranks like brute force on clustered data") {
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian()))
+    val df = (0L until 200L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(_ + rng.nextGaussian() * 0.05).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"),
+        $"embedding".cast("array<double>").as("query_emb"))
+    val brute = Similarity.bruteForceTopK(df, q, k = 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Quantize.quantizedTopK(Quantize.quantizeEmbeddings(df), q, k = 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = quant.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall vs brute")
+  }
+}
