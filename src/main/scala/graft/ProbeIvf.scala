@@ -65,6 +65,14 @@ object ProbeIvf {
     time("ivf search (warm)") { search().count() }
     time("ivf search (warm2)") { search().count() }
 
+    // amortized-index path: assignment materialized once, search reuses it
+    val assigned = Similarity.assignCells(big, cents).cache()
+    time("assignCells (materialize once)") { assigned.count() }
+    def searchPre(): DataFrame =
+      Similarity.ivfTopKPreAssigned(assigned, queries, 10, cents, nprobe)
+    time("ivf search pre-assigned (cold)") { searchPre().count() }
+    time("ivf search pre-assigned (warm)") { searchPre().count() }
+
     val recall = Similarity.withRecallAtK(approx, exact)
       .select("query_id", "recall_at_k").distinct()
       .agg(avg("recall_at_k")).head().getDouble(0)
