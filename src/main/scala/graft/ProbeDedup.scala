@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+/** Scale probe for the dedup chain (committed so it re-runs per round —
+  * results in ARCHITECTURE.md): a 10× documents table (10 suffix-mutated
+  * copies of the given SF's corpus, copy k appending k distinct tokens so
+  * cross-copy Jaccard decays through the threshold), then
+  * minhash → banded LSH → exact-Jaccard verify → connected components →
+  * dropNearDuplicates, timed per stage, with the union-find vs BSP
+  * component paths cross-checked on the full vertex set.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ProbeDedup
+  */
+object ProbeDedup {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val n = base.count()
+    val big = (0 until 10).map { k =>
+      base.select((col("doc_id") + lit(k * n)).as("doc_id"),
+        concat_ws(" ", col("text"),
+          lit((0 until k).map(j => s"mutslug${k}x$j").mkString(" "))).as("text"))
+    }.reduce(_ union _).repartition(32).cache()
+    println(s"probe corpus: ${big.count()} docs")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val pairs = time("minhash+LSH+verify pairs (cold)") {
+      val p = Dedup.minhashNearDuplicates(big, threshold = 0.5)
+        .select("doc_a", "doc_b").cache()
+      println(s"  edges: ${p.count()}")
+      p
+    }
+    time("pairs (warm, re-executed)") {
+      Dedup.minhashNearDuplicates(big, threshold = 0.5).count()
+    }
+    val uf = time("components via driver union-find (default gate)") {
+      val c = Dedup.connectedComponents(pairs).cache(); c.count(); c
+    }
+    val bsp = time("components via forced BSP (collectThreshold=0)") {
+      val c = Dedup.connectedComponents(pairs, collectThreshold = 0L).cache()
+      c.count(); c
+    }
+    val disagree = uf.as("a")
+      .join(bsp.as("b"), col("a.id") === col("b.id"))
+      .filter(col("a.component") =!= col("b.component")).count()
+    println(s"union-find vs BSP label disagreements: $disagree")
+    time("dropNearDuplicates end-to-end") {
+      println(s"  kept: ${Dedup.dropNearDuplicates(big, threshold = 0.5).count()} of ${big.count()}")
+    }
+    spark.stop()
+  }
+}
