@@ -26,7 +26,9 @@ object ProbeDedup {
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    val n = base.count()
+    // shift by max(id)+1, not count(): sparse ids would otherwise collide
+    // across copies and violate the LSH unique-id precondition
+    val n = base.agg(max("doc_id")).head().getLong(0) + 1L
     val big = (0 until 10).map { k =>
       base.select((col("doc_id") + lit(k * n)).as("doc_id"),
         concat_ws(" ", col("text"),

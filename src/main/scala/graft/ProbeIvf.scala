@@ -28,7 +28,8 @@ object ProbeIvf {
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").cast("long").as("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
-    val n = base.count()
+    // shift by max(id)+1, not count(): sparse ids would otherwise collide
+    val n = base.agg(max("vec_id")).head().getLong(0) + 1L
     // 10 perturbed copies: copy k shifts ids by k·n and adds k·1e-3 to
     // every component — distinct vectors, same cluster structure
     val big = (0 until 10).map { k =>

@@ -491,15 +491,16 @@ object SparkEntry {
     * (closed-form covariance algebra), Bartlett long-run variance at
     * fixed lag 4 (weights 1 − i/5), partial-sum eta / n², and the
     * piecewise-linear published-table p clipped at the table ends. The
-    * finite-value WHERE and the n >= 10 gate mirror the kernel's
-    * preconditions (Panel.finite + minLen=10), so a fixture with short or
-    * non-finite groups can't silently diverge. */
+    * value WHERE and the n >= 10 gate mirror the kernel's preconditions
+    * exactly (Panel.finite = not-null AND not-NaN — ±Infinity is KEPT by
+    * the kernel, so the oracle keeps it too; minLen=10), so a fixture
+    * with short or NaN-bearing groups can't silently diverge. */
   private def kpssCoreSql: String =
     s"""WITH panel AS ($evPanelSql),
        |d AS (SELECT group_key, value,
        |  row_number() OVER (PARTITION BY group_key ORDER BY date) AS t,
        |  count(*) OVER (PARTITION BY group_key) AS n FROM panel
-       |  WHERE value IS NOT NULL AND isfinite(value)),
+       |  WHERE value IS NOT NULL AND NOT isnan(value)),
        |ols AS (SELECT group_key,
        |  covar_pop(t, value) / var_pop(t) AS beta,
        |  avg(value) - covar_pop(t, value) / var_pop(t) * avg(t) AS alpha
@@ -1909,11 +1910,14 @@ object SparkEntry {
     * events panel has ~30 days per group, under GARCH's minLen=50
     * short-series guard.) */
   private def studyFacadeEvents(s: SparkSession, dir: String): DataFrame = {
-    val panel = eventsDailyPanel(s, dir).cache()
+    // memoPanel already caches the shared events panel — do NOT cache or
+    // unpersist here: an unpersist would evict the memoized singleton for
+    // every later events query in the JVM (memoPanel never re-persists)
+    val panel = eventsDailyPanel(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("study_facade")
     try {
       val study = new TimeSeriesStudy(panel, "date", Seq("group_key"))
-      val tmp = java.nio.file.Files.createTempDirectory("study_facade").toString
-      val results = study.runAll(tmp)
+      val results = study.runAll(tmp.toString)
       val back = Tables.readCsv(s, s"$tmp/out_memory", Some(results("memory").schema))
       Tables.writeOrc(back, s"$tmp/memory_orc")
       val orcN = Tables.readOrc(s, s"$tmp/memory_orc").count()
@@ -1927,7 +1931,13 @@ object SparkEntry {
         } :+ ("memory_csv_orc_roundtrip" -> orcN)
       import s.implicits._
       manifest.toDF("table_name", "n_rows").orderBy("table_name")
-    } finally panel.unpersist()
+    } finally {
+      // the manifest is fully collected above — drop the sink scratch dir
+      // (it re-ran every bench/verify invocation and accumulated in /tmp)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
   }
 
   /** Int8 scalar quantization probe: per-vector scale + code stats over a

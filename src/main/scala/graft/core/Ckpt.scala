@@ -26,10 +26,16 @@ object Ckpt {
 
   /** Materialize `df` eagerly and return a plan leaf: reliable
     * `checkpoint()` when a checkpoint dir is set on the session's
-    * context, else `localCheckpoint()`. */
+    * context, else `localCheckpoint()`. The reliable path persists
+    * around the checkpoint — without it the eager materialization job
+    * and the ReliableCheckpointRDD write job each recompute the full
+    * upstream plan, doubling exactly the corpus-wide passes pinning is
+    * meant to run once (the standard persist-then-checkpoint recipe from
+    * the RDD.checkpoint contract). */
   def pin(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else
-      df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      df.persist()
+      try df.checkpoint(eager = true)
+      finally df.unpersist()
+    } else df.localCheckpoint(eager = true)
 }
