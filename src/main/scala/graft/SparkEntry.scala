@@ -1997,6 +1997,35 @@ object SparkEntry {
       |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Streaming near-dedup ingestion, replayed deterministically as two
+    * micro-batches through the PRODUCTION `processNearDedupBatch` (the
+    * foreachBatch body): batch 1 admits doc_id < 50 (near-dedup'd within
+    * the batch), batch 2 re-sends every doc < 100 under shifted ids —
+    * every re-sent text whose original was admitted must be dropped by
+    * the signature STORE, not by within-batch comparison. Rows-only by
+    * contract (xxhash64 simhash has no SQL twin; the vote arithmetic is
+    * oracled via q_simhash_replay_docs): emits the admitted ids. */
+  private def nearDedupStreamDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("ndd_q")
+    val sink = s"$tmp/sink"; val state = s"$tmp/state"
+    try {
+      streaming.StreamOps.processNearDedupBatch(
+        docs.filter(col("doc_id") < 50), sink, state, "doc_id", "text", 3)
+      streaming.StreamOps.processNearDedupBatch(
+        docs.select((col("doc_id") + 1000L).as("doc_id"), col("text")),
+        sink, state, "doc_id", "text", 3)
+      import s.implicits._
+      s.read.parquet(sink).select("doc_id").as[Long].collect().sorted.toSeq
+        .toDF("admitted_id")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
+  }
+
   // ---- registry -----------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2063,6 +2092,7 @@ object SparkEntry {
     "q_study_facade_events" -> studyFacadeEvents,
     "q_quantize_embeddings" -> quantizeEmbeddings,
     "q_quantized_topk" -> quantizedTopk,
+    "q_neardup_stream_docs" -> nearDedupStreamDocs,
     "q_salted_join_lineitem" -> saltedJoinLineitem,
     "q_sample_docs" -> sampleDocs,
     "q_sample_stratified_docs" -> sampleStratifiedDocs,

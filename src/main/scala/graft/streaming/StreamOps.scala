@@ -194,6 +194,90 @@ object StreamOps {
     paced.start()
   }
 
+  /** Streaming NEAR-duplicate ingestion — the `foreachBatch` + persistent
+    * signature-store pattern, which is how a continuous corpus pipeline
+    * runs near-dedup at scale: the similarity join is too stateful for
+    * built-in streaming state, so each micro-batch is processed with the
+    * full BATCH operator set against an accumulated signature table.
+    *
+    * Per micro-batch: (1) within-batch SimHash near-dedup (band
+    * pigeonhole candidates → Hamming ≤ maxHamming pairs → connected
+    * components → keep the min id per cluster); (2) drop every surviving
+    * doc whose SimHash is within maxHamming of ANY previously-admitted
+    * signature (16-bit band equijoin against the store — bucket-local,
+    * never all-pairs); (3) append the admitted docs to `sinkDir` and
+    * their signatures to `stateDir`.
+    *
+    * Docs with no tokens produce no SimHash and pass through unrecorded
+    * (nothing to be near). The state store here is an append-only parquet
+    * directory — on a real cluster use a table format with compaction and
+    * bucket the store by band so the per-batch join prunes; the state is
+    * one (id, long) row per admitted doc, corpus-sized but 16 bytes/doc.
+    * First-arrival wins across batches, exactly like [[dedupStream]]. */
+  def nearDedupForeachBatch(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      stateDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        processNearDedupBatch(batch.toDF(), sinkDir, stateDir, idCol, textCol, maxHamming)
+      }
+      .start()
+  }
+
+  private[graft] def processNearDedupBatch(
+      batch: DataFrame, sinkDir: String, stateDir: String,
+      idCol: String, textCol: String, maxHamming: Int): Unit = {
+    import graft.ext.Dedup
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    // 1 — within-batch near-dedup (min id per near-dup cluster wins)
+    val pairs = Dedup.simhashNearDuplicates(batch, idCol, textCol, maxHamming)
+      .select("doc_a", "doc_b")
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("component")).select(col("id").as(idCol))
+    val kept = batch.join(losers, Seq(idCol), "left_anti")
+    // 2 — vs the accumulated store: band-bucket candidates, Hamming verify
+    val sigs = Dedup.simhash(kept, idCol, textCol)
+      .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
+    def bands(df: DataFrame, shCol: String): DataFrame = {
+      val bandCols = (0 until 4).map(bq =>
+        struct(lit(bq).as("band"),
+          shiftrightunsigned(col(shCol), bq * 16).bitwiseAND(lit(0xFFFFL)).as("bucket")))
+      df.select(col("doc_id"), col(shCol),
+          explode(array(bandCols: _*)).as("b"))
+        .select(col("doc_id"), col(shCol), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    }
+    val state =
+      try Some(spark.read.parquet(stateDir))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val nearState = state match {
+      case Some(st) =>
+        bands(sigs, "simhash").as("l")
+          .join(bands(st.select(col("doc_id"), col("simhash")), "simhash")
+            .select(col("band"), col("bucket"), col("simhash").as("st_sh")).as("r"),
+            Seq("band", "bucket"))
+          .filter(bit_count(col("simhash").bitwiseXOR(col("st_sh"))) <= maxHamming)
+          .select(col("doc_id")).distinct()
+      case None => sigs.select("doc_id").limit(0)
+    }
+    val admittedSigs = sigs.join(nearState, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // two consumers below; also pins before the state append
+    // 3 — append admitted docs to the sink and their signatures to the
+    // store. The sink side anti-joins the REJECTED ids (not semi-joins the
+    // admitted sigs) so token-less docs — which have no signature — pass
+    // through as documented.
+    kept.join(nearState.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+      .write.mode("append").parquet(sinkDir)
+    admittedSigs.write.mode("append").parquet(stateDir)
+  }
+
   /** Streaming variant: parquet-source file stream with a watermark.
     * Returns the started query writing to an in-memory sink table named
     * `sinkTable` (append mode is wrong for aggregations without watermark

@@ -66,6 +66,44 @@ class TextExtSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dedup: state store drops cross-batch near-dups") {
+    import org.apache.spark.sql.types._
+    // dominant-token construction: 50 copies of one token pin every
+    // simhash vote, so docs sharing the dominant token have IDENTICAL
+    // fingerprints (Hamming 0) and docs with different dominants differ
+    // in ~half the bits — behavior is deterministic, not distance-lucky
+    def doc(dominant: String, tail: String) = (s"$dominant " * 50) + tail
+    val srcDir = java.nio.file.Files.createTempDirectory("ndd_src").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("ndd_sink").toString + "/out"
+    val stateDir = java.nio.file.Files.createTempDirectory("ndd_state").toString + "/state"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // batch 1: A≈B (within-batch near-dup; min id 1 wins), C distinct
+    Seq((1L, doc("alpha", "one")), (2L, doc("alpha", "two")),
+        (3L, doc("bravo", "three")))
+      .toDF("doc_id", "text").write.parquet(s"$srcDir/b1")
+    val q = StreamOps.nearDedupForeachBatch(
+      spark, s"$srcDir/b*", schema, sinkDir, stateDir)
+    try {
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(sinkDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(after1 == Set(1L, 3L), s"after batch 1: $after1")
+      // batch 2: D near-dups batch-1's admitted A (STATE must drop it),
+      // E is new
+      Seq((4L, doc("alpha", "four")), (5L, doc("charlie", "five")))
+        .toDF("doc_id", "text").write.parquet(s"$srcDir/b2")
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(sinkDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(after2 == Set(1L, 3L, 5L), s"after batch 2: $after2")
+      // the store holds exactly the admitted signatures
+      val stateIds = spark.read.parquet(stateDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(stateIds == Set(1L, 3L, 5L), s"state: $stateIds")
+    } finally q.stop()
+  }
+
   test("decontamination gram identity: token boundaries matter") {
     // ("ab","c") and ("a","bc") concatenate identically — the separator
     // folded into the gram hash must keep them distinct, or token-boundary
