@@ -78,6 +78,43 @@ object ProbeIvf {
       .select("query_id", "recall_at_k").distinct()
       .agg(avg("recall_at_k")).head().getDouble(0)
     println(f"recall@10 vs brute: $recall%.3f")
+
+    // ---- hard mode: overlapping Gaussian mixture --------------------------
+    // The perturbed-copy table's clusters are too separable to
+    // differentiate recall; this corpus (100 centers, sigma comparable to
+    // the center spacing, seeded) produces genuine neighbor ambiguity, so
+    // the recall-vs-nprobe curve is informative.
+    println("---- hard mode: 50k x 32-dim overlapping mixture ----")
+    val rng = new scala.util.Random(42)
+    val dim = 32; val nCenters = 100
+    val centers = Array.fill(nCenters)(Array.fill(dim)(rng.nextGaussian()))
+    val hardRows = (0L until 50000L).map { i =>
+      val c = centers((i % nCenters).toInt)
+      (i, c.map(_ + rng.nextGaussian() * 0.8).toSeq)
+    }
+    import spark.implicits._
+    val hard = hardRows.toDF("vec_id", "embedding").repartition(32).cache()
+    hard.count()
+    val hq = hard.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb")).cache()
+    hq.count()
+    val hardExact = time("hard brute") {
+      val d = Similarity.bruteForceTopK(hard, hq, k = 10); d.count(); d
+    }
+    val hardCents = time(s"hard ivf train nlist=$nlist") {
+      Similarity.trainIvfCentroids(hard, nlist = nlist, iters = 3, sampleMod = 5L)
+    }
+    Seq(1, 2, 4, 8, 16).foreach { np =>
+      val approx = Similarity.ivfTopKWithCentroids(hard, hq, 10, hardCents, np,
+        "vec_id", "embedding", "query_id", "query_emb")
+      val t0 = System.nanoTime()
+      approx.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val r = Similarity.withRecallAtK(approx, hardExact)
+        .select("query_id", "recall_at_k").distinct()
+        .agg(avg("recall_at_k")).head().getDouble(0)
+      println(f"hard nprobe=$np%2d: recall@10 $r%.3f, search $sec%.2f s")
+    }
     spark.stop()
   }
 }
