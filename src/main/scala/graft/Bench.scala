@@ -31,11 +31,15 @@ object Bench {
     // sf0.1. A full-fidelity warm pass costs one extra suite execution and
     // buys round-over-round per-query comparability; at cluster scale the
     // compile time it strips is noise by construction.
+    // SPARK_GRAFT_WARM_DIR overrides the warm SF; set it to "" to skip
+    // the warm pass entirely (halves wall-clock, un-stabilizes per-query
+    // times — only for environments where the bench budget is tight).
     val warmDir0 = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
-    val warmDir = if (new java.io.File(warmDir0).isDirectory) warmDir0 else sfDir
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
-    }
+    val warmDir = if (warmDir0.isEmpty || new java.io.File(warmDir0).isDirectory) warmDir0 else sfDir
+    if (warmDir.nonEmpty)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
     // Alphabetical order pins the suite order across rounds (Map iteration
     // order reshuffles whenever a query is added, which made round-over-round
     // per-query comparisons meaningless).
