@@ -208,8 +208,11 @@ object StreamOps {
     * never all-pairs); (3) append the admitted docs to `sinkDir` and
     * their signatures to `stateDir`.
     *
-    * Docs with no tokens produce no SimHash and pass through unrecorded
-    * (nothing to be near). The state store here is an append-only parquet
+    * NULL-text docs produce no tokens and no SimHash — they pass through
+    * unrecorded (nothing to be near). EMPTY text tokenizes to one empty
+    * token (the dedup-family convention), so empty docs carry a shared
+    * degenerate signature and dedup against each other like any other
+    * doc. The state store here is an append-only parquet
     * directory — on a real cluster use a table format with compaction and
     * bucket the store by band so the per-batch join prunes; the state is
     * one (id, long) row per admitted doc, corpus-sized but 16 bytes/doc.

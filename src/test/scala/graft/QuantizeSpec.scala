@@ -33,6 +33,20 @@ class QuantizeSpec extends SparkSpec {
     assert(z.getSeq[Byte](2).forall(_ == 0))
   }
 
+  test("null embeddings: null codes in storage, dropped from search") {
+    val df = Seq(
+      (1L, Some(Seq(1.0, 0.0))),
+      (2L, None: Option[Seq[Double]])
+    ).toDF("vec_id", "embedding")
+    val q = Quantize.quantizeEmbeddings(df)
+    val nullRow = q.filter($"vec_id" === 2L).head()
+    assert(nullRow.isNullAt(1) && nullRow.isNullAt(2), "null emb must stay null")
+    val queries = Seq((1L, Seq(1.0, 0.0))).toDF("query_id", "query_emb")
+    val top = Quantize.quantizedTopK(q, queries, k = 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(top == Set(1L), s"null-emb vector leaked into search: $top")
+  }
+
   test("quantized top-k ranks like brute force on clustered data") {
     val rng = new scala.util.Random(11)
     val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian()))

@@ -104,6 +104,31 @@ class TextExtSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dedup batch processor: null and empty text behavior") {
+    // null text tokenizes to nothing → no signature: admitted, in the
+    // sink, NOT recorded in the store. Empty text tokenizes to one empty
+    // token (the dedup-family convention), so empty docs DO carry a
+    // signature and dedup against each other like any other doc.
+    val tmp = java.nio.file.Files.createTempDirectory("ndd_null")
+    val sink = s"$tmp/sink"; val state = s"$tmp/state"
+    val b = Seq((1L, "real words here again and again"), (2L, null.asInstanceOf[String]),
+      (3L, "")).toDF("doc_id", "text")
+    StreamOps.processNearDedupBatch(b, sink, state, "doc_id", "text", 3)
+    val sinkIds = spark.read.parquet(sink).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sinkIds == Set(1L, 2L, 3L), s"sink $sinkIds")
+    val stateIds = spark.read.parquet(state).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(stateIds == Set(1L, 3L), s"state $stateIds")
+    // a second empty doc is a near-dup (Hamming 0) of the stored one
+    val b2 = Seq((10L, ""), (11L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    StreamOps.processNearDedupBatch(b2, sink, state, "doc_id", "text", 3)
+    val sink2 = spark.read.parquet(sink).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sink2 == Set(1L, 2L, 3L, 11L), s"sink after b2: $sink2")
+  }
+
   test("decontamination gram identity: token boundaries matter") {
     // ("ab","c") and ("a","bc") concatenate identically — the separator
     // folded into the gram hash must keep them distinct, or token-boundary
