@@ -7,6 +7,37 @@ import org.apache.spark.SparkException
 import graft.sources.Jsonl
 
 class JsonlSpec extends SparkSpec {
+
+  test("text corpus: line round-trip, content-addressed ids, gz transparent") {
+    import spark.implicits._
+    import graft.sources.TextCorpus
+    val dir = java.nio.file.Files.createTempDirectory("txt_corpus").toString
+    val docs = Seq("alpha doc one", "bravo doc two", "alpha doc one", "   ", "charlie three")
+    TextCorpus.writeLines(docs.toDF("text"), s"$dir/lines")
+    val back = TextCorpus.readLines(spark, s"$dir/lines")
+    val texts = back.select("text").as[String].collect().sorted.toSeq
+    // blank line dropped; duplicate line kept as rows but shares ONE id
+    assert(texts == Seq("alpha doc one", "alpha doc one", "bravo doc two", "charlie three"), s"$texts")
+    val idsByText = back.collect().groupBy(_.getAs[String]("text"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    assert(idsByText("alpha doc one").size == 1, "content-addressed id must collapse dups")
+    assert(idsByText.values.flatten.toSet.size == 3, "distinct texts get distinct ids")
+    // re-read with different partitioning: same ids (determinism)
+    val again = TextCorpus.readLines(spark, s"$dir/lines").repartition(7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == idsByText.values.flatten.toSet)
+    // gzip: write one .gz file by hand, read transparently
+    val gzDir = java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir, "gz"))
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gzDir.resolve("part.txt.gz")))
+    gz.write("gzipped line one\ngzipped line two\n".getBytes("UTF-8")); gz.close()
+    val gzTexts = TextCorpus.readLines(spark, gzDir.toString)
+      .select("text").as[String].collect().sorted.toSeq
+    assert(gzTexts == Seq("gzipped line one", "gzipped line two"), s"$gzTexts")
+    // whole-file mode: one doc per file, id from the path
+    val wf = TextCorpus.readFiles(spark, gzDir.toString).collect()
+    assert(wf.length == 1 && wf.head.getAs[String]("text").startsWith("gzipped line one"))
+  }
   import spark.implicits._
 
   private val schema = StructType(Seq(

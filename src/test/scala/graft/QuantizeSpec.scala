@@ -47,6 +47,50 @@ class QuantizeSpec extends SparkSpec {
     assert(top == Set(1L), s"null-emb vector leaked into search: $top")
   }
 
+  test("property: code range, reconstruction bound, cosine preservation") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // local mirror of the quantize expressions (scale = max|v|/127,
+    // round-half-up codes) — property-checked on 200 seeded draws, then
+    // the mirror itself is pinned against the Spark output below
+    def quantLocal(v: Array[Double]): (Double, Array[Int]) = {
+      val s = v.map(math.abs).max / 127.0
+      (s, if (s > 0) v.map(x => math.floor(x / s + 0.5).toInt) else v.map(_ => 0))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val vec = Gen.choose(2, 48).flatMap(d =>
+      Gen.listOfN(d, Gen.choose(-100.0, 100.0)).map(_.toArray))
+    (0 until 200).foreach { i =>
+      vec(Gen.Parameters.default, Seed(7L + i)).foreach { v =>
+        if (v.exists(_ != 0.0)) {
+          val (s, c) = quantLocal(v)
+          assert(c.forall(x => x >= -127 && x <= 127), s"range: ${c.mkString(",")}")
+          v.zip(c).foreach { case (x, code) =>
+            assert(math.abs(code * s - x) <= s / 2 + 1e-12, s"bound: $x vs ${code * s}")
+          }
+          val cd = math.abs(cos(v, v.map(x => x)) - cos(c.map(_.toDouble), v))
+          assert(cd <= 0.05, s"cosine drift $cd for dim ${v.length}")
+        }
+      }
+    }
+    // the local mirror matches the Spark expressions exactly
+    val sample = Seq(
+      (1L, Seq(3.7, -12.25, 0.004, 99.9)),
+      (2L, Seq(-0.5, 0.5)),
+      (3L, Seq(64.0, -127.0, 127.0)))
+    val fromSpark = Quantize.quantizeEmbeddings(sample.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getSeq[Byte](2).map(_.toInt).toArray))).toMap
+    sample.foreach { case (id, v) =>
+      val (s, c) = quantLocal(v.toArray)
+      val (ss, sc) = fromSpark(id)
+      assert(ss == s && sc.sameElements(c), s"mirror drift for vec $id")
+    }
+  }
+
   test("quantized top-k ranks like brute force on clustered data") {
     val rng = new scala.util.Random(11)
     val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian()))
