@@ -1997,6 +1997,53 @@ object SparkEntry {
       |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Leakage-free split probe: [[Sampling.splitByCluster]] on the SAME
+    * bounded exact-Jaccard pair graph as the other cluster oracles —
+    * near-dup cluster members must land in one split. DuckDB replays
+    * components (recursive CTE), the cluster label, the Knuth bucket
+    * hash, and the cumulative-threshold CASE; thresholds are
+    * interpolated from the identical Scala computation so the floor
+    * arithmetic cannot drift. */
+  private def splitClustersDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 250)
+    val pairs = jaccardPairsDocs(s, dir).select("doc_a", "doc_b")
+    ext.Sampling.splitByCluster(docs, pairs, splitWeights)
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  private def splitClustersSql: String = {
+    val cuts = ext.Sampling.splitThresholds(splitWeights)
+    val caseExpr = cuts.init.map { case (n, hi) =>
+      s"WHEN h < $hi THEN '$n'" }.mkString(" ") + s" ELSE '${cuts.last._1}'"
+    raw"""WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE doc_id < 250),
+       |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+       |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(toks[i:i+2], ' ')))
+       |  ELSE [array_to_string(toks, ' ')] END AS sh FROM d),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |  UNION SELECT doc_b, doc_a FROM p),
+       |n AS (SELECT DISTINCT a AS v FROM e),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM n
+       |  UNION
+       |  SELECT e.a, reach.r FROM e JOIN reach ON reach.v = e.b),
+       |c AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+       |lab AS (SELECT doc.doc_id, coalesce(c.component, doc.doc_id) AS label
+       |  FROM documents doc LEFT JOIN c ON c.v = doc.doc_id
+       |  WHERE doc.doc_id < 250),
+       |hh AS (SELECT doc_id, (label % 2147483648) * 2654435761 % 4294967296 AS h FROM lab)
+       |SELECT doc_id, CASE $caseExpr END AS split
+       |FROM hh ORDER BY doc_id""".stripMargin
+  }
+
   /** Streaming near-dedup ingestion, replayed deterministically as two
     * micro-batches through the PRODUCTION `processNearDedupBatch` (the
     * foreachBatch body): batch 1 admits doc_id < 50 (near-dedup'd within
@@ -2093,6 +2140,7 @@ object SparkEntry {
     "q_quantize_embeddings" -> quantizeEmbeddings,
     "q_quantized_topk" -> quantizedTopk,
     "q_neardup_stream_docs" -> nearDedupStreamDocs,
+    "q_split_clusters_docs" -> splitClustersDocs,
     "q_salted_join_lineitem" -> saltedJoinLineitem,
     "q_sample_docs" -> sampleDocs,
     "q_sample_stratified_docs" -> sampleStratifiedDocs,
@@ -2285,6 +2333,7 @@ object SparkEntry {
     "q_multimodal_replay" -> multimodalReplaySql,
     "q_quantize_embeddings" -> quantizeEmbeddingsSql,
     "q_quantized_topk" -> quantizedTopkSql,
+    "q_split_clusters_docs" -> splitClustersSql,
     "q_minhash_replay_docs" -> minhashReplaySql,
     "q_lsh_replay_topk" -> lshReplaySql,
     "q_ivf_replay_topk" -> ivfReplaySql,

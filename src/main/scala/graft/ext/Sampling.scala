@@ -87,6 +87,52 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Leakage-free train/val/test split at near-dup-CLUSTER granularity:
+    * every doc in the same connected component of `pairs` (a near-dup
+    * edge list, e.g. from minhashNearDuplicates) receives the SAME
+    * split, so an eval split can never contain a near-copy of a training
+    * doc — the standard contamination failure of doc-level random
+    * splits. Docs in no cluster split by their own id.
+    *
+    * Assignment is the replayable [[bucketHash]] of the cluster label
+    * (component representative, or own id) against cumulative weight
+    * thresholds in the caller's `weights` order — deterministic across
+    * runs/partitionings, and SQL-replayable end-to-end
+    * (q_split_clusters_docs). Weights must be nonnegative and sum to 1.
+    * Cost: the components pass (graph-sized) plus one broadcast-free
+    * map-side CASE over the corpus. */
+  def splitByCluster(
+      docs: DataFrame,
+      pairs: DataFrame,
+      weights: Seq[(String, Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    requireNumericId(docs, idCol)
+    val cuts = splitThresholds(weights)
+    val comps = Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component"))
+    val labeled = docs.join(comps, Seq(idCol), "left")
+      .withColumn("__label", coalesce(col("component"), col(idCol).cast("long")))
+    val h = bucketHash(col("__label"))
+    val splitCol = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, hi), elseCol) => when(h < lit(hi), name).otherwise(elseCol)
+    }
+    labeled.withColumn("split", splitCol).drop("__label", "component")
+  }
+
+  /** Cumulative hash-space thresholds for [[splitByCluster]], exposed so
+    * the oracle SQL interpolates the IDENTICAL floor arithmetic instead
+    * of re-deriving it from floating-point cumulative sums. */
+  private[graft] def splitThresholds(weights: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0.0),
+      s"weights must be nonnegative: $weights")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1: $weights")
+    require(weights.map(_._1).distinct.length == weights.length,
+      s"duplicate split names: $weights")
+    val cum = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    weights.map(_._1).zip(cum.map(c => math.floor(c * 4294967296.0).toLong))
+  }
+
   /** Weighted mixture of corpora: deterministically sample each source at
     * its weight and union, tagging rows with `mixSourceCol`. Schemas must
     * be union-compatible by name (columns are aligned, not positional).

@@ -92,6 +92,41 @@ class SamplingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("splitByCluster: near-dup clusters never straddle splits; weights validated") {
+    import graft.ext.Sampling
+    // 3000 docs; ids 0..299 form 100 planted 3-doc clusters via edges
+    val docs = (0L until 3000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = (0L until 100L).flatMap(c =>
+      Seq((c * 3, c * 3 + 1), (c * 3 + 1, c * 3 + 2))).toDF("doc_a", "doc_b")
+    val split = Sampling.splitByCluster(docs, pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byDoc = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every planted cluster is split-homogeneous
+    (0L until 100L).foreach { c =>
+      val s = Set(byDoc(c * 3), byDoc(c * 3 + 1), byDoc(c * 3 + 2))
+      assert(s.size == 1, s"cluster $c straddles splits: $s")
+    }
+    // rough distribution sanity on the unclustered majority
+    val free = byDoc.filter(_._1 >= 300)
+    val trainFrac = free.values.count(_ == "train").toDouble / free.size
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train frac $trainFrac")
+    assert(free.values.toSet == Set("train", "val", "test"))
+    // determinism across repartitioning
+    val again = Sampling.splitByCluster(docs.repartition(13), pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == byDoc)
+    // invalid weights fail loud
+    intercept[IllegalArgumentException] {
+      Sampling.splitByCluster(docs, pairs, Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitByCluster(docs, pairs, Seq("a" -> 0.5, "a" -> 0.5))
+    }
+  }
+
   test("weightedMix tags sources, samples at each weight, rejects dup tags") {
     val a = docs.filter($"grp" === "g0")
     val b = docs.filter($"grp" =!= "g0")
