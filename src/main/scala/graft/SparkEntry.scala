@@ -1997,6 +1997,39 @@ object SparkEntry {
       |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** CCNet-style LM quality probe: bigram model trained on the even-id
+    * half of the corpus, add-k log-likelihood scored on a bounded doc
+    * window — DuckDB replays tokenization, bigram/unigram counts, the
+    * vocabulary size, smoothing, and the per-doc mean. */
+  private def bigramQualityDocs(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(s, dir)
+    val model = TextStats.trainBigramModel(all.filter(col("doc_id") % 2 === 0))
+    TextStats.bigramLogLikelihood(all.filter(col("doc_id") < 50), model)
+      .select(col("doc_id"), round6("bigram_loglik"), col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  private def bigramQualitySql: String =
+    raw"""WITH ref AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |rb AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM ref, LATERAL unnest(range(1, len(toks))) AS g(i)),
+       |bi AS (SELECT w1, w2, count(*) AS c12 FROM rb GROUP BY 1, 2),
+       |uni AS (SELECT w1, sum(c12) AS c1 FROM bi GROUP BY 1),
+       |v AS (SELECT count(*) AS vocab FROM uni),
+       |d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE doc_id < 50),
+       |db AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM d, LATERAL unnest(range(1, len(toks))) AS g(i)),
+       |lp AS (SELECT db.doc_id,
+       |  ln((coalesce(bi.c12, 0) + 0.1) / (coalesce(uni.c1, 0) + 0.1 * v.vocab)) AS lp
+       |  FROM db CROSS JOIN v
+       |  LEFT JOIN bi ON bi.w1 = db.w1 AND bi.w2 = db.w2
+       |  LEFT JOIN uni ON uni.w1 = db.w1)
+       |SELECT doc_id, floor(avg(lp) * 1e6 + 0.5) / 1e6 AS bigram_loglik,
+       |count(*) AS n_bigrams
+       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   /** Leakage-free split probe: [[Sampling.splitByCluster]] on the SAME
@@ -2141,6 +2174,7 @@ object SparkEntry {
     "q_quantized_topk" -> quantizedTopk,
     "q_neardup_stream_docs" -> nearDedupStreamDocs,
     "q_split_clusters_docs" -> splitClustersDocs,
+    "q_bigram_quality_docs" -> bigramQualityDocs,
     "q_salted_join_lineitem" -> saltedJoinLineitem,
     "q_sample_docs" -> sampleDocs,
     "q_sample_stratified_docs" -> sampleStratifiedDocs,
@@ -2334,6 +2368,7 @@ object SparkEntry {
     "q_quantize_embeddings" -> quantizeEmbeddingsSql,
     "q_quantized_topk" -> quantizedTopkSql,
     "q_split_clusters_docs" -> splitClustersSql,
+    "q_bigram_quality_docs" -> bigramQualitySql,
     "q_minhash_replay_docs" -> minhashReplaySql,
     "q_lsh_replay_topk" -> lshReplaySql,
     "q_ivf_replay_topk" -> ivfReplaySql,

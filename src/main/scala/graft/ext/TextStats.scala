@@ -170,6 +170,57 @@ object TextStats {
           .as("top_bigram_frac"))
   }
 
+  // ---- n-gram LM quality scoring (CCNet-style) -----------------------------
+
+  /** Bigram language-model counts trained on a reference corpus — the
+    * model half of the public CCNet-style "score documents by a small LM
+    * trained on clean text" quality filter. Returns (w1, w2, c12) bigram
+    * counts, (w1, c1) unigram-context counts and the context-vocabulary
+    * size; the whole model is two grouped counts over the token stream
+    * (partial-agg friendly, gram-keyed shuffles only). */
+  def trainBigramModel(corpus: DataFrame,
+      textCol: String = "text"): (DataFrame, DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = corpus.select(monotonically_increasing_id().as("__d"),
+        Dedup.tokens(col(textCol)).as("toks"))
+      .select(col("__d"), posexplode(col("toks")).as(Seq("pos", "w")))
+    val w = Window.partitionBy("__d").orderBy("pos")
+    val bi = tok.withColumn("w2", lead("w", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w").as("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = bi.groupBy("w1").agg(sum("c12").as("c1"))
+    (bi, uni, uni.count())
+  }
+
+  /** Per-doc mean bigram log-likelihood under the trained model with
+    * add-k smoothing: score = mean over doc bigrams of
+    * log((c12 + k) / (c1 + k·V)). Unseen contexts get the floor
+    * log(k / (k·V)); docs with no bigram score null. Higher = more like
+    * the reference corpus — threshold downstream like qualityScore. The
+    * doc side explodes to bigram rows and LEFT-joins the model (both
+    * gram-keyed hash joins; the model is corpus-vocabulary-sized, so at
+    * scale broadcast only if it fits — this uses ordinary joins). */
+  def bigramLogLikelihood(docs: DataFrame, model: (DataFrame, DataFrame, Long),
+      idCol: String = "doc_id", textCol: String = "text",
+      smoothK: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (bi, uni, vocab) = model
+    require(smoothK > 0, s"smoothK must be > 0, got $smoothK")
+    val tok = docs.select(col(idCol).as("doc_id"),
+        posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "w")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    tok.withColumn("w2", lead("w", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .join(bi.withColumnRenamed("w1", "w").withColumnRenamed("c12", "__c12"),
+        Seq("w", "w2"), "left")
+      .join(uni.withColumnRenamed("w1", "w").withColumnRenamed("c1", "__c1"), Seq("w"), "left")
+      .select(col("doc_id"),
+        log((coalesce(col("__c12"), lit(0L)) + lit(smoothK)) /
+          (coalesce(col("__c1"), lit(0L)) + lit(smoothK * vocab))).as("lp"))
+      .groupBy("doc_id")
+      .agg(avg("lp").as("bigram_loglik"), count(lit(1)).as("n_bigrams"))
+  }
+
   // ---- benchmark decontamination -------------------------------------------
 
   /** Token k-gram rows, hashed: the contamination-check gram stream,

@@ -160,6 +160,31 @@ class TextExtSpec extends SparkSpec {
     assert(clean == Set(2L, 3L), s"clean $clean")
   }
 
+  test("bigram LM: in-domain scores above out-of-domain, hand-checked smoothing") {
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran on the mat")).toDF("doc_id", "text")
+    val model = TextStats.trainBigramModel(ref)
+    val (_, _, vocab) = model
+    // contexts: the, cat, sat, on, ran (mat ends both docs — never a context)
+    assert(vocab == 5L, s"vocab $vocab")
+    val scored = TextStats.bigramLogLikelihood(
+      Seq((10L, "the cat sat"), (11L, "purple elephants fly quickly"),
+          (12L, "solo")).toDF("doc_id", "text"), model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2)))).toMap
+    // in-domain scores strictly above fully-unseen text
+    assert(scored(10L)._1 > scored(11L)._1,
+      s"in-domain ${scored(10L)} vs ood ${scored(11L)}")
+    assert(scored(10L)._2 == 2 && scored(11L)._2 == 3)
+    // single-token doc has no bigram -> absent from output
+    assert(!scored.contains(12L))
+    // hand check doc 10: c12(the,cat)=2 of c1(the)=4; c12(cat,sat)=1 of
+    // c1(cat)=2; add-k 0.1 with V=5: p = (2.1/4.5), (1.1/2.5)
+    val expect = (math.log(2.1 / 4.5) + math.log(1.1 / 2.5)) / 2.0
+    assert(math.abs(scored(10L)._1 - expect) < 1e-12, s"${scored(10L)._1} vs $expect")
+  }
+
   test("repetitionStats: hand-computed fractions, short-doc zeros") {
     val df = Seq(
       (1L, "foo bar foo bar foo"),  // bigrams: foo-bar x2, bar-foo x2; trigrams: fbf x2, bfb x1
