@@ -2030,6 +2030,31 @@ object SparkEntry {
        |count(*) AS n_bigrams
        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Chunking probe: overlapping token windows (maxTokens=40, overlap=8)
+    * over a bounded doc window — DuckDB replays the token split, window
+    * starts, the no-new-tokens trailing-window rule, the chunk text
+    * assembly, and the clipped token counts. */
+  private def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Packing.chunkByTokenBudget(
+        Tables.documents(s, dir).filter(col("doc_id") < 30), maxTokens = 40, overlap = 8)
+      .select(col("doc_id"), col("chunk_id"),
+        length(col("chunk_text")).cast("long").as("chunk_chars"), col("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_id")
+
+  private def chunkDocsSql: String =
+    raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE doc_id < 30),
+       |st AS (SELECT doc_id, toks, len(toks) AS n, unnest(range(0, len(toks), 32)) AS i
+       |  FROM d),
+       |keep AS (SELECT * FROM st WHERE i = 0 OR i + 8 < n),
+       |c AS (SELECT doc_id,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_id,
+       |  length(array_to_string(toks[i + 1:i + 40], ' ')) AS chunk_chars,
+       |  least(40, n - i) AS n_chunk_tokens FROM keep)
+       |SELECT doc_id, chunk_id, CAST(chunk_chars AS BIGINT) AS chunk_chars,
+       |CAST(n_chunk_tokens AS BIGINT) AS n_chunk_tokens
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   /** Leakage-free split probe: [[Sampling.splitByCluster]] on the SAME
@@ -2175,6 +2200,7 @@ object SparkEntry {
     "q_neardup_stream_docs" -> nearDedupStreamDocs,
     "q_split_clusters_docs" -> splitClustersDocs,
     "q_bigram_quality_docs" -> bigramQualityDocs,
+    "q_chunk_docs" -> chunkDocs,
     "q_salted_join_lineitem" -> saltedJoinLineitem,
     "q_sample_docs" -> sampleDocs,
     "q_sample_stratified_docs" -> sampleStratifiedDocs,
@@ -2369,6 +2395,7 @@ object SparkEntry {
     "q_quantized_topk" -> quantizedTopkSql,
     "q_split_clusters_docs" -> splitClustersSql,
     "q_bigram_quality_docs" -> bigramQualitySql,
+    "q_chunk_docs" -> chunkDocsSql,
     "q_minhash_replay_docs" -> minhashReplaySql,
     "q_lsh_replay_topk" -> lshReplaySql,
     "q_ivf_replay_topk" -> ivfReplaySql,

@@ -34,6 +34,38 @@ object Packing {
       floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / lit(capacity)).cast("long"))
   }
 
+  /** Split long documents into overlapping token-window chunks — the
+    * complement of packing (packing merges short docs into a budget;
+    * chunking cuts long docs down to one): chunk c starts at token
+    * c·(maxTokens − overlap) and carries up to `maxTokens` tokens, the
+    * last `overlap` of which repeat the previous chunk's tail so no
+    * context is lost at a boundary. A trailing window that would add no
+    * NEW tokens (it lies entirely inside the previous chunk's overlap)
+    * is not emitted; docs of ≤ maxTokens tokens yield exactly
+    * themselves. Pure codegen'd array expressions over the token split —
+    * shuffle-free, row-local, replayable in ANSI SQL
+    * (q_chunk_docs). */
+  def chunkByTokenBudget(docs: DataFrame, maxTokens: Int, overlap: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val step = maxTokens - overlap
+    val toks = Dedup.tokens(col(textCol))
+    val n = size(toks)
+    val starts = filter(
+      sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
+      s => s === 0 || s + lit(overlap) < n)
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("__toks"), n.as("__n"),
+        posexplode(starts).as(Seq("chunk_id", "__start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(maxTokens)), " ")
+          .as("chunk_text"),
+        least(lit(maxTokens), col("__n") - col("__start")).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
   /** Per-pack summary (doc count, token sum) — the shape a batch loader
     * consumes; also the oracle surface. */
   def packSummary(packed: DataFrame, tokenCol: String,

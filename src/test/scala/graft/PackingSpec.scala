@@ -3,6 +3,32 @@ package graft
 import graft.ext.Packing
 
 class PackingSpec extends SparkSpec {
+
+  test("chunkByTokenBudget: hand-checked windows, overlap, trailing-window rule") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y")                  // short: one chunk of itself
+    ).toDF("doc_id", "text")
+    val chunks = Packing.chunkByTokenBudget(docs, maxTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    // step 3: starts 0,3,6 — start 9 adds no new token (9+1 !< 10), dropped
+    assert(chunks.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)), s"$chunks")
+    assert(chunks((1L, 0L)) == ("a b c d", 4L))
+    assert(chunks((1L, 1L)) == ("d e f g", 4L)) // overlap: 'd' repeats
+    assert(chunks((1L, 2L)) == ("g h i j", 4L))
+    assert(chunks((2L, 0L)) == ("x y", 2L))
+    // zero overlap: clean partition, ragged tail chunk
+    val nz = Packing.chunkByTokenBudget(docs, maxTokens = 4, overlap = 0)
+      .filter($"doc_id" === 1L).collect()
+      .map(r => r.getLong(1) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(nz(0L) == ("a b c d", 4L) && nz(1L) == ("e f g h", 4L) &&
+      nz(2L) == ("i j", 2L), s"$nz")
+    intercept[IllegalArgumentException] {
+      Packing.chunkByTokenBudget(docs, maxTokens = 4, overlap = 4)
+    }
+  }
   import spark.implicits._
 
   test("packByTokenBudget assigns packs by preceding cumulative tokens") {
