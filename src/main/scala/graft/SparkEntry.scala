@@ -2055,6 +2055,27 @@ object SparkEntry {
        |CAST(n_chunk_tokens AS BIGINT) AS n_chunk_tokens
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Mean-pool probe: embeddings pooled per (vec_id mod 10) bucket —
+    * DuckDB replays the per-position averages and the L2 norm of the
+    * pooled vector. */
+  private def meanPoolEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val pooled = ext.Similarity.meanPoolEmbeddings(
+      Tables.embeddings(s, dir).select(
+        (col("vec_id") % 10).as("bucket"), col("embedding")), "bucket")
+    pooled.select(col("bucket"), col("n_pooled"),
+        r6(sqrt(aggregate(col("embedding"), lit(0.0d), (a, v) => a + v * v))).as("pooled_norm"))
+      .orderBy("bucket")
+  }
+
+  private def meanPoolSql: String =
+    """WITH e AS (SELECT vec_id % 10 AS bucket, embedding::DOUBLE[] AS emb FROM embeddings),
+      |x AS (SELECT bucket, i, emb[i] AS v
+      |  FROM e, LATERAL unnest(range(1, len(emb) + 1)) AS g(i)),
+      |m AS (SELECT bucket, i, avg(v) AS m, count(*) AS n FROM x GROUP BY 1, 2)
+      |SELECT bucket, CAST(max(n) AS BIGINT) AS n_pooled,
+      |floor(sqrt(sum(m * m)) * 1e6 + 0.5) / 1e6 AS pooled_norm
+      |FROM m GROUP BY bucket ORDER BY bucket""".stripMargin
+
   private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   /** Leakage-free split probe: [[Sampling.splitByCluster]] on the SAME
@@ -2201,6 +2222,7 @@ object SparkEntry {
     "q_split_clusters_docs" -> splitClustersDocs,
     "q_bigram_quality_docs" -> bigramQualityDocs,
     "q_chunk_docs" -> chunkDocs,
+    "q_meanpool_embeddings" -> meanPoolEmbeddings,
     "q_salted_join_lineitem" -> saltedJoinLineitem,
     "q_sample_docs" -> sampleDocs,
     "q_sample_stratified_docs" -> sampleStratifiedDocs,
@@ -2396,6 +2418,7 @@ object SparkEntry {
     "q_split_clusters_docs" -> splitClustersSql,
     "q_bigram_quality_docs" -> bigramQualitySql,
     "q_chunk_docs" -> chunkDocsSql,
+    "q_meanpool_embeddings" -> meanPoolSql,
     "q_minhash_replay_docs" -> minhashReplaySql,
     "q_lsh_replay_topk" -> lshReplaySql,
     "q_ivf_replay_topk" -> ivfReplaySql,

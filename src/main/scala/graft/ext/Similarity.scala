@@ -345,6 +345,29 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Mean-pool groups of vectors into one vector per group — e.g. chunk
+    * embeddings (from `Packing.chunkByTokenBudget` → an encoder) pooled
+    * into a document embedding, the standard long-document strategy.
+    * Relational shape: posexplode to (group, pos, v), average per
+    * position, re-assemble ordered — two position-keyed partial
+    * aggregates, no vector-sized state in any single task, so arbitrary
+    * group sizes pool without memory pressure. Ragged inputs average
+    * positions over the vectors that HAVE them (documented; pass
+    * fixed-dim vectors for the usual semantics). */
+  def meanPoolEmbeddings(
+      df: DataFrame,
+      groupCol: String = "doc_id",
+      embCol: String = "embedding"): DataFrame =
+    df.select(col(groupCol),
+        posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(groupCol, "pos")
+      .agg(avg("v").as("m"), count(lit(1)).as("n"))
+      .groupBy(groupCol)
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("embedding"),
+        max("n").cast("long").as("n_pooled"))
+
   /** Append per-query recall@k vs an exact top-k result to an approximate
     * top-k frame: recall_at_k = |approx ∩ exact| / |exact| per query_id.
     * Both inputs are top-k outputs (Q·k rows — model-sized), so the

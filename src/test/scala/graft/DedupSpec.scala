@@ -266,6 +266,19 @@ class DedupSpec extends SparkSpec {
     assert(pre == direct, s"pre $pre vs direct $direct")
   }
 
+  test("meanPoolEmbeddings: hand-checked averages, ordered reassembly") {
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 10.0)),
+      (1L, Seq(3.0, 4.0, 20.0)),
+      (2L, Seq(5.0, 6.0, 7.0))
+    ).toDF("doc_id", "embedding")
+    val pooled = Similarity.meanPoolEmbeddings(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Double](1).toSeq, r.getLong(2)))).toMap
+    assert(pooled(1L) == ((Seq(2.0, 3.0, 15.0), 2L)), s"${pooled(1L)}")
+    assert(pooled(2L) == ((Seq(5.0, 6.0, 7.0), 1L)), s"${pooled(2L)}")
+  }
+
   test("withRecallAtK matches exact set arithmetic") {
     val rng = new scala.util.Random(23)
     val rows = (0L until 60L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
