@@ -185,10 +185,15 @@ object TextStats {
         Dedup.tokens(col(textCol)).as("toks"))
       .select(col("__d"), posexplode(col("toks")).as(Seq("pos", "w")))
     val w = Window.partitionBy("__d").orderBy("pos")
-    val bi = tok.withColumn("w2", lead("w", 1).over(w))
-      .filter(col("w2").isNotNull)
-      .groupBy(col("w").as("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val uni = bi.groupBy("w1").agg(sum("c12").as("c1"))
+    // pin the bigram counts: they have three consumers (the score join,
+    // the unigram rollup, the vocab count) which would otherwise each
+    // re-run the corpus-wide token window — same multi-consumer issue as
+    // the LSH signature frame, same fix
+    val bi = graft.core.Ckpt.pin(
+      tok.withColumn("w2", lead("w", 1).over(w))
+        .filter(col("w2").isNotNull)
+        .groupBy(col("w").as("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+    val uni = graft.core.Ckpt.pin(bi.groupBy("w1").agg(sum("c12").as("c1")))
     (bi, uni, uni.count())
   }
 
