@@ -2076,6 +2076,51 @@ object SparkEntry {
       |floor(sqrt(sum(m * m)) * 1e6 + 0.5) / 1e6 AS pooled_norm
       |FROM m GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Hashing-trick embedding probe: the replayable twin (Karp–Rabin
+    * bucket/sign through the production assembly) feeds the production
+    * brute-force ANN — text → vector → top-k end-to-end with no
+    * external encoder. The oracle replays token hashing, bucket sums,
+    * and ranking, computing cosine from the SPARSE sums (mathematically
+    * identical to the dense normalized form; r6 absorbs the fp route). */
+  private def hashedTopkDocs(s: SparkSession, dir: String): DataFrame = {
+    val emb = TextStats.hashedTextEmbeddingsReplayable(
+        Tables.documents(s, dir).filter(col("doc_id") < 60), dim = 32)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def hashedTopkSql: String =
+    raw"""WITH d AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+       |  FROM documents WHERE doc_id < 60),
+       |kr AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(t)),
+       |      c -> ascii(substring(t, c, 1))::BIGINT)),
+       |    (h, c) -> (h * 257 + c) % 1000000007) AS k FROM d),
+       |bs AS (SELECT doc_id, k % 32 AS bucket,
+       |  CASE WHEN (k * 2654435761) % 1000000007 > 500000003
+       |    THEN 1.0 ELSE -1.0 END AS s FROM kr),
+       |sums AS (SELECT doc_id, bucket, sum(s) AS v FROM bs GROUP BY 1, 2),
+       |norms AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM sums GROUP BY 1),
+       |live AS (SELECT doc_id FROM norms WHERE nrm > 0),
+       |dots AS (SELECT q.doc_id AS query_id, e.doc_id AS vec_id, sum(q.v * e.v) AS dot
+       |  FROM sums q JOIN sums e ON q.bucket = e.bucket
+       |  WHERE q.doc_id < 3 GROUP BY 1, 2),
+       |sc AS (SELECT ql.doc_id AS query_id, el.doc_id AS vec_id,
+       |  coalesce(dots.dot, 0) / (nq.nrm * ne.nrm) AS cos
+       |  FROM live ql JOIN live el ON ql.doc_id < 3
+       |  LEFT JOIN dots ON dots.query_id = ql.doc_id AND dots.vec_id = el.doc_id
+       |  JOIN norms nq ON nq.doc_id = ql.doc_id
+       |  JOIN norms ne ON ne.doc_id = el.doc_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM sc WHERE cos IS NOT NULL AND NOT isnan(cos))
+       |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   /** Leakage-free split probe: [[Sampling.splitByCluster]] on the SAME
@@ -2223,6 +2268,7 @@ object SparkEntry {
     "q_bigram_quality_docs" -> bigramQualityDocs,
     "q_chunk_docs" -> chunkDocs,
     "q_meanpool_embeddings" -> meanPoolEmbeddings,
+    "q_hashed_topk_docs" -> hashedTopkDocs,
     "q_salted_join_lineitem" -> saltedJoinLineitem,
     "q_sample_docs" -> sampleDocs,
     "q_sample_stratified_docs" -> sampleStratifiedDocs,
@@ -2419,6 +2465,7 @@ object SparkEntry {
     "q_bigram_quality_docs" -> bigramQualitySql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_meanpool_embeddings" -> meanPoolSql,
+    "q_hashed_topk_docs" -> hashedTopkSql,
     "q_minhash_replay_docs" -> minhashReplaySql,
     "q_lsh_replay_topk" -> lshReplaySql,
     "q_ivf_replay_topk" -> ivfReplaySql,

@@ -170,6 +170,58 @@ object TextStats {
           .as("top_bigram_frac"))
   }
 
+  // ---- hashing-trick text embeddings ---------------------------------------
+
+  /** Feature-hashing ("hashing trick") text embeddings: each token maps
+    * to bucket = hash mod dim with a ±1 sign bit, bucket values sum over
+    * the doc, and the vector is L2-normalized. Deterministic and
+    * model-free — raw text becomes an `array<double>` the ANN operators
+    * (bruteForceTopK / lshTopK / ivfTopK / Quantize) consume directly,
+    * with no external encoder. Sparse-to-dense assembly goes through
+    * map_from_entries + a sequence lookup (no dim-sized per-row loop in
+    * the aggregate); shuffles are (doc, bucket)-keyed only.
+    *
+    * The production hash is xxhash64; [[hashedTextEmbeddingsReplayable]]
+    * swaps in Karp–Rabin modular arithmetic through the SAME assembly so
+    * a SQL oracle replays the whole pipeline (q_hashed_topk_docs). */
+  def hashedTextEmbeddings(docs: DataFrame, dim: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    hashedCore(docs, dim, idCol, textCol,
+      tok => xxhash64(tok),
+      h => when(pmod(h, lit(2L)) === 0, 1.0).otherwise(-1.0))
+
+  /** SQL-replayable twin: Karp–Rabin token hash (mod 1e9+7), sign from a
+    * multiplicative mix's top half — identical assembly/normalization. */
+  def hashedTextEmbeddingsReplayable(docs: DataFrame, dim: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val p = 1000000007L
+    hashedCore(docs, dim, idCol, textCol,
+      tok => rollingHash(tok),
+      h => when(pmod(h * lit(2654435761L), lit(p)) > lit(p / 2), 1.0).otherwise(-1.0))
+  }
+
+  private def hashedCore(docs: DataFrame, dim: Int, idCol: String,
+      textCol: String, hash: Column => Column,
+      sign: Column => Column): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    docs
+      .select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("tok"))
+      .withColumn("h", hash(col("tok")))
+      .select(col("doc_id"), pmod(col("h"), lit(dim.toLong)).as("bucket"),
+        sign(col("h")).as("s"))
+      .groupBy("doc_id", "bucket").agg(sum("s").as("v"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("raw"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("raw"), lit(0.0d), (a, v) => a + v * v)))
+      .filter(col("nrm") > 0)
+      .select(col("doc_id"),
+        transform(col("raw"), v => v / col("nrm")).as("embedding"))
+  }
+
   // ---- n-gram LM quality scoring (CCNet-style) -----------------------------
 
   /** Bigram language-model counts trained on a reference corpus — the

@@ -160,6 +160,37 @@ class TextExtSpec extends SparkSpec {
     assert(clean == Set(2L, 3L), s"clean $clean")
   }
 
+  test("hashed text embeddings: unit norm, determinism, similarity ordering") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near doc 1
+      (3L, "entirely different words about completely other topics")
+    ).toDF("doc_id", "text")
+    for (emb <- Seq(
+        TextStats.hashedTextEmbeddings(docs, dim = 32),
+        TextStats.hashedTextEmbeddingsReplayable(docs, dim = 32))) {
+      val vecs = emb.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      assert(vecs.keySet == Set(1L, 2L, 3L))
+      // unit norm, fixed dim
+      vecs.values.foreach { v =>
+        assert(v.length == 32)
+        assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+      }
+      def cos(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      // similar docs closer than dissimilar ones
+      assert(cos(vecs(1L), vecs(2L)) > cos(vecs(1L), vecs(3L)),
+        s"ordering: ${cos(vecs(1L), vecs(2L))} vs ${cos(vecs(1L), vecs(3L))}")
+    }
+    // determinism under repartitioning
+    val a = TextStats.hashedTextEmbeddings(docs, dim = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = TextStats.hashedTextEmbeddings(docs.repartition(5), dim = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b)
+  }
+
   test("bigram LM: in-domain scores above out-of-domain, hand-checked smoothing") {
     val ref = Seq(
       (1L, "the cat sat on the mat"),
