@@ -98,15 +98,18 @@ object ProbeIvf {
     val hq = hard.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb")).cache()
     hq.count()
+    // cache the baseline and each approx result: withRecallAtK would
+    // otherwise re-run the full brute pass per nprobe setting (and the
+    // approx search a second time per iteration)
     val hardExact = time("hard brute") {
-      val d = Similarity.bruteForceTopK(hard, hq, k = 10); d.count(); d
+      val d = Similarity.bruteForceTopK(hard, hq, k = 10).cache(); d.count(); d
     }
     val hardCents = time(s"hard ivf train nlist=$nlist") {
       Similarity.trainIvfCentroids(hard, nlist = nlist, iters = 3, sampleMod = 5L)
     }
     Seq(1, 2, 4, 8, 16).foreach { np =>
       val approx = Similarity.ivfTopKWithCentroids(hard, hq, 10, hardCents, np,
-        "vec_id", "embedding", "query_id", "query_emb")
+        "vec_id", "embedding", "query_id", "query_emb").cache()
       val t0 = System.nanoTime()
       approx.count()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -114,6 +117,7 @@ object ProbeIvf {
         .select("query_id", "recall_at_k").distinct()
         .agg(avg("recall_at_k")).head().getDouble(0)
       println(f"hard nprobe=$np%2d: recall@10 $r%.3f, search $sec%.2f s")
+      approx.unpersist()
     }
     spark.stop()
   }

@@ -1025,7 +1025,12 @@ object SparkEntry {
       .orderBy("component")
   }
 
-  private def neardupComponentsSql: String =
+  /** Shared recursive-CTE prefix for every cluster oracle (components /
+    * keeping / splits): the bounded shingle/pair graph (doc_id < 250,
+    * jaccard ≥ 0.02 on 3-shingles) and min-reachable-id components.
+    * Defined ONCE so the three replays can never diverge from each
+    * other. */
+  private val componentsCtePrefix: String =
     raw"""WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
        |  FROM documents WHERE doc_id < 250),
        |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
@@ -1043,7 +1048,10 @@ object SparkEntry {
        |  SELECT v, v FROM n
        |  UNION
        |  SELECT e.a, reach.r FROM e JOIN reach ON reach.v = e.b),
-       |c AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
+       |c AS (SELECT v, min(r) AS component FROM reach GROUP BY v)""".stripMargin
+
+  private def neardupComponentsSql: String =
+    s"""$componentsCtePrefix
        |SELECT component, count(*) AS n_members, max(v) AS max_member
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -1063,24 +1071,7 @@ object SparkEntry {
   }
 
   private def neardupKeepingSql: String =
-    raw"""WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-       |  FROM documents WHERE doc_id < 250),
-       |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-       |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
-       |    i -> array_to_string(toks[i:i+2], ' ')))
-       |  ELSE [array_to_string(toks, ' ')] END AS sh FROM d),
-       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02),
-       |e AS (SELECT doc_a AS a, doc_b AS b FROM p
-       |  UNION SELECT doc_b, doc_a FROM p),
-       |n AS (SELECT DISTINCT a AS v FROM e),
-       |reach(v, r) AS (
-       |  SELECT v, v FROM n
-       |  UNION
-       |  SELECT e.a, reach.r FROM e JOIN reach ON reach.v = e.b),
-       |c AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+    s"""$componentsCtePrefix,
        |m AS (SELECT c.v, c.component, doc.n_chars
        |  FROM c JOIN documents doc ON doc.doc_id = c.v),
        |w AS (SELECT component, v AS winner FROM (
@@ -2142,24 +2133,7 @@ object SparkEntry {
     val cuts = ext.Sampling.splitThresholds(splitWeights)
     val caseExpr = cuts.init.map { case (n, hi) =>
       s"WHEN h < $hi THEN '$n'" }.mkString(" ") + s" ELSE '${cuts.last._1}'"
-    raw"""WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-       |  FROM documents WHERE doc_id < 250),
-       |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-       |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
-       |    i -> array_to_string(toks[i:i+2], ' ')))
-       |  ELSE [array_to_string(toks, ' ')] END AS sh FROM d),
-       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02),
-       |e AS (SELECT doc_a AS a, doc_b AS b FROM p
-       |  UNION SELECT doc_b, doc_a FROM p),
-       |n AS (SELECT DISTINCT a AS v FROM e),
-       |reach(v, r) AS (
-       |  SELECT v, v FROM n
-       |  UNION
-       |  SELECT e.a, reach.r FROM e JOIN reach ON reach.v = e.b),
-       |c AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+    s"""$componentsCtePrefix,
        |lab AS (SELECT doc.doc_id, coalesce(c.component, doc.doc_id) AS label
        |  FROM documents doc LEFT JOIN c ON c.v = doc.doc_id
        |  WHERE doc.doc_id < 250),

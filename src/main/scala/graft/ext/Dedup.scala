@@ -458,21 +458,34 @@ object Dedup {
       .agg(agg(col("h")).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
-    * via 16-bit band pigeonholing (any pair within distance ≤ 3 shares at
-    * least one of 4 bands). */
-  def simhashNearDuplicates(
-      docs: DataFrame,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs, idCol, textCol)
+  /** The 4×16-bit band explosion of a (doc_id, simhash) frame — THE
+    * candidate-recall contract: by pigeonhole, two hashes within Hamming
+    * distance 3 must agree on at least one whole band. Shared by the
+    * batch near-dup operator and the streaming signature-store join so
+    * the scheme can never desynchronize. */
+  private[graft] def simhashBands(sh: DataFrame): DataFrame = {
     val bandCols = (0 until 4).map(bq =>
       struct(lit(bq).as("band"),
         shiftrightunsigned(col("simhash"), bq * 16).bitwiseAND(lit(0xFFFFL)).as("bucket")))
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    sh.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.bucket").as("bucket"))
+  }
+
+  /** Pigeonhole bound of [[simhashBands]]: 4 bands guarantee a shared
+    * band only for Hamming ≤ 3 — validate loudly rather than silently
+    * missing near-dups above the radius. */
+  private[graft] def requireSimhashRadius(maxHamming: Int): Unit =
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3]: the 4x16-bit band scheme only " +
+        s"guarantees candidate recall to Hamming 3 (got $maxHamming)")
+
+  /** Near-dup pairs (Hamming ≤ maxHamming) from a PRE-COMPUTED
+    * (doc_id, simhash) frame — band-bucket candidates, exact bit_count
+    * verify. */
+  private[graft] def simhashPairsFromSignatures(sh: DataFrame, maxHamming: Int): DataFrame = {
+    requireSimhashRadius(maxHamming)
+    val banded = simhashBands(sh)
     banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
@@ -481,8 +494,19 @@ object Dedup {
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
+    * via 16-bit band pigeonholing (any pair within distance ≤ 3 shares at
+    * least one of 4 bands; maxHamming > 3 is rejected — see
+    * [[requireSimhashRadius]]). */
+  def simhashNearDuplicates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSignatures(simhash(docs, idCol, textCol), maxHamming)
+      .orderBy("doc_a", "doc_b")
 
   // ---- embedding cosine near-dup -------------------------------------------
 

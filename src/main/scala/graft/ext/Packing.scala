@@ -57,6 +57,10 @@ object Packing {
       sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
       s => s === 0 || s + lit(overlap) < n)
     docs
+      // null text → no chunks (size(null) = -1 would otherwise fabricate
+      // one row with null text and a negative token count; the SQL twin
+      // emits nothing for a NULL token list — keep them agreeing)
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), toks.as("__toks"), n.as("__n"),
         posexplode(starts).as(Seq("chunk_id", "__start")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),

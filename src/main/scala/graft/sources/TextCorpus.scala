@@ -37,8 +37,22 @@ object TextCorpus {
         input_file_name().as("source_file"))
 
   /** Line-corpus sink: one line per document, partitioned task-parallel
-    * writes like every other sink here. */
-  def writeLines(df: DataFrame, path: String, textCol: String = "text"): Unit =
-    df.select(col(textCol).cast("string").as("value"))
-      .write.mode("overwrite").text(path)
+    * writes like every other sink here. THE line-format invariant: a
+    * document must not contain newlines, or it round-trips as several
+    * documents with different content-addressed ids. By default embedded
+    * line breaks are folded to single spaces (`sanitizeNewlines = true`)
+    * so write→read is doc-preserving; pass `false` to write raw ONLY
+    * when the caller has proven the corpus newline-free (there is no
+    * cheap write-time check — a validation would cost a full extra
+    * pass). Null texts are dropped (a null line is unrepresentable). */
+  def writeLines(df: DataFrame, path: String, textCol: String = "text",
+      sanitizeNewlines: Boolean = true): Unit = {
+    val raw = df.select(col(textCol).cast("string").as("value"))
+      .filter(col("value").isNotNull)
+    val out =
+      if (sanitizeNewlines)
+        raw.select(regexp_replace(col("value"), "[\\r\\n]+", " ").as("value"))
+      else raw
+    out.write.mode("overwrite").text(path)
+  }
 }

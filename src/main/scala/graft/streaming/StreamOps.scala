@@ -226,6 +226,7 @@ object StreamOps {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3): StreamingQuery = {
+    graft.ext.Dedup.requireSimhashRadius(maxHamming) // fail at start, not first batch
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -238,32 +239,31 @@ object StreamOps {
       batch: DataFrame, sinkDir: String, stateDir: String,
       idCol: String, textCol: String, maxHamming: Int): Unit = {
     import graft.ext.Dedup
+    Dedup.requireSimhashRadius(maxHamming)
     val spark = batch.sparkSession
     if (batch.isEmpty) return
+    // Signatures computed ONCE and pinned: they feed the within-batch
+    // pair join (twice, self-join), the store join, and the state append
+    // — without the pin the tokenize+UDAF pass re-ran per consumer (the
+    // same multi-consumer re-execution the LSH signature frame had).
+    // State is one (id, long) row per batch doc.
+    val sh = graft.core.Ckpt.pin(
+      Dedup.simhash(batch, idCol, textCol)
+        .select(col("doc_id").cast("long").as("doc_id"), col("simhash")))
     // 1 — within-batch near-dedup (min id per near-dup cluster wins)
-    val pairs = Dedup.simhashNearDuplicates(batch, idCol, textCol, maxHamming)
-      .select("doc_a", "doc_b")
-    val losers = Dedup.connectedComponents(pairs)
-      .filter(col("id") =!= col("component")).select(col("id").as(idCol))
-    val kept = batch.join(losers, Seq(idCol), "left_anti")
-    // 2 — vs the accumulated store: band-bucket candidates, Hamming verify
-    val sigs = Dedup.simhash(kept, idCol, textCol)
-      .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
-    def bands(df: DataFrame, shCol: String): DataFrame = {
-      val bandCols = (0 until 4).map(bq =>
-        struct(lit(bq).as("band"),
-          shiftrightunsigned(col(shCol), bq * 16).bitwiseAND(lit(0xFFFFL)).as("bucket")))
-      df.select(col("doc_id"), col(shCol),
-          explode(array(bandCols: _*)).as("b"))
-        .select(col("doc_id"), col(shCol), col("b.band").as("band"), col("b.bucket").as("bucket"))
-    }
+    val losers = Dedup.connectedComponents(
+        Dedup.simhashPairsFromSignatures(sh, maxHamming).select("doc_a", "doc_b"))
+      .filter(col("id") =!= col("component")).select(col("id").as("doc_id"))
+    val sigs = sh.join(losers, Seq("doc_id"), "left_anti")
+    // 2 — vs the accumulated store: the SAME band scheme as the batch
+    // operator (shared Dedup.simhashBands), Hamming verify
     val state =
       try Some(spark.read.parquet(stateDir))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     val nearState = state match {
       case Some(st) =>
-        bands(sigs, "simhash").as("l")
-          .join(bands(st.select(col("doc_id"), col("simhash")), "simhash")
+        Dedup.simhashBands(sigs).as("l")
+          .join(Dedup.simhashBands(st.select(col("doc_id"), col("simhash")))
             .select(col("band"), col("bucket"), col("simhash").as("st_sh")).as("r"),
             Seq("band", "bucket"))
           .filter(bit_count(col("simhash").bitwiseXOR(col("st_sh"))) <= maxHamming)
@@ -273,10 +273,11 @@ object StreamOps {
     val admittedSigs = sigs.join(nearState, Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // two consumers below; also pins before the state append
     // 3 — append admitted docs to the sink and their signatures to the
-    // store. The sink side anti-joins the REJECTED ids (not semi-joins the
-    // admitted sigs) so token-less docs — which have no signature — pass
-    // through as documented.
-    kept.join(nearState.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+    // store. The sink drops within-batch losers and store near-dups by
+    // id; token-less (null-text) docs — which have no signature and are
+    // in neither drop set — pass through as documented.
+    val dropIds = losers.union(nearState).select(col("doc_id").as(idCol))
+    batch.join(dropIds, Seq(idCol), "left_anti")
       .write.mode("append").parquet(sinkDir)
     admittedSigs.write.mode("append").parquet(stateDir)
   }
