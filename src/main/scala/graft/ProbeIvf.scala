@@ -54,6 +54,19 @@ object ProbeIvf {
     }
     time("brute (warm)") { Similarity.bruteForceTopK(big, queries, k = 10).count() }
 
+    // quantized brute: at local scale this measures COMPUTE (the page
+    // cache hides the 4x scan-byte win that matters on a real cluster) —
+    // recorded to keep the claim honest either way
+    val q8 = graft.ext.Quantize.quantizeEmbeddings(big).cache()
+    time("quantize 10x table (once)") { q8.count() }
+    time("quantized brute (cold)") {
+      graft.ext.Quantize.quantizedTopK(q8, queries, 10).count()
+    }
+    time("quantized brute (warm)") {
+      graft.ext.Quantize.quantizedTopK(q8, queries, 10).count()
+    }
+    q8.unpersist()
+
     val cents = time(s"ivf train nlist=$nlist (3 iters, stride-5 sample)") {
       Similarity.trainIvfCentroids(big, nlist = nlist, iters = 3, sampleMod = 5L)
     }
