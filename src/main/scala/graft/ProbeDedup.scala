@@ -66,6 +66,24 @@ object ProbeDedup {
     time("dropNearDuplicates end-to-end") {
       println(s"  kept: ${Dedup.dropNearDuplicates(big, threshold = 0.5).count()} of ${big.count()}")
     }
+
+    // streaming near-dedup processor at batch scale: batch 1 populates
+    // the signature store from the whole 10x corpus; batch 2 re-sends
+    // the corpus under shifted ids — the store must reject all of it.
+    // Batch 2 is the steady-state shape (non-empty store join).
+    val tmp = java.nio.file.Files.createTempDirectory("ndd_probe")
+    time("streaming near-dedup: batch 1 (50k docs, empty store)") {
+      graft.streaming.StreamOps.processNearDedupBatch(
+        big, s"$tmp/sink", s"$tmp/state", "doc_id", "text", 3)
+    }
+    val admitted1 = spark.read.parquet(s"$tmp/sink").count()
+    time("streaming near-dedup: batch 2 (50k re-sends vs populated store)") {
+      graft.streaming.StreamOps.processNearDedupBatch(
+        big.select((col("doc_id") + lit(10L * n)).as("doc_id"), col("text")),
+        s"$tmp/sink", s"$tmp/state", "doc_id", "text", 3)
+    }
+    val admittedTotal = spark.read.parquet(s"$tmp/sink").count()
+    println(s"  batch1 admitted $admitted1; batch2 leaked ${admittedTotal - admitted1}")
     spark.stop()
   }
 }
