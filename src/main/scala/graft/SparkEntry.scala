@@ -1733,6 +1733,74 @@ object SparkEntry {
       |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Whole-pipeline semantic-dedup probe: [[graft.ext.SemDedup
+    * .semanticNearDupPairsReplayable]] — the production SemDeDup pipeline
+    * (same codegen'd max-cosine cell assignment with its (cos desc, idx
+    * asc) tie rule, same within-cell candidate equijoin, same
+    * native-cosine threshold cut) with PINNED integer-arithmetic
+    * centroids. DuckDB replays quantizer regeneration, assignment argmax,
+    * pair generation, and the threshold cut. */
+  private def semdedupPairsDocs(s: SparkSession, dir: String): DataFrame =
+    ext.SemDedup.semanticNearDupPairsReplayable(
+        Tables.embeddings(s, dir), threshold = 0.3, dim = 64, nlist = 8)
+      .select(col("doc_a"), col("doc_b"), round6("cos"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Shared SQL prefix of the two semdedup oracles: pinned-centroid cell
+    * assignment (the ivfReplaySql fragment — list_reduce fold matches the
+    * codegen'd left-to-right dot product on every assignment decision)
+    * and the within-cell cosine-threshold pair cut. */
+  private val semdedupCtePrefix: String =
+    """WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+      |cents AS (SELECT i, list_transform(range(1, 65),
+      |    d -> CAST((2654435761 * (i * 64 + d) + 97) % 1000000007 - 500000003 AS DOUBLE)) AS c
+      |  FROM (SELECT unnest(range(8)) AS i)),
+      |sc AS (SELECT e.vec_id, e.emb, cents.i,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(range(1, 65), d -> e.emb[d] * cents.c[d])), (a, x) -> a + x)
+      |    / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |        list_transform(range(1, 65), d -> e.emb[d] * e.emb[d])), (a, x) -> a + x))
+      |      * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |        list_transform(range(1, 65), d -> cents.c[d] * cents.c[d])), (a, x) -> a + x)))
+      |    AS cos
+      |  FROM e, cents),
+      |cell AS (SELECT vec_id, emb, i AS cell FROM
+      |  (SELECT vec_id, emb, i, row_number() OVER (PARTITION BY vec_id
+      |     ORDER BY cos DESC, i ASC) AS rn FROM sc) WHERE rn = 1),
+      |f AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+      |    list_cosine_similarity(a.emb, b.emb) AS cos
+      |  FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.emb, b.emb) IS NOT NULL
+      |    AND NOT isnan(list_cosine_similarity(a.emb, b.emb))
+      |    AND list_cosine_similarity(a.emb, b.emb) >= 0.3)""".stripMargin
+
+  private def semdedupPairsSql: String =
+    s"""$semdedupCtePrefix
+       |SELECT doc_a, doc_b, floor(cos * 1e6 + 0.5) / 1e6 AS cos
+       |FROM f ORDER BY doc_a, doc_b""".stripMargin
+
+  /** End-to-end keep set: pairs → connected components (recursive-CTE
+    * closure, the q_neardup_components recipe) → min-id representative
+    * survives. */
+  private def semdedupKeepDocs(s: SparkSession, dir: String): DataFrame =
+    ext.SemDedup.semanticDeduplicateReplayable(
+        Tables.embeddings(s, dir), threshold = 0.3, dim = 64, nlist = 8)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+
+  private def semdedupKeepSql: String =
+    s"""$semdedupCtePrefix,
+       |e2 AS (SELECT doc_a AS a, doc_b AS b FROM f UNION SELECT doc_b, doc_a FROM f),
+       |n AS (SELECT DISTINCT a AS v FROM e2),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM n
+       |  UNION
+       |  SELECT e2.a, reach.r FROM e2 JOIN reach ON reach.v = e2.b),
+       |c2 AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+       |losers AS (SELECT v FROM c2 WHERE v <> component)
+       |SELECT vec_id, label FROM embeddings
+       |WHERE vec_id NOT IN (SELECT v FROM losers) ORDER BY vec_id""".stripMargin
+
   /** The approximate ANN paths emit recall@k vs the brute-force result on
     * the same (bounded) query probe, so the driver tracks approximation
     * quality per round even though the hash-seeded outputs can't be
@@ -2112,6 +2180,112 @@ object SparkEntry {
        |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  private val bm25Terms = Seq("spark", "vector", "merge", "stream")
+
+  /** Hybrid retrieval probe: [[graft.ext.Search.hybridTopK]] fusing the
+    * BM25 keyword leg with a hashed-embedding brute-cosine leg (query =
+    * doc 0) by reciprocal-rank fusion, both legs over the same bounded
+    * doc window. DuckDB replays BOTH retrievers end-to-end (BM25 stats/
+    * weights/rank; feature hashing/sparse cosine/rank) plus the RRF sum
+    * and the canon'd (rrf desc, id) top-10 cut. */
+  private def rrfHybridDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+    val kw = ext.Search.bm25TopK(docs, bm25Terms, k = 25)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "rank")
+    val emb = TextStats.hashedTextEmbeddingsReplayable(docs, dim = 32)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val ann = Similarity.bruteForceTopK(emb, q, k = 25)
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    ext.Search.hybridTopK(Seq(kw, ann), k = 10)
+      .select(col("doc_id"), col("n_rankings"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  private def rrfHybridSql: String =
+    raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE doc_id < 200),
+       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+       |s AS (SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM d),
+       |h AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM h
+       |  WHERE term IN ('spark', 'vector', 'merge', 'stream') GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |w AS (SELECT tf.doc_id,
+       |  ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)) *
+       |    (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) AS w
+       |  FROM tf JOIN dft USING (term) CROSS JOIN s),
+       |bsc AS (SELECT doc_id, floor(sum(w) * 1e6 + 0.5) / 1e6 AS score FROM w GROUP BY 1),
+       |kw AS (SELECT doc_id, rnk FROM (SELECT doc_id,
+       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bsc) WHERE rnk <= 25),
+       |tok2 AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+       |kr AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(tk)),
+       |      c -> ascii(substring(tk, c, 1))::BIGINT)),
+       |    (hh, c) -> (hh * 257 + c) % 1000000007) AS k FROM tok2),
+       |bs AS (SELECT doc_id, k % 32 AS bucket,
+       |  CASE WHEN (k * 2654435761) % 1000000007 > 500000003
+       |    THEN 1.0 ELSE -1.0 END AS sgn FROM kr),
+       |sums AS (SELECT doc_id, bucket, sum(sgn) AS v FROM bs GROUP BY 1, 2),
+       |norms AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM sums GROUP BY 1),
+       |live AS (SELECT doc_id FROM norms WHERE nrm > 0),
+       |dots AS (SELECT e.doc_id AS vec_id, sum(q.v * e.v) AS dot
+       |  FROM sums q JOIN sums e ON q.bucket = e.bucket
+       |  WHERE q.doc_id = 0 GROUP BY 1),
+       |cs AS (SELECT el.doc_id AS vec_id,
+       |  coalesce(dots.dot, 0) / (nq.nrm * ne.nrm) AS cos
+       |  FROM live el
+       |  LEFT JOIN dots ON dots.vec_id = el.doc_id
+       |  JOIN norms nq ON nq.doc_id = 0
+       |  JOIN norms ne ON ne.doc_id = el.doc_id
+       |  WHERE EXISTS (SELECT 1 FROM live WHERE doc_id = 0)),
+       |ann AS (SELECT vec_id AS doc_id, rnk FROM (SELECT vec_id,
+       |  row_number() OVER (ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM cs WHERE cos IS NOT NULL AND NOT isnan(cos)) WHERE rnk <= 25),
+       |u AS (SELECT doc_id, 1.0::DOUBLE / (60 + rnk) AS rr FROM kw
+       |  UNION ALL SELECT doc_id, 1.0::DOUBLE / (60 + rnk) FROM ann),
+       |g AS (SELECT doc_id, count(*) AS n_rankings,
+       |  floor(sum(rr) * 1e6 + 0.5) / 1e6 AS rrf FROM u GROUP BY 1),
+       |r AS (SELECT doc_id, n_rankings, rrf,
+       |  row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM g)
+       |SELECT doc_id, n_rankings, rrf FROM r WHERE rn <= 10
+       |ORDER BY rrf DESC, doc_id""".stripMargin
+
+  /** BM25 keyword retrieval over the full documents table — DuckDB
+    * replays the whitespace tokenization, corpus stats (N, avgdl), the
+    * per-(doc, term) Okapi weight, the per-doc sum, and the canon'd
+    * (score desc, id) top-25 cut. Ranking happens on the 6-decimal
+    * canonicalized score in BOTH engines, so sub-1e-6 float noise
+    * cannot reorder the cut. */
+  private def bm25TopkDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Search.bm25TopK(Tables.documents(s, dir), bm25Terms, k = 25)
+      .select(col("doc_id"), col("n_terms_hit"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+
+  private def bm25TopkSql: String =
+    raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents),
+       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+       |s AS (SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM d),
+       |h AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM h
+       |  WHERE term IN ('spark', 'vector', 'merge', 'stream') GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |w AS (SELECT tf.doc_id,
+       |  ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)) *
+       |    (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) AS w
+       |  FROM tf JOIN dft USING (term) CROSS JOIN s),
+       |sc AS (SELECT doc_id, count(*) AS n_terms_hit,
+       |  floor(sum(w) * 1e6 + 0.5) / 1e6 AS score FROM w GROUP BY 1),
+       |r AS (SELECT doc_id, n_terms_hit, score,
+       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc)
+       |SELECT doc_id, n_terms_hit, score FROM r WHERE rn <= 25
+       |ORDER BY score DESC, doc_id""".stripMargin
+
   private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   /** Leakage-free split probe: [[Sampling.splitByCluster]] on the SAME
@@ -2243,6 +2417,10 @@ object SparkEntry {
     "q_chunk_docs" -> chunkDocs,
     "q_meanpool_embeddings" -> meanPoolEmbeddings,
     "q_hashed_topk_docs" -> hashedTopkDocs,
+    "q_bm25_topk_docs" -> bm25TopkDocs,
+    "q_semdedup_pairs" -> semdedupPairsDocs,
+    "q_semdedup_keep" -> semdedupKeepDocs,
+    "q_rrf_hybrid_docs" -> rrfHybridDocs,
     "q_salted_join_lineitem" -> saltedJoinLineitem,
     "q_sample_docs" -> sampleDocs,
     "q_sample_stratified_docs" -> sampleStratifiedDocs,
@@ -2440,6 +2618,10 @@ object SparkEntry {
     "q_chunk_docs" -> chunkDocsSql,
     "q_meanpool_embeddings" -> meanPoolSql,
     "q_hashed_topk_docs" -> hashedTopkSql,
+    "q_bm25_topk_docs" -> bm25TopkSql,
+    "q_semdedup_pairs" -> semdedupPairsSql,
+    "q_semdedup_keep" -> semdedupKeepSql,
+    "q_rrf_hybrid_docs" -> rrfHybridSql,
     "q_minhash_replay_docs" -> minhashReplaySql,
     "q_lsh_replay_topk" -> lshReplaySql,
     "q_ivf_replay_topk" -> ivfReplaySql,
