@@ -2286,6 +2286,28 @@ object SparkEntry {
        |SELECT doc_id, n_terms_hit, score FROM r WHERE rn <= 25
        |ORDER BY score DESC, doc_id""".stripMargin
 
+  /** Corpus-wide repeated-span removal probe: [[graft.ext.Dedup
+    * .dropRepeatedSpans]] (C4 recipe) at 8-token blocks over the full
+    * documents table. DuckDB replays the block split, the global
+    * first-occurrence (doc, idx) winner rule, and the in-order
+    * reassembly of the surviving text. */
+  private def spanDedupDocs(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropRepeatedSpans(Tables.documents(s, dir), spanTokens = 8)
+      .select(col("doc_id"), col("n_spans_kept"), col("text"))
+      .orderBy("doc_id")
+
+  private def spanDedupSql: String =
+    raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |b AS (SELECT doc_id, CAST(i // 8 AS BIGINT) AS span_idx,
+       |  array_to_string(toks[i + 1:i + 8], ' ') AS span
+       |  FROM d, LATERAL unnest(range(0, len(toks), 8)) AS g(i)),
+       |k AS (SELECT doc_id, span_idx, span,
+       |  row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn FROM b)
+       |SELECT doc_id, count(*) AS n_spans_kept,
+       |  array_to_string(list(span ORDER BY span_idx), ' ') AS text
+       |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   /** Leakage-free split probe: [[Sampling.splitByCluster]] on the SAME
@@ -2421,6 +2443,7 @@ object SparkEntry {
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
     "q_rrf_hybrid_docs" -> rrfHybridDocs,
+    "q_span_dedup_docs" -> spanDedupDocs,
     "q_salted_join_lineitem" -> saltedJoinLineitem,
     "q_sample_docs" -> sampleDocs,
     "q_sample_stratified_docs" -> sampleStratifiedDocs,
@@ -2622,6 +2645,7 @@ object SparkEntry {
     "q_semdedup_pairs" -> semdedupPairsSql,
     "q_semdedup_keep" -> semdedupKeepSql,
     "q_rrf_hybrid_docs" -> rrfHybridSql,
+    "q_span_dedup_docs" -> spanDedupSql,
     "q_minhash_replay_docs" -> minhashReplaySql,
     "q_lsh_replay_topk" -> lshReplaySql,
     "q_ivf_replay_topk" -> ivfReplaySql,

@@ -35,6 +35,54 @@ object Dedup {
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  // ---- span-level (sub-document) dedup -------------------------------------
+
+  /** C4-style repeated-span removal (published technique: Raffel et al.
+    * 2020 — C4 discards every repeated occurrence of a span corpus-wide,
+    * keeping one). Operates on caller-produced span rows
+    * `(idCol, idxCol, textCol)` — e.g.
+    * [[Packing.chunkByTokenBudget]](overlap = 0) for fixed token blocks,
+    * or a paragraph splitter — and keeps each distinct span text's
+    * globally FIRST occurrence: minimum (doc, idx) lexicographic.
+    *
+    * Scale shape: the winner is `min(struct(doc, idx))` per span text —
+    * associative, so Spark plans a map-side partial aggregate and a
+    * corpus-viral boilerplate span never concentrates its rows on one
+    * task; the keep decision then semi-joins on the (text, doc, idx)
+    * triple, whose composite hash is per-row unique — no hot key even
+    * when one span text dominates the corpus. Two shuffles total, both
+    * skew-safe. */
+  def dropRepeatedSpanRows(spans: DataFrame, idCol: String = "doc_id",
+      idxCol: String = "span_idx", textCol: String = "span_text"): DataFrame = {
+    val winners = spans
+      .groupBy(col(textCol).as("__wtext"))
+      .agg(min(struct(col(idCol), col(idxCol))).as("__w"))
+      .select(col("__wtext"), col("__w")(idCol).as("__wid"), col("__w")(idxCol).as("__widx"))
+    spans.join(winners,
+      col(textCol) === col("__wtext") && col(idCol) === col("__wid") &&
+        col(idxCol) === col("__widx"),
+      "left_semi")
+  }
+
+  /** Whole-document convenience form: split each doc into non-overlapping
+    * `spanTokens`-token blocks, drop repeated blocks corpus-wide, and
+    * reassemble the survivors in order. Docs whose every span was dropped
+    * are absent from the result (C4 likewise ends up discarding them). */
+  def dropRepeatedSpans(docs: DataFrame, spanTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = Packing.chunkByTokenBudget(docs, maxTokens = spanTokens, overlap = 0,
+        idCol = idCol, textCol = textCol)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+    dropRepeatedSpanRows(spans, "doc_id", "chunk_id", "chunk_text")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+            s => s.getField("chunk_text")),
+          " ").as(textCol))
+  }
+
   // ---- shingles / tokens ---------------------------------------------------
 
   /** Lower-cased whitespace tokens. */

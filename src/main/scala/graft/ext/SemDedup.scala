@@ -85,6 +85,32 @@ object SemDedup {
       Similarity.assignCells(embeddings, Similarity.integerPlanes(dim, nlist), idCol, embCol),
       threshold)
 
+  /** Cross-corpus semantic contamination pairs: embedding-space analog of
+    * the n-gram benchmark decontamination (TextStats.contaminatedDocIds)
+    * — find (corpusId, benchId) pairs whose cosine clears `threshold`,
+    * with BOTH sides assigned through the SAME quantizer so the join
+    * stays cell-local. Typical use: flag training docs semantically
+    * near an eval set, then anti-join them away. The benchmark side is
+    * usually model-sized, but the cell equijoin never materializes a
+    * cross product either way. */
+  def crossNearDupPairs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      cents: Array[Array[Double]],
+      threshold: Double,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(threshold > -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in (-1, 1], got $threshold")
+    val l = Similarity.assignCells(corpus, cents, idCol, embCol)
+    val r = Similarity.assignCells(benchmark, cents, idCol, embCol)
+    val cos = graft.expr.CosineSimilarity.cosineSim(col("l.emb"), col("r.emb"))
+    l.as("l").join(r.as("r"), col("l.cell") === col("r.cell"))
+      .select(col("l.vec_id").as("corpus_id"), col("r.vec_id").as("bench_id"),
+        cos.as("cos"))
+      .filter(!isnan(col("cos")) && col("cos") >= lit(threshold))
+  }
+
   /** End-to-end semantic dedup: pairs → connected components → keep each
     * component's minimum-id vector; vectors in no component pass
     * through. Returns the surviving rows of `embeddings` unchanged. */

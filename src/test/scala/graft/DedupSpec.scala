@@ -8,6 +8,39 @@ class DedupSpec extends SparkSpec {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("span dedup: global first occurrence wins, within-doc repeats dropped") {
+    // 4-token spans: doc1 = [A][B], doc2 = [A][C], doc3 = [D][D]
+    val a = "w1 w2 w3 w4"; val b = "b1 b2 b3 b4"; val c = "c1 c2 c3 c4"
+    val dd = "r1 r2 r3 r4"
+    val d = docs((1L, s"$a $b"), (2L, s"$a $c"), (3L, s"$dd $dd"))
+    val out = Dedup.dropRepeatedSpans(d, spanTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans_kept"), r.getAs[String]("text"))).toMap
+    // doc1 keeps both spans (first occurrence of A); doc2 loses A, keeps C;
+    // doc3's second repeat of D is dropped (within-doc idx tiebreak)
+    assert(out(1L) == (2L, s"$a $b"), s"got ${out(1L)}")
+    assert(out(2L) == (1L, c), s"got ${out(2L)}")
+    assert(out(3L) == (1L, dd), s"got ${out(3L)}")
+  }
+
+  test("span dedup: doc whose every span repeats elsewhere disappears") {
+    val a = "w1 w2 w3 w4"
+    val d = docs((1L, a), (2L, a))
+    val out = Dedup.dropRepeatedSpans(d, spanTokens = 4)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(out.sameElements(Array(1L)), s"got ${out.toSeq}")
+  }
+
+  test("span dedup row form: reassembly preserves span order") {
+    val spans = Seq((7L, 2L, "zz"), (7L, 0L, "aa"), (7L, 1L, "mm"))
+      .toDF("doc_id", "span_idx", "span_text")
+    val kept = Dedup.dropRepeatedSpanRows(spans)
+    assert(kept.count() == 3) // all unique -> all kept
+    val d = docs((7L, "aa mm zz"))
+    val re = Dedup.dropRepeatedSpans(d, spanTokens = 1).head()
+    assert(re.getAs[String]("text") == "aa mm zz")
+  }
+
   test("exact dup summary counts duplicate groups") {
     val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "a b c"))
     val r = Dedup.exactDupSummary(d).head()

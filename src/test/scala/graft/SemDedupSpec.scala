@@ -49,6 +49,16 @@ class SemDedupSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L, 4L, 5L) -- losers, s"kept $kept losers $losers")
   }
 
+  test("cross-corpus contamination pairs: benchmark twin flagged, orthogonal not") {
+    val bench = Seq((100L, Array(1.0, 0.02, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val oneCell = Array(Array(1.0, 0.0, 0.0, 0.0)) // single cell: threshold decides
+    val pairs = SemDedup.crossNearDupPairs(vecs, bench, oneCell, threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("bench_id"))).toSet
+    // vec 1 IS the benchmark doc; vec 2 is its near-twin (cos ~0.9997);
+    // 3 orthogonal, 4 dissimilar, 5 zero-norm (NaN) never pair
+    assert(pairs == Set((1L, 100L), (2L, 100L)), s"got $pairs")
+  }
+
   test("threshold is respected exactly: lowering it admits more pairs") {
     // cos(1,2) = 1/(sqrt(1.0004)*sqrt(1.0001)) ~= 0.99975: above it, no pairs
     val strict = SemDedup.semanticNearDupPairs(vecs, threshold = 0.9999, nlist = 1, iters = 1)
