@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Search, SemDedup, Similarity}
+
+/** Scale probe for the round-5 retrieval/span-dedup operators (committed
+  * so it re-runs per round — results in ARCHITECTURE.md):
+  *
+  *   - BM25 over a 10× suffix-mutated documents table (4-term and
+  *     40-term queries — the shuffled hit volume scales with query
+  *     size, the corpus scan does not);
+  *   - SemDeDup over a 10× duplicated embeddings table (every vector ×10
+  *     exact copies): pairs + end-to-end dedup, which must return ~N/10
+  *     survivors — a planted 90%-redundant corpus;
+  *   - C4 span dedup over the 10× mutated documents (cross-copy spans
+  *     repeat massively; the winner agg and semi-join are the skew path
+  *     under test).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ProbeSearch
+  */
+object ProbeSearch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // --- 10x documents (the ProbeDedup recipe: suffix-mutated copies) ---
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val n = base.agg(max("doc_id")).head().getLong(0) + 1L
+    val bigDocs = (0 until 10).map { k =>
+      base.select((col("doc_id") + lit(k * n)).as("doc_id"),
+        concat_ws(" ", col("text"),
+          lit((0 until k).map(j => s"mutslug${k}x$j").mkString(" "))).as("text"))
+    }.reduce(_ union _).repartition(32).cache()
+    println(s"probe docs: ${bigDocs.count()}")
+
+    val q4 = Seq("spark", "vector", "merge", "stream")
+    time("bm25 top-25, 4-term query (cold)") {
+      println(s"  rows: ${Search.bm25TopK(bigDocs, q4, k = 25).count()}")
+    }
+    time("bm25 top-25, 4-term query (warm)") {
+      Search.bm25TopK(bigDocs, q4, k = 25).count()
+    }
+    // 40-term query: every distinct fixture token ~= worst case (the
+    // term filter passes nearly the whole token stream to the shuffle)
+    val q40 = Seq("spark", "vector", "merge", "stream", "table", "scan", "slow",
+      "fast", "key", "agg", "row", "value", "part", "hash", "batch", "line",
+      "sort", "window", "the", "a", "big", "small", "data", "column", "join",
+      "customer", "query", "order", "group", "filter", "stream2", "x1", "x2",
+      "x3", "x4", "x5", "x6", "x7", "x8", "x9")
+    time("bm25 top-25, 40-term query (warm corpus)") {
+      Search.bm25TopK(bigDocs, q40, k = 25).count()
+    }
+
+    // --- 10x embeddings: exact copies => planted 90% redundancy ---
+    val ebase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val en = ebase.agg(max("vec_id")).head().getLong(0) + 1L
+    val bigEmb = (0 until 10).map { k =>
+      ebase.select((col("vec_id") + lit(k * en)).as("vec_id"), col("embedding"))
+    }.reduce(_ union _).repartition(32).cache()
+    println(s"probe embeddings: ${bigEmb.count()}")
+
+    val pairs = time("semdedup pairs (trained nlist=32, threshold=0.9, cold)") {
+      val p = SemDedup.semanticNearDupPairs(bigEmb, threshold = 0.9, nlist = 32,
+        iters = 3, trainSampleMod = 5).cache()
+      println(s"  edges: ${p.count()}")
+      p
+    }
+    pairs.unpersist(false)
+    time("semanticDeduplicate end-to-end (nlist=32)") {
+      val kept = SemDedup.semanticDeduplicate(bigEmb, threshold = 0.9, nlist = 32,
+        iters = 3, trainSampleMod = 5).count()
+      println(s"  kept: $kept of ${20000} (planted truth: ~N/10 = 2000)")
+    }
+    time("semanticDeduplicate end-to-end (nlist=64 — cell-size knob)") {
+      println(s"  kept: ${SemDedup.semanticDeduplicate(bigEmb, threshold = 0.9,
+        nlist = 64, iters = 3, trainSampleMod = 5).count()}")
+    }
+    // quantizer-recall caveat datapoint: exact twins always share a cell
+    // (identical vectors assign identically), so planted recall is 1.0 by
+    // construction; the interesting number is how many NON-twin pairs the
+    // threshold admits per nlist.
+
+    // --- span dedup over the mutated 10x corpus ---
+    time("dropRepeatedSpans spanTokens=8 (cold)") {
+      val out = Dedup.dropRepeatedSpans(bigDocs, spanTokens = 8)
+        .agg(count(lit(1)), sum("n_spans_kept")).head()
+      println(s"  surviving docs: ${out.getLong(0)}, spans kept: ${out.getLong(1)}")
+    }
+    time("dropRepeatedSpans spanTokens=8 (warm)") {
+      Dedup.dropRepeatedSpans(bigDocs, spanTokens = 8).count()
+    }
+
+    // cell-population sanity for the trained quantizer at nlist=32
+    val cents = Similarity.trainIvfCentroids(bigEmb, nlist = 32, iters = 3,
+      sampleMod = 5)
+    val cells = Similarity.assignCells(bigEmb, cents)
+      .groupBy("cell").count().agg(min("count"), max("count"), avg("count")).head()
+    println(s"cell sizes nlist=32: min=${cells.getLong(0)} max=${cells.getLong(1)} " +
+      f"avg=${cells.getDouble(2)}%.0f")
+
+    spark.stop()
+  }
+}
