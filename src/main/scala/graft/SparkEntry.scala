@@ -1083,6 +1083,33 @@ object SparkEntry {
        |WHERE doc_id < 250 AND doc_id NOT IN (SELECT v FROM losers)
        |ORDER BY doc_id""".stripMargin
 
+  /** As-of join probe: every purchase event matched to the same user's
+    * most recent prior click ([[graft.ext.AsOf.asofJoin]], backward,
+    * exact-match allowed). DuckDB replays it with its NATIVE ASOF LEFT
+    * JOIN — a cross-engine pin of the whole matching semantic including
+    * unmatched-row nulls; the gap is exact integer micros on both
+    * sides. */
+  private def asofJoinEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    ext.AsOf.asofJoin(purchases, clicks, Seq("user_id"), "ts", Seq("value"))
+      .select(col("user_id"), col("ts"), col("value"),
+        col("asof_ts"), col("asof_value").as("asof_value"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+      .orderBy("user_id", "ts")
+  }
+
+  private def asofJoinSql: String =
+    """WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+      |SELECT p.user_id, p.ts, p.value, c.ts AS asof_ts, c.value AS asof_value,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.user_id, p.ts""".stripMargin
+
   private def jsonEvents(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -2444,6 +2471,7 @@ object SparkEntry {
     "q_semdedup_keep" -> semdedupKeepDocs,
     "q_rrf_hybrid_docs" -> rrfHybridDocs,
     "q_span_dedup_docs" -> spanDedupDocs,
+    "q_asof_join_events" -> asofJoinEvents,
     "q_salted_join_lineitem" -> saltedJoinLineitem,
     "q_sample_docs" -> sampleDocs,
     "q_sample_stratified_docs" -> sampleStratifiedDocs,
@@ -2646,6 +2674,7 @@ object SparkEntry {
     "q_semdedup_keep" -> semdedupKeepSql,
     "q_rrf_hybrid_docs" -> rrfHybridSql,
     "q_span_dedup_docs" -> spanDedupSql,
+    "q_asof_join_events" -> asofJoinSql,
     "q_minhash_replay_docs" -> minhashReplaySql,
     "q_lsh_replay_topk" -> lshReplaySql,
     "q_ivf_replay_topk" -> ivfReplaySql,

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — the nearest-event temporal join (pandas `merge_asof`,
+  * kdb `aj`) that Spark has no native operator for: for each left row,
+  * attach THE one right row with the largest right ts <= left ts
+  * (direction "backward"; exact matches allowed) or the smallest
+  * right ts >= left ts ("forward"), per join key, optionally within a
+  * tolerance interval.
+  *
+  * Mechanism — no range join, no per-key collect: tag both sides, UNION
+  * them, and take a running `last(right-payload, ignoreNulls)` over ONE
+  * window partitioned by the keys and ordered by (ts, side). That is
+  * one shuffle on the join keys and a linear sorted scan per key —
+  * the same (key, ts) sort-merge an ASOF physical operator performs,
+  * so there is nothing for a custom SparkPlan to improve on here.
+  * Right rows sort before left rows at equal ts, which is exactly
+  * pandas' allow_exact_matches=True.
+  *
+  * Scale shape: skew is bounded by the hottest join key (same axis as
+  * any keyed window — a hot key costs one task's sort, not a cross
+  * product); tolerance is applied AFTER the match as a row-local
+  * filter, so it never widens the plan.
+  *
+  * Precondition: the right side must be unique per (keys, ts) — with
+  * duplicates, "the" as-of row is ill-defined and Spark's sort gives no
+  * stable pick. Pre-aggregate the right side (e.g. `max_by`) first.
+  */
+object AsOf {
+
+  /** @param payloadCols right-side columns to attach; each appears in
+    *                    the output as `asof_<name>`, plus the matched
+    *                    timestamp itself as `asof_ts` (all null when no
+    *                    right row qualifies).
+    * @param tolerance   optional max match distance as a SQL interval
+    *                    string (e.g. "30 minutes"): a match farther than
+    *                    this from the left ts is nulled out. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String, payloadCols: Seq[String],
+      direction: String = "backward",
+      tolerance: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one join key")
+    require(payloadCols.nonEmpty, "need at least one payload column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+
+    val rStructCol = struct(
+      (col(tsCol).as("asof_ts") +: payloadCols.map(c => col(c).as(s"asof_$c"))): _*)
+    val rType = right.select(rStructCol.as("__r")).schema("__r").dataType
+    val lStructCol = struct(left.columns.map(col).toIndexedSeq: _*)
+
+    val rTagged = right.select(
+      keyCols.map(col) ++ Seq(col(tsCol).as("__ts"), lit(0).as("__side"),
+        rStructCol.as("__r"), lit(null).cast(left.select(lStructCol.as("x"))
+          .schema("x").dataType).as("__l")): _*)
+    val lTagged = left.select(
+      keyCols.map(col) ++ Seq(col(tsCol).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(rType).as("__r"), lStructCol.as("__l")): _*)
+
+    // backward: ascending ts, running last right payload = nearest prior.
+    // forward: descending ts, running last = nearest later. Right rows
+    // (side 0) order before left at equal ts in both directions.
+    val ordered =
+      if (direction == "backward") Seq(col("__ts").asc, col("__side").asc)
+      else Seq(col("__ts").desc, col("__side").asc)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ordered: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched0 = last(col("__r"), ignoreNulls = true).over(w)
+    val matched = tolerance match {
+      case None => matched0
+      case Some(t) =>
+        val near =
+          if (direction == "backward")
+            col("__ts") - expr(s"INTERVAL $t") <= matched0.getField("asof_ts")
+          else
+            col("__ts") + expr(s"INTERVAL $t") >= matched0.getField("asof_ts")
+        when(near, matched0)
+    }
+    rTagged.unionByName(lTagged)
+      .withColumn("__m", matched)
+      .filter(col("__side") === 1)
+      .select(col("__l.*") +:
+        (col("__m.asof_ts").as("asof_ts") +:
+          payloadCols.map(c => col(s"__m.asof_$c").as(s"asof_$c"))): _*)
+  }
+}
