@@ -1110,6 +1110,33 @@ object SparkEntry {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.user_id, p.ts""".stripMargin
 
+  /** Range-join probe: purchases matched to the 48-hour window after the
+    * same user's signup events ([[graft.ext.AsOf.rangeJoin]], 6-hour
+    * buckets). DuckDB replays it as a plain BETWEEN join — pinning that
+    * the bucketized equijoin + row-local containment equals the naive
+    * range predicate exactly (multiplicity included). */
+  private def rangeJoinEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val wins = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 48 HOURS")).as("win_end"))
+    ext.AsOf.rangeJoin(purchases, wins, Seq("user_id"), "ts",
+        "win_start", "win_end", payloadCols = Nil, bucketWidthSeconds = 21600L)
+      .select(col("user_id"), col("ts"), col("value"), col("win_start"))
+      .orderBy("user_id", "ts", "win_start")
+  }
+
+  private def rangeJoinSql: String =
+    """WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT user_id, ts AS win_start, ts + INTERVAL 48 HOUR AS win_end
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT p.user_id, p.ts, p.value, s.win_start
+      |FROM p JOIN s ON p.user_id = s.user_id
+      |  AND p.ts >= s.win_start AND p.ts <= s.win_end
+      |ORDER BY p.user_id, p.ts, s.win_start""".stripMargin
+
   private def jsonEvents(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -2472,6 +2499,7 @@ object SparkEntry {
     "q_rrf_hybrid_docs" -> rrfHybridDocs,
     "q_span_dedup_docs" -> spanDedupDocs,
     "q_asof_join_events" -> asofJoinEvents,
+    "q_range_join_events" -> rangeJoinEvents,
     "q_salted_join_lineitem" -> saltedJoinLineitem,
     "q_sample_docs" -> sampleDocs,
     "q_sample_stratified_docs" -> sampleStratifiedDocs,
@@ -2675,6 +2703,7 @@ object SparkEntry {
     "q_rrf_hybrid_docs" -> rrfHybridSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_asof_join_events" -> asofJoinSql,
+    "q_range_join_events" -> rangeJoinSql,
     "q_minhash_replay_docs" -> minhashReplaySql,
     "q_lsh_replay_topk" -> lshReplaySql,
     "q_ivf_replay_topk" -> ivfReplaySql,

@@ -87,4 +87,45 @@ object AsOf {
         (col("__m.asof_ts").as("asof_ts") +:
           payloadCols.map(c => col(s"__m.asof_$c").as(s"asof_$c"))): _*)
   }
+
+  /** Interval (range) join: inner-join each left point row to every
+    * right interval [startCol, endCol] of the same key containing its
+    * timestamp — WITHOUT the BroadcastNestedLoop plan Spark produces for
+    * a raw BETWEEN predicate. Intervals are exploded to the fixed-width
+    * time buckets they cover and points equijoin their own bucket, then
+    * the exact containment check runs row-local. A (point, interval)
+    * pair can only meet in the point's bucket, so the equijoin emits no
+    * duplicates and needs no distinct.
+    *
+    * Scale shape: shuffle keyed by (keys, bucket) — a hot key+hour is
+    * one task, never a cross product. `bucketWidthSeconds` is the
+    * explode-factor knob: each interval produces
+    * ceil(length/width) + 1 rows; pick a width comparable to typical
+    * interval length (e.g. hours for hour-scale windows). Intervals with
+    * end < start are dropped (fail-loud would abort a 100 TB job over
+    * one bad row — and SQL BETWEEN likewise matches nothing for them).
+    *
+    * Output: points' columns followed by the interval's (start, end,
+    * payload) columns verbatim — callers must keep the two column sets
+    * disjoint (rename upstream). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      startCol: String, endCol: String, payloadCols: Seq[String],
+      bucketWidthSeconds: Long = 3600L): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one join key")
+    require(bucketWidthSeconds > 0, s"bucketWidthSeconds must be > 0, got $bucketWidthSeconds")
+    val wUs = bucketWidthSeconds * 1000000L
+    val ivals = intervals
+      .filter(col(endCol) >= col(startCol))
+      .select(keyCols.map(col) ++
+        Seq(col(startCol), col(endCol)) ++ payloadCols.map(col) :+
+        explode(sequence(
+          floor(unix_micros(col(startCol)) / wUs).cast("long"),
+          floor(unix_micros(col(endCol)) / wUs).cast("long"))).as("__bucket"): _*)
+    val pts = points.withColumn("__bucket",
+      floor(unix_micros(col(tsCol)) / wUs).cast("long"))
+    pts.join(ivals, keyCols :+ "__bucket")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bucket")
+  }
 }

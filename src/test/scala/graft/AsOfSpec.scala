@@ -47,6 +47,31 @@ class AsOfSpec extends SparkSpec {
     assert(tsOut == null)
   }
 
+  test("range join: overlap multiplicity, inclusive bounds, per-key isolation") {
+    val pts = Seq(("A", ts(100), "p1"), ("A", ts(250), "p2"), ("B", ts(100), "p3"))
+      .toDF("k", "t", "tag")
+    val ivals = Seq(
+      ("A", ts(50), ts(150), "w1"),   // contains p1
+      ("A", ts(100), ts(300), "w2"),  // contains p1 (start==t) and p2
+      ("A", ts(250), ts(260), "w3"),  // contains p2 (start==t)
+      ("B", ts(90), ts(100), "w4"),   // contains p3 (end==t)
+      ("A", ts(400), ts(300), "bad")  // end < start: dropped, matches nothing
+    ).toDF("k", "ws", "we", "win")
+    val out = AsOf.rangeJoin(pts, ivals, Seq("k"), "t", "ws", "we", Seq("win"),
+        bucketWidthSeconds = 60)
+      .collect().map(r => (r.getAs[String]("tag"), r.getAs[String]("win"))).toSet
+    assert(out == Set(("p1", "w1"), ("p1", "w2"), ("p2", "w2"), ("p2", "w3"),
+      ("p3", "w4")), s"got $out")
+  }
+
+  test("range join: interval spanning many buckets matches once, no duplicates") {
+    val pts = Seq(("A", ts(5000), "p")).toDF("k", "t", "tag")
+    val ivals = Seq(("A", ts(0), ts(100000), "wide")).toDF("k", "ws", "we", "win")
+    val rows = AsOf.rangeJoin(pts, ivals, Seq("k"), "t", "ws", "we", Seq("win"),
+      bucketWidthSeconds = 10) // interval explodes to ~10k buckets
+    assert(rows.count() == 1L)
+  }
+
   test("left columns pass through unchanged; keys partition the match") {
     val out = AsOf.asofJoin(left, right, Seq("k"), "t", Seq("v"))
     assert(out.columns.toSeq == Seq("k", "t", "tag", "asof_ts", "asof_v"))
