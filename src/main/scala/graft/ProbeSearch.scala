@@ -105,6 +105,35 @@ object ProbeSearch {
       Dedup.dropRepeatedSpans(bigDocs, spanTokens = 8).count()
     }
 
+    // --- temporal joins at 10x events (user space widened 10x) ---
+    val evBase = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    val un = evBase.agg(max("user_id")).head().getLong(0) + 1L
+    val bigEv = (0 until 10).map { k =>
+      evBase.select((col("user_id") + lit(k * un)).as("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    }.reduce(_ union _).repartition(32).cache()
+    println(s"probe events: ${bigEv.count()}")
+    val purch = bigEv.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val clicks = bigEv.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    time("asofJoin backward 10x (cold)") {
+      println(s"  rows: ${graft.ext.AsOf.asofJoin(purch, clicks, Seq("user_id"), "ts",
+        Seq("value")).count()}")
+    }
+    time("asofJoin backward 10x (warm)") {
+      graft.ext.AsOf.asofJoin(purch, clicks, Seq("user_id"), "ts", Seq("value")).count()
+    }
+    val wins = bigEv.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 48 HOURS")).as("win_end"))
+    time("rangeJoin 48h windows, 6h buckets, 10x (warm events)") {
+      println(s"  rows: ${graft.ext.AsOf.rangeJoin(purch, wins, Seq("user_id"), "ts",
+        "win_start", "win_end", payloadCols = Nil, bucketWidthSeconds = 21600L).count()}")
+    }
+
     // cell-population sanity for the trained quantizer at nlist=32
     val cents = Similarity.trainIvfCentroids(bigEmb, nlist = 32, iters = 3,
       sampleMod = 5)

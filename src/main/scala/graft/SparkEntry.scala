@@ -1083,6 +1083,26 @@ object SparkEntry {
        |WHERE doc_id < 250 AND doc_id NOT IN (SELECT v FROM losers)
        |ORDER BY doc_id""".stripMargin
 
+  /** Corpus reporting rollup: CUBE over (lang, source) — doc counts,
+    * char and token sums at every grouping-set level in one pass (the
+    * shape of a corpus-composition dashboard; Spark computes all four
+    * grouping sets in a single aggregate). DuckDB replays the cube and
+    * the NULLS FIRST total-row ordering. */
+  private def rollupDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        sum(TextStats.wsTokenCount(col("text")).cast("long")).as("sum_tokens"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  private def rollupDocsSql: String =
+    raw"""SELECT lang, source, count(*) AS n_docs,
+       |sum(n_chars)::BIGINT AS sum_chars,
+       |sum(CASE WHEN length(trim(text)) = 0 THEN 0
+       |  ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS sum_tokens
+       |FROM documents GROUP BY CUBE (lang, source)
+       |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
   /** As-of join probe: every purchase event matched to the same user's
     * most recent prior click ([[graft.ext.AsOf.asofJoin]], backward,
     * exact-match allowed). DuckDB replays it with its NATIVE ASOF LEFT
@@ -2500,6 +2520,7 @@ object SparkEntry {
     "q_span_dedup_docs" -> spanDedupDocs,
     "q_asof_join_events" -> asofJoinEvents,
     "q_range_join_events" -> rangeJoinEvents,
+    "q_rollup_docs" -> rollupDocs,
     "q_salted_join_lineitem" -> saltedJoinLineitem,
     "q_sample_docs" -> sampleDocs,
     "q_sample_stratified_docs" -> sampleStratifiedDocs,
@@ -2704,6 +2725,7 @@ object SparkEntry {
     "q_span_dedup_docs" -> spanDedupSql,
     "q_asof_join_events" -> asofJoinSql,
     "q_range_join_events" -> rangeJoinSql,
+    "q_rollup_docs" -> rollupDocsSql,
     "q_minhash_replay_docs" -> minhashReplaySql,
     "q_lsh_replay_topk" -> lshReplaySql,
     "q_ivf_replay_topk" -> ivfReplaySql,
