@@ -91,6 +91,122 @@ object WeightedBins {
     out
   }
 
+  /** Streaming per-group kernel with bounded lookahead — the 100 TB-safe
+    * form of [[binsForGroup]] (round-5 scale audit: `it.toArray` per group
+    * OOMs on a viral key).
+    *
+    * Key fact: row i's bins only read the interpolant of W on the absolute-
+    * mass interval [C(i+1), C(i+1) + maxBins·binSize] — so once the rows
+    * read-ahead accumulate that much q1 mass past row i, row i's output is
+    * fully determined and row i can be emitted and dropped. The pending
+    * buffer therefore holds only the rows spanning `binSize·maxBins`
+    * cumulative q1 mass (plus one straddler), NOT the whole group; a group
+    * of any length streams through in bounded memory. (Degenerate case: a
+    * long run of zero-mass rows never accumulates mass and is held to group
+    * end — zero-mass rows contribute nothing to anyone's bins, but emission
+    * order is preserved.)
+    *
+    * Float semantics are identical to [[binsForGroup]] — same prefix sums,
+    * same interpolation expression, same monotone edge pointers — property-
+    * tested bit-equal in WeightedBinsSpec.
+    *
+    * Input iterator must be sorted by (ts, tie) and contain exactly one
+    * group; `emit` receives (row, groupIndex, bins). */
+  private[graft] final class BoundedKernel(binSize: Double, maxBins: Int) {
+    require(binSize > 0, s"binSize must be > 0, got $binSize")
+    // pending rows: parallel ring via ArrayDeque — (row, cBefore, wBefore)
+    private val pend = scala.collection.mutable.ArrayDeque.empty[(WbRow, Double, Double)]
+    private var firstAbs = 0 // group-relative index of pend(0)
+    private var cLast = 0.0  // C(navail): total q1 mass read so far
+    private var wLast = 0.0
+    private val ptr = new Array[Int](maxBins + 1) // absolute edge pointers, monotone
+    private val bound = binSize * maxBins
+    private var peak = 0
+    /** High-water mark of the pending buffer — the probe's evidence that a
+      * viral key's task memory is bin-span-bounded, not group-size-bounded. */
+    def peakPending: Int = peak
+
+    private def navail: Int = firstAbs + pend.size
+    @inline private def cB(j: Int): Double = pend(j - firstAbs)._2
+    @inline private def wB(j: Int): Double = pend(j - firstAbs)._3
+    @inline private def q2At(j: Int): Double = pend(j - firstAbs)._1.q2
+    // old-kernel c(k) = mass before row k; c(navail) = cLast
+    @inline private def cIdx(k: Int): Double = if (k >= navail) cLast else cB(k)
+
+    /** Compute and pop the head row's bins. Caller guarantees pend.size >= 2
+      * and (bound satisfied or group finished). */
+    private def emitHead(finished: Boolean): (WbRow, Int, Array[Double]) = {
+      val i = firstAbs
+      val (headRow, headCB, _) = pend.head
+      val base = headCB + headRow.q1 // C(i+1)
+      val row = new Array[Double](maxBins)
+      var b = 0
+      while (b <= maxBins) {
+        val m = base + b * binSize
+        var j = math.max(ptr(b), i + 1)
+        while (j < navail && cIdx(j + 1) <= m) j += 1
+        ptr(b) = j
+        b += 1
+      }
+      @inline def wat(m: Double, j: Int): Double =
+        if (j >= navail) wLast else wB(j) + (m - cB(j)) * q2At(j)
+      b = 0
+      while (b < maxBins) {
+        val lo = base + b * binSize
+        val hi =
+          if (finished) math.min(base + (b + 1) * binSize, cLast)
+          else base + (b + 1) * binSize // bound satisfied ⇒ ≤ cLast ≤ total
+        val fill = hi - lo
+        row(b) =
+          if (fill > 0) (wat(hi, ptr(b + 1)) - wat(lo, ptr(b))) / fill
+          else Double.NaN
+        b += 1
+      }
+      pend.removeHead()
+      firstAbs += 1
+      (headRow, i, row)
+    }
+
+    /** Feed one row (in sorted order); returns any rows now emittable. */
+    def push(r: WbRow): Iterator[(WbRow, Int, Array[Double])] = {
+      require(r.q1 >= 0.0,
+        s"weightedBins requires quantity1 >= 0 within each group; got ${r.q1}")
+      pend.append((r, cLast, wLast))
+      if (pend.size > peak) peak = pend.size
+      cLast += r.q1; wLast += r.q1 * r.q2
+      var acc = List.empty[(WbRow, Int, Array[Double])]
+      // head emittable once read-ahead mass past it reaches the bin span
+      while (pend.size >= 2 && cLast - (pend.head._2 + pend.head._1.q1) >= bound)
+        acc ::= emitHead(finished = false)
+      acc.reverseIterator
+    }
+
+    /** Group finished: flush every remaining row but the last (the last row
+      * of a group emits nothing — reference :96-98). */
+    def finish(): Iterator[(WbRow, Int, Array[Double])] = {
+      var acc = List.empty[(WbRow, Int, Array[Double])]
+      while (pend.size >= 2) acc ::= emitHead(finished = true)
+      pend.clear()
+      acc.reverseIterator
+    }
+  }
+
+  /** Run the bounded kernel over one sorted group; returns bins per row
+    * (same shape as [[binsForGroup]]) — used by the equivalence spec. */
+  private[graft] def binsForGroupBounded(
+      q1: Array[Double], q2: Array[Double], binSize: Double, maxBins: Int): Array[Array[Double]] = {
+    val k = new BoundedKernel(binSize, maxBins)
+    val ts = new java.sql.Timestamp(0L)
+    val out = Array.newBuilder[Array[Double]]
+    var i = 0
+    while (i < q1.length) {
+      k.push(WbRow("a", "b", ts, q1(i), q2(i), i.toLong)).foreach(e => out += e._3)
+      i += 1
+    }
+    k.finish().foreach(e => out += e._3)
+    out.result()
+  }
+
   /** DataFrame operator.
     *
     * Fails loudly (executor-side `require`) on any negative `q1Col` value:
@@ -136,14 +252,41 @@ object WeightedBins {
       col(q1Col).cast("double").as("q1"),
       col(q2Col).cast("double").as("q2"),
       tie.as("tie")).as[WbRow]
+    // One hash shuffle on (id1, id2) + a SPILLABLE sort within partitions
+    // (UnsafeExternalSorter), then a single streaming pass: groups arrive
+    // contiguous and time-ordered, and BoundedKernel holds only the rows
+    // spanning binSize·maxBins of q1 mass — task memory is bounded by the
+    // bin span, not the group size, so a viral key streams instead of
+    // OOMing (round-5 scale audit; hot-key probe in ProbeWb).
     val result = ds
-      .groupByKey(r => (r.id1, r.id2))
-      .flatMapGroups { (key: (String, String), it: Iterator[WbRow]) =>
-        val rows = it.toArray.sortBy(r => (r.ts.getTime, r.tie))
-        val bins = binsForGroup(rows.map(_.q1), rows.map(_.q2), binSize, maxBins)
-        Iterator.tabulate(math.max(rows.length - 1, 0)) { i =>
-          val r = rows(i)
-          WbOut(key._1, key._2, r.ts, r.tie, r.q1, r.q2, bins(i))
+      .repartition(col("id1"), col("id2"))
+      .sortWithinPartitions("id1", "id2", "ts", "tie")
+      .mapPartitions { it =>
+        new Iterator[WbOut] {
+          private var kernel: BoundedKernel = null
+          private var curKey: (String, String) = null
+          private var outIt: Iterator[WbOut] = Iterator.empty
+          private def toOut(key: (String, String))(e: (WbRow, Int, Array[Double])): WbOut =
+            WbOut(key._1, key._2, e._1.ts, e._1.tie, e._1.q1, e._1.q2, e._3)
+          private def advance(): Unit = {
+            while (!outIt.hasNext && (it.hasNext || kernel != null)) {
+              if (!it.hasNext) { // drain final group
+                outIt = kernel.finish().map(toOut(curKey)); kernel = null
+              } else {
+                val r = it.next()
+                val k = (r.id1, r.id2)
+                if (kernel == null) { kernel = new BoundedKernel(binSize, maxBins); curKey = k }
+                if (k != curKey) {
+                  val flushed = kernel.finish().map(toOut(curKey))
+                  kernel = new BoundedKernel(binSize, maxBins); curKey = k
+                  val fresh = kernel.push(r).map(toOut(curKey))
+                  outIt = flushed ++ fresh
+                } else outIt = kernel.push(r).map(toOut(curKey))
+              }
+            }
+          }
+          override def hasNext: Boolean = { advance(); outIt.hasNext }
+          override def next(): WbOut = { advance(); outIt.next() }
         }
       }
       .toDF()

@@ -66,6 +66,26 @@ class WeightedBinsSpec extends SparkSpec {
     assert(out.count() == input.count() - groups)
   }
 
+  test("property: bounded streaming kernel is bit-equal to the full kernel") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 60) {
+      val n = 1 + rnd.nextInt(250)
+      // ~10% zero-mass rows exercises the held-to-group-end degenerate path
+      val q1 = Array.fill(n)(if (rnd.nextInt(10) == 0) 0.0 else rnd.nextDouble() * 50)
+      val q2 = Array.fill(n)(rnd.nextDouble() * 100 - 50)
+      val binSize = 0.5 + rnd.nextDouble() * 60
+      val maxBins = 1 + rnd.nextInt(12)
+      val full = WeightedBins.binsForGroup(q1, q2, binSize, maxBins)
+      val bounded = WeightedBins.binsForGroupBounded(q1, q2, binSize, maxBins)
+      assert(full.length == bounded.length, s"trial=$trial length mismatch")
+      for (i <- full.indices; b <- 0 until maxBins) {
+        val (x, y) = (full(i)(b), bounded(i)(b))
+        assert((x.isNaN && y.isNaN) || x == y,
+          s"trial=$trial n=$n binSize=$binSize maxBins=$maxBins row=$i bin=$b: full=$x bounded=$y")
+      }
+    }
+  }
+
   test("property: bin averages bounded by future q2 range") {
     val input = spark.read.parquet(s"$res/comprehensive_input.parquet")
     import org.apache.spark.sql.functions._
