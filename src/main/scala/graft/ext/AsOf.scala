@@ -34,7 +34,11 @@ object AsOf {
   /** @param payloadCols right-side columns to attach; each appears in
     *                    the output as `asof_<name>`, plus the matched
     *                    timestamp itself as `asof_ts` (all null when no
-    *                    right row qualifies).
+    *                    right row qualifies). The left frame must NOT
+    *                    already contain columns named `asof_ts` or
+    *                    `asof_<payload>` — the output would carry
+    *                    duplicate names; rename upstream (same
+    *                    disjoint-columns requirement as [[rangeJoin]]).
     * @param tolerance   optional max match distance as a SQL interval
     *                    string (e.g. "30 minutes"): a match farther than
     *                    this from the left ts is nulled out. */
@@ -104,6 +108,12 @@ object AsOf {
     * interval length (e.g. hours for hour-scale windows). Intervals with
     * end < start are dropped (fail-loud would abort a 100 TB job over
     * one bad row — and SQL BETWEEN likewise matches nothing for them).
+    * Intervals longer than `maxBucketsPerInterval` buckets are dropped
+    * under the same policy: one far-future sentinel end (9999-12-31)
+    * would otherwise make `sequence()` materialize millions of bucket
+    * rows and OOM or hit Spark's array-length limit, aborting the job.
+    * Raise the cap (or pre-clamp the ends) when genuinely huge
+    * intervals are expected.
     *
     * Output: points' columns followed by the interval's (start, end,
     * payload) columns verbatim — callers must keep the two column sets
@@ -111,17 +121,21 @@ object AsOf {
   def rangeJoin(points: DataFrame, intervals: DataFrame,
       keyCols: Seq[String], tsCol: String,
       startCol: String, endCol: String, payloadCols: Seq[String],
-      bucketWidthSeconds: Long = 3600L): DataFrame = {
+      bucketWidthSeconds: Long = 3600L,
+      maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(keyCols.nonEmpty, "need at least one join key")
     require(bucketWidthSeconds > 0, s"bucketWidthSeconds must be > 0, got $bucketWidthSeconds")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be > 0, got $maxBucketsPerInterval")
     val wUs = bucketWidthSeconds * 1000000L
+    val startBucket = floor(unix_micros(col(startCol)) / wUs).cast("long")
+    val endBucket = floor(unix_micros(col(endCol)) / wUs).cast("long")
     val ivals = intervals
-      .filter(col(endCol) >= col(startCol))
+      .filter(col(endCol) >= col(startCol) &&
+        endBucket - startBucket < lit(maxBucketsPerInterval))
       .select(keyCols.map(col) ++
         Seq(col(startCol), col(endCol)) ++ payloadCols.map(col) :+
-        explode(sequence(
-          floor(unix_micros(col(startCol)) / wUs).cast("long"),
-          floor(unix_micros(col(endCol)) / wUs).cast("long"))).as("__bucket"): _*)
+        explode(sequence(startBucket, endBucket)).as("__bucket"): _*)
     val pts = points.withColumn("__bucket",
       floor(unix_micros(col(tsCol)) / wUs).cast("long"))
     pts.join(ivals, keyCols :+ "__bucket")

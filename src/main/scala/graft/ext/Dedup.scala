@@ -67,7 +67,11 @@ object Dedup {
   /** Whole-document convenience form: split each doc into non-overlapping
     * `spanTokens`-token blocks, drop repeated blocks corpus-wide, and
     * reassemble the survivors in order. Docs whose every span was dropped
-    * are absent from the result (C4 likewise ends up discarding them). */
+    * are absent from the result (C4 likewise ends up discarding them).
+    *
+    * Result schema is `(idCol, n_spans_kept, textCol)` — the id is
+    * aliased back to the caller's `idCol`; any other document columns
+    * are dropped (re-join on `idCol` to re-attach metadata). */
   def dropRepeatedSpans(docs: DataFrame, spanTokens: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spans = Packing.chunkByTokenBudget(docs, maxTokens = spanTokens, overlap = 0,
@@ -81,6 +85,7 @@ object Dedup {
           transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
             s => s.getField("chunk_text")),
           " ").as(textCol))
+      .withColumnRenamed("doc_id", idCol)
   }
 
   // ---- shingles / tokens ---------------------------------------------------

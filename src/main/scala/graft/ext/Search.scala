@@ -50,7 +50,12 @@ object Search {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, 0 <= b <= 1; got k1=$k1 b=$b")
     val terms = queryTerms.distinct
+    // Null text must not reach the corpus stats: with ANSI off,
+    // size(split(NULL)) is -1 and would silently corrupt avgdl for every
+    // score (the DuckDB oracle skips NULLs). Same guard and rationale as
+    // chunkByTokenBudget; the library doesn't pin spark.sql.ansi.enabled.
     val toks = docs
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     // One-row corpus stats frame, broadcast — stays inside the plan (no

@@ -75,6 +75,7 @@ object CrossFeature {
       eg_beta: Option[Double],
       eg_alpha: Option[Double],
       eg_df0_stat: Option[Double],
+      eg_df0_p: Option[Double],
       granger_chi2_lag1: Option[Double])
 
   /** Deterministic, SQL-oracle-friendly cores of K6/K7 — the pieces of
@@ -103,13 +104,16 @@ object CrossFeature {
         val rows = it.toArray.sortBy(r => (r._2.getTime, r._3, r._4))
         val a = rows.map(_._3)
         val b = rows.map(_._4)
-        if (a.length < minLen) CoreRow(g, pairName, None, None, None, None)
+        if (a.length < minLen) CoreRow(g, pairName, None, None, None, None, None)
         else {
           val fit = egFit(a, b)
           val (df0, _, _) =
             UnitRoots.adfuller(fit.resid.toArray, "n", maxlagOverride = Some(0))
+          // the MacKinnon N=2 "c" surface — the same call `coint` makes on
+          // its statistic — so the cointegration p-value machinery is
+          // hash-oracled per round (round-5 verdict task 4)
           CoreRow(g, pairName, Some(fit.beta(0)), Some(fit.beta(1)), Some(df0),
-            Some(grangerChi2(a, b, 1)))
+            Some(MacKinnon.p(df0, "c", 2)), Some(grangerChi2(a, b, 1)))
         }
       }
       .toDF()

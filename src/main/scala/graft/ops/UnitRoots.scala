@@ -255,8 +255,16 @@ object UnitRoots {
 
   /** Per-(group × feature) ADF + KPSS over the melted panel; series shorter
     * than `minLen` emit nothing (time_series_study.py:205); per-series
-    * failures yield null stats (`:209-214`). */
-  def stationarityTests(melted: DataFrame, regression: String = "c", minLen: Int = 10): DataFrame = {
+    * failures yield null stats (`:209-214`).
+    *
+    * `maxlagOverride` pins the ADF autolag search bound (passed through to
+    * [[adfuller]]); at Some(1) every emitted quantity — the AIC race, the
+    * winning regression's t, the MacKinnon surface p, the automatic-
+    * bandwidth KPSS statistic and its table-interpolated p — is closed-form
+    * and DuckDB-replayable, which is how q_stationarity_core_events
+    * hash-oracles this full production path per round. */
+  def stationarityTests(melted: DataFrame, regression: String = "c", minLen: Int = 10,
+      maxlagOverride: Option[Int] = None): DataFrame = {
     val ss = melted.sparkSession
     import ss.implicits._
     melted
@@ -270,7 +278,7 @@ object UnitRoots {
         if (x.length < minLen) Iterator.empty
         else {
           val (as, ap) =
-            try { val (s, p, _) = adfuller(x, regression); (Some(s), Some(p)) }
+            try { val (s, p, _) = adfuller(x, regression, maxlagOverride); (Some(s), Some(p)) }
             catch { case _: Throwable => (None, None) }
           val (ks, kp) =
             try { val (s, p, _) = kpss(x, regression); (Some(s), Some(p)) }

@@ -77,6 +77,22 @@ object MacKinnon {
     Array(4.6849, 6.5291e-1, -3.3657e-1, -3.2817e-2),
     Array(5.0109, 7.0411e-1, -3.1831e-1, -2.8303e-2))
 
+  /** Surface constants (τ*, τ_min, τ_max, small-p coeffs, large-p coeffs)
+    * for oracle generation: the DuckDB replay SQL is built from the SAME
+    * arrays the kernel evaluates, so the polynomial constants cannot drift
+    * between engine and oracle. */
+  def surface(regression: String, n: Int): (Double, Double, Double, Array[Double], Array[Double]) = {
+    require(n >= 1 && n <= 8, s"N=$n outside tabulated range")
+    require(regression != "n" || n == 1,
+      "the no-constant surface is published for N=1 only")
+    val i = n - 1
+    regression match {
+      case "n" => (tauStarNc, tauMinNc, tauMaxNc, tauNcSmallP, tauNcLargeP)
+      case "ct" => (tauStarCt(i), tauMinCt(i), tauMaxCt(i), tauCtSmallP(i), tauCtLargeP(i))
+      case _ => (tauStarC(i), tauMinC(i), tauMaxC(i), tauCSmallP(i), tauCLargeP(i))
+    }
+  }
+
   /** Approximate p-value for tau `stat`. regression ∈ {"n","c","ct"}.
     *
     * "n" (no deterministic terms) uses the published no-constant surface,
@@ -85,15 +101,7 @@ object MacKinnon {
     * Mid-range sanity anchor: stat = −1.5 → p ≈ 0.125 (the "c" surface
     * would wrongly say ~0.53 there). */
   def p(stat: Double, regression: String, n: Int): Double = {
-    require(n >= 1 && n <= 8, s"N=$n outside tabulated range")
-    require(regression != "n" || n == 1,
-      "the no-constant surface is published for N=1 only")
-    val i = n - 1
-    val (star, mn, mx, small, large) = regression match {
-      case "n" => (tauStarNc, tauMinNc, tauMaxNc, tauNcSmallP, tauNcLargeP)
-      case "ct" => (tauStarCt(i), tauMinCt(i), tauMaxCt(i), tauCtSmallP(i), tauCtLargeP(i))
-      case _ => (tauStarC(i), tauMinC(i), tauMaxC(i), tauCSmallP(i), tauCLargeP(i))
-    }
+    val (star, mn, mx, small, large) = surface(regression, n)
     if (stat > mx) 1.0
     else if (stat < mn) 0.0
     else {

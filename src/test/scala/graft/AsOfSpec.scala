@@ -72,6 +72,28 @@ class AsOfSpec extends SparkSpec {
     assert(rows.count() == 1L)
   }
 
+  test("range join: interval exceeding the bucket cap is dropped, not exploded") {
+    // a far-future sentinel end (9999-12-31) would explode sequence() into
+    // billions of bucket rows; the cap drops the row under the same policy
+    // as end < start
+    val pts = Seq(("A", ts(100), "p1")).toDF("k", "t", "tag")
+    val sentinel = Timestamp.valueOf("9999-12-31 00:00:00")
+    val ivals = Seq(
+      ("A", ts(50), ts(150), "ok"),
+      ("A", ts(60), sentinel, "runaway")).toDF("k", "ws", "we", "win")
+    val out = AsOf.rangeJoin(pts, ivals, Seq("k"), "t", "ws", "we", Seq("win"),
+        bucketWidthSeconds = 60, maxBucketsPerInterval = 1000L)
+      .collect().map(r => (r.getAs[String]("tag"), r.getAs[String]("win"))).toSet
+    assert(out == Set(("p1", "ok")), s"got $out")
+    // boundary: the ok interval spans buckets 0..2 = 3 bucket rows;
+    // cap=3 admits it exactly, cap=2 drops it
+    def capped(cap: Long) = AsOf.rangeJoin(pts, ivals.filter($"win" === "ok"),
+      Seq("k"), "t", "ws", "we", Seq("win"),
+      bucketWidthSeconds = 60, maxBucketsPerInterval = cap)
+    assert(capped(3L).count() == 1L)
+    assert(capped(2L).count() == 0L)
+  }
+
   test("left columns pass through unchanged; keys partition the match") {
     val out = AsOf.asofJoin(left, right, Seq("k"), "t", Seq("v"))
     assert(out.columns.toSeq == Seq("k", "t", "tag", "asof_ts", "asof_v"))

@@ -41,6 +41,13 @@ class DedupSpec extends SparkSpec {
     assert(re.getAs[String]("text") == "aa mm zz")
   }
 
+  test("span dedup: custom idCol is aliased back in the result schema") {
+    val d = Seq((1L, "w1 w2 w3 w4"), (2L, "c1 c2 c3 c4")).toDF("my_id", "text")
+    val out = Dedup.dropRepeatedSpans(d, spanTokens = 4, idCol = "my_id")
+    assert(out.columns.toSeq == Seq("my_id", "n_spans_kept", "text"), s"got ${out.columns.toSeq}")
+    assert(out.count() == 2)
+  }
+
   test("exact dup summary counts duplicate groups") {
     val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "a b c"))
     val r = Dedup.exactDupSummary(d).head()

@@ -43,6 +43,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(short.getInt(0) == 0)
   }
 
+  test("GraftExtensions.register attaches all functions to a live session, idempotently") {
+    GraftExtensions.register(spark)
+    GraftExtensions.register(spark) // second call must not throw or duplicate
+    val r = spark.sql(
+      """SELECT cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c,
+        |dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |size(token_gram_hashes(array('a','b','c'), 2)) AS n""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 11.0) < 1e-12)
+    assert(r.getInt(2) == 2)
+  }
+
   test("dot_product evaluates from SQL on a live session") {
     Bridge.registerFunction(spark, "dot_product", args => DotProduct(args.head, args(1)))
     val r = spark.sql(
