@@ -15,6 +15,13 @@ object Tables {
     // events.ts is TIMESTAMP(NANOS) which Spark's vectorized reader rejects;
     // read nanos as long and normalize below (session conf, safe to set here).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Driver fixtures write naive timestamp[us] (isAdjustedToUTC=false); by
+    // default Spark 4 infers TIMESTAMP_NTZ for those, which breaks
+    // unix_micros/window arithmetic downstream and diverges from the LTZ
+    // semantics every oracle was validated under. Reading them as session-TZ
+    // timestamps (UTC) at the SCAN level — rather than cast()ing after — keeps
+    // ts predicates eligible for parquet pushdown.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // Normalize any nanosecond-epoch long `ts` back to a proper timestamp.
     // Integer division keeps full microsecond precision (double would not).
