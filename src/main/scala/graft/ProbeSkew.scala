@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Search}
+
+/** Hot-key skew probe for the LLM-pipeline shuffles (round-5 verdict #7).
+  *
+  * The scaladoc claims under test:
+  *   - `Search.bm25Scores` ("query-term filter before the shuffle"): a term
+  *     that appears in EVERY document makes its posting list corpus-sized.
+  *     The tf aggregation keys on (doc_id, term) — the hot term spreads
+  *     over all doc_ids, so no single reducer owns it — and the df count
+  *     keyed on the term alone collapses map-side (partial agg emits one
+  *     row per partition, 32 rows total cross the shuffle, not N).
+  *   - `Dedup.dropRepeatedSpans` ("min-struct winner = map-side partial
+  *     agg, skew-safe"): a span shared by EVERY document puts N rows under
+  *     one groupBy key and then N rows under one semi-join key. The winner
+  *     agg collapses map-side for the same reason as df; the semi-join IS
+  *     a genuinely skewed exchange (all viral-span rows hash to one
+  *     partition), which is where AQE's skew-join splitting takes over at
+  *     cluster scale — timed here with AQE on vs off.
+  *
+  * The driver's documents fixture has a 31-term vocabulary with every term
+  * at df ≈ 0.78·N — every token is already "viral", so it cannot exhibit a
+  * skewed key distribution. The probe therefore derives a realistic corpus
+  * from it: each document keeps its fixture text and gains 10 tokens unique
+  * to that document (df = 1, the long tail), so the derived vocabulary is
+  * ~10·N rare terms plus the 31 fixture terms; the planted token/span then
+  * sits at df = N — a ≥N× hot key versus the tail and the only
+  * corpus-sized posting list in the plant. Both probe corpora (with and
+  * without the plant) carry the same unique-token tail, so the timed
+  * contrast isolates the hot key, not corpus size.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ProbeSkew
+  */
+object ProbeSkew {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // Long-tail plant: 10 tokens unique to each document (df = 1 each).
+    val tail = concat_ws(" ",
+      (0 until 10).map(i => concat(lit(s"u${i}d"), col("doc_id"))): _*)
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("text"), tail).as("text"))
+      .repartition(32).cache()
+    val n = base.count()
+    println(s"probe docs: $n")
+
+    // The viral 8-token span doubles as the carrier of the viral token.
+    val viralSpan = "viraltok alpha beta gamma delta epsilon zeta eta"
+    val skewed = base
+      .select(col("doc_id"), concat_ws(" ", col("text"), lit(viralSpan)).as("text"))
+      .cache()
+    skewed.count()
+
+    // Hot-key magnitude, printed so the ≥N× claim is auditable: document
+    // frequency of the viral term vs the tail (df=1) and the fixture terms.
+    val df = skewed
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("t"))
+      .distinct().groupBy("t").agg(count(lit(1)).as("df"))
+    df.cache()
+    val viralDfRow = df.filter(col("t") === "viraltok").head()
+    val tailDf = df.filter(col("t").startsWith("u")).agg(max("df")).head()
+    println(s"viral term df=${viralDfRow.getLong(1)} of $n docs; " +
+      s"max tail-term df=${tailDf.getLong(0)}; vocab=${df.count()}")
+    df.unpersist()
+
+    def aqe(on: Boolean): Unit = {
+      spark.conf.set("spark.sql.adaptive.enabled", on.toString)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", on.toString)
+    }
+
+    // Rare-terms query (df=1 each, resolves to one doc) vs the same query
+    // with the df=N viral term swapped in: the ONLY difference is the hot
+    // posting list.
+    val qNormal = Seq("u0d17", "u1d17", "u2d17", "u3d17")
+    val qHot = Seq("viraltok", "u1d17", "u2d17", "u3d17")
+    for (on <- Seq(true, false)) {
+      aqe(on)
+      time(s"bm25 top-25, 4 rare terms df=1 (aqe=$on)") {
+        Search.bm25TopK(skewed, qNormal, k = 25).count()
+      }
+      time(s"bm25 top-25, same query incl. df=N viral term (aqe=$on)") {
+        Search.bm25TopK(skewed, qHot, k = 25).count()
+      }
+    }
+
+    for (on <- Seq(true, false)) {
+      aqe(on)
+      time(s"dropRepeatedSpans long-tail corpus, no viral span (aqe=$on)") {
+        Dedup.dropRepeatedSpans(base, spanTokens = 8).count()
+      }
+      time(s"dropRepeatedSpans viral span in EVERY doc (aqe=$on)") {
+        val out = Dedup.dropRepeatedSpans(skewed, spanTokens = 8)
+          .agg(count(lit(1)), sum("n_spans_kept")).head()
+        println(s"  surviving docs: ${out.getLong(0)}, spans kept: ${out.getLong(1)}")
+      }
+    }
+    aqe(on = true)
+
+    spark.stop()
+  }
+}
