@@ -257,9 +257,14 @@ object StreamOps {
     val sigs = sh.join(losers, Seq("doc_id"), "left_anti")
     // 2 — vs the accumulated store: the SAME band scheme as the batch
     // operator (shared Dedup.simhashBands), Hamming verify
+    // First batch: the store doesn't exist yet. Probe the filesystem
+    // (one RPC, scheme-aware — works on HDFS/object stores) instead of
+    // read-and-catch, which depends on how Spark wraps the missing-path
+    // error and logs a scary FileNotFoundException stack en route.
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val stateFs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val state =
-      try Some(spark.read.parquet(stateDir))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      if (stateFs.exists(statePath)) Some(spark.read.parquet(stateDir)) else None
     val nearState = state match {
       case Some(st) =>
         Dedup.simhashBands(sigs).as("l")
