@@ -14,12 +14,13 @@ import graft.ext.{Dedup, Search}
   *     keyed on the term alone collapses map-side (partial agg emits one
   *     row per partition, 32 rows total cross the shuffle, not N).
   *   - `Dedup.dropRepeatedSpans` ("min-struct winner = map-side partial
-  *     agg, skew-safe"): a span shared by EVERY document puts N rows under
-  *     one groupBy key and then N rows under one semi-join key. The winner
-  *     agg collapses map-side for the same reason as df; the semi-join IS
-  *     a genuinely skewed exchange (all viral-span rows hash to one
-  *     partition), which is where AQE's skew-join splitting takes over at
-  *     cluster scale — timed here with AQE on vs off.
+  *     agg, skew-safe"): a span shared by EVERY document puts N rows
+  *     under one groupBy key. The winner agg collapses map-side for the
+  *     same reason as df, and the join-free plan projects survivors
+  *     straight out of that aggregation — no exchange in the operator
+  *     carries the span text as a key, so the viral span has nowhere to
+  *     concentrate. Timed with AQE on vs off anyway to show neither
+  *     path depends on skew-splitting.
   *
   * The driver's documents fixture has a 31-term vocabulary with every term
   * at df ≈ 0.78·N — every token is already "viral", so it cannot exhibit a

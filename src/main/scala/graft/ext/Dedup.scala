@@ -48,19 +48,20 @@ object Dedup {
     * Scale shape: the winner is `min(struct(doc, idx))` per span text —
     * associative, so Spark plans a map-side partial aggregate and a
     * corpus-viral boilerplate span never concentrates its rows on one
-    * task; the keep decision then semi-joins on the (text, doc, idx)
-    * triple, whose composite hash is per-row unique — no hot key even
-    * when one span text dominates the corpus. Two shuffles total, both
-    * skew-safe. */
+    * task. Each text group has exactly ONE winner, so the winner set IS
+    * the survivor set; the keep decision semi-joins back on (idCol,
+    * idxCol) alone — the span's unique position key — so neither span
+    * text nor any hot key crosses the second exchange, and the build
+    * side is two slim columns. (Callers with the bare 3-column span
+    * shape get the join-free [[dropRepeatedSpans]] path.) */
   def dropRepeatedSpanRows(spans: DataFrame, idCol: String = "doc_id",
       idxCol: String = "span_idx", textCol: String = "span_text"): DataFrame = {
     val winners = spans
-      .groupBy(col(textCol).as("__wtext"))
+      .groupBy(col(textCol))
       .agg(min(struct(col(idCol), col(idxCol))).as("__w"))
-      .select(col("__wtext"), col("__w")(idCol).as("__wid"), col("__w")(idxCol).as("__widx"))
+      .select(col("__w")(idCol).as("__wid"), col("__w")(idxCol).as("__widx"))
     spans.join(winners,
-      col(textCol) === col("__wtext") && col(idCol) === col("__wid") &&
-        col(idxCol) === col("__widx"),
+      col(idCol) === col("__wid") && col(idxCol) === col("__widx"),
       "left_semi")
   }
 
@@ -71,13 +72,24 @@ object Dedup {
     *
     * Result schema is `(idCol, n_spans_kept, textCol)` — the id is
     * aliased back to the caller's `idCol`; any other document columns
-    * are dropped (re-join on `idCol` to re-attach metadata). */
+    * are dropped (re-join on `idCol` to re-attach metadata).
+    *
+    * Join-free plan: chunk positions are unique per doc, so each span
+    * text's single `min(struct)` winner IS its surviving row — the
+    * survivors are projected straight out of the winner aggregation
+    * (map-side combined, viral-span-safe) with no join back against the
+    * spans frame. Two shuffles end-to-end: the winner agg and the
+    * per-doc reassembly. */
   def dropRepeatedSpans(docs: DataFrame, spanTokens: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spans = Packing.chunkByTokenBudget(docs, maxTokens = spanTokens, overlap = 0,
         idCol = idCol, textCol = textCol)
       .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
-    dropRepeatedSpanRows(spans, "doc_id", "chunk_id", "chunk_text")
+    spans
+      .groupBy(col("chunk_text"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__w"))
+      .select(col("__w")("doc_id").as("doc_id"), col("__w")("chunk_id").as("chunk_id"),
+        col("chunk_text"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_spans_kept"),
