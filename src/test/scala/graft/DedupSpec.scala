@@ -41,6 +41,31 @@ class DedupSpec extends SparkSpec {
     assert(re.getAs[String]("text") == "aa mm zz")
   }
 
+  test("span dedup: join-free whole-doc path == row-form semi-join on random corpora") {
+    // The whole-doc form projects survivors straight out of the winner agg;
+    // the row form semi-joins on (doc, idx). Both must keep the same span
+    // set on any corpus — including viral spans and within-doc repeats.
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+      val ds = (1L to 20L).map { id =>
+        val n = 2 + rnd.nextInt(4) // 2-5 spans of 2 tokens
+        id -> Seq.fill(n * 2)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val d = docs(ds: _*)
+      val spans = graft.ext.Packing.chunkByTokenBudget(d, maxTokens = 2, overlap = 0)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      val viaRows = Dedup.dropRepeatedSpanRows(spans, "doc_id", "chunk_id", "chunk_text")
+        .select("doc_id", "chunk_id").as[(Long, Long)].collect().toSet
+      val viaDocs = Dedup.dropRepeatedSpans(d, spanTokens = 2)
+      // reassembled doc set must match the row-form survivor doc set, and
+      // per-doc kept counts must agree
+      val docCounts = viaDocs.select("doc_id", "n_spans_kept").as[(Long, Long)].collect().toMap
+      val rowCounts = viaRows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      assert(docCounts == rowCounts, s"kept-count mismatch: $docCounts vs $rowCounts")
+    }
+  }
+
   test("span dedup: custom idCol is aliased back in the result schema") {
     val d = Seq((1L, "w1 w2 w3 w4"), (2L, "c1 c2 c3 c4")).toDF("my_id", "text")
     val out = Dedup.dropRepeatedSpans(d, spanTokens = 4, idCol = "my_id")
