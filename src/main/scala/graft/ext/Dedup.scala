@@ -28,11 +28,21 @@ object Dedup {
         coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0)).as("n_redundant"))
   }
 
-  /** Exact dedup: keep the lowest-id row per identical text. */
+  /** Exact dedup: keep the lowest-id row per identical text.
+    *
+    * Planned as `min_by(full row, id)` per text hash rather than a
+    * `row_number` window: the aggregate partial-combines map-side, so a
+    * corpus-viral duplicate (empty docs, error boilerplate — the common
+    * exact-dup explosion in web crawls) collapses to one candidate row
+    * per input partition before the exchange. The window form would
+    * instead hash EVERY copy of the viral text to a single task and sort
+    * it there — the textbook skewed shuffle at 100 TB. */
   def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
-    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val all = docs.columns.map(col)
+    docs
+      .groupBy(sha2(col(textCol), 256).as("__h"))
+      .agg(min_by(struct(all: _*), col(idCol)).as("__w"))
+      .select(docs.columns.map(c => col(s"__w.$c").as(c)): _*)
   }
 
   // ---- span-level (sub-document) dedup -------------------------------------
