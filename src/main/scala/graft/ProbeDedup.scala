@@ -36,12 +36,7 @@ object ProbeDedup {
     }.reduce(_ union _).repartition(32).cache()
     println(s"probe corpus: ${big.count()} docs")
 
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    import ProbeUtil.time
 
     val pairs = time("minhash+LSH+verify pairs (cold)") {
       val p = Dedup.minhashNearDuplicates(big, threshold = 0.5)

@@ -42,12 +42,7 @@ object ProbeIvf {
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb")).cache()
     queries.count()
 
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    import ProbeUtil.time
 
     val exact = time("brute (cold)") {
       val d = Similarity.bruteForceTopK(big, queries, k = 10); d.count(); d

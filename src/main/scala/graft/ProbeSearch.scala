@@ -29,12 +29,7 @@ object ProbeSearch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    import ProbeUtil.time
 
     // --- 10x documents (the ProbeDedup recipe: suffix-mutated copies) ---
     val base = spark.read.parquet(s"$sfDir/documents.parquet")

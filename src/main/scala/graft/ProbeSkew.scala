@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Search}
+import graft.ext.{Dedup, Packing, Search}
 
 /** Hot-key skew probe for the LLM-pipeline shuffles (round-5 verdict #7).
   *
@@ -27,11 +27,14 @@ import graft.ext.{Dedup, Search}
   * skewed key distribution. The probe therefore derives a realistic corpus
   * from it: each document keeps its fixture text and gains 10 tokens unique
   * to that document (df = 1, the long tail), so the derived vocabulary is
-  * ~10·N rare terms plus the 31 fixture terms; the planted token/span then
-  * sits at df = N — a ≥N× hot key versus the tail and the only
-  * corpus-sized posting list in the plant. Both probe corpora (with and
-  * without the plant) carry the same unique-token tail, so the timed
-  * contrast isolates the hot key, not corpus size.
+  * ~10·N rare terms plus the 31 fixture terms. Each doc is then PADDED with
+  * unique filler tokens to a multiple of `spanTokens` so the planted
+  * 8-token viral span starts exactly on a chunk boundary and forms the
+  * IDENTICAL chunk_text in every document — the probe prints the realized
+  * top span-key frequency so the df = N claim is auditable, not assumed.
+  * Both probe corpora (with and without the plant) carry the same
+  * unique-token tail and padding, so the timed contrast isolates the hot
+  * key, not corpus size or chunk alignment.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ProbeSkew
   */
@@ -45,21 +48,27 @@ object ProbeSkew {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import ProbeUtil.time
 
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    val spanTokens = 8
 
-    // Long-tail plant: 10 tokens unique to each document (df = 1 each).
+    // Long-tail plant: 10 tokens unique to each document (df = 1 each),
+    // then unique filler tokens up to the next spanTokens boundary so an
+    // appended span chunks as one block. Padding is per-doc-unique too —
+    // it must not create accidental shared spans.
     val tail = concat_ws(" ",
       (0 until 10).map(i => concat(lit(s"u${i}d"), col("doc_id"))): _*)
+    val withTail = concat_ws(" ", col("text"), tail)
+    val nToks = size(split(withTail, "\\s+"))
+    val padLen = (lit(spanTokens) - nToks % spanTokens) % spanTokens
+    val padPool = array((0 until spanTokens - 1).map(i =>
+      concat(lit(s"p${i}x"), col("doc_id"))): _*)
+    val padded = concat_ws(" ", withTail,
+      array_join(slice(padPool, lit(1), padLen), " "))
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("text"), tail).as("text"))
+      .select(col("doc_id"), padded.as("text"))
       .repartition(32).cache()
     val n = base.count()
     println(s"probe docs: $n")
@@ -71,17 +80,23 @@ object ProbeSkew {
       .cache()
     skewed.count()
 
-    // Hot-key magnitude, printed so the ≥N× claim is auditable: document
-    // frequency of the viral term vs the tail (df=1) and the fixture terms.
+    // Hot-key magnitudes, printed so the df = N claims are auditable:
+    // term level (BM25's shuffle key) and realized chunk level (span
+    // dedup's groupBy key, AFTER the chunker — alignment included).
     val df = skewed
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("t"))
       .distinct().groupBy("t").agg(count(lit(1)).as("df"))
     df.cache()
     val viralDfRow = df.filter(col("t") === "viraltok").head()
-    val tailDf = df.filter(col("t").startsWith("u")).agg(max("df")).head()
+    val tailDf = df.filter(col("t").rlike("^u[0-9]d[0-9]+$")).agg(max("df")).head()
     println(s"viral term df=${viralDfRow.getLong(1)} of $n docs; " +
       s"max tail-term df=${tailDf.getLong(0)}; vocab=${df.count()}")
     df.unpersist()
+    val spanFreq = Packing.chunkByTokenBudget(skewed, maxTokens = spanTokens, overlap = 0)
+      .groupBy("chunk_text").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c")).limit(2).collect()
+    println("top span-key frequencies: " +
+      spanFreq.map(r => s"${r.getLong(1)}x [${r.getString(0).take(30)}...]").mkString(", "))
 
     def aqe(on: Boolean): Unit = {
       spark.conf.set("spark.sql.adaptive.enabled", on.toString)
@@ -106,10 +121,10 @@ object ProbeSkew {
     for (on <- Seq(true, false)) {
       aqe(on)
       time(s"dropRepeatedSpans long-tail corpus, no viral span (aqe=$on)") {
-        Dedup.dropRepeatedSpans(base, spanTokens = 8).count()
+        Dedup.dropRepeatedSpans(base, spanTokens = spanTokens).count()
       }
       time(s"dropRepeatedSpans viral span in EVERY doc (aqe=$on)") {
-        val out = Dedup.dropRepeatedSpans(skewed, spanTokens = 8)
+        val out = Dedup.dropRepeatedSpans(skewed, spanTokens = spanTokens)
           .agg(count(lit(1)), sum("n_spans_kept")).head()
         println(s"  surviving docs: ${out.getLong(0)}, spans kept: ${out.getLong(1)}")
       }

@@ -41,12 +41,7 @@ object ProbeWb {
       (pmod(hash(col("id") + 7), lit(5000)).cast("double") / lit(100.0)).as("quantity2"),
       col("id").as("seq"))
 
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[probe_wb] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    import ProbeUtil.time
 
     val many = synth(nGroups).cache(); many.count()
     // warm plan shape once so the timed run is steady-state (codegen/JIT)

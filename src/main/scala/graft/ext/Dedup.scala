@@ -58,22 +58,33 @@ object Dedup {
     * Scale shape: the winner is `min(struct(doc, idx))` per span text —
     * associative, so Spark plans a map-side partial aggregate and a
     * corpus-viral boilerplate span never concentrates its rows on one
-    * task. Each text group has exactly ONE winner, so the winner set IS
-    * the survivor set; the keep decision semi-joins back on (idCol,
-    * idxCol) alone — the span's unique position key — so neither span
-    * text nor any hot key crosses the second exchange, and the build
-    * side is two slim columns. (Callers with the bare 3-column span
-    * shape get the join-free [[dropRepeatedSpans]] path.) */
+    * task; the keep decision then semi-joins on the (text, doc, idx)
+    * triple, whose composite hash is per-row unique — no hot key even
+    * when one span text dominates the corpus. (This generic row form
+    * makes no uniqueness assumption about (doc, idx) positions; callers
+    * producing the bare 3-column chunked shape get the join-free
+    * [[dropRepeatedSpans]] path, which does rely on per-doc-unique
+    * chunk ids.) */
   def dropRepeatedSpanRows(spans: DataFrame, idCol: String = "doc_id",
       idxCol: String = "span_idx", textCol: String = "span_text"): DataFrame = {
-    val winners = spans
-      .groupBy(col(textCol))
-      .agg(min(struct(col(idCol), col(idxCol))).as("__w"))
-      .select(col("__w")(idCol).as("__wid"), col("__w")(idxCol).as("__widx"))
+    val winners = spanWinners(spans, idCol, idxCol, textCol)
     spans.join(winners,
-      col(idCol) === col("__wid") && col(idxCol) === col("__widx"),
+      col(textCol) === col("__wtext") && col(idCol) === col("__wid") &&
+        col(idxCol) === col("__widx"),
       "left_semi")
   }
+
+  /** Shared winner aggregation — the skew-critical core of both span-dedup
+    * forms: per distinct span text, the minimum (doc, idx) occurrence.
+    * Map-side partial aggregation collapses a corpus-viral span to one
+    * candidate row per input partition before the exchange. Returns
+    * `(__wtext, __wid, __widx)`. */
+  private def spanWinners(spans: DataFrame, idCol: String, idxCol: String,
+      textCol: String): DataFrame =
+    spans
+      .groupBy(col(textCol).as("__wtext"))
+      .agg(min(struct(col(idCol), col(idxCol))).as("__w"))
+      .select(col("__wtext"), col("__w")(idCol).as("__wid"), col("__w")(idxCol).as("__widx"))
 
   /** Whole-document convenience form: split each doc into non-overlapping
     * `spanTokens`-token blocks, drop repeated blocks corpus-wide, and
@@ -84,22 +95,20 @@ object Dedup {
     * aliased back to the caller's `idCol`; any other document columns
     * are dropped (re-join on `idCol` to re-attach metadata).
     *
-    * Join-free plan: chunk positions are unique per doc, so each span
-    * text's single `min(struct)` winner IS its surviving row — the
-    * survivors are projected straight out of the winner aggregation
-    * (map-side combined, viral-span-safe) with no join back against the
-    * spans frame. Two shuffles end-to-end: the winner agg and the
-    * per-doc reassembly. */
+    * Join-free plan: the chunker emits per-doc-unique chunk ids, so each
+    * span text's single `min(struct)` winner IS its surviving row — the
+    * survivors are projected straight out of the shared [[spanWinners]]
+    * aggregation (map-side combined, viral-span-safe) with no join back
+    * against the spans frame. Two shuffles end-to-end: the winner agg
+    * and the per-doc reassembly. */
   def dropRepeatedSpans(docs: DataFrame, spanTokens: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spans = Packing.chunkByTokenBudget(docs, maxTokens = spanTokens, overlap = 0,
         idCol = idCol, textCol = textCol)
       .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
-    spans
-      .groupBy(col("chunk_text"))
-      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__w"))
-      .select(col("__w")("doc_id").as("doc_id"), col("__w")("chunk_id").as("chunk_id"),
-        col("chunk_text"))
+    spanWinners(spans, "doc_id", "chunk_id", "chunk_text")
+      .select(col("__wid").as("doc_id"), col("__widx").as("chunk_id"),
+        col("__wtext").as("chunk_text"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_spans_kept"),

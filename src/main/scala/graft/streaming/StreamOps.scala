@@ -260,11 +260,17 @@ object StreamOps {
     // First batch: the store doesn't exist yet. Probe the filesystem
     // (one RPC, scheme-aware — works on HDFS/object stores) instead of
     // read-and-catch, which depends on how Spark wraps the missing-path
-    // error and logs a scary FileNotFoundException stack en route.
+    // error and logs a scary FileNotFoundException stack en route. The
+    // catch stays as a second line of defense: an existing dir with no
+    // readable parquet (e.g. only `_temporary/` after a killed write)
+    // throws schema-inference AnalysisException, and treating that as an
+    // empty store keeps the stream self-healing instead of crash-looping.
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val stateFs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val state =
-      if (stateFs.exists(statePath)) Some(spark.read.parquet(stateDir)) else None
+      if (!stateFs.exists(statePath)) None
+      else try Some(spark.read.parquet(stateDir))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     val nearState = state match {
       case Some(st) =>
         Dedup.simhashBands(sigs).as("l")
