@@ -78,7 +78,12 @@ object Dedup {
     * forms: per distinct span text, the minimum (doc, idx) occurrence.
     * Map-side partial aggregation collapses a corpus-viral span to one
     * candidate row per input partition before the exchange. Returns
-    * `(__wtext, __wid, __widx)`. */
+    * `(__wtext, __wid, __widx)`.
+    *
+    * Plan note: `min` over a struct falls back to a SortAggregate (Spark
+    * hash-aggregates only fixed-width buffers), so the plan carries an
+    * in-partition sort by span text — a constant-factor CPU cost; the
+    * partial combine and the skew collapse above are unaffected. */
   private def spanWinners(spans: DataFrame, idCol: String, idxCol: String,
       textCol: String): DataFrame =
     spans
