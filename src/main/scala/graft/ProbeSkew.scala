@@ -59,7 +59,11 @@ object ProbeSkew {
     val tail = concat_ws(" ",
       (0 until 10).map(i => concat(lit(s"u${i}d"), col("doc_id"))): _*)
     val withTail = concat_ws(" ", col("text"), tail)
-    val nToks = size(split(withTail, "\\s+"))
+    // Token count MUST use the chunker's own tokenization (Dedup.tokens:
+    // trim + lower) — a raw split would count empty leading elements on
+    // whitespace-padded fixture text and silently misalign the planted
+    // span's chunk boundary.
+    val nToks = size(Dedup.tokens(withTail))
     val padLen = (lit(spanTokens) - nToks % spanTokens) % spanTokens
     val padPool = array((0 until spanTokens - 1).map(i =>
       concat(lit(s"p${i}x"), col("doc_id"))): _*)
@@ -89,8 +93,12 @@ object ProbeSkew {
     df.cache()
     val viralDfRow = df.filter(col("t") === "viraltok").head()
     val tailDf = df.filter(col("t").rlike("^u[0-9]d[0-9]+$")).agg(max("df")).head()
+    // max() over an empty filter yields NULL — e.g. if doc_id stops being a
+    // numeric string after a testdata regeneration. Diagnose, don't NPE.
+    val tailMax = if (tailDf.isNullAt(0)) "NO TAIL TOKENS MATCHED (doc_id format changed?)"
+                  else tailDf.getLong(0).toString
     println(s"viral term df=${viralDfRow.getLong(1)} of $n docs; " +
-      s"max tail-term df=${tailDf.getLong(0)}; vocab=${df.count()}")
+      s"max tail-term df=$tailMax; vocab=${df.count()}")
     df.unpersist()
     val spanFreq = Packing.chunkByTokenBudget(skewed, maxTokens = spanTokens, overlap = 0)
       .groupBy("chunk_text").agg(count(lit(1)).as("c"))

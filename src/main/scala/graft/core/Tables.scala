@@ -22,6 +22,12 @@ object Tables {
     // timestamps (UTC) at the SCAN level — rather than cast()ing after — keeps
     // ts predicates eligible for parquet pushdown.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // With NTZ inference off, naive timestamp[us] values are interpreted in
+    // the SESSION time zone. Every oracle was validated under UTC, so pin it
+    // here rather than relying on each entry point (Bench/Verify/tests) to
+    // remember — otherwise a caller inheriting the JVM TZ gets silently
+    // shifted ts values.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // Normalize any nanosecond-epoch long `ts` back to a proper timestamp.
     // Integer division keeps full microsecond precision (double would not).

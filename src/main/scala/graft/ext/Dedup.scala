@@ -36,12 +36,18 @@ object Dedup {
     * exact-dup explosion in web crawls) collapses to one candidate row
     * per input partition before the exchange. The window form would
     * instead hash EVERY copy of the viral text to a single task and sort
-    * it there — the textbook skewed shuffle at 100 TB. */
+    * it there — the textbook skewed shuffle at 100 TB.
+    *
+    * Null ids: `min_by` SKIPS rows whose ordering value is null, so a
+    * bare `min_by(row, id)` would fabricate an all-NULL winner for a
+    * group whose every id is null. Ordering by the never-null
+    * `struct(id IS NULL, id)` keeps a real row (non-null ids win;
+    * all-null groups keep one of their actual rows). */
   def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val all = docs.columns.map(col)
     docs
       .groupBy(sha2(col(textCol), 256).as("__h"))
-      .agg(min_by(struct(all: _*), col(idCol)).as("__w"))
+      .agg(min_by(struct(all: _*), struct(col(idCol).isNull, col(idCol))).as("__w"))
       .select(docs.columns.map(c => col(s"__w.$c").as(c)): _*)
   }
 

@@ -56,13 +56,19 @@ class DedupSpec extends SparkSpec {
       val spans = graft.ext.Packing.chunkByTokenBudget(d, maxTokens = 2, overlap = 0)
         .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
       val viaRows = Dedup.dropRepeatedSpanRows(spans, "doc_id", "chunk_id", "chunk_text")
-        .select("doc_id", "chunk_id").as[(Long, Long)].collect().toSet
+        .select("doc_id", "chunk_id", "chunk_text").as[(Long, Long, String)].collect()
       val viaDocs = Dedup.dropRepeatedSpans(d, spanTokens = 2)
-      // reassembled doc set must match the row-form survivor doc set, and
-      // per-doc kept counts must agree
+      // per-doc kept counts must agree...
       val docCounts = viaDocs.select("doc_id", "n_spans_kept").as[(Long, Long)].collect().toMap
       val rowCounts = viaRows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
       assert(docCounts == rowCounts, s"kept-count mismatch: $docCounts vs $rowCounts")
+      // ...and so must the EXACT surviving spans: with a 5-token vocab two
+      // equal-count keep sets could differ, so compare the reassembled text
+      // (doc-ordered survivor chunks) against the whole-doc path's output.
+      val rowText = viaRows.groupBy(_._1).view.mapValues(
+        _.sortBy(_._2).map(_._3).mkString(" ")).toMap
+      val docText = viaDocs.select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(docText == rowText, s"survivor-span mismatch: $docText vs $rowText")
     }
   }
 
@@ -82,6 +88,20 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("n_redundant") == 2)
     val kept = Dedup.dropExactDuplicates(d).collect().map(_.getLong(0)).sorted
     assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("exact dedup: null ids never win over real ids, all-null groups keep a real row") {
+    val d = Seq[(Option[Long], String)](
+      (Some(9L), "a b c"), (None, "a b c"),     // null id must not be the keeper
+      (None, "x y z"), (None, "x y z"))         // all-null group must keep a REAL row
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropExactDuplicates(d).collect()
+    assert(kept.length == 2)
+    val byText = kept.map(r => r.getAs[String]("text") -> r).toMap
+    assert(byText("a b c").getAs[Any]("doc_id") == 9L)
+    val nullRow = byText("x y z")
+    assert(nullRow.isNullAt(nullRow.fieldIndex("doc_id")) &&
+      nullRow.getAs[String]("text") == "x y z") // real row, not fabricated all-NULL
   }
 
   test("minhash LSH finds near-duplicate pairs and exact jaccard verifies") {

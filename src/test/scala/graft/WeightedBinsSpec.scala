@@ -86,6 +86,15 @@ class WeightedBinsSpec extends SparkSpec {
     }
   }
 
+  test("quirk Q6: negative quantity1 fails loud (documented deviation)") {
+    // The reference silently computes garbage on negative q1 (non-monotone
+    // cumsum — weighted_bin_calculator.py:108-110); the engine rejects it.
+    val ex = intercept[IllegalArgumentException] {
+      WeightedBins.binsForGroupBounded(Array(5.0, -3.0, 4.0), Array(1.0, 2.0, 3.0), 10.0, 4)
+    }.getMessage
+    assert(ex.contains("quantity1 >= 0") && ex.contains("-3.0"), s"got: $ex")
+  }
+
   test("property: bin averages bounded by future q2 range") {
     val input = spark.read.parquet(s"$res/comprehensive_input.parquet")
     import org.apache.spark.sql.functions._
