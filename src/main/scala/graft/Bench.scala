@@ -17,7 +17,7 @@ object Bench {
     * notices the RDD is unreachable), doubling resident storage blocks and
     * taxing the timed pass with memory pressure + GC. Explicitly unpersist
     * everything, then give the ContextCleaner a GC cycle to finish. */
-  private def resetStorage(spark: SparkSession): Unit = {
+  private[graft] def resetStorage(spark: SparkSession): Unit = {
     SparkEntry.clearPanelCache(spark)
     spark.sqlContext.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach { rdd =>
