@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-7 probe (round-6 verdict task 5): per-batch cost curve of the
+  * streaming near-dedup signature store
+  * ([[streaming.StreamOps.processNearDedupBatch]]).
+  *
+  * The store is append-only parquet that grows one (doc_id, simhash) row
+  * per admitted doc, and every micro-batch band-joins its own signatures
+  * against ALL of it. The join is banded (bucket-local, never
+  * all-pairs), so the per-batch cost should grow with store SIZE only
+  * through the scan+shuffle of store signatures — linear with a small
+  * constant — plus parquet file-listing overhead that grows with the
+  * number of appended part-files. This probe drives 50 batches and
+  * prints per-batch wall time, store rows, and store file count, so
+  * "the curve bends" stops being a conjecture either way.
+  *
+  * Batch shape (2,000 docs each): 1,800 fresh unique-token docs
+  * (admitted), 100 in-batch exact copies (within-batch losers), 100
+  * copies of the previous batch's fresh docs (store near-dups). Expected
+  * admissions: 1,800/batch steady state, verified against the sink. */
+object ProbeStream {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val nBatches = args.headOption.map(_.toInt).getOrElse(50)
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_probe").toString
+    val sinkDir = s"$base/sink"
+    val stateDir = s"$base/state"
+
+    def freshDocs(b: Int): Seq[(Long, String)] =
+      (0 until 1800).map { i =>
+        (b * 10000L + i, (0 until 20).map(j => s"t${b}_${i}_$j").mkString(" "))
+      }
+
+    def batchDf(b: Int) = {
+      val fresh = freshDocs(b)
+      val inBatchDups = (0 until 100).map { i =>
+        (b * 10000L + 5000 + i, fresh(i)._2) // same text, higher id -> loser
+      }
+      val prior = if (b == 0) Seq.empty else freshDocs(b - 1).take(100)
+        .zipWithIndex.map { case ((_, t), i) => (b * 10000L + 6000 + i, t) }
+      (fresh ++ inBatchDups ++ prior).toDF("doc_id", "text")
+    }
+
+    println(f"${"batch"}%5s ${"sec"}%7s ${"store_rows"}%10s ${"store_files"}%11s")
+    val times = (0 until nBatches).map { b =>
+      val df = batchDf(b)
+      val t0 = System.nanoTime()
+      streaming.StreamOps.processNearDedupBatch(df, sinkDir, stateDir, "doc_id", "text", 3)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = spark.read.parquet(stateDir).count()
+      val files = new java.io.File(stateDir).listFiles().count(_.getName.endsWith(".parquet"))
+      println(f"$b%5d $sec%7.2f $rows%10d $files%11d")
+      sec
+    }
+    val admitted = spark.read.parquet(sinkDir).count()
+    // every batch admits exactly its 1,800 fresh docs: in-batch copies
+    // lose to their same-batch twins, prior copies drop against the store
+    val expect = nBatches * 1800L
+    println(s"sink rows: $admitted (expect $expect)")
+    val firstTen = times.slice(1, 11).sum / 10
+    val lastTen = times.takeRight(10).sum / 10
+    println(f"avg batch sec: first10=$firstTen%.2f last10=$lastTen%.2f ratio=${lastTen / firstTen}%.2f")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+}
