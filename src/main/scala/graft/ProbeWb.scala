@@ -18,7 +18,8 @@ import graft.ops.{WbRow, WeightedBins}
   *    pending-buffer high-water mark to prove task memory is bin-span-
   *    bounded, not group-size-bounded.
   *
-  * Usage: runMain graft.ProbeWb
+  * Usage: runMain graft.ProbeWb [nRows]  (default 1,000,000; round 7 also
+  * ran 10,000,000 — see ARCHITECTURE.md for both ledger entries)
   */
 object ProbeWb {
   def main(args: Array[String]): Unit = {
@@ -29,7 +30,7 @@ object ProbeWb {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val nRows = 1000000L
+    val nRows = args.headOption.map(_.toLong).getOrElse(1000000L)
     val nGroups = 200
     // deterministic synthetic panel: q1 in [1, 100], q2 in [0, 50); same
     // distributional shape for both probes so times are comparable
@@ -46,13 +47,13 @@ object ProbeWb {
     val many = synth(nGroups).cache(); many.count()
     // warm plan shape once so the timed run is steady-state (codegen/JIT)
     WeightedBins.weightedBins(many.limit(10000), tieCols = Seq("seq")).count()
-    val out1 = time(s"1M rows / $nGroups groups (reference: 20-50 s single-core)") {
+    val out1 = time(s"$nRows rows / $nGroups groups (reference @1M: 20-50 s single-core)") {
       WeightedBins.weightedBins(many, tieCols = Seq("seq")).count()
     }
     println(s"[probe_wb] output rows: $out1")
 
     val hot = synth(1).cache(); hot.count()
-    val out2 = time("1M rows / ONE group (viral-key shape)") {
+    val out2 = time(s"$nRows rows / ONE group (viral-key shape)") {
       WeightedBins.weightedBins(hot, tieCols = Seq("seq")).count()
     }
     println(s"[probe_wb] hot-key output rows: $out2")
@@ -60,7 +61,8 @@ object ProbeWb {
     // direct-kernel pass over the same hot group: measure the pending-buffer
     // high-water mark. Expected ≈ binSize·maxBins / E[q1] + O(1) rows
     // (= 1000/50.5 ≈ 20), vs the 1M rows the round-5 kernel materialized.
-    val rows = hot.orderBy("seq").select("quantity1", "quantity2").collect()
+    val rows = hot.orderBy("seq").select("quantity1", "quantity2")
+      .limit(1000000).collect() // driver-side pass stays 1M-capped; the distributed run above covers the full size
     val kernel = new WeightedBins.BoundedKernel(100.0, 10)
     val ts = new java.sql.Timestamp(0L)
     var emitted = 0L

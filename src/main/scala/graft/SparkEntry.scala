@@ -720,12 +720,13 @@ object SparkEntry {
        |$stationarityFinalSelectSql""".stripMargin
 
   /** Unroll bound for the full ADF autolag oracle: Schwert's rule gives
-    * maxlag = ⌈12·(n/100)^¼⌉ ≤ 12 for panel series up to 100 points (the
-    * events daily panel is 30). The SQL computes maxlag dynamically per
-    * group and poisons (NULLs) any group whose maxlag exceeds this bound,
-    * so a regenerated fixture can only FAIL the oracle, never silently
-    * pass with a truncated lag race. */
-  private val AdfMaxUnroll = 12
+    * maxlag = ⌈12·(n/100)^¼⌉ ≤ 20 for panel series up to ~700 points (the
+    * events daily panel is 30; the driver regenerates fixtures between
+    * rounds, so leave generous headroom). The SQL computes maxlag
+    * dynamically per group and poisons (NULLs) any group whose maxlag
+    * exceeds this bound, so a regenerated fixture can only FAIL the
+    * oracle, never silently pass with a truncated lag race. */
+  private val AdfMaxUnroll = 20
 
   /** Shared d×d row-major list Gaussian-elimination step (pivot `k`) for
     * the recursive-CTE sweep used by the ADF/Granger oracles. */
