@@ -67,9 +67,13 @@ object ProbeStream {
     // lose to their same-batch twins, prior copies drop against the store
     val expect = nBatches * 1800L
     println(s"sink rows: $admitted (expect $expect)")
-    val firstTen = times.slice(1, 11).sum / 10
-    val lastTen = times.takeRight(10).sum / 10
-    println(f"avg batch sec: first10=$firstTen%.2f last10=$lastTen%.2f ratio=${lastTen / firstTen}%.2f")
+    // non-overlapping head/tail windows, sized to the run (batch 0 is cold
+    // and excluded); guards the ratio against small nBatches
+    val w = math.max(1, math.min(10, (times.length - 1) / 2))
+    val head = times.slice(1, 1 + w)
+    val tail = times.takeRight(w)
+    val (ha, ta) = (head.sum / head.length, tail.sum / tail.length)
+    println(f"avg batch sec: first$w=$ha%.2f last$w=$ta%.2f ratio=${ta / ha}%.2f")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 }

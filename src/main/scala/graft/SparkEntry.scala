@@ -781,11 +781,9 @@ object SparkEntry {
        |  count(*) OVER (PARTITION BY group_key) AS n0, $xlags
        |  FROM ($srcSelect) WHERE value IS NOT NULL AND NOT isnan(value)
        |  WINDOW wadf AS (PARTITION BY group_key ORDER BY ord)),
-       |mx AS (SELECT group_key,
-       |  CASE WHEN least(cast(ceil(12 * pow(max(n0) / 100.0, 0.25)) AS BIGINT), max(n0) // 2 - ${ntrend + 1}) > $ML
-       |       THEN NULL
-       |       ELSE least(cast(ceil(12 * pow(max(n0) / 100.0, 0.25)) AS BIGINT), max(n0) // 2 - ${ntrend + 1})
-       |  END AS ml FROM ad0 GROUP BY 1),
+       |mx AS (SELECT group_key, CASE WHEN ml0 > $ML THEN NULL ELSE ml0 END AS ml FROM
+       |  (SELECT group_key, least(cast(ceil(12 * pow(max(n0) / 100.0, 0.25)) AS BIGINT),
+       |     max(n0) // 2 - ${ntrend + 1}) AS ml0 FROM ad0 GROUP BY 1)),
        |ar0 AS (SELECT group_key, rn, value - x1 AS dy, x1 AS lvl, $dls FROM ad0),
        |idx AS (SELECT range AS i FROM range(0, ${ML + 2})),
        |cand AS (SELECT range AS l FROM range(0, ${ML + 1})),
@@ -2348,11 +2346,14 @@ object SparkEntry {
 
   /** On-disk location of the cell-partitioned IVF index for `dir`. Keyed
     * by the embeddings file's identity (length + mtime) because the
-    * driver REGENERATES testdata between rounds under the same path — a
-    * stale index must miss, not silently serve old vectors. */
+    * driver REGENERATES testdata between rounds under the same path, AND
+    * by the quantizer's content, so editing `ivfIndexCents` (nlist, plane
+    * formula) can never serve assignments from the old quantizer — a
+    * stale index must miss, not silently serve wrong cells. */
   private def ivfIndexDir(dir: String): String = {
     val f = new java.io.File(s"$dir/embeddings.parquet")
-    val key = math.abs((dir + ":" + f.length + ":" + f.lastModified).hashCode)
+    val qz = ivfIndexCents.flatten.foldLeft(17L)((a, v) => a * 31 + java.lang.Double.doubleToLongBits(v))
+    val key = math.abs((dir + ":" + f.length + ":" + f.lastModified + ":" + qz).hashCode)
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_$key"
   }
 
@@ -2371,9 +2372,17 @@ object SparkEntry {
     * identically. */
   private def similarityTopkIvf(s: SparkSession, dir: String): DataFrame = {
     val idx = ivfIndexDir(dir)
-    if (!new java.io.File(s"$idx/_SUCCESS").exists())
+    if (!new java.io.File(s"$idx/_SUCCESS").exists()) {
+      // reap dead keyed copies (prior testdata generations / quantizer
+      // edits) before building — the driver runs bench/verify
+      // sequentially, so nothing else can be reading them
+      val idxFile = new java.io.File(idx)
+      Option(idxFile.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_ivf_idx_") && f.getName != idxFile.getName)
+        .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
       Similarity.assignCells(Tables.embeddings(s, dir), ivfIndexCents)
         .write.mode("overwrite").partitionBy("cell").parquet(idx)
+    }
     Similarity.ivfTopKPreAssigned(s.read.parquet(idx), similarityQueries(s, dir),
         k = 5, ivfIndexCents, nprobe = 4)
       .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
