@@ -2750,6 +2750,9 @@ object SparkEntry {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
     val kw = ext.Search.bm25TopK(docs, bm25Terms, k = 25)
+      // unpartitioned window is intentional and bounded: the input is the
+      // ALREADY-CUT top-25 frame (k rows at any corpus size), so the
+      // single-task sort touches 25 rows. Whitelisted in PlanLintSpec.
       .withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
       .select("doc_id", "rank")
