@@ -1809,6 +1809,37 @@ object SparkEntry {
       |SELECT DISTINCT lang, doc_id FROM cg JOIN bg USING (gram)
       |ORDER BY lang, doc_id""".stripMargin
 
+  /** Bloom-prefiltered decontamination, driver-exercised (round 7): the
+    * corpus half is cleaned against the benchmark half via
+    * [[TextStats.decontaminateBloom]] — Bloom sketch broadcast + exact
+    * verify join on flagged docs only. The RESULT is exact (no false
+    * negatives in the sketch; false positives removed by the verify), so
+    * the oracle is the plain anti-join decontamination in DuckDB — the
+    * sketch is an optimization the oracle never needs to model. */
+  private def decontaminateBloomDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextStats.decontaminateBloom(
+        docs.filter(col("doc_id") >= 25).select("doc_id", "lang", "text"),
+        docs.filter(col("doc_id") < 25), k = 4, fpp = 0.01)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }
+
+  private val decontaminateBloomSql =
+    raw"""WITH d AS (SELECT doc_id, lang,
+      |  string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |bg AS (SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 2),
+      |    i -> array_to_string(toks[i:i+3], ' '))) AS gram
+      |  FROM d WHERE doc_id < 25 AND len(toks) >= 4),
+      |cg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 2),
+      |    i -> array_to_string(toks[i:i+3], ' '))) AS gram
+      |  FROM d WHERE doc_id >= 25 AND len(toks) >= 4),
+      |dirty AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram))
+      |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM d WHERE doc_id >= 25 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   private def qualityDocs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("lang"),
@@ -2977,6 +3008,7 @@ object SparkEntry {
     "q_quality_docs" -> qualityDocs,
     "q_repetition_docs" -> repetitionDocs,
     "q_decontaminate_docs" -> decontaminateDocs,
+    "q_decontaminate_bloom_docs" -> decontaminateBloomDocs,
     "q_quality_filter_docs" -> qualityFilterDocs,
     "q_quality_threshold_docs" -> qualityThresholdDocs,
     "q_fingerprint_docs" -> fingerprintDocs,
@@ -3251,6 +3283,7 @@ object SparkEntry {
     "q_quality_docs" -> qualitySql,
     "q_repetition_docs" -> repetitionSql,
     "q_decontaminate_docs" -> decontaminateSql,
+    "q_decontaminate_bloom_docs" -> decontaminateBloomSql,
     "q_quality_filter_docs" -> qualityFilterSql,
     "q_quality_threshold_docs" -> qualityThresholdSql,
     "q_langid_docs" -> langidSql,

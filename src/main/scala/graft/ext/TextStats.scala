@@ -336,6 +336,49 @@ object TextStats {
     corpus.join(contaminatedDocIds(corpus, benchmark, idCol, textCol, k),
       Seq(idCol), "left_anti")
 
+  /** Bloom-prefiltered decontamination — the tier between
+    * [[decontaminate]] (broadcasts the exact benchmark gram set into a
+    * join: right when the set fits a broadcast) and
+    * [[decontaminateWithGramSet]] (driver Set in the task closure: right
+    * when it fits in one task's memory). When the benchmark is itself
+    * large (hundreds of millions of grams), build a Bloom filter over
+    * its gram hashes — a distributed sketch aggregation, bits ≈
+    * n·ln(1/fpp)/ln²2, e.g. ~1.2 GB·(n/1e9) at 1% fpp — broadcast THAT,
+    * and run the exact gram join only on the docs the filter flags.
+    *
+    * Exactness: a Bloom filter has NO false negatives, so every truly
+    * contaminated doc reaches the verify join; false positives (≈ fpp of
+    * clean docs) cost only wasted verify work, never a wrong result —
+    * the output equals [[decontaminate]]'s bit-for-bit (spec-pinned).
+    * At 100 TB the win is that the corpus-side gram explosion feeding
+    * the join shrinks from every doc to ~(contaminated + fpp·clean)
+    * docs, while the benchmark ships as O(bits) instead of an exact
+    * set. */
+  def decontaminateBloom(
+      corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5,
+      fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val grams = tokenGramHashRows(benchmark, idCol, textCol, k).select("sh").distinct()
+    // expected-items sizing needs a count; one cheap aggregate over the
+    // (already model-shaped) distinct gram frame
+    val n = math.max(grams.count(), 1L)
+    val bf = grams.stat.bloomFilter("sh", n, fpp)
+    val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightHit = org.apache.spark.sql.functions.udf { (hashes: Seq[Long]) =>
+      hashes != null && hashes.exists(bfB.value.mightContain(_))
+    }
+    val candidates = corpus.filter(mightHit(graft.expr.TokenGramHashes.tokenGramHashes(
+      Dedup.tokens(col(textCol)), k)))
+    // exact verify over candidates only — removes Bloom false positives
+    corpus.join(contaminatedDocIds(candidates, benchmark, idCol, textCol, k),
+      Seq(idCol), "left_anti")
+  }
+
   /** Streaming-composable decontamination: a STATELESS per-row filter —
     * the benchmark gram set is model-sized by contract, so it collects to
     * a driver Set once and ships in the task closure; each arriving doc

@@ -160,6 +160,23 @@ class TextExtSpec extends SparkSpec {
     assert(clean == Set(2L, 3L), s"clean $clean")
   }
 
+  test("bloom decontamination is exactly the anti-join result, even at absurd fpp") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter(col("doc_id") < 25)
+    val corpus = docs.filter(col("doc_id") >= 25)
+    val exact = TextStats.decontaminate(corpus, bench, k = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // fpp=0.5 floods the verify stage with false positives; the output
+    // must STILL equal the exact anti-join (no false negatives + verify)
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = TextStats.decontaminateBloom(corpus, bench, k = 4, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloom == exact,
+        s"fpp=$fpp: bloom ${bloom.size} docs vs exact ${exact.size}; " +
+          s"diff ${(bloom diff exact) ++ (exact diff bloom)}")
+    }
+  }
+
   test("hashed text embeddings: unit norm, determinism, similarity ordering") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
