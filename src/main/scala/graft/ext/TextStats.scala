@@ -365,8 +365,12 @@ object TextStats {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val grams = tokenGramHashRows(benchmark, idCol, textCol, k).select("sh").distinct()
     // expected-items sizing needs a count; one cheap aggregate over the
-    // (already model-shaped) distinct gram frame
-    val n = math.max(grams.count(), 1L)
+    // (already model-shaped) distinct gram frame. A gram-less benchmark
+    // (empty, or every doc shorter than k tokens) means nothing can be
+    // contaminated — and Spark's stat.bloomFilter NPEs on an empty frame
+    // (null aggregation buffer), so return early rather than sketch.
+    val n = grams.count()
+    if (n == 0) return corpus
     val bf = grams.stat.bloomFilter("sh", n, fpp)
     val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
     val mightHit = org.apache.spark.sql.functions.udf { (hashes: Seq[Long]) =>

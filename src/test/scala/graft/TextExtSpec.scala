@@ -160,6 +160,16 @@ class TextExtSpec extends SparkSpec {
     assert(clean == Set(2L, 3L), s"clean $clean")
   }
 
+  test("bloom decontamination: empty benchmark keeps everything, null text is never flagged") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val emptyBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val kept = TextStats.decontaminateBloom(corpus, emptyBench, k = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"kept $kept") // null-text doc passes, like decontaminate
+  }
+
   test("bloom decontamination is exactly the anti-join result, even at absurd fpp") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bench = docs.filter(col("doc_id") < 25)
