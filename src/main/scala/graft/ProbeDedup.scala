@@ -12,7 +12,11 @@ import graft.ext.Dedup
   * dropNearDuplicates, timed per stage, with the union-find vs BSP
   * component paths cross-checked on the full vertex set.
   *
-  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ProbeDedup
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ProbeDedup [copies]
+  * (default 10; round 7 also ran 50 — at 50 copies the cross-copy decay
+  * keeps most copy-pairs above the 0.5 threshold, so clusters reach ~50
+  * members and the edge count crosses the 1M union-find gate, exercising
+  * the BSP default path at scale)
   */
 object ProbeDedup {
   def main(args: Array[String]): Unit = {
@@ -29,7 +33,8 @@ object ProbeDedup {
     // shift by max(id)+1, not count(): sparse ids would otherwise collide
     // across copies and violate the LSH unique-id precondition
     val n = base.agg(max("doc_id")).head().getLong(0) + 1L
-    val big = (0 until 10).map { k =>
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val big = (0 until copies).map { k =>
       base.select((col("doc_id") + lit(k * n)).as("doc_id"),
         concat_ws(" ", col("text"),
           lit((0 until k).map(j => s"mutslug${k}x$j").mkString(" "))).as("text"))
@@ -67,14 +72,14 @@ object ProbeDedup {
     // the corpus under shifted ids — the store must reject all of it.
     // Batch 2 is the steady-state shape (non-empty store join).
     val tmp = java.nio.file.Files.createTempDirectory("ndd_probe")
-    time("streaming near-dedup: batch 1 (50k docs, empty store)") {
+    time("streaming near-dedup: batch 1 (full corpus, empty store)") {
       graft.streaming.StreamOps.processNearDedupBatch(
         big, s"$tmp/sink", s"$tmp/state", "doc_id", "text", 3)
     }
     val admitted1 = spark.read.parquet(s"$tmp/sink").count()
-    time("streaming near-dedup: batch 2 (50k re-sends vs populated store)") {
+    time("streaming near-dedup: batch 2 (full re-send vs populated store)") {
       graft.streaming.StreamOps.processNearDedupBatch(
-        big.select((col("doc_id") + lit(10L * n)).as("doc_id"), col("text")),
+        big.select((col("doc_id") + lit(copies.toLong * n)).as("doc_id"), col("text")),
         s"$tmp/sink", s"$tmp/state", "doc_id", "text", 3)
     }
     val admittedTotal = spark.read.parquet(s"$tmp/sink").count()
