@@ -2959,6 +2959,197 @@ object SparkEntry {
     }
   }
 
+  // ---- cardinality sketches -----------------------------------------------
+
+  /** Shared oracle CTE chain for [[ext.Sketches.mixHash]] (Knuth step +
+    * murmur3 fmix32, split-multiply mod 2^32): `ids(id)` → `hx(h)`. */
+  private def mixHashCtes: String =
+    """h0 AS (SELECT ((id % 2147483648) * 2654435761) % 4294967296 AS h FROM ids),
+      |s1_ AS (SELECT xor(h, h >> 16) AS h FROM h0),
+      |m1_ AS (SELECT ((((h >> 16) * 2246822507) % 65536) * 65536 + (h % 65536) * 2246822507) % 4294967296 AS h FROM s1_),
+      |s2_ AS (SELECT xor(h, h >> 13) AS h FROM m1_),
+      |m2_ AS (SELECT ((((h >> 16) * 3266489909) % 65536) * 65536 + (h % 65536) * 3266489909) % 4294967296 AS h FROM s2_),
+      |hx AS (SELECT xor(h, h >> 16) AS h FROM m2_)""".stripMargin
+
+  /** KMV distinct-count sketch of l_partkey (k=256) next to the exact
+    * count — DuckDB replays the mixed hash, the 256th-smallest distinct
+    * order statistic, and the (k−1)/U_k estimate bit-for-bit; the exact
+    * count doubles as the accuracy exhibit (est within ~1/√k). Both
+    * sides of the join are one-row aggregates — the broadcast
+    * nested-loop is the model-sized whitelist case. */
+  private def kmvDistinctLineitem(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val sk = ext.Sketches.kmvDistinct(li.select(col("l_partkey")), "l_partkey", 256)
+    val exact = li.agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+    sk.crossJoin(broadcast(exact)).select(
+      col("k").cast("long").as("k"), col("n_kept"), col("kth_min_hash"),
+      r6(col("est_distinct")).as("est_distinct"), col("exact_distinct"))
+  }
+
+  private def kmvDistinctSql: String =
+    s"""WITH ids AS (SELECT l_partkey AS id FROM lineitem),
+       |$mixHashCtes,
+       |d_ AS (SELECT DISTINCT h FROM hx),
+       |o_ AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM d_),
+       |kth AS (SELECT max(CASE WHEN rn = 256 THEN h END) AS kth,
+       |  sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS n_kept FROM o_),
+       |ex AS (SELECT count(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+       |SELECT CAST(256 AS BIGINT) AS k, CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(kth AS BIGINT) AS kth_min_hash,
+       |  floor((CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+       |    ELSE 255.0 * 4294967296.0 / CAST(kth AS DOUBLE) END) * 1e6 + 0.5) / 1e6 AS est_distinct,
+       |  CAST(exact_distinct AS BIGINT) AS exact_distinct
+       |FROM kth, ex""".stripMargin
+
+  /** HLL register sketch of l_partkey (b=8, m=256 registers) — DuckDB
+    * replays bucket routing, the bin()-based zero-run ranks, the
+    * harmonic-mean estimate, and the linear-counting branch. */
+  private def hllDistinctLineitem(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val sk = ext.Sketches.hllDistinct(li.select(col("l_partkey")), "l_partkey", 8)
+    val exact = li.agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+    sk.crossJoin(broadcast(exact)).select(
+      col("m"), col("n_registers"),
+      r6(col("est_distinct")).as("est_distinct"), col("exact_distinct"))
+  }
+
+  private def hllDistinctSql: String =
+    s"""WITH ids AS (SELECT l_partkey AS id FROM lineitem),
+       |$mixHashCtes,
+       |r_ AS (SELECT h >> 24 AS bucket, h % 16777216 AS w FROM hx),
+       |rr AS (SELECT bucket, max(CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END) AS rank
+       |  FROM r_ GROUP BY bucket),
+       |a_ AS (SELECT sum(power(2.0, -rank)) AS pinv, count(*) AS nreg FROM rr),
+       |e_ AS (SELECT (0.7213 / (1 + 1.079 / 256) * 256 * 256) / (pinv + CAST(256 - nreg AS DOUBLE)) AS raw,
+       |  CAST(256 - nreg AS DOUBLE) AS v, nreg FROM a_),
+       |ex AS (SELECT count(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+       |SELECT CAST(256 AS BIGINT) AS m, CAST(nreg AS BIGINT) AS n_registers,
+       |  floor((CASE WHEN raw <= 640.0 AND v > 0 THEN 256.0 * ln(256.0 / v) ELSE raw END) * 1e6 + 0.5) / 1e6 AS est_distinct,
+       |  CAST(exact_distinct AS BIGINT) AS exact_distinct
+       |FROM e_, ex""".stripMargin
+
+  // ---- BPE tokenizer training ---------------------------------------------
+
+  private val bpeNumMerges = 8
+
+  /** Memoized trained merges per (session, dir): the tokenizer model is a
+    * deterministic function of the corpus, so the APPLY query measures
+    * amortized tokenization (the 100 TB usage pattern — train once, apply
+    * everywhere), same discipline as the persisted IVF index. The TRAIN
+    * query deliberately bypasses this memo so the bench keeps measuring
+    * training cost. */
+  private val bpeMemo = scala.collection.mutable.Map.empty[(Int, String), Seq[ext.BpeMerge]]
+  private def bpeMergesFor(s: SparkSession, dir: String): Seq[ext.BpeMerge] =
+    bpeMemo.synchronized {
+      bpeMemo.getOrElseUpdate((System.identityHashCode(s), dir),
+        ext.Bpe.trainBpe(Tables.documents(s, dir), bpeNumMerges, minCount = 1L))
+    }
+
+  /** Initial BPE pair statistics over the documents corpus (top 40 by
+    * count, lexicographic tiebreak) — DuckDB replays word frequencies,
+    * char+</w> symbolization, and the weighted adjacent-pair counts. */
+  private def bpePairsDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Bpe.pairStats(ext.Bpe.initialDict(Tables.documents(s, dir)))
+      .orderBy(col("cnt").desc, col("s1"), col("s2")).limit(40)
+      .select(col("s1"), col("s2"), col("cnt"))
+
+  private def bpePairsSql: String =
+    raw"""WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+       |  FROM documents),
+       |f AS (SELECT word, count(*) AS freq FROM w WHERE length(word) > 0 GROUP BY word),
+       |p AS (SELECT f.freq, substr(f.word, g.i, 1) AS s1,
+       |    CASE WHEN g.i < length(f.word) THEN substr(f.word, g.i + 1, 1) ELSE '</w>' END AS s2
+       |  FROM f, LATERAL unnest(range(1, length(f.word) + 1)) AS g(i))
+       |SELECT s1, s2, CAST(sum(freq) AS BIGINT) AS cnt FROM p
+       |GROUP BY s1, s2 ORDER BY cnt DESC, s1, s2 LIMIT 40""".stripMargin
+
+  /** Oracle CTE chain shared by the BPE train/tokenize oracles: the word
+    * dictionary d0 and one unrolled block per merge iteration. Each block
+    * replays pair counts over d{r−1}, the deterministic argmax t{r}, and
+    * the SIMULTANEOUS left-to-right rewrite producing d{r}: candidate
+    * positions (pair matches) group into runs via gaps-and-islands, the
+    * even-offset candidates of each run are the merge starts (overlapping
+    * "aaa" semantics), and a position is dropped when its predecessor
+    * merged. d{r} is MATERIALIZED: each dict stage is referenced twice
+    * (pair counts + rewrite), so inlined CTEs would re-evaluate the whole
+    * chain 2^merges times — measured 24 s → 0.4 s on sf0.01. */
+  private def bpeDictCtes(numMerges: Int): String = {
+    val base =
+      raw"""w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+         |  FROM documents),
+         |f AS (SELECT word, count(*) AS freq FROM w WHERE length(word) > 0 GROUP BY word),
+         |d0 AS MATERIALIZED (SELECT word, freq, list_append(string_split(word, ''), '</w>') AS syms FROM f)""".stripMargin
+    val iters = (1 to numMerges).map { r =>
+      val prev = s"d${r - 1}"
+      s"""p$r AS (SELECT d.freq, d.syms[g.i] AS s1, d.syms[g.i + 1] AS s2
+         |  FROM $prev d, LATERAL unnest(range(1, len(d.syms))) AS g(i)),
+         |t$r AS (SELECT s1, s2, sum(freq) AS cnt FROM p$r GROUP BY s1, s2
+         |  ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         |c$r AS (SELECT d.word, d.freq, d.syms, g.i,
+         |    coalesce(d.syms[g.i] = t.s1 AND d.syms[g.i + 1] = t.s2, FALSE) AS cand,
+         |    t.s1 AS ms1, t.s2 AS ms2
+         |  FROM $prev d, t$r t, LATERAL unnest(range(1, len(d.syms) + 1)) AS g(i)),
+         |i$r AS (SELECT word, freq, syms, i, cand, ms1, ms2,
+         |    CASE WHEN cand THEN i - row_number() OVER (PARTITION BY word, cand ORDER BY i) END AS isl
+         |  FROM c$r),
+         |s$r AS (SELECT word, freq, syms, i, cand, ms1, ms2,
+         |    cand AND ((i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0) AS mstart
+         |  FROM i$r),
+         |o$r AS (SELECT word, freq, i,
+         |    CASE WHEN mstart THEN ms1 || ms2
+         |         WHEN coalesce(lag(mstart) OVER (PARTITION BY word ORDER BY i), FALSE) THEN NULL
+         |         ELSE syms[i] END AS tok
+         |  FROM s$r),
+         |d$r AS MATERIALIZED (SELECT word, freq, list(tok ORDER BY i) AS syms
+         |  FROM o$r WHERE tok IS NOT NULL GROUP BY word, freq)""".stripMargin
+    }
+    (base +: iters).mkString(",\n")
+  }
+
+  /** BPE tokenizer TRAINING on the documents corpus: the learned merge
+    * table (rank, s1, s2, cnt) — DuckDB replays the entire iterative
+    * loop via [[bpeDictCtes]]. minCount=1 so engine and oracle stop on
+    * the same condition (pair exhaustion) by construction. */
+  private def bpeTrainDocs(s: SparkSession, dir: String): DataFrame = {
+    val merges = ext.Bpe.trainBpe(Tables.documents(s, dir), bpeNumMerges, minCount = 1L)
+    import s.implicits._
+    merges.toDF().select(col("rank"), col("s1"), col("s2"), col("cnt")).orderBy("rank")
+  }
+
+  private def bpeTrainSql: String = {
+    val union = (1 to bpeNumMerges).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, s1, s2, CAST(cnt AS BIGINT) AS cnt FROM t$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${bpeDictCtes(bpeNumMerges)}
+       |SELECT * FROM ($union) ORDER BY rank""".stripMargin
+  }
+
+  /** BPE tokenization of docs 0–19 with the corpus-trained merges (via
+    * the memo — amortized apply): per-doc subword count + the full
+    * subword stream. The oracle re-derives the trained dictionary with
+    * the same unrolled CTE chain and reassembles each doc from it, so
+    * train→apply consistency is checked end-to-end. */
+  private def bpeTokenizeDocs(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergesFor(s, dir).map(m => (m.s1, m.s2))
+    ext.Bpe.tokenize(Tables.documents(s, dir).filter(col("doc_id") < 20), merges)
+      .select(col("doc_id"),
+        size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"),
+        concat_ws(" ", col("bpe_tokens")).as("bpe_text"))
+      .orderBy("doc_id")
+  }
+
+  private def bpeTokenizeSql: String =
+    s"""WITH ${bpeDictCtes(bpeNumMerges)},
+       |dt AS (SELECT doc_id, g.i AS pos, t.toks[g.i] AS word
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM documents WHERE doc_id < 20) t,
+       |  LATERAL unnest(range(1, len(t.toks) + 1)) AS g(i)
+       |  WHERE length(t.toks[g.i]) > 0),
+       |j AS (SELECT dt.doc_id, dt.pos, d.syms FROM dt JOIN d$bpeNumMerges d ON d.word = dt.word)
+       |SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens,
+       |  string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos) AS bpe_text
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3049,6 +3240,11 @@ object SparkEntry {
     "q_mix_docs" -> mixDocs,
     "q_normalize_events" -> normalizeEvents,
     "q_pack_docs" -> packDocs,
+    "q_kmv_distinct_lineitem" -> kmvDistinctLineitem,
+    "q_hll_distinct_lineitem" -> hllDistinctLineitem,
+    "q_bpe_pairs_docs" -> bpePairsDocs,
+    "q_bpe_train_docs" -> bpeTrainDocs,
+    "q_bpe_tokenize_docs" -> bpeTokenizeDocs,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3297,16 +3493,18 @@ object SparkEntry {
     "q_mix_docs" -> mixDocsSql,
     "q_normalize_events" -> normalizeEventsSql,
     "q_pack_docs" -> packDocsSql,
+    "q_kmv_distinct_lineitem" -> kmvDistinctSql,
+    "q_hll_distinct_lineitem" -> hllDistinctSql,
+    "q_bpe_pairs_docs" -> bpePairsSql,
+    "q_bpe_train_docs" -> bpeTrainSql,
+    "q_bpe_tokenize_docs" -> bpeTokenizeSql,
     // q_dedup_minhash_docs / q_simhash_docs / q_similarity_topk_lsh /
     // q_fingerprint_docs / q_multimodal_features / q_multimodal_transform:
     // hash-seeded operators —
     // engine-specific by construction, validated by construction-based
-    // ScalaTests (DedupSpec/TextExtSpec) instead.
-    // q_stationarity_events / q_crossfeature_lineitem: iterative statistical
-    // kernels (AIC lag search, OLS chains, MLE) — not SQL-expressible;
-    // driver records rows-only checks. Their closed-form cores ARE pinned:
-    // q_unitroot_events oracles the KPSS stat + lag-0 DF t each round, and
-    // GoldenParitySpec pins the full pipelines against the reference's
-    // recorded statsmodels/scipy outputs.
+    // ScalaTests (DedupSpec/TextExtSpec) instead; each one's replayable
+    // twin (q_minhash_replay_docs, q_simhash_replay_docs,
+    // q_lsh_replay_topk, q_fingerprint_rolling_docs, q_multimodal_replay)
+    // IS oracled through the same code path.
   )
 }

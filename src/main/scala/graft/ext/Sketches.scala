@@ -1,0 +1,196 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoder
+
+/** Bounded-state k-minimum-values buffer: the k smallest DISTINCT hash
+  * values seen so far, sorted ascending. Top-level so Catalyst's generated
+  * serializers can reach it (same constraint as [[ScoredVec]]).
+  */
+class KMinAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  require(k > 0, "k must be positive")
+
+  def zero: Array[Long] = Array.empty
+
+  def reduce(buf: Array[Long], x: Long): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(buf, x)
+    if (pos >= 0) return buf // already present — KMV is a distinct sketch
+    val ins = -pos - 1
+    if (ins >= k) return buf // larger than the current k-th minimum
+    val n = math.min(buf.length + 1, k)
+    val out = new Array[Long](n)
+    System.arraycopy(buf, 0, out, 0, ins)
+    out(ins) = x
+    System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+    out
+  }
+
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var o = 0
+    while (o < out.length && (i < a.length || j < b.length)) {
+      val take =
+        if (j >= b.length) { val v = a(i); i += 1; v }
+        else if (i >= a.length) { val v = b(j); j += 1; v }
+        else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+        else if (a(i) > b(j)) { val v = b(j); j += 1; v }
+        else { val v = a(i); i += 1; j += 1; v } // equal: keep one (distinct)
+      out(o) = take
+      o += 1
+    }
+    if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+  }
+
+  def finish(buf: Array[Long]): Array[Long] = buf
+
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
+/** Cardinality sketches for corpus statistics at scale — "how many distinct
+  * URLs / tokens / ids" questions that an exact `count(DISTINCT x)` answers
+  * with a full shuffle of every distinct value. Both sketches here shuffle
+  * bounded state instead:
+  *
+  *   - KMV (k minimum values): each partition keeps its k smallest distinct
+  *     hash values ([[KMinAgg]] — a k-capped partial aggregate, the same
+  *     shape as [[TopKAgg]]), so the merge sees ≤ k·P longs instead of the
+  *     full distinct set. Estimator: (k−1)/U_k with U_k = h_k/2^32 (the
+  *     Beyer et al. unbiased KMV form).
+  *   - HLL-style max-rank registers: 2^b registers, each the max "leading
+  *     zero rank" of the hashes routed to it — a plain groupBy(bucket) max,
+  *     fully map-side-combining; the shuffle carries ≤ 2^b rows per
+  *     partition regardless of N. Estimator: the Flajolet et al. HyperLogLog
+  *     harmonic mean with the small-range linear-counting correction.
+  *
+  * Both run on [[mixHash]] — [[Sampling.bucketHash]] (the Knuth
+  * multiplicative step) followed by the murmur3 fmix32 finalizer — rather
+  * than xxhash64, for the same reason the samplers use plain arithmetic:
+  * every op is BIGINT mul/mod/xor/shift, so each register and order
+  * statistic can be replayed in ANSI SQL and the driver hash-verifies the
+  * sketches EXACTLY (see q_kmv_distinct_lineitem / q_hll_distinct_lineitem)
+  * — an approximate estimator is still a deterministic function of its
+  * input. The finalizer is REQUIRED, not decoration: the Knuth step alone
+  * is a Weyl permutation on sequential ids — equidistributed (fine for
+  * sampling membership) but with structured low bits, which biased the HLL
+  * zero-run statistic +49% on 20k sequential ids when measured. String
+  * keys: map through a surrogate long (xxhash64) first, at the cost of the
+  * SQL-replay property (the samplers document the same trade).
+  *
+  * Rank arithmetic avoids floating log2: rank uses `length(bin(w))` (bit
+  * length of w, exact in both Spark and DuckDB) instead of floor(log2(w)),
+  * which can mis-floor near powers of two.
+  */
+object Sketches {
+
+  private val TwoTo32 = 4294967296.0 // mixHash range
+
+  /** (x · c) mod 2^32 for 0 ≤ x < 2^32 WITHOUT 64-bit overflow (ANSI mode
+    * would throw): split x into 16-bit halves — every intermediate stays
+    * under 2^49. Same expression shape the oracle SQL uses. */
+  private def mulMod32(x: Column, c: Long): Column =
+    pmod(pmod(shiftright(x, 16) * c, lit(65536L)) * 65536L +
+      pmod(x, lit(65536L)) * c, lit(4294967296L))
+
+  /** 32-bit mixed hash of a numeric id: Knuth multiplicative step then the
+    * murmur3 fmix32 finalizer (xor-shift 16 / ·0x85ebca6b / xor-shift 13 /
+    * ·0xc2b2ae35 / xor-shift 16), all in replayable BIGINT arithmetic. */
+  def mixHash(value: Column): Column = {
+    val h0 = Sampling.bucketHash(value)
+    val x1 = h0.bitwiseXOR(shiftright(h0, 16))
+    val h1 = mulMod32(x1, 2246822507L) // 0x85ebca6b
+    val x2 = h1.bitwiseXOR(shiftright(h1, 13))
+    val h2 = mulMod32(x2, 3266489909L) // 0xc2b2ae35
+    h2.bitwiseXOR(shiftright(h2, 16))
+  }
+
+  /** KMV distinct-count sketch over a numeric column. Returns ONE row:
+    * (k, n_kept, kth_min_hash, est_distinct). When fewer than k distinct
+    * hashes exist the sketch is exact: est = n_kept.
+    */
+  def kmvDistinct(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    val kmin = udaf(new KMinAgg(k))
+    df.select(mixHash(col(valueCol)).as("h"))
+      .filter(col("h").isNotNull)
+      .agg(kmin(col("h")).as("mins"))
+      .select(
+        lit(k).as("k"),
+        size(col("mins")).cast("long").as("n_kept"),
+        // try_element_at: null (not an ANSI error) when fewer than k
+        // distinct hashes exist — the est falls back to the exact count.
+        try_element_at(col("mins"), lit(k)).as("kth_min_hash"),
+        when(size(col("mins")) < k, size(col("mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(TwoTo32) /
+            try_element_at(col("mins"), lit(k)).cast("double"))
+          .as("est_distinct"))
+  }
+
+  private def wBits(b: Int): Int = 32 - b
+
+  /** Per-row (bucket, rank) for the HLL registers: bucket = top b bits of
+    * the 32-bit hash, rank = 1 + leading zeros of the remaining (32−b)-bit
+    * suffix = (32−b) − bitlen(w) + 1, or (32−b)+1 when the suffix is all
+    * zeros. bitlen via `bin()` string length — exact integer arithmetic in
+    * both engines.
+    */
+  def hllBucketRank(value: Column, b: Int): (Column, Column) = {
+    require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
+    val h = mixHash(value)
+    val wb = wBits(b)
+    val bucket = shiftright(h, wb).cast("long")
+    val w = pmod(h, lit(1L << wb))
+    val rank = when(w === 0, lit(wb + 1))
+      .otherwise(lit(wb) + lit(1) - length(bin(w)))
+      .cast("int")
+    (bucket, rank)
+  }
+
+  /** The materialized register table (bucket → max rank). Buckets no hash
+    * reached are absent (they read as rank 0 in the estimator). This is the
+    * mergeable/persistable form: register tables from disjoint corpus
+    * shards combine by groupBy(bucket).max(rank).
+    */
+  def hllRegisters(df: DataFrame, valueCol: String, b: Int): DataFrame = {
+    val (bucket, rank) = hllBucketRank(col(valueCol), b)
+    df.filter(col(valueCol).isNotNull)
+      .select(bucket.as("bucket"), rank.as("rank"))
+      .groupBy("bucket").agg(max("rank").as("rank"))
+  }
+
+  /** HLL estimate from a register table: ONE row
+    * (m, n_registers, est_distinct). alpha_m = 0.7213/(1 + 1.079/m) (the
+    * published constant for m ≥ 128); registers are exact powers of two so
+    * the harmonic sum is order-independent in double precision. Small-range
+    * correction: E ≤ 2.5m with empty registers → linear counting
+    * m·ln(m/V).
+    */
+  def hllEstimate(registers: DataFrame, b: Int): DataFrame = {
+    val m = 1 << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    registers
+      .agg(
+        sum(pow(lit(2.0), -col("rank"))).as("present_inv"),
+        count(lit(1)).as("n_registers"))
+      .select(
+        lit(m).cast("long").as("m"),
+        col("n_registers"),
+        (lit(alpha * m.toDouble * m.toDouble) /
+          (col("present_inv") + (lit(m) - col("n_registers")).cast("double")))
+          .as("raw"),
+        (lit(m) - col("n_registers")).cast("double").as("v"))
+      .select(col("m"), col("n_registers"),
+        when(col("raw") <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(col("raw"))
+          .as("est_distinct"))
+  }
+
+  /** Convenience: registers + estimate in one call. */
+  def hllDistinct(df: DataFrame, valueCol: String, b: Int): DataFrame =
+    hllEstimate(hllRegisters(df, valueCol, b), b)
+}

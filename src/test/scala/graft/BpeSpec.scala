@@ -1,0 +1,80 @@
+package graft
+
+import graft.ext.{Bpe, BpeMerge}
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordFreqs + pairStats: hand-computed counts on a tiny corpus") {
+    val docs = Seq((1L, "low LOW"), (2L, " lower ")).toDF("doc_id", "text")
+    val freqs = Bpe.wordFreqs(docs).as[(String, Long)].collect().toMap
+    assert(freqs == Map("low" -> 2L, "lower" -> 1L))
+    val pairs = Bpe.pairStats(Bpe.initialDict(docs))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map(
+      ("l", "o") -> 3L, ("o", "w") -> 3L, ("w", "</w>") -> 2L,
+      ("w", "e") -> 1L, ("e", "r") -> 1L, ("r", "</w>") -> 1L), s"$pairs")
+  }
+
+  test("trainBpe: the Sennrich worked example, with count-then-lexicographic ties") {
+    // low×5 lower×2 newest×6 widest×3 — the published example's frequencies
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = Bpe.trainBpe(docs, numMerges = 5)
+    assert(merges == Seq(
+      BpeMerge(1, "e", "s", 9),      // (e,s)/(s,t)/(t,</w>) tie at 9 → s1 asc
+      BpeMerge(2, "es", "t", 9),     // (es,t)/(t,</w>) tie at 9 → 'es' < 't'
+      BpeMerge(3, "est", "</w>", 9),
+      BpeMerge(4, "l", "o", 7),      // (l,o)/(o,w) tie at 7
+      BpeMerge(5, "lo", "w", 7)), s"$merges")
+  }
+
+  test("trainBpe: minCount stops the loop early") {
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    // pairs: (a,b)×2, (b,</w>)×2, (c,d)×1, (d,</w>)×1 — at minCount=2 only
+    // the first two merges can fire before every remaining pair is unique
+    val merges = Bpe.trainBpe(docs, numMerges = 10, minCount = 2L)
+    assert(merges.length < 10)
+    assert(merges.forall(_.cnt >= 2L))
+    assert(merges.head == BpeMerge(1, "a", "b", 2))
+  }
+
+  test("mergePair fold ≡ applyMergesLocal: exhaustive over short {a,b} words") {
+    val words = for {
+      len <- 1 to 6
+      bits <- 0 until (1 << len)
+    } yield (0 until len).map(i => if (((bits >> i) & 1) == 0) "a" else "b").mkString
+    val df = words.toDF("word")
+      .withColumn("syms", Bpe.initialSymbols(col("word")))
+    for (pair <- Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "</w>"))) {
+      val viaFold = df
+        .select(col("word"), Bpe.mergePair(col("syms"), pair._1, pair._2).as("m"))
+        .as[(String, Seq[String])].collect().toMap
+      words.foreach { w =>
+        val viaLocal = Bpe.applyMergesLocal(w, Seq(pair)).toSeq
+        assert(viaFold(w) == viaLocal, s"word=$w pair=$pair: ${viaFold(w)} vs $viaLocal")
+      }
+    }
+  }
+
+  test("tokenize: merges apply in rank order, doc order preserved") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"))
+    val docs = Seq((1L, "newest low"), (2L, "   "), (3L, "widest")).toDF("doc_id", "text")
+    val out = Bpe.tokenize(docs, merges)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("n", "e", "w", "est</w>", "low", "</w>"), s"${out(1L)}")
+    assert(out(3L) == Seq("w", "i", "d", "est</w>"))
+    assert(!out.contains(2L)) // no words → absent, matching the oracle's inner join
+  }
+
+  test("tokenize round-trips the text: concatenating subwords restores each word") {
+    val docs = Seq((1L, "Interchangeable interchangeability")).toDF("doc_id", "text")
+    val merges = Bpe.trainBpe(docs, numMerges = 6, minCount = 1L)
+    val toks = Bpe.tokenize(docs, merges.map(m => (m.s1, m.s2)))
+      .as[(Long, Seq[String])].collect().head._2
+    val restored = toks.mkString("").replace(Bpe.Eow, " ").trim
+    assert(restored == "interchangeable interchangeability", s"$toks")
+  }
+}

@@ -27,7 +27,11 @@ class PlanLintSpec extends SparkSpec {
     "q_bm25_topk_docs", "q_embedding_neardup_docs", "q_hashed_topk_docs",
     "q_jaccard_pairs_docs", "q_multimodal_embedding", "q_multimodal_replay",
     "q_quantized_topk", "q_rrf_hybrid_docs", "q_simhash_replay_docs",
-    "q_similarity_topk_brute", "q_similarity_topk_lsh", "q_sql_functions_embeddings")
+    "q_similarity_topk_brute", "q_similarity_topk_lsh", "q_sql_functions_embeddings",
+    // sketch queries: both join sides are ONE-row aggregates (the sketch
+    // row + the exact-count row) — a broadcast loop over one row is the
+    // model-sized case the whitelist exists for
+    "q_kmv_distinct_lineitem", "q_hll_distinct_lineitem")
   private val globalWindowOk = Set("q_rrf_hybrid_docs")
 
   test("no unlisted cartesian / nested-loop / unpartitioned-window in any driver query plan") {
