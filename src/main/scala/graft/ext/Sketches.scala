@@ -112,11 +112,30 @@ object Sketches {
   /** KMV distinct-count sketch over a numeric column. Returns ONE row:
     * (k, n_kept, kth_min_hash, est_distinct). When fewer than k distinct
     * hashes exist the sketch is exact: est = n_kept.
+    *
+    * Two-stage on purpose: a `mapPartitions` pass runs the [[KMinAgg]]
+    * insertion kernel directly on the primitive hash stream (emitting ≤ k
+    * rows per partition), and only that k·P-bounded remainder goes through
+    * the udaf merge. Feeding the corpus-sized stream straight into the
+    * typed udaf costs ~7 µs/row of aggregator plumbing — measured 4.4 s vs
+    * 0.26 s on 600k rows (ProbeKmv) for the identical algorithm — and a
+    * `distinct()` pre-step would instead shuffle the whole distinct hash
+    * set, the exact thing a KMV sketch exists to avoid.
     */
   def kmvDistinct(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val kmin = udaf(new KMinAgg(k))
     df.select(mixHash(col(valueCol)).as("h"))
       .filter(col("h").isNotNull)
+      .as[Long]
+      .mapPartitions { it =>
+        val agg = new KMinAgg(k)
+        var buf = agg.zero
+        it.foreach { h => buf = agg.reduce(buf, h) }
+        buf.iterator
+      }
+      .toDF("h")
       .agg(kmin(col("h")).as("mins"))
       .select(
         lit(k).as("k"),
