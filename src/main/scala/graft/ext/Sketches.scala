@@ -111,31 +111,22 @@ object Sketches {
 
   /** KMV distinct-count sketch over a numeric column. Returns ONE row:
     * (k, n_kept, kth_min_hash, est_distinct). When fewer than k distinct
-    * hashes exist the sketch is exact: est = n_kept.
+    * hashes exist the sketch is exact: est = n_kept. The udaf's partial
+    * aggregation is the per-partition k-min pass, so ≤ k·P rows cross the
+    * final merge — never the distinct hash set.
     *
-    * Two-stage on purpose: a `mapPartitions` pass runs the [[KMinAgg]]
-    * insertion kernel directly on the primitive hash stream (emitting ≤ k
-    * rows per partition), and only that k·P-bounded remainder goes through
-    * the udaf merge. Feeding the corpus-sized stream straight into the
-    * typed udaf costs ~7 µs/row of aggregator plumbing — measured 4.4 s vs
-    * 0.26 s on 600k rows (ProbeKmv) for the identical algorithm — and a
-    * `distinct()` pre-step would instead shuffle the whole distinct hash
-    * set, the exact thing a KMV sketch exists to avoid.
+    * Null-filter the INPUT column, never the computed hash (hashes of
+    * non-null longs are never null anyway): a null filter on the derived
+    * column pushes isnotnull(<the whole mixHash tree>) into the scan
+    * filter, where the nested split-multiply duplicates its base subtree
+    * ~3^rounds times and the oversized interpreted condition evaluates the
+    * duplicates per row — measured ~7 µs/row (4.2 s on 600k rows) vs
+    * 0.33 s for this shape (ProbeKmv).
     */
   def kmvDistinct(df: DataFrame, valueCol: String, k: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val kmin = udaf(new KMinAgg(k))
-    df.select(mixHash(col(valueCol)).as("h"))
-      .filter(col("h").isNotNull)
-      .as[Long]
-      .mapPartitions { it =>
-        val agg = new KMinAgg(k)
-        var buf = agg.zero
-        it.foreach { h => buf = agg.reduce(buf, h) }
-        buf.iterator
-      }
-      .toDF("h")
+    df.filter(col(valueCol).isNotNull)
+      .select(mixHash(col(valueCol)).as("h"))
       .agg(kmin(col("h")).as("mins"))
       .select(
         lit(k).as("k"),
