@@ -3028,6 +3028,47 @@ object SparkEntry {
        |  CAST(exact_distinct AS BIGINT) AS exact_distinct
        |FROM e_, ex""".stripMargin
 
+  /** Count–min heavy hitters over the documents token stream (width 64 ×
+    * depth 4, deliberately tight so collisions actually occur): top 20
+    * tokens by CMS point estimate next to the exact count — DuckDB replays
+    * the Karp–Rabin token hash, all four affine row hashes, the additive
+    * counter table, and the min-over-rows estimate bit-for-bit, so the
+    * collision overestimates themselves are pinned, not just the ranking.
+    * The exact-count leg doubles as the accuracy exhibit (est ≥ exact,
+    * est − exact = that cell's collision mass). */
+  private def cmsTopkDocs(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(ext.Dedup.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val counters = ext.Sketches.cmsCounters(toks, "tok", width = 64, depth = 4)
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+    ext.Sketches.cmsEstimate(counters, exact.select("tok"), "tok", 64, 4)
+      .join(exact, "tok")
+      .select(col("tok"), col("est_count"), col("exact_count"))
+      .orderBy(col("est_count").desc, col("tok"))
+      .limit(20)
+  }
+
+  private def cmsTopkSql: String =
+    raw"""WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT tok, count(*) AS exact_count FROM t WHERE tok <> '' GROUP BY tok),
+       |th AS (SELECT tok, exact_count,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(tok)),
+       |      j -> ascii(substring(tok, j, 1))::BIGINT)),
+       |    (h, c) -> (h * 257 + c) % 1000000007) AS th FROM tf),
+       |rb AS (SELECT tok, exact_count, r,
+       |  ((th * (2654435761 + 40503 * r) + 97911 * r + 7) % 1000000007) % 64 AS bucket
+       |  FROM th, (SELECT unnest(generate_series(0, 3)) AS r) rs),
+       |ctr AS (SELECT r, bucket, sum(exact_count) AS cnt FROM rb GROUP BY r, bucket),
+       |est AS (SELECT tok, min(cnt) AS est_count FROM rb JOIN ctr USING (r, bucket)
+       |  GROUP BY tok)
+       |SELECT est.tok, est.est_count::BIGINT AS est_count,
+       |  tf.exact_count::BIGINT AS exact_count
+       |FROM est JOIN tf USING (tok)
+       |ORDER BY est_count DESC, tok LIMIT 20""".stripMargin
+
   // ---- BPE tokenizer training ---------------------------------------------
 
   private val bpeNumMerges = 8
@@ -3242,6 +3283,7 @@ object SparkEntry {
     "q_pack_docs" -> packDocs,
     "q_kmv_distinct_lineitem" -> kmvDistinctLineitem,
     "q_hll_distinct_lineitem" -> hllDistinctLineitem,
+    "q_cms_topk_docs" -> cmsTopkDocs,
     "q_bpe_pairs_docs" -> bpePairsDocs,
     "q_bpe_train_docs" -> bpeTrainDocs,
     "q_bpe_tokenize_docs" -> bpeTokenizeDocs,
@@ -3495,6 +3537,7 @@ object SparkEntry {
     "q_pack_docs" -> packDocsSql,
     "q_kmv_distinct_lineitem" -> kmvDistinctSql,
     "q_hll_distinct_lineitem" -> hllDistinctSql,
+    "q_cms_topk_docs" -> cmsTopkSql,
     "q_bpe_pairs_docs" -> bpePairsSql,
     "q_bpe_train_docs" -> bpeTrainSql,
     "q_bpe_tokenize_docs" -> bpeTokenizeSql,

@@ -203,4 +203,69 @@ object Sketches {
   /** Convenience: registers + estimate in one call. */
   def hllDistinct(df: DataFrame, valueCol: String, b: Int): DataFrame =
     hllEstimate(hllRegisters(df, valueCol, b), b)
+
+  // ---- count–min sketch ----------------------------------------------------
+
+  /** Modulus shared with [[TextStats.rollingHash]]: the token hash is
+    * already < 10^9+7, so the per-row affine step below never overflows a
+    * long (multiplier < 2^33 ⇒ product < 2^63). */
+  private val CmsPrime = 1000000007L
+
+  /** Row-r bucket for a Karp–Rabin token hash: an affine universal-hash
+    * step `(th·a_r + b_r) mod P mod width` with per-row constants derived
+    * from r — plain BIGINT arithmetic, replayable in ANSI SQL like the
+    * cardinality sketches above. `r` is a COLUMN so one expression serves
+    * every row of the sketch after the depth-explode (keeping the hash
+    * subtree single-instance — the KMV derived-filter lesson). */
+  private def cmsBucketCol(th: Column, r: Column, width: Int): Column =
+    pmod(pmod(th * (lit(2654435761L) + lit(40503L) * r) +
+      (lit(97911L) * r + lit(7L)), lit(CmsPrime)), lit(width.toLong))
+
+  /** Count–min sketch (Cormode & Muthukrishnan 2005) over a token column:
+    * `depth` rows × `width` buckets of additive counters. Returns the
+    * mergeable counter table (r, bucket, cnt) — ≤ depth·width rows, a
+    * MODEL-sized artifact regardless of corpus size.
+    *
+    * Scale shape: the token stream is hashed once per row (the rolling
+    * hash is computed BEFORE the depth-explode, so Generate replicates the
+    * attribute, not the expression), then `groupBy(r, bucket)` partially
+    * aggregates map-side — the shuffle carries ≤ depth·width rows per
+    * partition, never the vocabulary and never the stream. Counters from
+    * disjoint corpus shards combine by summing ([[cmsMergeCounters]]);
+    * point estimates overestimate by ≤ e·N/width with probability
+    * ≥ 1 − e^−depth. */
+  def cmsCounters(df: DataFrame, tokenCol: String, width: Int, depth: Int): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    df.filter(col(tokenCol).isNotNull && col(tokenCol) =!= "")
+      .select(TextStats.rollingHash(col(tokenCol)).as("th"))
+      .select(col("th"), explode(lit((0 until depth).toArray)).as("r"))
+      .select(col("r"), cmsBucketCol(col("th"), col("r"), width).as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Sharded counter tables combine by per-cell addition — the CMS merge
+    * law. Input schemas must match [[cmsCounters]] output. */
+  def cmsMergeCounters(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Point estimates for a candidate token set: est(t) = min over rows of
+    * the counter at that row's bucket. The counter table is broadcast
+    * (model-sized); candidates the sketch never saw read as 0 via the
+    * left-join coalesce. `width`/`depth` must match the values the
+    * counters were built with. At corpus scale the candidate set is the
+    * caller's — a blocklist, a probe vocabulary, prior heavy hitters —
+    * not the full vocabulary (a CMS exists precisely so the vocabulary
+    * need not be materialized). */
+  def cmsEstimate(counters: DataFrame, candidates: DataFrame, tokenCol: String,
+      width: Int, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    candidates.filter(col(tokenCol).isNotNull && col(tokenCol) =!= "")
+      .select(col(tokenCol), TextStats.rollingHash(col(tokenCol)).as("th"))
+      .select(col(tokenCol), col("th"), explode(lit((0 until depth).toArray)).as("r"))
+      .select(col(tokenCol), col("r"), cmsBucketCol(col("th"), col("r"), width).as("bucket"))
+      .join(broadcast(counters), Seq("r", "bucket"), "left")
+      .groupBy(tokenCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
 }

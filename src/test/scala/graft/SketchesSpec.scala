@@ -89,6 +89,63 @@ class SketchesSpec extends SparkSpec {
     assert(whole == merged, s"$whole vs $merged")
   }
 
+  /** Independent Karp–Rabin hash + CMS row hash (mirrors
+    * TextStats.rollingHash and Sketches.cmsBucketCol). */
+  private def krh(s: String): Long =
+    s.foldLeft(0L)((h, c) => (h * 257L + c.toLong) % 1000000007L)
+  private def cmsBkt(tok: String, r: Int, width: Int): Long =
+    ((krh(tok) * (2654435761L + 40503L * r) + 97911L * r + 7L) % 1000000007L) % width
+
+  test("cmsEstimate: never underestimates, and is exact absent collisions") {
+    val toks = Seq.fill(30)("alpha") ++ Seq.fill(12)("beta") ++
+      Seq.fill(5)("gamma") ++ Seq("delta")
+    val df = toks.toDF("tok")
+    val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val counters = Sketches.cmsCounters(df, "tok", width = 1024, depth = 4)
+    val est = Sketches.cmsEstimate(counters, toks.distinct.toDF("tok"), "tok", 1024, 4)
+      .as[(String, Long)].collect().toMap
+    // wide sketch, 4 tokens: collisions vanish → estimates are exact
+    exact.foreach { case (t, c) => assert(est(t) == c, s"tok=$t") }
+    // tight sketch: still never below the true count
+    val tight = Sketches.cmsCounters(df, "tok", width = 2, depth = 2)
+    val estT = Sketches.cmsEstimate(tight, toks.distinct.toDF("tok"), "tok", 2, 2)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (t, c) => assert(estT(t) >= c, s"tok=$t") }
+    // unseen candidate reads 0 through the wide sketch's empty cells... or
+    // a collision's mass; with width 1024 and 4 tokens it must be 0
+    val unseen = Sketches.cmsEstimate(counters, Seq("omega").toDF("tok"), "tok", 1024, 4)
+      .as[(String, Long)].collect().toMap
+    assert(unseen("omega") == 0L)
+  }
+
+  test("cmsCounters: cells match the hand-computed counter table") {
+    val toks = Seq("a", "b", "a", "c", "a", "b")
+    val counters = Sketches.cmsCounters(toks.toDF("tok"), "tok", width = 8, depth = 3)
+      .as[(Int, Long, Long)].collect().map { case (r, b, c) => (r, b) -> c }.toMap
+    val expected = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .toSeq.flatMap { case (t, c) =>
+        (0 until 3).map(r => (r, cmsBkt(t, r, 8)) -> c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(counters == expected)
+    // every row of the sketch carries the full stream mass
+    val rowMass = counters.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    (0 until 3).foreach(r => assert(rowMass(r) == toks.size.toLong, s"row $r"))
+  }
+
+  test("cmsMergeCounters: sharded sketches sum to the whole-corpus sketch") {
+    val all = (1 to 400).map(i => s"tok${i % 37}")
+    val whole = Sketches.cmsCounters(all.toDF("tok"), "tok", 16, 4)
+    val sh1 = Sketches.cmsCounters(all.take(150).toDF("tok"), "tok", 16, 4)
+    val sh2 = Sketches.cmsCounters(all.drop(150).toDF("tok"), "tok", 16, 4)
+    val merged = Sketches.cmsMergeCounters(sh1, sh2)
+    val w = whole.as[(Int, Long, Long)].collect().toSet
+    val m = merged.as[(Int, Long, Long)].collect().toSet
+    assert(w == m)
+    // and the merged sketch is invariant to input partitioning
+    val rep = Sketches.cmsCounters(all.toDF("tok").repartition(7), "tok", 16, 4)
+    assert(rep.as[(Int, Long, Long)].collect().toSet == w)
+  }
+
   test("mixHash: column arithmetic agrees with an independent 64-bit implementation") {
     val ids = Seq(0L, 1L, 17L, 65536L, 2147483647L)
     val rows = ids.toDF("id").select(col("id"), Sketches.mixHash(col("id")).as("h"))
