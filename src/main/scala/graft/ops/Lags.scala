@@ -95,7 +95,18 @@ object Lags {
     * (time_series_study.py:584-602). Groups contribute only when they have
     * ≥ minPairs complete pairs (`:597`); NaN correlations (constant series)
     * are skipped like `np.nanmean`. One shuffle for the window + one small
-    * aggregation; lag columns are computed once per (feature, L). */
+    * aggregation; lag columns are computed once per (feature, L).
+    *
+    * Shape: the (pair, L) axis is exploded into ROWS before aggregating,
+    * not into one aggregate column per combination. The wide form carries
+    * O(pairs·maxLag) aggregate expressions (3 per safeCorr + a count — 144
+    * here), and Catalyst analysis/optimization/codegen of that plan costs
+    * ~1.3 s per call while its execution takes 0.16 s (ProbeLagCorr); it
+    * also stops scaling in the pair-set axis long before the data axis.
+    * The long form multiplies the panel (dates × groups — already
+    * aggregate-sized, not fact-sized) by pairs·(maxLag+1) rows but keeps a
+    * constant FOUR aggregate expressions, partial-aggregated map-side on
+    * (group, pair, L). */
   def laggedCrossCorr(
       wide: DataFrame,
       dateCol: String,
@@ -109,28 +120,21 @@ object Lags {
     val lagCols = for { fa <- aFeats; l <- 0 to maxLag }
       yield lag(col(fa), l).over(w).as(s"${fa}__l$l")
     val base = wide.select(col(groupCol) +: feats.map(col) ++: lagCols: _*)
-    val aggCols = pairs.flatMap { case (fa, fb) =>
-      (0 to maxLag).flatMap { l =>
-        val a = nn(col(s"${fa}__l$l"))
-        val b = nn(col(fb))
-        Seq(
-          safeCorr(a, b).as(s"c__${fa}__${fb}__$l"),
-          count(when(a.isNotNull && b.isNotNull, 1)).as(s"n__${fa}__${fb}__$l"))
-      }
-    }
-    val perGroup = base.groupBy(col(groupCol)).agg(aggCols.head, aggCols.tail: _*)
     val rows = pairs.flatMap { case (fa, fb) =>
       (0 to maxLag).map { l =>
         struct(
           lit(s"$fa|$fb").as("pair"), lit(l).as("lag"),
-          col(s"c__${fa}__${fb}__$l").as("c"),
-          col(s"n__${fa}__${fb}__$l").as("np"))
+          nn(col(s"${fa}__l$l")).as("a"), nn(col(fb)).as("b"))
       }
     }
-    perGroup
-      .select(explode(array(rows: _*)).as("r"))
-      .select(col("r.pair").as("pair"), col("r.lag").as("lag"),
-        col("r.c").as("c"), col("r.np").as("np"))
+    base
+      .select(col(groupCol), explode(array(rows: _*)).as("r"))
+      .select(col(groupCol), col("r.pair").as("pair"), col("r.lag").as("lag"),
+        col("r.a").as("a"), col("r.b").as("b"))
+      .groupBy(col(groupCol), col("pair"), col("lag"))
+      .agg(
+        safeCorr(col("a"), col("b")).as("c"),
+        count(when(col("a").isNotNull && col("b").isNotNull, 1)).as("np"))
       .groupBy("pair", "lag")
       .agg(avg(when(col("np") >= minPairs && !isnan(col("c")), col("c"))).as("avg_corr"))
       .orderBy("pair", "lag")
