@@ -3069,6 +3069,59 @@ object SparkEntry {
        |FROM est JOIN tf USING (tok)
        |ORDER BY est_count DESC, tok LIMIT 20""".stripMargin
 
+  private val hdrQs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
+  /** HDR-histogram quantiles of document text length next to the exact
+    * rank-quantile under the SAME rank definition (rank = max(1, ⌈q·N⌉),
+    * answer = first value whose cumulative count reaches it) — DuckDB
+    * replays the integer octave/sub-bucket key, the cumulative walk, the
+    * midpoint decode, AND the exact quantile, so both the estimates and
+    * their ≤1/32 relative error are pinned. */
+  private def hdrQuantilesDocs(s: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.documents(s, dir)
+      .select(length(col("text")).cast("long").as("v"))
+    val hist = ext.Sketches.hdrHistogram(vals, "v")
+    val est = ext.Sketches.hdrQuantiles(hist, hdrQs)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = vals.filter(col("v").isNotNull && col("v") >= 0)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+    val n = vals.filter(col("v").isNotNull && col("v") >= 0)
+      .agg(count(lit(1)).as("n"))
+    val ranks = n.select(explode(array(hdrQs.map(lit): _*)).as("q"), col("n"))
+      .select(col("q"), greatest(lit(1L), ceil(col("q") * col("n"))).as("rank"))
+    val exact = ranks.join(broadcast(cum), cum("cum") >= ranks("rank"))
+      .groupBy("q").agg(min("v").as("exact_value"))
+    est.join(exact, "q")
+      .select(col("q"), col("est_value"), col("exact_value"))
+      .orderBy("q")
+  }
+
+  private def hdrQuantilesSql: String =
+    s"""WITH v AS (SELECT length(text)::BIGINT AS v FROM documents),
+       |vv AS (SELECT v FROM v WHERE v IS NOT NULL AND v >= 0),
+       |b AS (SELECT CASE WHEN v <= 15 THEN v
+       |  ELSE (length(bin(v)) - 4) * 16 + ((v >> (length(bin(v)) - 5)) & 15)
+       |  END AS bucket FROM vv),
+       |h AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+       |c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h),
+       |n AS (SELECT count(*) AS n FROM vv),
+       |r AS (SELECT q, greatest(1, ceil(q * n))::BIGINT AS rank
+       |  FROM (SELECT unnest([${hdrQs.mkString(", ")}]) AS q), n),
+       |sel AS (SELECT r.q, min(c.bucket) AS bucket
+       |  FROM r JOIN c ON c.cum >= r.rank GROUP BY r.q),
+       |est AS (SELECT q, CASE WHEN bucket <= 15 THEN bucket
+       |  ELSE (16 + bucket % 16) * (1 << (bucket // 16 - 1))
+       |    + (1 << (bucket // 16 - 1)) // 2 END AS est_value FROM sel),
+       |ce AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum
+       |  FROM (SELECT v, count(*) AS cnt FROM vv GROUP BY v)),
+       |ex AS (SELECT r.q, min(ce.v) AS exact_value
+       |  FROM r JOIN ce ON ce.cum >= r.rank GROUP BY r.q)
+       |SELECT est.q, est.est_value::BIGINT AS est_value,
+       |  ex.exact_value::BIGINT AS exact_value
+       |FROM est JOIN ex USING (q) ORDER BY q""".stripMargin
+
   // ---- BPE tokenizer training ---------------------------------------------
 
   private val bpeNumMerges = 8
@@ -3284,6 +3337,7 @@ object SparkEntry {
     "q_kmv_distinct_lineitem" -> kmvDistinctLineitem,
     "q_hll_distinct_lineitem" -> hllDistinctLineitem,
     "q_cms_topk_docs" -> cmsTopkDocs,
+    "q_hdr_quantiles_docs" -> hdrQuantilesDocs,
     "q_bpe_pairs_docs" -> bpePairsDocs,
     "q_bpe_train_docs" -> bpeTrainDocs,
     "q_bpe_tokenize_docs" -> bpeTokenizeDocs,
@@ -3538,6 +3592,7 @@ object SparkEntry {
     "q_kmv_distinct_lineitem" -> kmvDistinctSql,
     "q_hll_distinct_lineitem" -> hllDistinctSql,
     "q_cms_topk_docs" -> cmsTopkSql,
+    "q_hdr_quantiles_docs" -> hdrQuantilesSql,
     "q_bpe_pairs_docs" -> bpePairsSql,
     "q_bpe_train_docs" -> bpeTrainSql,
     "q_bpe_tokenize_docs" -> bpeTokenizeSql,

@@ -249,6 +249,63 @@ object Sketches {
   def cmsMergeCounters(a: DataFrame, b: DataFrame): DataFrame =
     a.union(b).groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
 
+  // ---- HDR-histogram quantile sketch ---------------------------------------
+
+  /** HdrHistogram-style bucket key for a non-negative long: values ≤ 15
+    * are their own bucket (exact); above that, the bucket is the value's
+    * octave (bit length) plus the 4 bits after the leading bit —
+    * `(m−4)·16 + ((v >> (m−5)) & 15)` with m = bitlen(v). Piecewise-linear
+    * log₂ binning in PURE integer arithmetic (bitlen via `bin()` string
+    * length, like the HLL rank; variable shift via the SQL `shiftright`,
+    * whose column-amount form the Scala wrapper hides) — so the key, the
+    * histogram, and every quantile read off it replay bit-for-bit in
+    * ANSI SQL. Monotone in v; bucket width 2^(m−5) ⇒ relative error
+    * ≤ 1/32 at the midpoint estimate. */
+  def hdrKey(v: Column): Column = {
+    val m = length(bin(v)).cast("long") // bitlen; v ≥ 16 ⇒ m ≥ 5
+    when(v <= 15, v).otherwise(
+      (m - 4) * 16 +
+        pmod(call_function("shiftright", v, m - lit(5L)), lit(16L)))
+  }
+
+  /** The mergeable quantile sketch: bucket → count, ≤ 16·60 rows for the
+    * full long range — MODEL-sized at any corpus size, built by one
+    * map-side-combining groupBy (the shuffle carries ≤ buckets·P rows,
+    * never values). Shards merge by per-bucket sum. Negative and null
+    * values are excluded (document lengths, token counts, latencies —
+    * the natural domains — are non-negative). */
+  def hdrHistogram(df: DataFrame, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .select(hdrKey(col(valueCol).cast("long")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from a histogram: for each q, rank = max(1,
+    * ⌈q·N⌉) and the answer is the midpoint of the first bucket whose
+    * cumulative count reaches the rank (exact for values ≤ 31, ≤ 1/32
+    * relative error above). The cumulative window runs UNPARTITIONED on
+    * purpose: its input is the model-sized bucket table, never data. */
+  def hdrQuantiles(hist: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"quantiles must be in (0,1], got $qs")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum("cnt").over(w))
+    val n = hist.agg(sum("cnt").as("n"))
+    val ranks = n.select(explode(array(qs.map(lit): _*)).as("q"), col("n"))
+      .select(col("q"), greatest(lit(1L), ceil(col("q") * col("n"))).as("rank"))
+    val sel = ranks.join(broadcast(cum), cum("cum") >= ranks("rank"))
+      .groupBy("q").agg(min("bucket").as("bucket"))
+    val oct = (col("bucket") / 16).cast("long") // = m − 4 for bucket ≥ 16
+    val width = call_function("shiftleft", lit(1L), oct - 1)
+    sel.select(col("q"),
+      when(col("bucket") <= 15, col("bucket")).otherwise(
+        (lit(16L) + pmod(col("bucket"), lit(16L))) * width +
+          (width / 2).cast("long")).as("est_value"))
+  }
+
+  /** Sharded histograms combine by per-bucket addition. */
+  def hdrMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy("bucket").agg(sum("cnt").as("cnt"))
+
   /** Point estimates for a candidate token set: est(t) = min over rows of
     * the counter at that row's bucket. The counter table is broadcast
     * (model-sized); candidates the sketch never saw read as 0 via the

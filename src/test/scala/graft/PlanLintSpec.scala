@@ -31,8 +31,16 @@ class PlanLintSpec extends SparkSpec {
     // sketch queries: both join sides are ONE-row aggregates (the sketch
     // row + the exact-count row) — a broadcast loop over one row is the
     // model-sized case the whitelist exists for
-    "q_kmv_distinct_lineitem", "q_hll_distinct_lineitem")
-  private val globalWindowOk = Set("q_rrf_hybrid_docs")
+    "q_kmv_distinct_lineitem", "q_hll_distinct_lineitem",
+    // quantile read: the non-equi rank-vs-cumulative join broadcasts the
+    // ≤16·60-row bucket table (and, in the exact exhibit leg, the
+    // distinct-value cum table — value-cardinality-sized, bounded by max
+    // doc length) against 5 quantile rows
+    "q_hdr_quantiles_docs")
+  private val globalWindowOk = Set("q_rrf_hybrid_docs",
+    // cumulative walks over the model-sized bucket table / the
+    // distinct-length table — never over data rows
+    "q_hdr_quantiles_docs")
 
   test("no unlisted cartesian / nested-loop / unpartitioned-window in any driver query plan") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists())

@@ -146,6 +146,55 @@ class SketchesSpec extends SparkSpec {
     assert(rep.as[(Int, Long, Long)].collect().toSet == w)
   }
 
+  /** Independent HDR key (mirrors Sketches.hdrKey). */
+  private def hdrK(v: Long): Long =
+    if (v <= 15) v
+    else {
+      val m = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      (m - 4).toLong * 16 + ((v >> (m - 5)) & 15)
+    }
+
+  test("hdrKey: matches the independent computation, is monotone, exact below 16") {
+    val vs = Seq(0L, 1L, 15L, 16L, 17L, 31L, 32L, 33L, 63L, 64L, 100L, 1000L,
+      65535L, 65536L, 1000000L, Long.MaxValue / 2)
+    val got = vs.toDF("v").select($"v", Sketches.hdrKey($"v").as("k"))
+      .as[(Long, Long)].collect().toMap
+    vs.foreach(v => assert(got(v) == hdrK(v), s"v=$v"))
+    // monotone across the dense low range and octave boundaries
+    val dense = (0L to 4096L).toDF("v").select(Sketches.hdrKey($"v"))
+      .as[Long].collect()
+    assert(dense.zip(dense.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("hdrQuantiles: exact on small values, ≤1/32 relative error above") {
+    val small = (1L to 100L).flatMap(v => Seq.fill(3)(v)) // values ≤ 31 partly
+    val hist = Sketches.hdrHistogram(small.toDF("v"), "v")
+    val est = Sketches.hdrQuantiles(hist, Seq(0.1, 0.5, 0.9))
+      .as[(Double, Long)].collect().toMap
+    // rank-quantile of 300 copies of 1..100: q=0.5 → rank 150 → value 50
+    assert(est(0.1) == 10L) // ≤ 31: exact bucket
+    // 50 and 90 live in approximate octaves: check the error bound
+    assert(math.abs(est(0.5) - 50.0) / 50.0 <= 1.0 / 32.0, s"got ${est(0.5)}")
+    assert(math.abs(est(0.9) - 90.0) / 90.0 <= 1.0 / 32.0, s"got ${est(0.9)}")
+    val big = (1L to 10000L).toDF("v")
+    val estB = Sketches.hdrQuantiles(Sketches.hdrHistogram(big, "v"), Seq(0.5, 0.99))
+      .as[(Double, Long)].collect().toMap
+    assert(math.abs(estB(0.5) - 5000.0) / 5000.0 <= 1.0 / 32.0, s"got ${estB(0.5)}")
+    assert(math.abs(estB(0.99) - 9900.0) / 9900.0 <= 1.0 / 32.0, s"got ${estB(0.99)}")
+  }
+
+  test("hdrMerge: sharded histograms combine to the whole; negative/null excluded") {
+    val all = (-50L to 5000L).toDF("v")
+    val whole = Sketches.hdrHistogram(all, "v").as[(Long, Long)].collect().toSet
+    val m = Sketches.hdrMerge(
+      Sketches.hdrHistogram(all.filter($"v" % 3 === 0), "v"),
+      Sketches.hdrHistogram(all.filter($"v" % 3 =!= 0), "v"))
+      .as[(Long, Long)].collect().toSet
+    assert(whole == m)
+    // negatives dropped: total mass is only the non-negative count
+    assert(whole.toSeq.map(_._2).sum == 5001L)
+  }
+
   test("mixHash: column arithmetic agrees with an independent 64-bit implementation") {
     val ids = Seq(0L, 1L, 17L, 65536L, 2147483647L)
     val rows = ids.toDF("id").select(col("id"), Sketches.mixHash(col("id")).as("h"))
