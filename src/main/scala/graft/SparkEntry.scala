@@ -3122,6 +3122,38 @@ object SparkEntry {
        |  ex.exact_value::BIGINT AS exact_value
        |FROM est JOIN ex USING (q) ORDER BY q""".stripMargin
 
+  private val blockWords = Seq("slow", "legacy", "vector")
+
+  /** C4-style blocklist pass over documents: per-doc token totals, hit
+    * counts for the 3-word blocklist, and the flagged ratio — DuckDB
+    * replays tokenization, the boundary-stripping token normalization,
+    * the IN-list membership, and the ratio. ("legacy" never occurs in the
+    * corpus — the oracle must agree on absent words too.) */
+  private def blocklistDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val hits = ext.TextStats.blocklistHits(docs, "doc_id", "text", blockWords)
+    docs.select(col("doc_id"), size(ext.Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(hits, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_flagged"),
+        r6(col("n_flagged").cast("double") / col("n_tokens")).as("flag_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private def blocklistSql: String = {
+    val inList = blockWords.map(w => s"'$w'").mkString(", ")
+    raw"""WITH tok AS (SELECT doc_id,
+       |  regexp_replace(unnest(string_split_regex(lower(trim(text)), '\s+')),
+       |    '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g') AS t FROM documents),
+       |f AS (SELECT doc_id, count(*) AS n_flagged FROM tok
+       |  WHERE t <> '' AND t IN ($inList) GROUP BY doc_id),
+       |nt AS (SELECT doc_id,
+       |  len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS n_tokens
+       |  FROM documents)
+       |SELECT f.doc_id, nt.n_tokens, f.n_flagged,
+       |  floor(f.n_flagged / nt.n_tokens * 1e6 + 0.5) / 1e6 AS flag_ratio
+       |FROM f JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   // ---- BPE tokenizer training ---------------------------------------------
 
   private val bpeNumMerges = 8
@@ -3338,6 +3370,7 @@ object SparkEntry {
     "q_hll_distinct_lineitem" -> hllDistinctLineitem,
     "q_cms_topk_docs" -> cmsTopkDocs,
     "q_hdr_quantiles_docs" -> hdrQuantilesDocs,
+    "q_blocklist_docs" -> blocklistDocs,
     "q_bpe_pairs_docs" -> bpePairsDocs,
     "q_bpe_train_docs" -> bpeTrainDocs,
     "q_bpe_tokenize_docs" -> bpeTokenizeDocs,
@@ -3593,6 +3626,7 @@ object SparkEntry {
     "q_hll_distinct_lineitem" -> hllDistinctSql,
     "q_cms_topk_docs" -> cmsTopkSql,
     "q_hdr_quantiles_docs" -> hdrQuantilesSql,
+    "q_blocklist_docs" -> blocklistSql,
     "q_bpe_pairs_docs" -> bpePairsSql,
     "q_bpe_train_docs" -> bpeTrainSql,
     "q_bpe_tokenize_docs" -> bpeTokenizeSql,

@@ -422,6 +422,46 @@ object TextStats {
     "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por"),
     "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un", "une", "dans", "que", "pour"))
 
+  /** Blocklist-grade token form: the [[Dedup.tokens]] token with leading/
+    * trailing non-alphanumerics stripped, so "Bad," and "(bad)" match the
+    * blocklist entry "bad" — the word-boundary semantics badwords
+    * filtering needs (plain substring match would flag "class" for
+    * "ass"). Codegen'd regexp; empty after stripping ⇒ not a word. */
+  def blocklistToken(t: Column): Column =
+    regexp_replace(t, "^[^a-z0-9]+|[^a-z0-9]+$", "")
+
+  /** Per-doc blocklist hit counts — the C4-style badwords pass (Raffel et
+    * al. 2020 filter the corpus on a published "bad words" list; the list
+    * here is the caller's). Emits (idCol, n_flagged) for docs with ≥ 1
+    * hit only.
+    *
+    * Scale shape: the corpus explodes to tokens, LEFT SEMI broadcast-join
+    * against the model-sized word list keeps ONLY flagged tokens (the
+    * corpus itself is never shuffled — same discipline as
+    * decontaminate), and the per-doc count partial-aggregates map-side.
+    */
+  def blocklistHits(docs: DataFrame, idCol: String, textCol: String,
+      words: Seq[String]): DataFrame = {
+    require(words.nonEmpty, "blocklist must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wl = words.map(_.toLowerCase).distinct.toDF("__w")
+    docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("__t"))
+      .select(col(idCol), blocklistToken(col("__t")).as("__t"))
+      .filter(col("__t") =!= "")
+      .join(broadcast(wl), col("__t") === col("__w"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_flagged"))
+  }
+
+  /** Drop every doc containing ≥ 1 blocklisted word (the C4 rule). An
+    * anti-join against the flagged-id set — deliberately NOT hinted
+    * broadcast: the flagged set is usually corpus-fraction-sized, and
+    * AQE picks the strategy from its runtime size. */
+  def dropBlocklisted(docs: DataFrame, idCol: String, textCol: String,
+      words: Seq[String]): DataFrame =
+    docs.join(blocklistHits(docs, idCol, textCol, words).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Dedup-grade canonical form: lowercase, ASCII punctuation → space,
     * digit RUNS folded to a single '0' (so "v1.2.3" ≡ "v4.5.6" — version/
     * id churn shouldn't defeat near-dup detection), whitespace collapsed,

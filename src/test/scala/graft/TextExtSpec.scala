@@ -843,6 +843,24 @@ class TextExtSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("blocklistHits counts word-boundary matches; dropBlocklisted applies the C4 any-hit rule") {
+    val docs = Seq(
+      (1L, "the Bad, word and (bad) again plus badge"), // punct-wrapped hits; "badge" must NOT match
+      (2L, "perfectly clean text here"),
+      (3L, "BAD"), // case-folded single hit
+      (4L, "...")) // strips to nothing — no tokens, no hits
+      .toDF("doc_id", "text")
+    val hits = ext.TextStats.blocklistHits(docs, "doc_id", "text", Seq("bad", "unused"))
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 2L, 3L -> 1L)) // flagged docs only; substring "badge" not counted
+    val kept = ext.TextStats.dropBlocklisted(docs, "doc_id", "text", Seq("bad"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+    // a blocklist word absent from the corpus flags nothing
+    val none = ext.TextStats.blocklistHits(docs, "doc_id", "text", Seq("absent"))
+    assert(none.count() == 0L)
+  }
+
   test("normalizeForDedup canonicalizes case, punctuation, digit runs, whitespace") {
     import spark.implicits._
     val out = Seq(
