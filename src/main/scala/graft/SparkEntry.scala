@@ -3154,6 +3154,27 @@ object SparkEntry {
        |FROM f JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic epoch-3 training-order shuffle: the 50 first docs in
+    * shuffle order with their ranks — DuckDB replays the affine epoch
+    * fold and the full mixHash chain per doc, pinning the permutation
+    * itself (not just membership). */
+  private def epochShuffleDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Sampling.epochShuffle(
+      Tables.documents(s, dir).select(col("doc_id")), "doc_id", epoch = 3)
+      .limit(50)
+
+  private def epochShuffleSql: String =
+    """WITH f AS (SELECT doc_id,
+      |  ((doc_id % 2147483648) * 1000003 + 3) % 2147483648 AS x FROM documents),
+      |h0 AS (SELECT doc_id, ((x % 2147483648) * 2654435761) % 4294967296 AS h FROM f),
+      |s1 AS (SELECT doc_id, xor(h, h >> 16) AS h FROM h0),
+      |m1 AS (SELECT doc_id, ((((h >> 16) * 2246822507) % 65536) * 65536 + (h % 65536) * 2246822507) % 4294967296 AS h FROM s1),
+      |s2 AS (SELECT doc_id, xor(h, h >> 13) AS h FROM m1),
+      |m2 AS (SELECT doc_id, ((((h >> 16) * 3266489909) % 65536) * 65536 + (h % 65536) * 3266489909) % 4294967296 AS h FROM s2),
+      |hx AS (SELECT doc_id, xor(h, h >> 16) AS h FROM m2)
+      |SELECT doc_id, h AS shuffle_rank FROM hx
+      |ORDER BY shuffle_rank, doc_id LIMIT 50""".stripMargin
+
   // ---- BPE tokenizer training ---------------------------------------------
 
   private val bpeNumMerges = 8
@@ -3371,6 +3392,7 @@ object SparkEntry {
     "q_cms_topk_docs" -> cmsTopkDocs,
     "q_hdr_quantiles_docs" -> hdrQuantilesDocs,
     "q_blocklist_docs" -> blocklistDocs,
+    "q_epoch_shuffle_docs" -> epochShuffleDocs,
     "q_bpe_pairs_docs" -> bpePairsDocs,
     "q_bpe_train_docs" -> bpeTrainDocs,
     "q_bpe_tokenize_docs" -> bpeTokenizeDocs,
@@ -3627,6 +3649,7 @@ object SparkEntry {
     "q_cms_topk_docs" -> cmsTopkSql,
     "q_hdr_quantiles_docs" -> hdrQuantilesSql,
     "q_blocklist_docs" -> blocklistSql,
+    "q_epoch_shuffle_docs" -> epochShuffleSql,
     "q_bpe_pairs_docs" -> bpePairsSql,
     "q_bpe_train_docs" -> bpeTrainSql,
     "q_bpe_tokenize_docs" -> bpeTokenizeSql,

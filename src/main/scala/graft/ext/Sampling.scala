@@ -51,6 +51,33 @@ object Sampling {
     df.filter(bucketHash(col(idCol)) < lit(threshold(frac)))
   }
 
+  /** Deterministic epoch-keyed training-order shuffle rank: the id is
+    * folded with the epoch through an affine step mod 2^31 (prime
+    * multiplier so consecutive epochs decorrelate; every intermediate
+    * < 2^52) and then fully mixed by [[Sketches.mixHash]]. Same rank on
+    * every run/retry/cluster for a given (id, epoch); different epochs
+    * are different permutations. Plain BIGINT arithmetic — SQL-replayable
+    * like every selector here. */
+  def epochShuffleRank(id: Column, epoch: Int): Column = {
+    require(epoch >= 0, s"epoch must be non-negative, got $epoch")
+    Sketches.mixHash(pmod(
+      pmod(id, lit(2147483648L)) * lit(1000003L) + lit(epoch.toLong),
+      lit(2147483648L)))
+  }
+
+  /** Global deterministic shuffle for dataloader export: orders the
+    * corpus by the epoch-keyed hash rank (id tiebreak — the 32-bit rank
+    * collides eventually), the standard "shuffle once per epoch at corpus
+    * scale" pattern. The sort is a RANGE exchange (Spark samples rank
+    * boundaries), so at 100 TB this is one repartition-by-range + local
+    * sort — no single-point ordering. Writing the result partition-wise
+    * preserves the global order for a sequential reader. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int): DataFrame = {
+    requireNumericId(df, idCol)
+    df.withColumn("shuffle_rank", epochShuffleRank(col(idCol), epoch))
+      .orderBy(col("shuffle_rank"), col(idCol))
+  }
+
   /** Per-group sampling fractions (e.g. language rebalancing): groups
     * absent from `fracs` fall back to `defaultFrac`. The frac lookup is a
     * model-sized table broadcast against the corpus — the data-sized pass

@@ -61,6 +61,26 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.takePerGroup(docs, "id", "grp", -1))
   }
 
+  test("epochShuffle: a permutation, stable per epoch, distinct across epochs") {
+    import graft.ext.Sampling
+    val ids = docs.select("id")
+    val e0 = Sampling.epochShuffle(ids, "id", 0).select("id").as[Long].collect()
+    val e0again = Sampling.epochShuffle(ids, "id", 0).select("id").as[Long].collect()
+    val e1 = Sampling.epochShuffle(ids, "id", 1).select("id").as[Long].collect()
+    // permutation of the full id set, bit-stable on re-run
+    assert(e0.sorted.toSeq == (0L until 2000L))
+    assert(e0.toSeq == e0again.toSeq)
+    // different epochs give (very) different orders
+    assert(e0.toSeq != e1.toSeq)
+    assert(e1.sorted.toSeq == (0L until 2000L))
+    // not the identity: sequential ids must scatter
+    assert(e0.take(20).toSeq != (0L until 20L))
+    // partitioning-invariant: the global sort fixes one total order
+    val rep = Sampling.epochShuffle(ids.repartition(13), "id", 0)
+      .select("id").as[Long].collect()
+    assert(rep.toSeq == e0.toSeq)
+  }
+
   test("samplers reject a non-numeric id column up front") {
     val bad = docs.withColumn("id", concat(lit("u"), $"id"))
     intercept[IllegalArgumentException](Sampling.deterministicSample(bad, "id", 0.5))
