@@ -3175,6 +3175,51 @@ object SparkEntry {
       |SELECT doc_id, h AS shuffle_rank FROM hx
       |ORDER BY shuffle_rank, doc_id LIMIT 50""".stripMargin
 
+  /** Streaming CMS ingestion, deterministically replayed as three uneven
+    * micro-batches through the PRODUCTION `cmsUpdateBatch` body — and,
+    * unlike the other streaming queries, HARD-oracled: the CMS merge law
+    * makes the final store equal the one-shot sketch of the whole
+    * corpus, which DuckDB replays cell-by-cell. A batch-decomposition
+    * bug (lost batch, double-merge, stale store) breaks the hash. */
+  private def cmsStreamDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("cms_q")
+    val store = s"$tmp/store"
+    try {
+      Seq(docs.filter(col("doc_id") < 37),
+        docs.filter(col("doc_id") >= 37 && col("doc_id") < 150),
+        docs.filter(col("doc_id") >= 150))
+        .foreach(b => streaming.StreamOps.cmsUpdateBatch(b, "text", store, 64, 4))
+      val rows = s.read.parquet(store)
+        .select(col("r").cast("long").as("r"), col("bucket"), col("cnt"))
+        .orderBy("r", "bucket").collect().toSeq
+      s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("r", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType))))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
+  }
+
+  private def cmsStreamSql: String =
+    raw"""WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+       |  FROM documents WHERE doc_id < 200),
+       |tf AS (SELECT tok, count(*) AS c FROM t WHERE tok <> '' GROUP BY tok),
+       |th AS (SELECT tok, c,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(tok)),
+       |      j -> ascii(substring(tok, j, 1))::BIGINT)),
+       |    (h, x) -> (h * 257 + x) % 1000000007) AS th FROM tf),
+       |rb AS (SELECT r, ((th * (2654435761 + 40503 * r) + 97911 * r + 7) % 1000000007) % 64 AS bucket, c
+       |  FROM th, (SELECT unnest(generate_series(0, 3)) AS r) rs)
+       |SELECT r::BIGINT AS r, bucket::BIGINT AS bucket, sum(c)::BIGINT AS cnt
+       |FROM rb GROUP BY r, bucket ORDER BY r, bucket""".stripMargin
+
   // ---- BPE tokenizer training ---------------------------------------------
 
   private val bpeNumMerges = 8
@@ -3393,6 +3438,7 @@ object SparkEntry {
     "q_hdr_quantiles_docs" -> hdrQuantilesDocs,
     "q_blocklist_docs" -> blocklistDocs,
     "q_epoch_shuffle_docs" -> epochShuffleDocs,
+    "q_cms_stream_docs" -> cmsStreamDocs,
     "q_bpe_pairs_docs" -> bpePairsDocs,
     "q_bpe_train_docs" -> bpeTrainDocs,
     "q_bpe_tokenize_docs" -> bpeTokenizeDocs,
@@ -3650,6 +3696,7 @@ object SparkEntry {
     "q_hdr_quantiles_docs" -> hdrQuantilesSql,
     "q_blocklist_docs" -> blocklistSql,
     "q_epoch_shuffle_docs" -> epochShuffleSql,
+    "q_cms_stream_docs" -> cmsStreamSql,
     "q_bpe_pairs_docs" -> bpePairsSql,
     "q_bpe_train_docs" -> bpeTrainSql,
     "q_bpe_tokenize_docs" -> bpeTokenizeSql,

@@ -338,4 +338,83 @@ object StreamOps {
       .queryName(sinkTable)
       .start()
   }
+
+  // ---- streaming sketch stores ---------------------------------------------
+
+  /** Replace `storeDir` with `merged`, which MUST be model-sized: the
+    * rows are collected to the driver (legitimately — a sketch is ≤
+    * depth·width cells by construction) so the store can be overwritten
+    * without the read-while-overwriting-self hazard of a lazy plan over
+    * the same path. Production note: on a real cluster back the store
+    * with a table format whose replace is atomic; plain parquet
+    * mode=overwrite has a delete-then-write window (same caveat as the
+    * near-dedup signature store above). */
+  private def replaceStore(merged: DataFrame, storeDir: String): DataFrame = {
+    val spark = merged.sparkSession
+    val rows = merged.collect()
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), merged.schema)
+    out.coalesce(1).write.mode("overwrite").parquet(storeDir)
+    out
+  }
+
+  /** Fold one micro-batch of documents into a persistent count–min
+    * counter store — continuously-updated corpus token statistics, the
+    * streaming face of [[graft.ext.Sketches.cmsCounters]]. Correct by the
+    * CMS merge law (counters are additive), so processing a corpus in ANY
+    * batch decomposition yields the bit-identical store as one batch
+    * pass: stream ≡ batch is a theorem here, and the spec asserts it.
+    * Returns the merged counters. */
+  def cmsUpdateBatch(batch: DataFrame, textCol: String, storeDir: String,
+      width: Int, depth: Int): DataFrame = {
+    import graft.ext.{Dedup, Sketches}
+    val spark = batch.sparkSession
+    val toks = batch.select(explode(Dedup.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val fresh = Sketches.cmsCounters(toks, "tok", width, depth)
+    val merged =
+      if (new java.io.File(storeDir).exists())
+        Sketches.cmsMergeCounters(
+          spark.read.parquet(storeDir)
+            .select(col("r").cast("int").as("r"), col("bucket"), col("cnt")),
+          fresh)
+      else fresh
+    replaceStore(
+      merged.select(col("r").cast("int").as("r"), col("bucket"), col("cnt")),
+      storeDir)
+  }
+
+  /** Same discipline for the HDR quantile histogram: per-batch histograms
+    * of `exprCol` (e.g. doc length) merge by per-bucket addition into a
+    * persistent store, read at any time via
+    * [[graft.ext.Sketches.hdrQuantiles]]. */
+  def hdrUpdateBatch(batch: DataFrame, valueExpr: org.apache.spark.sql.Column,
+      storeDir: String): DataFrame = {
+    import graft.ext.Sketches
+    val spark = batch.sparkSession
+    val fresh = Sketches.hdrHistogram(batch.select(valueExpr.as("v")), "v")
+    val merged =
+      if (new java.io.File(storeDir).exists())
+        Sketches.hdrMerge(spark.read.parquet(storeDir), fresh)
+      else fresh
+    replaceStore(merged.select(col("bucket"), col("cnt")), storeDir)
+  }
+
+  /** readStream → foreachBatch wiring for the CMS store: each arriving
+    * parquet file's documents fold into `storeDir`. */
+  def cmsStream(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      storeDir: String,
+      textCol: String = "text",
+      width: Int = 1024,
+      depth: Int = 4): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) { cmsUpdateBatch(batch.toDF(), textCol, storeDir, width, depth); () }
+      }
+      .start()
+  }
 }

@@ -195,6 +195,38 @@ class SketchesSpec extends SparkSpec {
     assert(whole.toSeq.map(_._2).sum == 5001L)
   }
 
+  test("streaming sketch stores: any batch decomposition equals the one-shot sketch") {
+    import graft.streaming.StreamOps
+    val docs = (0L until 300L).map(i =>
+      (i, s"tok${i % 17} tok${(i * i) % 17} tok${i % 5} filler${i % 41}"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("sketch_store").toString
+    try {
+      // CMS: three uneven batches vs the whole corpus
+      Seq(docs.filter($"doc_id" < 50), docs.filter($"doc_id" >= 50 && $"doc_id" < 260),
+        docs.filter($"doc_id" >= 260))
+        .foreach(b => StreamOps.cmsUpdateBatch(b, "text", s"$tmp/cms", 64, 4))
+      val streamed = spark.read.parquet(s"$tmp/cms")
+        .as[(Int, Long, Long)].collect().toSet
+      val toks = docs.select(explode(graft.ext.Dedup.tokens($"text")).as("tok"))
+        .filter($"tok" =!= "")
+      val oneShot = Sketches.cmsCounters(toks, "tok", 64, 4)
+        .as[(Int, Long, Long)].collect().toSet
+      assert(streamed == oneShot)
+      // HDR: same decomposition law for the length histogram
+      Seq(docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1))
+        .foreach(b => StreamOps.hdrUpdateBatch(b, length($"text").cast("long"), s"$tmp/hdr"))
+      val hs = spark.read.parquet(s"$tmp/hdr").as[(Long, Long)].collect().toSet
+      val ho = Sketches.hdrHistogram(docs.select(length($"text").cast("long").as("v")), "v")
+        .as[(Long, Long)].collect().toSet
+      assert(hs == ho)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
+  }
+
   test("mixHash: column arithmetic agrees with an independent 64-bit implementation") {
     val ids = Seq(0L, 1L, 17L, 65536L, 2147483647L)
     val rows = ids.toDF("id").select(col("id"), Sketches.mixHash(col("id")).as("h"))
