@@ -3220,6 +3220,55 @@ object SparkEntry {
        |SELECT r::BIGINT AS r, bucket::BIGINT AS bucket, sum(c)::BIGINT AS cnt
        |FROM rb GROUP BY r, bucket ORDER BY r, bucket""".stripMargin
 
+  /** Gopher-rules quality pass over the full documents corpus: every §A1.1
+    * statistic (word counts, mean word length, alpha-word fraction,
+    * symbol ratio, bullet/ellipsis line fractions, TTR, token entropy)
+    * plus the keep decision — DuckDB replays the (doc, token) counting,
+    * the entropy identity ln n − Σc·ln c / n, the line regexes, and the
+    * threshold rule. Null-stat docs (no tokens) must fail kept on BOTH
+    * sides. */
+  private def gopherQualityDocs(s: SparkSession, dir: String): DataFrame =
+    ext.TextStats.gopherFilter(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_words"),
+        round6("mean_word_len"), round6("alpha_word_frac"),
+        round6("symbol_word_ratio"), round6("type_token_ratio"),
+        round6("token_entropy"), round6("bullet_line_frac"),
+        round6("ellipsis_line_frac"), col("kept").cast("int").as("kept"))
+      .orderBy("doc_id")
+
+  private def gopherQualitySql: String =
+    raw"""WITH tok AS (SELECT doc_id,
+       |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS t FROM documents),
+       |pt AS (SELECT doc_id, t, count(*) AS c FROM tok WHERE t <> '' GROUP BY doc_id, t),
+       |ws AS (SELECT doc_id, sum(c)::BIGINT AS n_words,
+       |  sum(c * length(t)) / sum(c) AS mwl,
+       |  sum(CASE WHEN regexp_matches(t, '[a-z]') THEN c ELSE 0 END) / sum(c) AS awf,
+       |  sum(c * ((length(t) - length(replace(t, '#', '')))
+       |    + (length(t) - length(replace(t, '...', ''))) / 3
+       |    + (length(t) - length(replace(t, '…', ''))))) / sum(c) AS swr,
+       |  count(*) / sum(c) AS ttr,
+       |  ln(sum(c)) - sum(c * ln(c)) / sum(c) AS ent
+       |  FROM pt GROUP BY doc_id),
+       |lr AS (SELECT doc_id, trim(l) AS l FROM
+       |  (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)),
+       |ls AS (SELECT doc_id,
+       |  avg(CASE WHEN regexp_matches(l, '^([-*•])') THEN 1.0 ELSE 0.0 END) AS blf,
+       |  avg(CASE WHEN regexp_matches(l, '(\.\.\.|…)$$') THEN 1.0 ELSE 0.0 END) AS elf
+       |  FROM lr GROUP BY doc_id)
+       |SELECT d.doc_id, ws.n_words,
+       |  floor(mwl * 1e6 + 0.5) / 1e6 AS mean_word_len,
+       |  floor(awf * 1e6 + 0.5) / 1e6 AS alpha_word_frac,
+       |  floor(swr * 1e6 + 0.5) / 1e6 AS symbol_word_ratio,
+       |  floor(ttr * 1e6 + 0.5) / 1e6 AS type_token_ratio,
+       |  floor(ent * 1e6 + 0.5) / 1e6 AS token_entropy,
+       |  floor(blf * 1e6 + 0.5) / 1e6 AS bullet_line_frac,
+       |  floor(elf * 1e6 + 0.5) / 1e6 AS ellipsis_line_frac,
+       |  coalesce(ws.n_words >= 50 AND ws.n_words <= 100000
+       |    AND mwl >= 3.0 AND mwl <= 10.0 AND swr <= 0.1
+       |    AND blf <= 0.9 AND elf <= 0.3 AND awf >= 0.8, false)::INT AS kept
+       |FROM documents d LEFT JOIN ws USING (doc_id) LEFT JOIN ls USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- BPE tokenizer training ---------------------------------------------
 
   private val bpeNumMerges = 8
@@ -3439,6 +3488,7 @@ object SparkEntry {
     "q_blocklist_docs" -> blocklistDocs,
     "q_epoch_shuffle_docs" -> epochShuffleDocs,
     "q_cms_stream_docs" -> cmsStreamDocs,
+    "q_gopher_quality_docs" -> gopherQualityDocs,
     "q_bpe_pairs_docs" -> bpePairsDocs,
     "q_bpe_train_docs" -> bpeTrainDocs,
     "q_bpe_tokenize_docs" -> bpeTokenizeDocs,
@@ -3697,6 +3747,7 @@ object SparkEntry {
     "q_blocklist_docs" -> blocklistSql,
     "q_epoch_shuffle_docs" -> epochShuffleSql,
     "q_cms_stream_docs" -> cmsStreamSql,
+    "q_gopher_quality_docs" -> gopherQualitySql,
     "q_bpe_pairs_docs" -> bpePairsSql,
     "q_bpe_train_docs" -> bpeTrainSql,
     "q_bpe_tokenize_docs" -> bpeTokenizeSql,

@@ -422,6 +422,68 @@ object TextStats {
     "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por"),
     "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un", "une", "dans", "que", "pour"))
 
+  /** Gopher-style per-doc quality statistics (Rae et al. 2021 §A1.1 — the
+    * published "Gopher rules" document filter): word counts, mean word
+    * length, alphabetic-word fraction, symbol-to-word ratio (# and …),
+    * bullet-start and ellipsis-end line fractions, plus type-token ratio
+    * and token Shannon entropy (H = ln n − Σc·ln c / n — one pass over
+    * the per-(doc, token) counts, no per-doc distinct scan).
+    *
+    * Scale shape: ONE posexplode → groupBy(doc, token) count (map-side
+    * combinable — the shuffle carries per-doc VOCAB rows, not tokens) →
+    * groupBy(doc); every word-level stat folds over the counted rows
+    * (`Σc·len(tok)`, not a second token pass). The line-level fractions
+    * ride a second, lighter explode. Docs with null/empty text surface
+    * with null stats (LEFT join) — the filter treats them as failing. */
+  def gopherStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val tok = base
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+    val perTok = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val hashes = length(col("t")) - length(replace(col("t"), lit("#"), lit("")))
+    val dots = (length(col("t")) -
+      length(replace(col("t"), lit("..."), lit("")))) / lit(3)
+    val ellip = length(col("t")) - length(replace(col("t"), lit("…"), lit("")))
+    val wordStats = perTok.groupBy("doc_id").agg(
+      sum("c").as("n_words"),
+      (sum(col("c") * length(col("t"))) / sum("c")).as("mean_word_len"),
+      (sum(when(col("t").rlike("[a-z]"), col("c")).otherwise(0L)) / sum("c"))
+        .as("alpha_word_frac"),
+      (sum(col("c") * (hashes + dots + ellip)) / sum("c")).as("symbol_word_ratio"),
+      (count(lit(1)) / sum("c")).as("type_token_ratio"),
+      (log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c")).as("token_entropy"))
+    val line = base
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("l"))
+      .select(col("doc_id"), trim(col("l")).as("l"))
+    val lineStats = line.groupBy("doc_id").agg(
+      avg(when(col("l").rlike("^([-*•])"), 1.0).otherwise(0.0)).as("bullet_line_frac"),
+      avg(when(col("l").rlike("(\\.\\.\\.|…)$"), 1.0).otherwise(0.0)).as("ellipsis_line_frac"))
+    base.select(col("doc_id"))
+      .join(wordStats, Seq("doc_id"), "left")
+      .join(lineStats, Seq("doc_id"), "left")
+  }
+
+  /** The published Gopher keep-rule over [[gopherStats]] (defaults are the
+    * paper's §A1.1 thresholds; minWords is configurable because 50 words
+    * excludes most short-doc fixtures). Null stats (empty/null text) fail
+    * the rule. Emits the stats plus `kept`. */
+  def gopherFilter(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8): DataFrame =
+    gopherStats(docs, idCol, textCol).withColumn("kept",
+      coalesce(
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanWordLen && col("mean_word_len") <= maxMeanWordLen &&
+          col("symbol_word_ratio") <= maxSymbolRatio &&
+          col("bullet_line_frac") <= maxBulletFrac &&
+          col("ellipsis_line_frac") <= maxEllipsisFrac &&
+          col("alpha_word_frac") >= minAlphaFrac,
+        lit(false)))
+
   /** Blocklist-grade token form: the [[Dedup.tokens]] token with leading/
     * trailing non-alphanumerics stripped, so "Bad," and "(bad)" match the
     * blocklist entry "bad" — the word-boundary semantics badwords

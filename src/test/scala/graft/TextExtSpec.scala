@@ -843,6 +843,49 @@ class TextExtSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gopherStats: hand-computed entropy/TTR/symbol stats; line fractions; null text") {
+    val docs = Seq(
+      (1L, "aa aa bb"), // n=3, c={aa:2, bb:1}
+      (2L, "x# y... z…"),
+      (3L, "- bullet one\n- bullet two\nplain line ends...\nanother"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "123 456")) // no alphabetic words
+      .toDF("doc_id", "text")
+    val st = ext.TextStats.gopherStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: H = ln3 − (2·ln2 + 1·ln1)/3; ttr = 2/3; mwl = 2
+    val h1 = math.log(3) - 2 * math.log(2) / 3
+    assert(math.abs(st(1L).getAs[Double]("token_entropy") - h1) < 1e-12)
+    assert(math.abs(st(1L).getAs[Double]("type_token_ratio") - 2.0 / 3) < 1e-12)
+    assert(st(1L).getAs[Double]("mean_word_len") == 2.0)
+    // doc 2: one symbol per word → ratio 1; all words still contain a letter
+    assert(st(2L).getAs[Double]("symbol_word_ratio") == 1.0)
+    assert(st(2L).getAs[Double]("alpha_word_frac") == 1.0)
+    // doc 3: 2 of 4 lines bullet-started, 1 of 4 ellipsis-ended
+    assert(st(3L).getAs[Double]("bullet_line_frac") == 0.5)
+    assert(st(3L).getAs[Double]("ellipsis_line_frac") == 0.25)
+    // doc 4: null text → null word stats
+    assert(st(4L).isNullAt(st(4L).fieldIndex("n_words")))
+    // doc 5: digit-only words
+    assert(st(5L).getAs[Double]("alpha_word_frac") == 0.0)
+  }
+
+  test("gopherFilter: threshold rule incl. null-stat docs failing") {
+    val long = (1 to 60).map(i => s"word$i").mkString(" ") // 60 distinct 5-7 char words
+    val docs = Seq(
+      (1L, long), // passes everything
+      (2L, "short doc"), // n_words < 50
+      (3L, null.asInstanceOf[String])) // null stats
+      .toDF("doc_id", "text")
+    val kept = ext.TextStats.gopherFilter(docs)
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(kept == Map(1L -> true, 2L -> false, 3L -> false))
+    // lowering minWords admits the short doc
+    val loose = ext.TextStats.gopherFilter(docs, minWords = 2L)
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(loose(2L))
+  }
+
   test("blocklistHits counts word-boundary matches; dropBlocklisted applies the C4 any-hit rule") {
     val docs = Seq(
       (1L, "the Bad, word and (bad) again plus badge"), // punct-wrapped hits; "badge" must NOT match
