@@ -3269,6 +3269,40 @@ object SparkEntry {
        |FROM documents d LEFT JOIN ws USING (doc_id) LEFT JOIN ls USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Quality-proportional deterministic sampling: keep each doc with
+    * probability equal to its quality score, decided by the id hash
+    * (FineWeb-style soft filtering without rand()) — DuckDB replays the
+    * score, the 2^32 threshold, the Knuth hash, and the exact keep set. */
+  private def weightedKeepDocs(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), ext.TextStats.qualityScore(col("text")).as("w"))
+    ext.Sampling.weightedKeep(scored, "doc_id", "w")
+      .select(col("doc_id"), r6(col("w")).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  private def weightedKeepSql: String =
+    raw"""WITH q0 AS (
+       |  SELECT doc_id,
+       |    least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
+       |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+       |      / greatest(length(text), 1) AS pr,
+       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+       |      / greatest(length(text), 1) AS dr,
+       |    length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE /
+       |      greatest(CASE WHEN trim(text) = '' THEN 0
+       |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS wl
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    greatest(least(len_score * 0.4 + (1.0 - least((pr + dr) * 4.0, 1.0)) * 0.4 +
+       |      (CASE WHEN wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 1.0), 0.0) AS w
+       |  FROM q0)
+       |SELECT doc_id, floor(w * 1e6 + 0.5) / 1e6 AS weight FROM sc
+       |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296
+       |  < floor(w * 4294967296.0)::BIGINT
+       |ORDER BY doc_id""".stripMargin
+
   // ---- BPE tokenizer training ---------------------------------------------
 
   private val bpeNumMerges = 8
@@ -3489,6 +3523,7 @@ object SparkEntry {
     "q_epoch_shuffle_docs" -> epochShuffleDocs,
     "q_cms_stream_docs" -> cmsStreamDocs,
     "q_gopher_quality_docs" -> gopherQualityDocs,
+    "q_weighted_keep_docs" -> weightedKeepDocs,
     "q_bpe_pairs_docs" -> bpePairsDocs,
     "q_bpe_train_docs" -> bpeTrainDocs,
     "q_bpe_tokenize_docs" -> bpeTokenizeDocs,
@@ -3748,6 +3783,7 @@ object SparkEntry {
     "q_epoch_shuffle_docs" -> epochShuffleSql,
     "q_cms_stream_docs" -> cmsStreamSql,
     "q_gopher_quality_docs" -> gopherQualitySql,
+    "q_weighted_keep_docs" -> weightedKeepSql,
     "q_bpe_pairs_docs" -> bpePairsSql,
     "q_bpe_train_docs" -> bpeTrainSql,
     "q_bpe_tokenize_docs" -> bpeTokenizeSql,

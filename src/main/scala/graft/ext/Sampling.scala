@@ -51,6 +51,23 @@ object Sampling {
     df.filter(bucketHash(col(idCol)) < lit(threshold(frac)))
   }
 
+  /** Deterministic weighted keep — "sample each row with probability equal
+    * to its weight", replayably: row kept iff
+    * bucketHash(id) < floor(w·2^32), so a weight of 0 never keeps, 1
+    * always keeps, and the SAME id survives or not identically on every
+    * run/retry/engine (the FineWeb-style soft quality filter, with the
+    * rand() replaced by the id hash like every selector here). Weights
+    * outside [0,1] fail loudly per row (ANSI-mode when/raise) rather
+    * than silently clamping. Map-side filter, no shuffle. */
+  def weightedKeep(df: DataFrame, idCol: String, weightCol: String): DataFrame = {
+    requireNumericId(df, idCol)
+    val w = col(weightCol).cast("double")
+    df.filter(when(w >= 0.0 && w <= 1.0,
+        bucketHash(col(idCol)) < floor(w * lit(4294967296.0)).cast("long"))
+      .otherwise(raise_error(concat(lit(s"weight out of [0,1] in '$weightCol': "),
+        w.cast("string")))))
+  }
+
   /** Deterministic epoch-keyed training-order shuffle rank: the id is
     * folded with the epoch through an affine step mod 2^31 (prime
     * multiplier so consecutive epochs decorrelate; every intermediate

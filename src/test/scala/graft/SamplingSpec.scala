@@ -81,6 +81,29 @@ class SamplingSpec extends SparkSpec {
     assert(rep.toSeq == e0.toSeq)
   }
 
+  test("weightedKeep: probability-proportional, deterministic, loud on bad weights") {
+    import graft.ext.Sampling
+    val n = 20000
+    val df = (0L until n.toLong).map(i => (i, (i % 10).toDouble / 10.0)).toDF("id", "w")
+    val kept = Sampling.weightedKeep(df, "id", "w")
+    // w=0 never kept; kept fraction per weight bucket tracks the weight
+    val byW = kept.groupBy("w").count().as[(Double, Long)].collect().toMap
+    assert(!byW.contains(0.0))
+    (1 to 9).foreach { k =>
+      val frac = byW.getOrElse(k / 10.0, 0L).toDouble / (n / 10)
+      assert(math.abs(frac - k / 10.0) < 0.05, s"w=${k / 10.0} frac=$frac")
+    }
+    // deterministic: same rows on re-run; w=1 keeps everything
+    assert(kept.select("id").as[Long].collect().toSeq ==
+      Sampling.weightedKeep(df, "id", "w").select("id").as[Long].collect().toSeq)
+    val allW1 = (0L until 100L).map((_, 1.0)).toDF("id", "w")
+    assert(Sampling.weightedKeep(allW1, "id", "w").count() == 100L)
+    // out-of-range weight fails loudly, not silently clamps
+    val bad = Seq((1L, 1.5)).toDF("id", "w")
+    val e = intercept[Exception] { Sampling.weightedKeep(bad, "id", "w").collect() }
+    assert(e.getMessage != null)
+  }
+
   test("samplers reject a non-numeric id column up front") {
     val bad = docs.withColumn("id", concat(lit("u"), $"id"))
     intercept[IllegalArgumentException](Sampling.deterministicSample(bad, "id", 0.5))
