@@ -3303,6 +3303,39 @@ object SparkEntry {
        |  < floor(w * 4294967296.0)::BIGINT
        |ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style boilerplate-line removal over a deterministically
+    * "lineified" corpus: every doc gains a universal footer (df = N), a
+    * rotating `ref k` line (df ≈ N/7), and a unique `id <doc>` line
+    * (df = 1) — the first two must be dropped, the last kept, and the
+    * original text line survives unless ≥ 3 docs share it verbatim
+    * (the corpus's exact-dup groups). Null-text docs concat to null →
+    * zero lines. DuckDB replays the planting, the per-line doc-frequency
+    * rule, and the in-order reassembly. */
+  private def boilerplateDocs(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"), lit("\nstandard footer"),
+        lit("\nref "), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit("\nid "), col("doc_id").cast("string")).as("text"))
+    ext.Dedup.dropBoilerplateLines(planted, minDocFreq = 3)
+      .orderBy("doc_id")
+  }
+
+  private def boilerplateSql: String =
+    """WITH d AS (SELECT doc_id, text || chr(10) || 'standard footer' || chr(10)
+      |  || 'ref ' || (doc_id % 7) || chr(10) || 'id ' || doc_id AS t FROM documents),
+      |b AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+      |l0 AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM b),
+      |l AS (SELECT doc_id, i, trim(lower(ls[i])) AS key, ls[i] AS line FROM l0
+      |  WHERE trim(lower(ls[i])) <> ''),
+      |f AS (SELECT key FROM (SELECT key, count(DISTINCT doc_id) AS df FROM l GROUP BY key)
+      |  WHERE df >= 3),
+      |k AS (SELECT doc_id, i, line FROM l WHERE key NOT IN (SELECT key FROM f)),
+      |r AS (SELECT doc_id, count(*) AS n_lines_kept,
+      |  array_to_string(list(line ORDER BY i), chr(10)) AS text FROM k GROUP BY doc_id)
+      |SELECT d0.doc_id, coalesce(r.n_lines_kept, 0)::BIGINT AS n_lines_kept,
+      |  coalesce(r.text, '') AS text
+      |FROM documents d0 LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ---- BPE tokenizer training ---------------------------------------------
 
   private val bpeNumMerges = 8
@@ -3524,6 +3557,7 @@ object SparkEntry {
     "q_cms_stream_docs" -> cmsStreamDocs,
     "q_gopher_quality_docs" -> gopherQualityDocs,
     "q_weighted_keep_docs" -> weightedKeepDocs,
+    "q_boilerplate_docs" -> boilerplateDocs,
     "q_bpe_pairs_docs" -> bpePairsDocs,
     "q_bpe_train_docs" -> bpeTrainDocs,
     "q_bpe_tokenize_docs" -> bpeTokenizeDocs,
@@ -3784,6 +3818,7 @@ object SparkEntry {
     "q_cms_stream_docs" -> cmsStreamSql,
     "q_gopher_quality_docs" -> gopherQualitySql,
     "q_weighted_keep_docs" -> weightedKeepSql,
+    "q_boilerplate_docs" -> boilerplateSql,
     "q_bpe_pairs_docs" -> bpePairsSql,
     "q_bpe_train_docs" -> bpeTrainSql,
     "q_bpe_tokenize_docs" -> bpeTokenizeSql,

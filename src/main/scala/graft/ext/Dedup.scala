@@ -130,6 +130,51 @@ object Dedup {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** CCNet-style boilerplate-line removal (Wenzek et al. 2020 dedup
+    * paragraphs by hash across shards; the frequency-threshold variant
+    * here is the standard crawl-cleanup rule): drop every line whose
+    * normalized form (trim + lower) appears in ≥ `minDocFreq` DISTINCT
+    * docs — navigation chrome, cookie banners, footers — and reassemble
+    * the survivors in order. Differs from [[dropRepeatedSpans]] in BOTH
+    * axes: the unit is the source line (not a token block) and the rule
+    * is a doc-frequency threshold (not drop-all-repeats-keep-first), so
+    * a line repeated WITHIN one doc survives intact.
+    *
+    * Empty/whitespace-only lines are dropped unconditionally (they'd
+    * otherwise be "boilerplate" in every multi-paragraph doc). Docs whose
+    * every line was boilerplate come back with empty text (row kept —
+    * the caller decides whether emptied docs die). Scale shape: the
+    * doc-frequency count is a two-level aggregate (line-key count of
+    * distinct docs — partial-combined; a corpus-viral banner collapses
+    * map-side), the drop is a LEFT ANTI join on the line key, and the
+    * reassembly is the same sort_array(collect_list(struct)) fold as
+    * [[dropRepeatedSpans]], keyed per doc. */
+  def dropBoilerplateLines(docs: DataFrame, minDocFreq: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__li", "__line")))
+      .withColumn("__key", trim(lower(col("__line"))))
+      .filter(col("__key") =!= "")
+    val boiler = lines.groupBy("__key")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select("__key")
+    val kept = lines.join(boiler, Seq("__key"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__li"), col("__line")))),
+            s => s.getField("__line")),
+          "\n").as("__text"))
+    docs.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("__text"), lit("")).as(textCol))
+  }
+
   // ---- shingles / tokens ---------------------------------------------------
 
   /** Lower-cased whitespace tokens. */

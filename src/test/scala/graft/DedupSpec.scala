@@ -79,6 +79,32 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("dropBoilerplateLines: df-threshold rule, within-doc repeats survive, order kept") {
+    val docs = Seq(
+      (1L, "unique alpha\nCOOKIE BANNER\nbody one\nbody one\ncookie banner"),
+      (2L, "cookie banner\nbody two"),
+      (3L, "Cookie Banner\nbody three\n\n  \nunique omega"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(docs, minDocFreq = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines_kept"), r.getAs[String]("text"))).toMap
+    // "cookie banner" normalizes identically in 3 docs → dropped everywhere,
+    // case variants included; within-doc repeat "body one" ×2 survives BOTH
+    // copies (df counts DOCS, not occurrences)
+    assert(out(1L) == ((3L, "unique alpha\nbody one\nbody one")))
+    assert(out(2L) == ((1L, "body two")))
+    // blank/whitespace-only lines dropped unconditionally
+    assert(out(3L) == ((2L, "body three\nunique omega")))
+    // null text → zero lines, empty reassembly, row kept
+    assert(out(4L) == ((0L, "")))
+    // below the threshold nothing is boilerplate
+    val loose = Dedup.dropBoilerplateLines(docs.filter($"doc_id" <= 2), minDocFreq = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_lines_kept")).toMap
+    assert(loose == Map(1L -> 5L, 2L -> 2L))
+    intercept[IllegalArgumentException] { Dedup.dropBoilerplateLines(docs, 1) }
+  }
+
   test("exact dup summary counts duplicate groups") {
     val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "a b c"))
     val r = Dedup.exactDupSummary(d).head()
