@@ -18,11 +18,16 @@ import org.apache.spark.sql.SparkSession
   * no shuffle reuse — while codegen stays cached for identical
   * source), reported as `exec`.
   *
-  * Usage: `runMain graft.ProbeCompile q_name [q_name2 ...]`
+  * Usage: `runMain graft.ProbeCompile q_name [q_name2 ...]`, or
+  * `runMain graft.ProbeCompile all` for the whole suite (the committed
+  * `bench_r7_attribution.txt` artifact).
   */
 object ProbeCompile {
-  def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "pass at least one query name")
+  def main(args0: Array[String]): Unit = {
+    require(args0.nonEmpty, "pass query names or 'all'")
+    val args: Array[String] =
+      if (args0.sameElements(Array("all"))) SparkEntry.queries.keys.toArray.sorted
+      else args0
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")

@@ -28,4 +28,21 @@ object Bucketing {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
+
+  /** Hive-style partitioned layout — the OTHER write-time co-location
+    * axis: one directory per distinct partition-column tuple, so a read
+    * filtered on those columns prunes whole directories at PLANNING time
+    * (the scan's `PartitionFilters`; no footer is even opened for pruned
+    * partitions). Partition by LOW-cardinality selective columns
+    * (language, date, source); high-cardinality keys belong in
+    * [[writeBucketed]] — a million tiny directories is the classic
+    * small-files failure. The 100 TB corpus layout composes both:
+    * `partitionBy(lang, dt)` directories, bucketed by doc id within.
+    * ScaleSpec pins the pruning plan (non-empty PartitionFilters AND
+    * pruned file count). */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
 }

@@ -82,4 +82,40 @@ class ScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("partitioned layout prunes directories at planning time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val tmp = java.nio.file.Files.createTempDirectory("part_prune").toString
+    try {
+      val docs = (0L until 900L)
+        .map(i => (i, Seq("en", "de", "fr")((i % 3).toInt), s"text $i"))
+        .toDF("doc_id", "lang", "text")
+      Bucketing.writePartitioned(docs, tmp, Seq("lang"))
+      val read = spark.read.parquet(tmp).filter($"lang" === "en")
+      read.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+        p.collectLeaves().collect { case s: FileSourceScanExec => s } ++
+          p.subqueries.flatMap(scans)
+      val scan = scans(read.queryExecution.executedPlan) match {
+        case Seq(s) => s
+        case other => fail(s"expected one scan, got $other")
+      }
+      // the lang predicate becomes a PARTITION filter (directory pruning),
+      // not a data filter evaluated per row
+      assert(scan.partitionFilters.nonEmpty, "lang filter was not pushed to partitions")
+      // and only the matching directory's files are read
+      assert(scan.inputRDDs().map(_.getNumPartitions).sum > 0)
+      val files = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+        .flatMap(_.files).map(_.getPath.toString)
+      assert(files.nonEmpty && files.forall(_.contains("lang=en")),
+        s"pruned listing leaked other partitions: $files")
+      assert(read.count() == 300)
+      // control: unfiltered read sees all three partitions
+      assert(spark.read.parquet(tmp).count() == 900)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
+  }
 }
