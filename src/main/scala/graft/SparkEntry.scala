@@ -2582,9 +2582,7 @@ object SparkEntry {
     } finally {
       // the manifest is fully collected above — drop the sink scratch dir
       // (it re-ran every bench/verify invocation and accumulated in /tmp)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+      core.Fs.rmTree(tmp)
     }
   }
 
@@ -2952,11 +2950,7 @@ object SparkEntry {
       import s.implicits._
       s.read.parquet(sink).select("doc_id").as[Long].collect().sorted.toSeq
         .toDF("admitted_id")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
-    }
+    } finally core.Fs.rmTree(tmp)
   }
 
   // ---- cardinality sketches -----------------------------------------------
@@ -3087,8 +3081,8 @@ object SparkEntry {
     val cum = vals.filter(col("v").isNotNull && col("v") >= 0)
       .groupBy("v").agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum("cnt").over(w))
-    val n = vals.filter(col("v").isNotNull && col("v") >= 0)
-      .agg(count(lit(1)).as("n"))
+    // N from the model-sized histogram, not a third corpus scan
+    val n = hist.agg(sum("cnt").as("n"))
     val ranks = n.select(explode(array(hdrQs.map(lit): _*)).as("q"), col("n"))
       .select(col("q"), greatest(lit(1L), ceil(col("q") * col("n"))).as("rank"))
     val exact = ranks.join(broadcast(cum), cum("cum") >= ranks("rank"))
@@ -3199,11 +3193,7 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("r", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType))))
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
-    }
+    } finally core.Fs.rmTree(tmp)
   }
 
   private def cmsStreamSql: String =
@@ -3325,8 +3315,9 @@ object SparkEntry {
       |  || 'ref ' || (doc_id % 7) || chr(10) || 'id ' || doc_id AS t FROM documents),
       |b AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
       |l0 AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM b),
-      |l AS (SELECT doc_id, i, trim(lower(ls[i])) AS key, ls[i] AS line FROM l0
-      |  WHERE trim(lower(ls[i])) <> ''),
+      |l AS (SELECT doc_id, i, regexp_replace(lower(ls[i]), '^\s+|\s+$', '', 'g') AS key,
+      |  ls[i] AS line FROM l0
+      |  WHERE regexp_replace(lower(ls[i]), '^\s+|\s+$', '', 'g') <> ''),
       |f AS (SELECT key FROM (SELECT key, count(DISTINCT doc_id) AS df FROM l GROUP BY key)
       |  WHERE df >= 3),
       |k AS (SELECT doc_id, i, line FROM l WHERE key NOT IN (SELECT key FROM f)),

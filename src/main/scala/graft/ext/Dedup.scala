@@ -154,7 +154,9 @@ object Dedup {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
     val lines = docs
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__li", "__line")))
-      .withColumn("__key", trim(lower(col("__line"))))
+      // regexp trim, not trim(): trim strips only 0x20, so a CRLF or
+      // tab-only "blank" line would carry a non-empty key and survive
+      .withColumn("__key", regexp_replace(lower(col("__line")), "^\\s+|\\s+$", ""))
       .filter(col("__key") =!= "")
     val boiler = lines.groupBy("__key")
       .agg(countDistinct(col(idCol)).as("__df"))

@@ -65,7 +65,9 @@ object Sampling {
     df.filter(when(w >= 0.0 && w <= 1.0,
         bucketHash(col(idCol)) < floor(w * lit(4294967296.0)).cast("long"))
       .otherwise(raise_error(concat(lit(s"weight out of [0,1] in '$weightCol': "),
-        w.cast("string")))))
+        // coalesce: concat null-propagates, and a NULL weight must still
+        // produce a readable error, not raise_error(NULL)
+        coalesce(w.cast("string"), lit("NULL"))))))
   }
 
   /** Deterministic epoch-keyed training-order shuffle rank: the id is

@@ -507,7 +507,12 @@ object TextStats {
     require(words.nonEmpty, "blocklist must be non-empty")
     val spark = docs.sparkSession
     import spark.implicits._
-    val wl = words.map(_.toLowerCase).distinct.toDF("__w")
+    // normalize the LIST the same way as the corpus tokens — a published
+    // badwords file with entries like "bad!" or " bad" must still match
+    val norm = words.map(_.trim.toLowerCase
+      .replaceAll("^[^a-z0-9]+|[^a-z0-9]+$", "")).filter(_.nonEmpty).distinct
+    require(norm.nonEmpty, "blocklist is empty after normalization")
+    val wl = norm.toDF("__w")
     docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("__t"))
       .select(col(idCol), blocklistToken(col("__t")).as("__t"))
       .filter(col("__t") =!= "")

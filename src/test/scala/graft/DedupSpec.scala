@@ -83,7 +83,7 @@ class DedupSpec extends SparkSpec {
     val docs = Seq(
       (1L, "unique alpha\nCOOKIE BANNER\nbody one\nbody one\ncookie banner"),
       (2L, "cookie banner\nbody two"),
-      (3L, "Cookie Banner\nbody three\n\n  \nunique omega"),
+      (3L, "Cookie Banner\nbody three\n\n  \n\t\n\r\nunique omega"),
       (4L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val out = Dedup.dropBoilerplateLines(docs, minDocFreq = 3)
@@ -94,7 +94,7 @@ class DedupSpec extends SparkSpec {
     // copies (df counts DOCS, not occurrences)
     assert(out(1L) == ((3L, "unique alpha\nbody one\nbody one")))
     assert(out(2L) == ((1L, "body two")))
-    // blank/whitespace-only lines dropped unconditionally
+    // blank/whitespace-only lines (space, tab, CR) dropped unconditionally
     assert(out(3L) == ((2L, "body three\nunique omega")))
     // null text → zero lines, empty reassembly, row kept
     assert(out(4L) == ((0L, "")))

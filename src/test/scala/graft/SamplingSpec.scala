@@ -102,6 +102,13 @@ class SamplingSpec extends SparkSpec {
     val bad = Seq((1L, 1.5)).toDF("id", "w")
     val e = intercept[Exception] { Sampling.weightedKeep(bad, "id", "w").collect() }
     assert(e.getMessage != null)
+    // NULL weight also fails, with a READABLE message (concat would
+    // null-propagate into raise_error(NULL) without the coalesce)
+    val nullW = Seq((1L, Option.empty[Double]), (2L, Some(0.5))).toDF("id", "w")
+    val e2 = intercept[Exception] { Sampling.weightedKeep(nullW, "id", "w").collect() }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} ${msgs(t.getCause)}"
+    assert(msgs(e2).contains("NULL"), s"unreadable null-weight error: ${msgs(e2)}")
   }
 
   test("samplers reject a non-numeric id column up front") {

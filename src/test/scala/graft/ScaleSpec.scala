@@ -113,9 +113,7 @@ class ScaleSpec extends SparkSpec {
       // control: unfiltered read sees all three partitions
       assert(spark.read.parquet(tmp).count() == 900)
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala.toSeq.reverse
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+      graft.core.Fs.rmTree(tmp)
     }
   }
 }

@@ -221,9 +221,7 @@ class SketchesSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet
       assert(hs == ho)
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala.toSeq.reverse
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+      graft.core.Fs.rmTree(tmp)
     }
   }
 

@@ -902,6 +902,13 @@ class TextExtSpec extends SparkSpec {
     // a blocklist word absent from the corpus flags nothing
     val none = ext.TextStats.blocklistHits(docs, "doc_id", "text", Seq("absent"))
     assert(none.count() == 0L)
+    // list entries are normalized like corpus tokens: "Bad!" / " bad " match
+    val messy = ext.TextStats.blocklistHits(docs, "doc_id", "text", Seq("Bad!", " bad "))
+      .as[(Long, Long)].collect().toMap
+    assert(messy == Map(1L -> 2L, 3L -> 1L))
+    intercept[IllegalArgumentException] {
+      ext.TextStats.blocklistHits(docs, "doc_id", "text", Seq("!!!"))
+    }
   }
 
   test("normalizeForDedup canonicalizes case, punctuation, digit runs, whitespace") {
