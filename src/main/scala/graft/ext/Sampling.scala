@@ -58,7 +58,15 @@ object Sampling {
     * run/retry/engine (the FineWeb-style soft quality filter, with the
     * rand() replaced by the id hash like every selector here). Weights
     * outside [0,1] fail loudly per row (ANSI-mode when/raise) rather
-    * than silently clamping. Map-side filter, no shuffle. */
+    * than silently clamping. Map-side filter, no shuffle.
+    *
+    * The predicate references the weight 4 times, and Catalyst's
+    * filter-through-project substitution inlines an EXPRESSION-backed
+    * weight once per reference — a 4× recompute of however expensive
+    * the scoring expression is (measured 2.6 s vs 0.4 s for a regex
+    * quality score over 5k docs). Feed a MATERIALIZED weight column: a
+    * stored score, or `Ckpt.pin` the scored frame first — which is the
+    * production shape anyway (score once, sample many times). */
   def weightedKeep(df: DataFrame, idCol: String, weightCol: String): DataFrame = {
     requireNumericId(df, idCol)
     val w = col(weightCol).cast("double")
