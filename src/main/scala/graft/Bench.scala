@@ -33,6 +33,18 @@ object Bench {
       .map(_.getCollectionTime).sum
   }
 
+  /** 1/5/15-minute machine load from /proc/loadavg — recorded in the
+    * bench artifact so a loaded driver machine is visible in the numbers
+    * instead of inferred from unexplained per-query variance (round-7
+    * verdict: three ≥2×-"regressed" queries were refuted by same-commit
+    * repeats; both timed passes had run under sustained external load).
+    * Empty on non-Linux. */
+  private def loadAvg(): Seq[Double] =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+").take(3).map(_.toDouble).toSeq
+    catch { case _: Throwable => Seq.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -56,6 +68,7 @@ object Bench {
     // runtime sizes, so warming at a smaller SF compiles different physical
     // plans — round-5 forensics, ARCHITECTURE.md). SPARK_GRAFT_WARM_DIR
     // overrides the warm SF; "" skips the warm pass entirely.
+    val loadStart = loadAvg()
     val warmDir0 = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
     val warmDir = if (warmDir0.isEmpty || new java.io.File(warmDir0).isDirectory) warmDir0 else sfDir
     val gc0 = gcMillis()
@@ -100,6 +113,7 @@ object Bench {
       name -> allPasses.map(_.toMap.apply(name)).min
     }
     val gcTimed = gcMillis() - gc1
+    val loadEnd = loadAvg()
     // Diagnostics on stderr so stdout stays parseable JSON lines only.
     val passTotals = allPasses.map(p => f"${p.map(_._2).sum}%.1f").mkString("/")
     System.err.println(
@@ -110,12 +124,21 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    def arr(vs: Seq[Double]): String = vs.map(fmt).mkString("[", ",", "]")
 
     val (smoke, engine) = results.partition { case (n, _) => smokeQueries(n) }
     val total = engine.map(_._2).sum
     val smokeTotal = smoke.map(_._2).sum
+    // Machine-state fields (round-7 verdict #6): with these in the
+    // artifact, a variance-class reading (per-query ≥2× vs prior round in
+    // unchanged code) can be checked against load/GC/pass-spread without
+    // a separate forensics session.
+    val machine =
+      s""""load_avg":{"start":${arr(loadStart)},"end":${arr(loadEnd)}},""" +
+      s""""gc_ms":{"warm":$gcWarm,"timed":$gcTimed},""" +
+      s""""pass_totals":${arr(allPasses.map(_.map(_._2).sum))}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(engine)},"smoke":${obj(smoke)},"smoke_total":${fmt(smokeTotal)},"passes":$passes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(engine)},"smoke":${obj(smoke)},"smoke_total":${fmt(smokeTotal)},"passes":$passes,$machine,"sf":"$sfDir"}"""
     // Three channels, ordered for the driver's head-truncating tail capture
     // (BENCH_r03/r04/r05 all lost the LONG line's head and parsed null):
     //   1. the full per-query line FIRST on stdout (humans + generous windows),
@@ -134,7 +157,7 @@ object Bench {
       "q_similarity_topk_brute", "q_bm25_topk_docs", "q_lagged_corr_lineitem")
     val headlined = results.filter { case (n, _) => headline.contains(n) }
     val shortLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(headlined)},"smoke_total":${fmt(smokeTotal)},"n_queries":${engine.size},"passes":$passes,"detail":"bench_out.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(headlined)},"smoke_total":${fmt(smokeTotal)},"n_queries":${engine.size},"passes":$passes,$machine,"detail":"bench_out.json","sf":"$sfDir"}"""
     println(shortLine)
     spark.stop()
   }

@@ -69,6 +69,32 @@ object ProbeBpe {
     trainTimed("A_vocab10k_1Mwords", 10000L, 10000L)
     trainTimed("B_vocab10k_10Mwords", 100000L, 10000L)
     trainTimed("C_vocab100k_10Mwords", 100000L, 100000L)
+
+    // ---- production-vocabulary axis (round 8) ----------------------------
+    // D: the production API at C's corpus — the dict gates LOCAL, so wall
+    // = one corpus scan + collect + in-memory training. Sublinear in merge
+    // count: the scan dominates and the incremental trainer is
+    // O(touched·log P) per merge.
+    println("\nD: trainBpe (local gate) wall vs merge count, vocab 100k, 10M words")
+    val cD = corpus(100000L, 100000L)
+    cD.count()
+    for (m <- Seq(125, 250, 500, 1000, 2000)) {
+      Bench.resetStorage(spark)
+      val (merges, t) = timed(Bpe.trainBpe(cD, m, minCount = 1L))
+      println(f"  merges=$m%5d  wall=$t%6.2fs  per_merge=${t / m * 1000}%7.2fms  got=${merges.length}")
+    }
+
+    // E: the above-gate distributed loop — batched (64) vs sequential (1)
+    // round-trips at 64 merges. The batch is the provably-sequential-
+    // equivalent prefix, so results are identical; wall shows the
+    // scheduling cost the batching removes.
+    println("\nE: distributed loop, batchLimit 64 vs 1, 64 merges, vocab 100k")
+    for (bl <- Seq(1, 64)) {
+      Bench.resetStorage(spark)
+      val (merges, t) = timed(
+        Bpe.trainBpe(cD, 64, minCount = 1L, localDictMaxWords = 0L, batchLimit = bl))
+      println(f"  batchLimit=$bl%3d  wall=$t%6.2fs  merges=${merges.length}")
+    }
     spark.stop()
   }
 }

@@ -11,13 +11,18 @@ import graft.ext.Similarity
   * (nlist ≥ 256 → the closure-UDF assignment/probe path), timed cold and
   * warm, with recall@10 against the brute-force baseline.
   *
-  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ProbeIvf [nlist] [nprobe]
+  * Round 8 adds a `copies` arg so the table scales to 50× (100k+
+  * vectors at sf0.1) with nlist ∝ √N — the embedding-side ledger now
+  * matches the text-side dedup chain's 50× probes.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ProbeIvf [nlist] [nprobe] [copies]
   */
 object ProbeIvf {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nlist = if (args.length > 0) args(0).toInt else 256
     val nprobe = if (args.length > 1) args(1).toInt else 16
+    val copies = if (args.length > 2) args(2).toInt else 10
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -30,9 +35,9 @@ object ProbeIvf {
         col("embedding").cast("array<double>").as("embedding"))
     // shift by max(id)+1, not count(): sparse ids would otherwise collide
     val n = base.agg(max("vec_id")).head().getLong(0) + 1L
-    // 10 perturbed copies: copy k shifts ids by k·n and adds k·1e-3 to
+    // perturbed copies: copy k shifts ids by k·n and adds k·1e-3 to
     // every component — distinct vectors, same cluster structure
-    val big = (0 until 10).map { k =>
+    val big = (0 until copies).map { k =>
       base.select((col("vec_id") + lit(k * n)).as("vec_id"),
         transform(col("embedding"), v => v + lit(k * 1e-3)).as("embedding"))
     }.reduce(_ union _).repartition(32).cache()

@@ -60,30 +60,35 @@ object ProbeSearch {
       Search.bm25TopK(bigDocs, q40, k = 25).count()
     }
 
-    // --- 10x embeddings: exact copies => planted 90% redundancy ---
+    // --- Nx embeddings: exact copies => planted (1 - 1/N) redundancy ---
+    // embCopies arg (round 8): 50 → 100k+ vectors at sf0.1, nlist ∝ √N
+    // so per-cell pairwise work stays bounded as the table grows
+    val embCopies = args.headOption.map(_.toInt).getOrElse(10)
     val ebase = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
     val en = ebase.agg(max("vec_id")).head().getLong(0) + 1L
-    val bigEmb = (0 until 10).map { k =>
+    val bigEmb = (0 until embCopies).map { k =>
       ebase.select((col("vec_id") + lit(k * en)).as("vec_id"), col("embedding"))
     }.reduce(_ union _).repartition(32).cache()
-    println(s"probe embeddings: ${bigEmb.count()}")
+    val nEmb = bigEmb.count()
+    println(s"probe embeddings: $nEmb (${embCopies}x)")
+    val nlistScaled = math.max(32, math.round(math.sqrt(nEmb.toDouble)).toInt)
 
-    val pairs = time("semdedup pairs (trained nlist=32, threshold=0.9, cold)") {
-      val p = SemDedup.semanticNearDupPairs(bigEmb, threshold = 0.9, nlist = 32,
+    val pairs = time(s"semdedup pairs (trained nlist=$nlistScaled, threshold=0.9, cold)") {
+      val p = SemDedup.semanticNearDupPairs(bigEmb, threshold = 0.9, nlist = nlistScaled,
         iters = 3, trainSampleMod = 5).cache()
       println(s"  edges: ${p.count()}")
       p
     }
     pairs.unpersist(false)
-    time("semanticDeduplicate end-to-end (nlist=32)") {
-      val kept = SemDedup.semanticDeduplicate(bigEmb, threshold = 0.9, nlist = 32,
+    time(s"semanticDeduplicate end-to-end (nlist=$nlistScaled)") {
+      val kept = SemDedup.semanticDeduplicate(bigEmb, threshold = 0.9, nlist = nlistScaled,
         iters = 3, trainSampleMod = 5).count()
-      println(s"  kept: $kept of ${20000} (planted truth: ~N/10 = 2000)")
+      println(s"  kept: $kept of $nEmb (planted truth: ~N/$embCopies = ${nEmb / embCopies})")
     }
-    time("semanticDeduplicate end-to-end (nlist=64 — cell-size knob)") {
+    time(s"semanticDeduplicate end-to-end (nlist=${nlistScaled * 2} — cell-size knob)") {
       println(s"  kept: ${SemDedup.semanticDeduplicate(bigEmb, threshold = 0.9,
-        nlist = 64, iters = 3, trainSampleMod = 5).count()}")
+        nlist = nlistScaled * 2, iters = 3, trainSampleMod = 5).count()}")
     }
     // quantizer-recall caveat datapoint: exact twins always share a cell
     // (identical vectors assign identically), so planted recall is 1.0 by

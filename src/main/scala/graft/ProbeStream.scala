@@ -32,6 +32,10 @@ object ProbeStream {
     import spark.implicits._
 
     val nBatches = args.headOption.map(_.toInt).getOrElse(50)
+    // round 8: "banded" second arg drives the band-bucketed compacting
+    // store instead of the default append-only layout
+    val banded = args.lift(1).contains("banded")
+    val compactEvery = 16
     val base = java.nio.file.Files.createTempDirectory("graft_stream_probe").toString
     val sinkDir = s"$base/sink"
     val stateDir = s"$base/state"
@@ -55,10 +59,19 @@ object ProbeStream {
     val times = (0 until nBatches).map { b =>
       val df = batchDf(b)
       val t0 = System.nanoTime()
-      streaming.StreamOps.processNearDedupBatch(df, sinkDir, stateDir, "doc_id", "text", 3)
+      streaming.StreamOps.processNearDedupBatch(df, sinkDir, stateDir, "doc_id", "text", 3,
+        bandedStore = banded, compactEvery = compactEvery, batchId = b.toLong)
       val sec = (System.nanoTime() - t0) / 1e9
-      val rows = spark.read.parquet(stateDir).count()
-      val files = new java.io.File(stateDir).listFiles().count(_.getName.endsWith(".parquet"))
+      val rows =
+        if (banded) spark.read.parquet(stateDir).select("doc_id").distinct().count()
+        else spark.read.parquet(stateDir).count()
+      val files = {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(stateDir))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        } finally walk.close()
+      }
       println(f"$b%5d $sec%7.2f $rows%10d $files%11d")
       sec
     }

@@ -3345,10 +3345,16 @@ object SparkEntry {
     * everywhere), same discipline as the persisted IVF index. The TRAIN
     * query deliberately bypasses this memo so the bench keeps measuring
     * training cost. */
-  private val bpeMemo = scala.collection.mutable.Map.empty[(Int, String), Seq[ext.BpeMerge]]
+  private val bpeMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Seq[ext.BpeMerge]]]
   private def bpeMergesFor(s: SparkSession, dir: String): Seq[ext.BpeMerge] =
     bpeMemo.synchronized {
-      bpeMemo.getOrElseUpdate((System.identityHashCode(s), dir),
+      var byDir = bpeMemo.get(s)
+      if (byDir == null) {
+        byDir = scala.collection.mutable.Map.empty[String, Seq[ext.BpeMerge]]
+        bpeMemo.put(s, byDir)
+      }
+      byDir.getOrElseUpdate(dir,
         ext.Bpe.trainBpe(Tables.documents(s, dir), bpeNumMerges, minCount = 1L))
     }
 

@@ -7,9 +7,12 @@ package graft.core
 object Fs {
   def rmTree(path: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
+    import scala.util.control.NonFatal
     if (java.nio.file.Files.exists(path))
-      java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+      scala.util.Using.resource(java.nio.file.Files.walk(path)) { walk =>
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case NonFatal(_) => () })
+      }
   }
   def rmTree(path: String): Unit = rmTree(java.nio.file.Paths.get(path))
 }

@@ -586,7 +586,13 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val p = 1000000007L
     val agg = udaf(new SimHashAgg)
-    val kr = TextStats.rollingHash(col("tok"))
+    // the O(len) rolling hash lands in its OWN projection, referenced by
+    // attribute from the 64 bit-votes: Catalyst expression trees are
+    // trees, not DAGs, so inlining `kr` into `assembled` would replicate
+    // the per-character fold 64× per token (caught by the round-8
+    // expression-duplication lint). CollapseProject keeps the split —
+    // a non-cheap multi-referenced alias is never inlined.
+    val kr = col("kr")
     val assembled = (0 until 64).map { j =>
       val aj = 2654435761L * (j + 1) % p
       // k < p and A_j < p keep k·A_j < 2^63 — ANSI-safe
@@ -595,6 +601,7 @@ object Dedup {
     }.reduce(_.bitwiseOR(_))
     docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("kr", TextStats.rollingHash(col("tok")))
       .withColumn("h", assembled)
       .groupBy("doc_id")
       .agg(agg(col("h")).as("simhash"))

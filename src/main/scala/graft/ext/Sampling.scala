@@ -84,7 +84,14 @@ object Sampling {
     * < 2^52) and then fully mixed by [[Sketches.mixHash]]. Same rank on
     * every run/retry/cluster for a given (id, epoch); different epochs
     * are different permutations. Plain BIGINT arithmetic — SQL-replayable
-    * like every selector here. */
+    * like every selector here.
+    *
+    * Aliasing note (matches the [[Sketches.bucketHash]] convention): the
+    * id is folded through mod 2^31 first, so two ids congruent mod 2^31
+    * receive the SAME rank in EVERY epoch and their relative order is
+    * then fixed by the id tiebreak across all epochs. For id spaces above
+    * 2^31 the per-epoch permutations of such alias pairs are therefore
+    * correlated; all driver/test id spaces are far below 2^31. */
   def epochShuffleRank(id: Column, epoch: Int): Column = {
     require(epoch >= 0, s"epoch must be non-negative, got $epoch")
     Sketches.mixHash(pmod(

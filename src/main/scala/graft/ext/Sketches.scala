@@ -184,7 +184,10 @@ object Sketches {
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     registers
       .agg(
-        sum(pow(lit(2.0), -col("rank"))).as("present_inv"),
+        // coalesce: sum over an EMPTY register table is null, which would
+        // null `raw` and skip the linear-counting branch — with 0.0 the
+        // V=m correction below correctly estimates 0 distinct values.
+        coalesce(sum(pow(lit(2.0), -col("rank"))), lit(0.0)).as("present_inv"),
         count(lit(1)).as("n_registers"))
       .select(
         lit(m).cast("long").as("m"),

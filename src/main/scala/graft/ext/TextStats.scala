@@ -566,15 +566,23 @@ object TextStats {
     * tie-breaking order-nondeterministic. Ties break on the language code
     * (deterministic). */
   def langId(text: Column): Column = {
-    val toks = Dedup.tokens(text)
-    val denom = greatest(size(toks), lit(1)).cast("double")
-    val entries = Profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(
-        (size(filter(toks, t => t.isInCollection(words))).cast("double") / denom).as("s"),
-        lit(lang).as("l"))
-    } :+ struct((cjkRatio(text) * 2.0).as("s"), lit("zh").as("l"))
-    val best = array_max(array(entries: _*))
-    when(best.getField("s") > 0.0, best.getField("l")).otherwise(lit("unk"))
+    // let-binding via a single-element transform: the lambda variable
+    // holds the tokenized array, so the O(len) split runs ONCE per row
+    // instead of once per language profile (Catalyst expressions are
+    // trees, not DAGs — repeating `tokens(text)` per profile replicates
+    // the split; round-8 expression-duplication lint). The outer array
+    // has exactly one element, so the lambda body runs once — none of
+    // the quadratic derived-array-in-lambda inlining risk.
+    element_at(transform(array(Dedup.tokens(text)), toks => {
+      val denom = greatest(size(toks), lit(1)).cast("double")
+      val entries = Profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+        struct(
+          (size(filter(toks, t => t.isInCollection(words))).cast("double") / denom).as("s"),
+          lit(lang).as("l"))
+      } :+ struct((cjkRatio(text) * 2.0).as("s"), lit("zh").as("l"))
+      val best = array_max(array(entries: _*))
+      when(best.getField("s") > 0.0, best.getField("l")).otherwise(lit("unk"))
+    }), 1)
   }
 
   // ---- fingerprinting ------------------------------------------------------

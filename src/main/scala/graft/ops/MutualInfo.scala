@@ -40,9 +40,16 @@ object MutualInfo {
       .filter(Panel.finite(col(fa)) && Panel.finite(col(fb)))
       .select(col(groupCol).as("group_key"), col(fa).as("x"), col(fb).as("y"))
     val wp = Window.partitionBy("group_key")
+    // hoist the window aggregates into named columns: binOf references
+    // its min 3× / max 2×, and inlining the window expression would make
+    // the Window operator carry (and evaluate) each per-group extreme
+    // several times (round-8 expression-duplication lint)
     val binned = both
-      .withColumn("xbin", binOf(col("x"), min("x").over(wp), max("x").over(wp), bins))
-      .withColumn("ybin", binOf(col("y"), min("y").over(wp), max("y").over(wp), bins))
+      .withColumn("xmn", min("x").over(wp)).withColumn("xmx", max("x").over(wp))
+      .withColumn("ymn", min("y").over(wp)).withColumn("ymx", max("y").over(wp))
+      .withColumn("xbin", binOf(col("x"), col("xmn"), col("xmx"), bins))
+      .withColumn("ybin", binOf(col("y"), col("ymn"), col("ymx"), bins))
+      .drop("xmn", "xmx", "ymn", "ymx")
     val hist = binned.groupBy("group_key", "xbin", "ybin").agg(count(lit(1)).as("c"))
     val wg = Window.partitionBy("group_key")
     val wx = Window.partitionBy("group_key", "xbin")

@@ -212,10 +212,25 @@ object StreamOps {
     * unrecorded (nothing to be near). EMPTY text tokenizes to one empty
     * token (the dedup-family convention), so empty docs carry a shared
     * degenerate signature and dedup against each other like any other
-    * doc. The state store here is an append-only parquet
-    * directory — on a real cluster use a table format with compaction and
-    * bucket the store by band so the per-batch join prunes; the state is
-    * one (id, long) row per admitted doc, corpus-sized but 16 bytes/doc.
+    * doc. Two store layouts, identical admissions (spec-asserted):
+    *
+    *   - default: append-only parquet of (id, simhash) rows, band
+    *     expansion recomputed per batch — simplest, fine while the probe
+    *     curve stays flat (ARCHITECTURE: flat to 90k signatures);
+    *   - `bandedStore = true`: the PRE-EXPANDED band rows persist,
+    *     hash-partitioned on disk by (band, bucket-group) so (a) the
+    *     per-batch join reads the store's bands instead of recomputing
+    *     them, (b) the store read PRUNES to the partitions the batch's
+    *     own buckets touch (planning-time, via a model-sized isin), and
+    *     (c) every `compactEvery` batches the store rewrites to one file
+    *     per partition, bounding the file-listing growth that is the
+    *     first real bend at corpus scale. The rewrite-the-store
+    *     compaction is the local-parquet stand-in for a compacting table
+    *     format's maintenance job; the swap is not atomic to concurrent
+    *     readers (the single-writer foreachBatch loop is the only
+    *     consumer mid-stream).
+    *
+    * The state is 16 bytes/doc (×4 band rows when banded), corpus-sized.
     * First-arrival wins across batches, exactly like [[dedupStream]]. */
   def nearDedupForeachBatch(
       spark: SparkSession,
@@ -225,19 +240,36 @@ object StreamOps {
       stateDir: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3): StreamingQuery = {
+      maxHamming: Int = 3,
+      bandedStore: Boolean = false,
+      compactEvery: Int = 16): StreamingQuery = {
     graft.ext.Dedup.requireSimhashRadius(maxHamming) // fail at start, not first batch
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        processNearDedupBatch(batch.toDF(), sinkDir, stateDir, idCol, textCol, maxHamming)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        processNearDedupBatch(batch.toDF(), sinkDir, stateDir, idCol, textCol, maxHamming,
+          bandedStore, compactEvery, bid)
       }
       .start()
   }
 
+  /** Number of on-disk bucket groups per band in the banded store:
+    * partition column `bg = bucket % 8`, so the store has ≤ 4×8 = 32
+    * partition directories and a batch's store read prunes to the groups
+    * its own buckets hash into. Deliberately coarse: the first 50-batch
+    * probe ran 64 groups (256 dirs) and the per-batch append fanned one
+    * file into every touched dir — ~256 new files/batch swamped the
+    * local-FS listing and made the banded store SLOWER than the default
+    * layout at 90k signatures. 32 partitions keep appends (with the
+    * pre-append repartition) at ≤ 32 files/batch while preserving
+    * band-level layout + group pruning for trickle batches. */
+  val StoreBucketGroups = 8
+
   private[graft] def processNearDedupBatch(
       batch: DataFrame, sinkDir: String, stateDir: String,
-      idCol: String, textCol: String, maxHamming: Int): Unit = {
+      idCol: String, textCol: String, maxHamming: Int,
+      bandedStore: Boolean = false, compactEvery: Int = 16,
+      batchId: Long = 0L): Unit = {
     import graft.ext.Dedup
     Dedup.requireSimhashRadius(maxHamming)
     val spark = batch.sparkSession
@@ -271,7 +303,21 @@ object StreamOps {
       if (!stateFs.exists(statePath)) None
       else try Some(spark.read.parquet(stateDir))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val batchBands = Dedup.simhashBands(sigs)
+      .withColumn("bg", pmod(col("bucket"), lit(StoreBucketGroups.toLong)).cast("int"))
     val nearState = state match {
+      case Some(st) if bandedStore =>
+        // store already holds band rows; prune its read to the partition
+        // groups the batch's own buckets touch (model-sized isin — ≤ 64
+        // values — resolved at planning time against the (band, bg)
+        // partition columns)
+        val groups = batchBands.select("bg").distinct().collect().map(_.getInt(0))
+        batchBands.as("l")
+          .join(st.filter(col("bg").isin(groups.map(Integer.valueOf): _*))
+            .select(col("band"), col("bucket"), col("simhash").as("st_sh")).as("r"),
+            Seq("band", "bucket"))
+          .filter(bit_count(col("simhash").bitwiseXOR(col("st_sh"))) <= maxHamming)
+          .select(col("doc_id")).distinct()
       case Some(st) =>
         Dedup.simhashBands(sigs).as("l")
           .join(Dedup.simhashBands(st.select(col("doc_id"), col("simhash")))
@@ -281,8 +327,11 @@ object StreamOps {
           .select(col("doc_id")).distinct()
       case None => sigs.select("doc_id").limit(0)
     }
-    val admittedSigs = sigs.join(nearState, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true) // two consumers below; also pins before the state append
+    // two consumers below; also pins before the state append. Ckpt.pin —
+    // not a raw localCheckpoint — so the session's reliable-checkpoint
+    // policy covers this call site too (round-8 audit: it was the one
+    // pin outside the policy).
+    val admittedSigs = graft.core.Ckpt.pin(sigs.join(nearState, Seq("doc_id"), "left_anti"))
     // 3 — append admitted docs to the sink and their signatures to the
     // store. The sink drops within-batch losers and store near-dups by
     // id; token-less (null-text) docs — which have no signature and are
@@ -290,7 +339,38 @@ object StreamOps {
     val dropIds = losers.union(nearState).select(col("doc_id").as(idCol))
     batch.join(dropIds, Seq(idCol), "left_anti")
       .write.mode("append").parquet(sinkDir)
-    admittedSigs.write.mode("append").parquet(stateDir)
+    if (bandedStore) {
+      // repartition on the partition columns BEFORE the partitioned
+      // append: each (band, bg) then lands in exactly one task, so one
+      // batch appends ≤ one file per touched partition dir instead of
+      // (tasks × dirs) fragments
+      Dedup.simhashBands(admittedSigs)
+        .withColumn("bg", pmod(col("bucket"), lit(StoreBucketGroups.toLong)).cast("int"))
+        .repartition(col("band"), col("bg"))
+        .write.mode("append").partitionBy("band", "bg").parquet(stateDir)
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        compactBandedStore(spark, stateDir)
+    } else {
+      admittedSigs.write.mode("append").parquet(stateDir)
+    }
+  }
+
+  /** Rewrite the banded store to ONE file per (band, bucket-group)
+    * partition — the hash repartition routes each group to exactly one
+    * task. Bounds file-listing growth between compactions at
+    * `compactEvery × groups-touched` delta files. Write-to-temp + swap;
+    * single-writer (the foreachBatch loop), so the non-atomic swap never
+    * races a reader. */
+  private[graft] def compactBandedStore(spark: SparkSession, stateDir: String): Unit = {
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpPath = new org.apache.hadoop.fs.Path(stateDir + "__compacting")
+    spark.read.parquet(stateDir)
+      .repartition(col("band"), col("bg"))
+      .write.mode("overwrite").partitionBy("band", "bg").parquet(tmpPath.toString)
+    fs.delete(statePath, true)
+    if (!fs.rename(tmpPath, statePath))
+      throw new java.io.IOException(s"compaction swap failed: $tmpPath -> $statePath")
   }
 
   /** Streaming variant: parquet-source file stream with a watermark.

@@ -59,6 +59,75 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("trainBpeLocal ≡ distributed sequential ≡ distributed batched, random corpora") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val alphabet = "abc"
+      val words = (0 until 25).map { _ =>
+        (0 until (1 + rng.nextInt(5))).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+      }
+      val text = words.flatMap(w => Seq.fill(1 + rng.nextInt(6))(w)).mkString(" ")
+      val docs = Seq((1L, text)).toDF("doc_id", "text")
+      val viaLocal = Bpe.trainBpe(docs, numMerges = 12, minCount = 1L)
+      val viaSeq = Bpe.trainBpe(docs, numMerges = 12, minCount = 1L,
+        localDictMaxWords = 0L, batchLimit = 1)
+      val viaBatch = Bpe.trainBpe(docs, numMerges = 12, minCount = 1L,
+        localDictMaxWords = 0L, batchLimit = 64)
+      assert(viaLocal == viaSeq, s"trial $trial local vs sequential:\n$viaLocal\n$viaSeq")
+      assert(viaBatch == viaSeq, s"trial $trial batched vs sequential:\n$viaBatch\n$viaSeq")
+    }
+  }
+
+  test("safeBatchPrefix: contiguity, interference, self-pair, strict-drop guard") {
+    def sb(c: Seq[(String, String, Long)], next: Option[Long]) =
+      Bpe.safeBatchPrefix(c, k => if (k < c.length) Some(c(k)._3) else next)
+    // disjoint candidates with strictly dropping counts: all taken
+    val disj = Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L))
+    assert(sb(disj, Some(4L)) == disj)
+    // shared input symbol stops the batch at the interferer
+    assert(sb(Seq(("a", "b", 10L), ("b", "c", 8L)), Some(4L)) == Seq(("a", "b", 10L)))
+    // later candidate consuming an earlier merged token stops the batch
+    assert(sb(Seq(("a", "b", 10L), ("ab", "c", 8L)), Some(4L)) == Seq(("a", "b", 10L)))
+    // earlier candidate's input equal to a later token stops the batch
+    assert(sb(Seq(("ab", "c", 10L), ("a", "b", 8L)), Some(4L)) == Seq(("ab", "c", 10L)))
+    // self-pair ends the batch at itself
+    assert(sb(Seq(("c", "d", 10L), ("a", "a", 8L), ("e", "f", 6L)), Some(4L))
+      == Seq(("c", "d", 10L), ("a", "a", 8L)))
+    // no strict count drop after the batch: shrink until it holds (k=1 exact)
+    assert(sb(Seq(("a", "b", 10L), ("c", "d", 8L)), Some(8L)) == Seq(("a", "b", 10L)))
+    // complete list fully consumed: guard vacuous
+    assert(sb(disj, None) == disj)
+  }
+
+  test("mergePairsBatch ≡ one mergePair pass per batch member") {
+    val words = Seq("abcd", "abab", "cdcd", "acbd", "dcba", "aabbccdd", "abcdabcd")
+    val batch = Seq(("a", "b"), ("c", "d"))
+    val df = words.toDF("word").withColumn("syms", Bpe.initialSymbols(col("word")))
+    val viaBatch = df.select(col("word"),
+        Bpe.mergePairsBatch(col("syms"), batch).as("m"))
+      .as[(String, Seq[String])].collect().toMap
+    words.foreach { w =>
+      val seq = batch.foldLeft(w.map(_.toString).toArray :+ Bpe.Eow) {
+        case (s, (a, b)) => Bpe.mergeOnce(s, a, b) }
+      assert(viaBatch(w) == seq.toSeq, s"word=$w: ${viaBatch(w)} vs ${seq.toSeq}")
+    }
+  }
+
+  test("trainBpeLocal: a 1,000-merge vocabulary trains without Spark jobs") {
+    // synthetic dictionary large enough to sustain 1,000 distinct merges
+    val rng = new scala.util.Random(7)
+    val alphabet = "abcdefghijklmnop"
+    val dict = (0 until 3000).map { i =>
+      val w = (0 until (4 + rng.nextInt(9))).map(_ => alphabet(rng.nextInt(16))).mkString
+      (w + i.toString, 1L + rng.nextInt(50))
+    }.distinct
+    val merges = Bpe.trainBpeLocal(dict, numMerges = 1000, minCount = 1L)
+    assert(merges.length == 1000, s"got ${merges.length}")
+    // ranks are 1..n and counts are achievable (positive)
+    assert(merges.map(_.rank) == (1L to 1000L))
+    assert(merges.forall(_.cnt >= 1L))
+  }
+
   test("tokenize: merges apply in rank order, doc order preserved") {
     val merges = Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"))
     val docs = Seq((1L, "newest low"), (2L, "   "), (3L, "widest")).toDF("doc_id", "text")

@@ -69,4 +69,84 @@ class PlanLintSpec extends SparkSpec {
       assert(offenders.isEmpty, s"scale anti-patterns in driver plans:\n${offenders.mkString("\n")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  // ---- expression-duplication lint (round 8) ------------------------------
+  // Round 7 hit the weightedKeep 4×-recompute trap: Catalyst's
+  // filter-through-project inlining duplicated an expensive scoring
+  // expression once per reference, silently multiplying its cost. This
+  // pass walks each driver query's OPTIMIZED logical plan and fails when
+  // any single operator evaluates the same non-trivial expression
+  // subtree (≥ 8 nodes) three or more times — codegen's common-
+  // subexpression elimination does not reach across separate condition /
+  // projection slots in all operators, so a ≥3× textual duplicate is a
+  // real recompute risk. The whitelist is per (query, reason): entries
+  // must name why the duplication is bounded or intended.
+
+  /** (query name, substring of the flagged expression) pairs accepted as
+    * bounded-by-design. Every entry must name why the duplication is
+    * cheap; per-row O(len) duplicates (a split, a fold, a window
+    * aggregate) are NEVER whitelisted — those get fixed (round 8 fixed
+    * three: the simhash-replay 64× rolling hash, the langId 8× split,
+    * the mutual-info 3× window min/max). */
+  private val exprDupOk: Set[(String, String)] = Set(
+    // mixHash's avalanche steps reference their input register several
+    // times by construction (x ^ (x >>> 16) etc.) — O(1) integer
+    // arithmetic per row, the textbook shape of a hash finalizer; the
+    // expensive-input variant of this trap (duplicating the SUBTREE the
+    // register is computed from) is exactly what the KMV input-column-
+    // filter fix eliminated (ARCHITECTURE.md, round 7)
+    ("q_epoch_shuffle_docs", "pmod(doc_id, 2147483648L)"),
+    ("q_hll_distinct_lineitem", "pmod(l_partkey, 2147483648L)"),
+    ("q_kmv_distinct_lineitem", "pmod(l_partkey, 2147483648L)"),
+    // the long-form lag explode materializes one struct per (pair, lag)
+    // combination; each entry re-states the O(1) null/NaN CASE guard on
+    // an already-read double — the explode IS the rewrite that killed
+    // the 144-aggregate compile cost (round 7), and the guard is scalar
+    ("q_lagged_corr_lineitem", "CASE WHEN ((l_extendedprice IS NOT NULL)"),
+    ("q_lagged_corr_lineitem", "CASE WHEN ((l_discount IS NOT NULL)"),
+    ("q_rolling_corr_lineitem", "CASE WHEN ((l_quantity IS NOT NULL)"),
+    // Spark's own sliding-window Expand: one projection per overlapping
+    // window slice, each repeating the O(1) window-start arithmetic —
+    // engine-internal and scalar
+    ("q_sliding_events", "precisetimestampconversion(ts)"))
+
+  test("no operator evaluates the same non-trivial expression subtree 3+ times") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    import org.apache.spark.sql.catalyst.expressions.{Expression, AttributeReference, Literal}
+    def exprSize(e: Expression): Int = 1 + e.children.map(exprSize).sum
+    val minSize = 8
+    val minCount = 3
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      plan.collect { case node =>
+        // all expression subtrees evaluated by this one operator
+        val subtrees = node.expressions.flatMap(_.collect {
+          case e: Expression if !e.isInstanceOf[AttributeReference] &&
+            !e.isInstanceOf[Literal] => e
+        })
+        val dups = subtrees
+          .filter(exprSize(_) >= minSize)
+          .groupBy(_.canonicalized)
+          .filter(_._2.length >= minCount)
+        // keep only MAXIMAL duplicated subtrees: a big duplicate's own
+        // children are duplicated too — reporting them adds noise
+        val flaggedKeys = dups.keySet
+        val maximal = dups.filter { case (_, exs) =>
+          val rep = exs.head
+          !flaggedKeys.exists(k => k != rep.canonicalized &&
+            dups(k).head.collect { case c: Expression => c.canonicalized }
+              .drop(1).contains(rep.canonicalized))
+        }
+        maximal.toSeq.map { case (_, exs) =>
+          val desc = exs.head.sql.take(90)
+          (name, node.nodeName, exs.length, desc)
+        }
+      }.flatten
+    }.filterNot { case (q, _, _, desc) =>
+      exprDupOk.exists { case (wq, frag) => wq == q && desc.contains(frag) }
+    }
+    val report = offenders.map { case (q, op, n, d) => s"$q [$op] ×$n: $d" }
+    assert(offenders.isEmpty,
+      s"duplicated expression subtrees (≥$minCount× in one operator, size ≥$minSize):\n${report.mkString("\n")}")
+  }
 }

@@ -129,6 +129,55 @@ class TextExtSpec extends SparkSpec {
     assert(sink2 == Set(1L, 2L, 3L, 11L), s"sink after b2: $sink2")
   }
 
+  test("banded near-dedup store ≡ default store, with compaction firing") {
+    // 5 batches through BOTH store layouts: per-batch sink sets must be
+    // identical, the banded store's signature set must equal the default
+    // store's, and compaction (every 2 batches) must bound the file count
+    // while changing nothing observable.
+    def doc(dominant: String, tail: String) = (s"$dominant " * 50) + tail
+    val tmp = java.nio.file.Files.createTempDirectory("ndd_banded")
+    val (sinkA, stateA) = (s"$tmp/sinkA", s"$tmp/stateA") // default layout
+    val (sinkB, stateB) = (s"$tmp/sinkB", s"$tmp/stateB") // banded layout
+    val batches = (0 until 5).map { b =>
+      // 3 fresh docs, 1 within-batch near-dup of the first, and (from
+      // batch 1 on) 1 near-dup of the PREVIOUS batch's first admitted doc
+      val fresh = (0 until 3).map(i => (b * 100L + i, doc(s"dom_${b}_$i", s"t$i")))
+      val inBatch = Seq((b * 100L + 50, doc(s"dom_${b}_0", "copy")))
+      val prior = if (b == 0) Seq.empty
+        else Seq((b * 100L + 60, doc(s"dom_${b - 1}_0", "late")))
+      (fresh ++ inBatch ++ prior).toDF("doc_id", "text")
+    }
+    batches.zipWithIndex.foreach { case (df, b) =>
+      StreamOps.processNearDedupBatch(df, sinkA, stateA, "doc_id", "text", 3)
+      StreamOps.processNearDedupBatch(df, sinkB, stateB, "doc_id", "text", 3,
+        bandedStore = true, compactEvery = 2, batchId = b.toLong)
+      val idsA = spark.read.parquet(sinkA).select("doc_id").collect().map(_.getLong(0)).toSet
+      val idsB = spark.read.parquet(sinkB).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(idsA == idsB, s"batch $b: default $idsA vs banded $idsB")
+    }
+    val sigsA = spark.read.parquet(stateA).select("doc_id", "simhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigsB = spark.read.parquet(stateB).select("doc_id", "simhash")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sigsA == sigsB, s"store signatures differ: ${sigsA.diff(sigsB)} / ${sigsB.diff(sigsA)}")
+    // every admitted doc carries its 4 band rows in the banded layout
+    assert(spark.read.parquet(stateB).count() == 4L * sigsB.size)
+    // after the batch-4 run the last compaction was at batch 3 (every 2);
+    // file count stays bounded: ≤ one file per touched partition from the
+    // compaction plus the deltas of at most compactEvery batches
+    def parquetFiles(dir: String): Int = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      } finally walk.close()
+    }
+    val nParts = spark.read.parquet(stateB).select("band", "bg").distinct().count()
+    assert(parquetFiles(stateB) <= nParts + 64,
+      s"banded store files ${parquetFiles(stateB)} not bounded (parts=$nParts)")
+    graft.core.Fs.rmTree(tmp)
+  }
+
   test("decontamination gram identity: token boundaries matter") {
     // ("ab","c") and ("a","bc") concatenate identically — the separator
     // folded into the gram hash must keep them distinct, or token-boundary
