@@ -2286,6 +2286,63 @@ object SparkEntry {
 
   private def ivfReplaySql: String = ivfReplaySqlFor(8, 3)
 
+  /** Whole-PQ-pipeline probe: [[graft.ext.Pq.pqTopKReplayable]] — the
+    * production product-quantization path (per-subspace argmin-L2 encode
+    * with its lowest-code tie rule, per-query ADC dot/norm lookup tables,
+    * ordered m-term score folds, k-capped TopKAgg rank) with PINNED
+    * integer-arithmetic codebooks the oracle regenerates from three loop
+    * indices. DuckDB replays encode argmin, both LUTs, the j-ordered
+    * score folds, and the final (cos desc, vec_id) rank. */
+  private def pqReplayTopk(s: SparkSession, dir: String): DataFrame =
+    ext.Pq.pqTopKReplayable(Tables.embeddings(s, dir), similarityQueries(s, dir),
+        k = 5, dim = 64, m = 8, ksub = 8)
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
+
+  /** PQ replay oracle: regenerate the (j, c) codebook grid with BIGINT
+    * arithmetic, encode every vector by argmin L2 (dd asc, c asc — NaN
+    * sorts greatest in DuckDB, never beating a finite distance, matching
+    * the UDF's strict-< skip), build the per-query dot and norm² tables,
+    * fold the m selected entries in j order (list(x ORDER BY j) +
+    * list_reduce ≡ the Spark side's transform-with-index + aggregate),
+    * and rank. */
+  private def pqReplaySql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |cb AS (SELECT j, c, list_transform(range(1, 9),
+      |    d -> CAST((2654435761 * ((j * 8 + c) * 8 + (d - 1) + 1) + 97) % 1000000007
+      |         - 500000003 AS DOUBLE)) AS v
+      |  FROM (SELECT unnest(range(8)) AS j), (SELECT unnest(range(8)) AS c)),
+      |dist AS (SELECT e.vec_id, cb.j, cb.c,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 9),
+      |      d -> (e.emb[cb.j * 8 + d] - cb.v[d]) * (e.emb[cb.j * 8 + d] - cb.v[d]))),
+      |      (a, x) -> a + x) AS dd
+      |  FROM e, cb),
+      |codes AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c,
+      |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dd ASC, c ASC) AS rn FROM dist)
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 3),
+      |lut AS (SELECT q.query_id, cb.j, cb.c,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 9),
+      |      d -> q.qemb[cb.j * 8 + d] * cb.v[d])), (a, x) -> a + x) AS dot,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 9),
+      |      d -> cb.v[d] * cb.v[d])), (a, x) -> a + x) AS nsq
+      |  FROM q, cb),
+      |qn AS (SELECT query_id, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |    list_transform(range(1, 65), d -> qemb[d] * qemb[d])), (a, x) -> a + x)) AS qnorm
+      |  FROM q),
+      |terms AS (SELECT l.query_id, codes.vec_id, l.j, l.dot, l.nsq
+      |  FROM codes JOIN lut l ON codes.j = l.j AND codes.c = l.c),
+      |sc AS (SELECT query_id, vec_id,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list(dot ORDER BY j)), (a, x) -> a + x) AS dotsum,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list(nsq ORDER BY j)), (a, x) -> a + x) AS nsqsum
+      |  FROM terms GROUP BY query_id, vec_id),
+      |r AS (SELECT sc.query_id, sc.vec_id, sc.dotsum / (qn.qnorm * sqrt(sc.nsqsum)) AS cos
+      |  FROM sc JOIN qn USING (query_id)),
+      |rr AS (SELECT query_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM r WHERE vec_id IS NOT NULL AND cos IS NOT NULL AND NOT isnan(cos))
+      |SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
+      |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Whole-pipeline semantic-dedup probe: [[graft.ext.SemDedup
     * .semanticNearDupPairsReplayable]] — the production SemDeDup pipeline
     * (same codegen'd max-cosine cell assignment with its (cos desc, idx
@@ -3522,6 +3579,7 @@ object SparkEntry {
     "q_similarity_topk_lsh" -> similarityTopkLsh,
     "q_lsh_replay_topk" -> lshReplayTopk,
     "q_ivf_replay_topk" -> ivfReplayTopk,
+    "q_pq_replay_topk" -> pqReplayTopk,
     "q_similarity_topk_ivf" -> similarityTopkIvf,
     "q_embedding_norms" -> embeddingNormsEmbeddings,
     "q_multimodal_features" -> multimodalFeatures,
@@ -3771,6 +3829,7 @@ object SparkEntry {
     "q_minhash_replay_docs" -> minhashReplaySql,
     "q_lsh_replay_topk" -> lshReplaySql,
     "q_ivf_replay_topk" -> ivfReplaySql,
+    "q_pq_replay_topk" -> pqReplaySql,
     "q_similarity_topk_ivf" -> ivfReplaySqlFor(16, 4),
     "q_simhash_replay_docs" -> simhashReplaySql,
     "q_embedding_neardup_docs" -> embeddingNearDupSql,

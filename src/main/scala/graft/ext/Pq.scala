@@ -1,0 +1,301 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Product quantization for approximate nearest-neighbor search (the
+  * public PQ scheme of Jégou, Douze & Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011 — the compression tier FAISS
+  * calls `PQm`): the D-dim embedding is split into `m` contiguous
+  * subspaces of `dsub = D/m` dims, each subspace gets its own `ksub`-entry
+  * codebook, and a vector is stored as the `m` per-subspace nearest-code
+  * indices. At ksub ≤ 256 that is m BYTES per vector versus 4·D for
+  * float32 — a 64-dim corpus compresses 32× (8 codes vs 256 bytes), which
+  * at 100 TB of raw embeddings is the difference between scanning 3 TB
+  * and scanning 100 TB per search pass.
+  *
+  * Search is ADC (asymmetric distance computation, §IV.A of the paper):
+  * the query stays full-precision, a per-query lookup table of
+  * sub-dot-products against every codebook entry is built once (m·ksub
+  * entries — model-sized), and each stored vector is scored by summing m
+  * table entries selected by its codes. No decode, no per-pair float
+  * math beyond m adds: the corpus-side cost per row is O(m), independent
+  * of D. We rank by the ADC estimate of COSINE — sub-dots give the dot
+  * product with the reconstruction x̂, and ‖x̂‖² = Σ_j ‖cb_j[code_j]‖² is
+  * a second m-entry table lookup — so results are directly comparable to
+  * [[Similarity.bruteForceTopK]] and the IVF/LSH paths (same
+  * (cos desc, vec_id asc) tie rule, same k-capped [[TopKAgg]] shuffle
+  * bound of k·P rows).
+  *
+  * Scale shape: encoding is one corpus scan (O(m·ksub·dsub) FLOPs/row)
+  * that a real deployment runs ONCE and persists next to the ids —
+  * exactly the [[Similarity.assignCells]] amortization story, measured in
+  * ARCHITECTURE.md's round-8 probe ledger. Training reads a strided
+  * sample (codebooks need the distribution's shape, not the corpus), and
+  * every per-iteration aggregate is (m·ksub·dsub)-sized — a model, never
+  * data. Encode/LUT use closure UDFs by the [[Similarity.assignUdf]]
+  * precedent: production codebooks (m·ksub·dsub doubles) are far past
+  * sane literal embedding, the per-row FLOPs dominate either way, and
+  * the while-loop left-to-right accumulation is exactly replayable by a
+  * SQL `list_reduce` fold — which is what makes [[pqTopKReplayable]] a
+  * hard-oracle twin of the full encode→LUT→score→rank pipeline.
+  *
+  * Id contract matches the other topK variants: numeric unique ids,
+  * emitted as `vec_id: bigint`.
+  */
+object Pq {
+
+  /** Deterministic INTEGER-coordinate codebooks for the replayable twin
+    * (the [[Similarity.integerPlanes]] recipe indexed by (subspace, code,
+    * dim)): cb(j)(c)(d) = ((2654435761·((j·ksub+c)·dsub + d + 1) + 97)
+    * mod 1000000007) − 500000003 — exact in a double, regenerable from
+    * three loop indices with BIGINT arithmetic in any SQL engine. */
+  private[graft] def integerCodebooks(m: Int, ksub: Int, dsub: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m)(j => Array.tabulate(ksub)(c => Array.tabulate(dsub)(d =>
+      ((2654435761L * ((j.toLong * ksub + c) * dsub + d + 1) + 97L) % 1000000007L
+        - 500000003L).toDouble)))
+
+  private def requireShape(cb: Array[Array[Array[Double]]]): (Int, Int, Int) = {
+    require(cb.nonEmpty && cb(0).nonEmpty && cb(0)(0).nonEmpty, "empty codebooks")
+    val (m, ksub, dsub) = (cb.length, cb(0).length, cb(0)(0).length)
+    require(cb.forall(b => b.length == ksub && b.forall(_.length == dsub)),
+      "ragged codebooks: every subspace needs the same (ksub, dsub)")
+    (m, ksub, dsub)
+  }
+
+  /** Per-subspace argmin-L2 encoder. Tie rule: strict <, so the LOWEST
+    * code index wins ties; a NaN distance never beats anything (NaN < x
+    * is false), so an all-NaN subspace encodes as code 0 — both rules
+    * mirrored by the oracle's `ORDER BY dist ASC, c ASC` under DuckDB's
+    * NaN-sorts-last total order. Left-to-right accumulation ≡ the SQL
+    * list_reduce fold. */
+  private[graft] def encodeUdf(cb: Array[Array[Array[Double]]]): UserDefinedFunction = {
+    val frozen = cb.map(_.map(_.clone()))
+    val m = frozen.length
+    val dsub = frozen(0)(0).length
+    udf { (emb: Seq[Double]) =>
+      val codes = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val book = frozen(j)
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < book.length) {
+          val cent = book(c)
+          var dd = 0.0
+          var d = 0
+          while (d < dsub) {
+            val diff = emb(j * dsub + d) - cent(d)
+            dd += diff * diff
+            d += 1
+          }
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        codes(j) = best
+        j += 1
+      }
+      codes
+    }
+  }
+
+  /** Per-query ADC dot table: entry j·ksub+c = Σ_d qemb[j·dsub+d]·cb[j][c][d]
+    * (left-to-right). Queries are model-sized by contract, so this UDF
+    * runs Q times total — never on the corpus. */
+  private def lutDotUdf(cb: Array[Array[Array[Double]]]): UserDefinedFunction = {
+    val frozen = cb.map(_.map(_.clone()))
+    val m = frozen.length
+    val ksub = frozen(0).length
+    val dsub = frozen(0)(0).length
+    udf { (qemb: Seq[Double]) =>
+      val lut = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < ksub) {
+          val cent = frozen(j)(c)
+          var dot = 0.0
+          var d = 0
+          while (d < dsub) { dot += qemb(j * dsub + d) * cent(d); d += 1 }
+          lut(j * ksub + c) = dot
+          c += 1
+        }
+        j += 1
+      }
+      lut
+    }
+  }
+
+  /** ‖cb_j[c]‖² per (j, c) — query-independent, computed once on the
+    * driver with the same left-to-right fold and shipped as a literal
+    * array (m·ksub doubles — a model). */
+  private def normSqTable(cb: Array[Array[Array[Double]]]): Array[Double] =
+    cb.flatMap(_.map { cent =>
+      var s = 0.0; var d = 0
+      while (d < cent.length) { s += cent(d) * cent(d); d += 1 }
+      s
+    })
+
+  /** Deterministic per-subspace Lloyd training (the [[Similarity
+    * .trainIvfCentroids]] conventions on the PQ objective): init = each
+    * subspace's slices of the `ksub` lowest-id sample vectors; fixed
+    * `iters` iterations of argmin-L2 assignment (lowest code on ties) and
+    * per-(subspace, code, dim) means; an emptied code keeps its previous
+    * centroid. ALL subspaces train in each single scan — the per-iteration
+    * shuffle is the (m·ksub·dsub)-row mean table, never the sample. */
+  def trainPqCodebooks(
+      embeddings: DataFrame,
+      dim: Int,
+      m: Int = 8,
+      ksub: Int = 256,
+      iters: Int = 3,
+      sampleMod: Long = 1L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val base = embeddings.select(col(idCol).cast("long").as("vec_id"),
+      col(embCol).cast("array<double>").as("emb"))
+    val sample =
+      (if (sampleMod > 1L) base.filter(col("vec_id") % sampleMod === 0) else base)
+        .coalesce(8).cache()
+    try {
+      val seed = sample.orderBy("vec_id").limit(ksub).collect()
+        .map(_.getSeq[Double](1).toArray)
+      require(seed.length == ksub, s"need >= $ksub vectors to init PQ codebooks")
+      var cb: Array[Array[Array[Double]]] =
+        Array.tabulate(m)(j => seed.map(v => v.slice(j * dsub, (j + 1) * dsub)))
+      var it = 0
+      while (it < iters) {
+        val enc = encodeUdf(cb)
+        // encode BEFORE exploding (Generate re-evaluates its select list
+        // per output row — the trainIvfCentroids barrier note)
+        val means = sample
+          .select(col("emb"), enc(col("emb")).as("codes"))
+          .select(col("emb"), posexplode(col("codes")).as(Seq("j", "c")))
+          .select(col("j"), col("c"),
+            posexplode(slice(col("emb"), col("j") * dsub + 1, lit(dsub))).as(Seq("d", "v")))
+          .groupBy("j", "c", "d").agg(avg("v").as("mv"))
+          .collect()
+        val next = cb.map(_.map(_.clone()))
+        means.foreach { r =>
+          next(r.getAs[Int]("j"))(r.getAs[Int]("c"))(r.getAs[Int]("d")) = r.getAs[Double]("mv")
+        }
+        cb = next
+        it += 1
+      }
+      cb
+    } finally sample.unpersist(false)
+  }
+
+  /** Encode a corpus against trained codebooks: (vec_id, codes) with
+    * codes[j] ∈ [0, ksub). This is the persist-once half of the index —
+    * at ksub ≤ 256 the codes column dictionary/bit-packs to ~m bytes per
+    * vector in parquet. Vectors shorter than m·dsub throw (ANSI
+    * element_at semantics would anyway); longer tails are ignored. */
+  def pqEncode(
+      embeddings: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val (m, _, dsub) = requireShape(codebooks)
+    val enc = encodeUdf(codebooks)
+    embeddings
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .filter(size(col("emb")) >= m * dsub)
+      .select(col("vec_id"), enc(col("emb")).as("codes"))
+  }
+
+  /** ADC top-k over an ENCODED corpus: per-query LUTs broadcast with the
+    * (small) query frame, per-row score = an m-entry table-lookup fold —
+    * pure codegen'd expressions on the corpus side — ranked by the
+    * k-capped [[TopKAgg]] (shuffle moves k·P rows). Emits the ADC cosine
+    * estimate as `cos`; ties (cos desc, vec_id asc) like every topK. */
+  def pqTopK(
+      encoded: DataFrame,
+      queries: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_emb"): DataFrame = {
+    val (m, ksub, _) = requireShape(codebooks)
+    val lutDot = lutDotUdf(codebooks)
+    val nsq = normSqTable(codebooks)
+    val qBase = queries.select(
+      col(queryIdCol).as("query_id"),
+      col(queryEmbCol).cast("array<double>").as("qemb"))
+      .withColumn("lut", lutDot(col("qemb")))
+      .withColumn("qnorm",
+        sqrt(aggregate(col("qemb"), lit(0.0d), (a, v) => a + v * v)))
+      .select("query_id", "lut", "qnorm")
+    val nsqLit = array(nsq.map(lit): _*)
+    // Σ_j lut[j·ksub + codes[j]] and Σ_j ‖cb_j[code_j]‖², both as ordered
+    // left-to-right folds over j (transform-with-index + aggregate) so the
+    // oracle's list_reduce over a j-ordered list replays them exactly
+    val adcDot = aggregate(
+      transform(col("codes"), (c, j) => element_at(col("lut"), j * ksub + c + 1)),
+      lit(0.0d), (a, v) => a + v)
+    val recNormSq = aggregate(
+      transform(col("codes"), (c, j) => element_at(nsqLit, j * ksub + c + 1)),
+      lit(0.0d), (a, v) => a + v)
+    val topk = udaf(new TopKAgg(k))
+    encoded
+      .select(col("vec_id").cast("long").as("vec_id"), col("codes"))
+      .crossJoin(broadcast(qBase))
+      .withColumn("cos", adcDot / (col("qnorm") * sqrt(recNormSq)))
+      .filter(col("vec_id").isNotNull && col("cos").isNotNull && !isnan(col("cos")))
+      .groupBy("query_id")
+      .agg(topk(col("vec_id"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sv")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("sv.vec_id").as("vec_id"), col("sv.cos").as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Train + encode + search in one call — the convenience form; real
+    * deployments call [[trainPqCodebooks]] once, persist [[pqEncode]]'s
+    * output, and search with [[pqTopK]]. */
+  def pqTopKTrained(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int,
+      m: Int = 8,
+      ksub: Int = 256,
+      iters: Int = 3,
+      trainSampleMod: Long = 1L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_emb"): DataFrame = {
+    val cb = trainPqCodebooks(embeddings, dim, m, ksub, iters, trainSampleMod, idCol, embCol)
+    pqTopK(pqEncode(embeddings, cb, idCol, embCol), queries, cb, k, queryIdCol, queryEmbCol)
+  }
+
+  /** SQL-replayable twin of the full PQ pipeline (the [[Similarity
+    * .ivfTopKReplayable]] recipe): the IDENTICAL encode → LUT → ADC score
+    * → k-capped rank path with [[integerCodebooks]] pinned in place of
+    * trained ones, so an oracle regenerates every codebook entry from
+    * three loop indices and replays argmin encoding, both lookup tables,
+    * the ordered score folds, and the final (cos desc, vec_id) rank
+    * bit-for-bit. Training only moves codebook VALUES; the twin pins the
+    * machinery. */
+  def pqTopKReplayable(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int = 64,
+      m: Int = 8,
+      ksub: Int = 8,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_emb"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val cb = integerCodebooks(m, ksub, dim / m)
+    pqTopK(pqEncode(embeddings, cb, idCol, embCol), queries, cb, k, queryIdCol, queryEmbCol)
+  }
+}
