@@ -3205,6 +3205,138 @@ object SparkEntry {
        |FROM f JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** Frame-level PII scrub ([[graft.ext.Pii.redactPii]]) over the corpus
+    * with deterministic PLANTED identifiers (every third doc gains an
+    * email + IPv4 + phone rendered from doc_id arithmetic — the corpus
+    * itself carries no PII, so the detectors need seeded targets; both
+    * engines synthesize the identical string). The oracle replays the
+    * sequential count-then-replace stages and pins the fully redacted
+    * text by md5. */
+  private def piiRedactDocs(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+          lit("@mail"), pmod(col("doc_id"), lit(5)).cast("string"), lit(".com from 10."),
+          pmod(col("doc_id"), lit(200)).cast("string"), lit(".0."),
+          pmod(col("doc_id") * 7, lit(250)).cast("string"), lit(" tel +1 555-"),
+          lpad(pmod(col("doc_id") * 13, lit(10000)).cast("string"), 4, "0")))
+        .otherwise(col("text")).as("text"))
+    ext.Pii.redactPii(planted)
+      .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+        length(col("text")).cast("long").as("redacted_len"),
+        md5(col("text")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  private def piiRedactSql: String =
+    raw"""WITH base AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+       |    THEN text || ' Contact user' || doc_id || '@mail' || (doc_id % 5)
+       |      || '.com from 10.' || (doc_id % 200) || '.0.' || ((doc_id * 7) % 250)
+       |      || ' tel +1 555-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+       |    ELSE text END AS t FROM documents),
+       |s1 AS (SELECT doc_id,
+       |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+       |  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+       |  FROM base),
+       |s2 AS (SELECT doc_id, n_email,
+       |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+       |  regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t FROM s1),
+       |s3 AS (SELECT doc_id, n_email, n_ipv4,
+       |  len(regexp_extract_all(t, '\+\d{1,3}[- ]\d{3}[- ]\d{4}'))::BIGINT AS n_phone,
+       |  regexp_replace(t, '\+\d{1,3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS t FROM s2)
+       |SELECT doc_id, n_email, n_ipv4, n_phone,
+       |  length(t)::BIGINT AS redacted_len, md5(t) AS redacted_md5
+       |FROM s3 ORDER BY doc_id""".stripMargin
+
+  /** Shared planted-URL corpus for the two URL queries: every fourth doc
+    * cites two hosts rendered from doc_id arithmetic, every eighth
+    * additionally cites the blocklisted tracker. */
+  private def plantedUrlDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" see https://site"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".example.org/p"), col("doc_id").cast("string"),
+            lit(" and http://cdn"), pmod(col("doc_id"), lit(3)).cast("string"),
+            lit(".assets.net/i"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(8)) === 0, lit(" https://tracker.ads.net/x"))
+          .otherwise(lit(""))).as("text"))
+
+  /** NOT pre-stripped: interpolated into outer templates whose single
+    * `.stripMargin` strips these margins too (stripping twice would eat
+    * the first `|` of the `||` concat operators). */
+  private val plantedUrlCte: String =
+    raw"""base AS (SELECT doc_id, lang, text ||
+       |    CASE WHEN doc_id % 4 = 0 THEN ' see https://site' || (doc_id % 7)
+       |      || '.example.org/p' || doc_id || ' and http://cdn' || (doc_id % 3)
+       |      || '.assets.net/i' ELSE '' END ||
+       |    CASE WHEN doc_id % 8 = 0 THEN ' https://tracker.ads.net/x' ELSE '' END AS t
+       |  FROM documents)"""
+
+  /** Corpus URL/domain audit ([[graft.ext.TextStats.urlDomainStats]]):
+    * per-host citation counts over the planted corpus, flagged against
+    * the ads blocklist with the production subdomain rule. */
+  private def urlDomainsDocs(s: SparkSession, dir: String): DataFrame =
+    ext.TextStats.urlDomainStats(plantedUrlDocs(s, dir))
+      .withColumn("blocked",
+        col("domain") === "ads.net" || col("domain").endsWith(".ads.net"))
+      .orderBy("domain")
+
+  private def urlDomainsSql: String =
+    raw"""WITH $plantedUrlCte,
+       |u AS (SELECT doc_id, lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(t,
+       |    'https?://[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s]*)?')) AS url FROM base))
+       |SELECT domain, count(*)::BIGINT AS n_urls, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |  (domain = 'ads.net' OR domain LIKE '%.ads.net') AS blocked
+       |FROM u GROUP BY domain ORDER BY domain""".stripMargin
+
+  /** URL-blocklist document filter ([[graft.ext.TextStats
+    * .dropBlockedDomains]] — RefinedWeb-style host blocking, subdomains
+    * included): survivors per language over the planted corpus. */
+  private def urlBlocklistDocs(s: SparkSession, dir: String): DataFrame =
+    ext.TextStats.dropBlockedDomains(plantedUrlDocs(s, dir), Seq("ads.net", "assets.net"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  private def urlBlocklistSql: String =
+    raw"""WITH $plantedUrlCte,
+       |h AS (SELECT doc_id, lang, list_transform(regexp_extract_all(t,
+       |    'https?://[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s]*)?'),
+       |    u -> lower(regexp_extract(u, 'https?://([A-Za-z0-9.-]+)', 1))) AS hosts
+       |  FROM base),
+       |surv AS (SELECT lang FROM h WHERE coalesce(len(list_filter(hosts,
+       |    d -> d = 'ads.net' OR d LIKE '%.ads.net'
+       |      OR d = 'assets.net' OR d LIKE '%.assets.net')), 0) = 0)
+       |SELECT lang, count(*)::BIGINT AS n_docs FROM surv GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Temperature-scaled domain mixture ([[graft.ext.Sampling
+    * .domainMixtureWeights]], τ = 0.5 — sqrt, IEEE-exact in both
+    * engines): per-source token mass, flattened sampling weight, and the
+    * 20k-token-budget acceptance rate with the single-epoch clip. */
+  private def domainMixtureDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("source"), size(Dedup.tokens(col("text"))).cast("long").as("toks"))
+    ext.Sampling.domainMixtureWeights(d, "source", col("toks"),
+        temperature = 0.5, targetTokens = Some(20000L))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        r6(col("weight")).as("weight"), r6(col("sampling_rate")).as("sampling_rate"))
+      .orderBy("domain")
+  }
+
+  private def domainMixtureSql: String =
+    raw"""WITH d AS (SELECT source AS domain,
+       |    len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS toks
+       |  FROM documents),
+       |g AS (SELECT domain, count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS n_tokens
+       |  FROM d GROUP BY domain),
+       |t AS (SELECT *, sqrt(n_tokens::DOUBLE) AS tt FROM g),
+       |tot AS (SELECT sum(tt) AS tot FROM t)
+       |SELECT domain, n_docs, n_tokens,
+       |  floor(tt / tot * 1e6 + 0.5) / 1e6 AS weight,
+       |  floor(least(1.0, 20000.0 * (tt / tot) / n_tokens) * 1e6 + 0.5) / 1e6 AS sampling_rate
+       |FROM t, tot ORDER BY domain""".stripMargin
+
   /** Deterministic epoch-3 training-order shuffle: the 50 first docs in
     * shuffle order with their ranks — DuckDB replays the affine epoch
     * fold and the full mixHash chain per doc, pinning the permutation
@@ -3616,6 +3748,10 @@ object SparkEntry {
     "q_cms_topk_docs" -> cmsTopkDocs,
     "q_hdr_quantiles_docs" -> hdrQuantilesDocs,
     "q_blocklist_docs" -> blocklistDocs,
+    "q_pii_redact_docs" -> piiRedactDocs,
+    "q_url_domains_docs" -> urlDomainsDocs,
+    "q_url_blocklist_docs" -> urlBlocklistDocs,
+    "q_domain_mixture_docs" -> domainMixtureDocs,
     "q_epoch_shuffle_docs" -> epochShuffleDocs,
     "q_cms_stream_docs" -> cmsStreamDocs,
     "q_gopher_quality_docs" -> gopherQualityDocs,
@@ -3878,6 +4014,10 @@ object SparkEntry {
     "q_cms_topk_docs" -> cmsTopkSql,
     "q_hdr_quantiles_docs" -> hdrQuantilesSql,
     "q_blocklist_docs" -> blocklistSql,
+    "q_pii_redact_docs" -> piiRedactSql,
+    "q_url_domains_docs" -> urlDomainsSql,
+    "q_url_blocklist_docs" -> urlBlocklistSql,
+    "q_domain_mixture_docs" -> domainMixtureSql,
     "q_epoch_shuffle_docs" -> epochShuffleSql,
     "q_cms_stream_docs" -> cmsStreamSql,
     "q_gopher_quality_docs" -> gopherQualitySql,

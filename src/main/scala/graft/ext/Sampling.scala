@@ -194,6 +194,55 @@ object Sampling {
     weights.map(_._1).zip(cum.map(c => math.floor(c * 4294967296.0).toLong))
   }
 
+  /** Temperature-scaled domain mixture weights (the public multi-source
+    * sampling recipe: LLaMA-style "sampled proportionally with
+    * temperature" / the DoReMi paper's baseline mixture): per domain d
+    * with token count c_d, the sampling weight is c_d^τ / Σ c^τ. τ = 1
+    * reproduces natural proportions, τ → 0 flattens toward uniform —
+    * the standard knob for keeping small high-quality domains from
+    * drowning under web-scale ones. Also emits `sampling_rate` — the
+    * per-domain acceptance probability that hits `targetTokens` total
+    * at the mixture weights, clipped to 1 (a domain too small to fill
+    * its share is taken whole; the standard single-epoch clip).
+    *
+    * Scale shape: ONE partial aggregate over the corpus keyed by domain
+    * (map-side combine ⇒ the shuffle carries one row per domain per
+    * partition), then window-free arithmetic on the model-sized domain
+    * table. Exactness: τ = 0.5 and τ = 1 use sqrt/identity — IEEE-exact
+    * in every engine, hence oracle-replayable; other τ go through
+    * libm `pow`, documented as 1-ulp engine-dependent. */
+  def domainMixtureWeights(
+      df: DataFrame,
+      domainCol: String,
+      tokensCol: Column,
+      temperature: Double = 1.0,
+      targetTokens: Option[Long] = None): DataFrame = {
+    require(temperature > 0.0, s"temperature must be positive, got $temperature")
+    val perDomain = df
+      .groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol).cast("long").as("n_tokens"))
+    def tempered(c: Column): Column = temperature match {
+      case 1.0 => c.cast("double")
+      case 0.5 => sqrt(c.cast("double"))
+      case t   => pow(c.cast("double"), lit(t))
+    }
+    val withT = perDomain.withColumn("__t", tempered(col("n_tokens")))
+    // Σ c^τ via a model-sized single-row aggregate, broadcast back — the
+    // domain table is tiny by construction, but avoid a global window out
+    // of principle (windows without PARTITION BY trip the plan lint)
+    val total = withT.agg(sum("__t").as("__tot"), sum("n_tokens").as("__tok_tot"))
+    val out = withT.crossJoin(broadcast(total))
+      .withColumn("weight", col("__t") / col("__tot"))
+    val withRate = targetTokens match {
+      case Some(t) =>
+        require(t > 0, s"targetTokens must be positive, got $t")
+        out.withColumn("sampling_rate",
+          least(lit(1.0), lit(t.toDouble) * col("weight") / col("n_tokens")))
+      case None => out
+    }
+    withRate.drop("__t", "__tot", "__tok_tot")
+  }
+
   /** Weighted mixture of corpora: deterministically sample each source at
     * its weight and union, tagging rows with `mixSourceCol`. Schemas must
     * be union-compatible by name (columns are aligned, not positional).

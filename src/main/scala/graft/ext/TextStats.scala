@@ -545,7 +545,9 @@ object TextStats {
   /** Redact emails → URLs → bare IPv4s (in that order: the email pass must
     * consume user@host before the URL pass can half-eat the host). The
     * patterns avoid lookarounds/backrefs so they run identically under
-    * Java regex and RE2-family engines. */
+    * Java regex and RE2-family engines. This is the fixed column-level
+    * fast form; [[Pii]] is the rule-driven frame-level op (configurable
+    * detectors, per-rule replacement counts, phone numbers). */
   def redactPii(text: Column): Column = {
     val noEmail = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
@@ -726,4 +728,49 @@ object TextStats {
   def docFingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
     xxhash64(array_join(transform(array_sort(winnowingFingerprints(text, k, w)),
       v => v.cast("string")), ","))
+
+  /** URL matcher shared by the domain stats and the blocklist filter.
+    * RE2-compatible (no lookaround), scheme-anchored, host = dotted
+    * alnum/hyphen labels, optional port and path; a trailing-path match
+    * stops at whitespace. Precision-first like the [[Pii]] rules. */
+  private[graft] val urlPattern: String =
+    "https?://[A-Za-z0-9.-]+(?::\\d+)?(?:/[^\\s]*)?"
+
+  /** Host extractor applied to a MATCHED url (scheme guaranteed). */
+  private[graft] val domainOfUrl: Column => Column =
+    u => lower(regexp_extract(u, "https?://([A-Za-z0-9.-]+)", 1))
+
+  /** Corpus-level URL/domain frequency table (the C4/RefinedWeb URL-audit
+    * step: which hosts dominate the crawl): one map-side
+    * regexp_extract_all + explode, one (domain)-keyed partial aggregate —
+    * the shuffle carries domains, never documents. Emits
+    * (domain, n_urls, n_docs), lowercased hosts. */
+  def urlDomainStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit(urlPattern), lit(0))).as("url"))
+      .select(col("doc_id"), domainOfUrl(col("url")).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"), countDistinct("doc_id").as("n_docs"))
+
+  /** Drop documents citing any blocked domain (subdomains included: a url
+    * host matches if it equals the blocked domain or ends with
+    * ".<domain>" — the standard blocklist semantics). The blocklist is a
+    * MODEL (literal array, broadcast with the plan); the corpus is never
+    * shuffled — pure map-side filter, like [[dropBlocklisted]]. */
+  def dropBlockedDomains(
+      docs: DataFrame,
+      blockedDomains: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    require(blockedDomains.nonEmpty, "empty blocklist: nothing to drop")
+    val blocked = blockedDomains.map(_.toLowerCase)
+    val hosts = transform(regexp_extract_all(col(textCol), lit(urlPattern), lit(0)),
+      u => domainOfUrl(u))
+    val hit = exists(hosts, h =>
+      blocked.map(b => h === lit(b) || h.endsWith(lit("." + b)))
+        .reduce(_ || _))
+    docs.filter(!coalesce(hit, lit(false)))
+  }
 }

@@ -36,7 +36,12 @@ class PlanLintSpec extends SparkSpec {
     // ≤16·60-row bucket table (and, in the exact exhibit leg, the
     // distinct-value cum table — value-cardinality-sized, bounded by max
     // doc length) against 5 quantile rows
-    "q_hdr_quantiles_docs")
+    "q_hdr_quantiles_docs",
+    // PQ ADC scoring: corpus × broadcast(3 query LUTs) — the
+    // bruteForceTopK shape (round 8)
+    "q_pq_replay_topk",
+    // mixture weights: model-sized domain table × broadcast(1-row Σc^τ)
+    "q_domain_mixture_docs")
   private val globalWindowOk = Set("q_rrf_hybrid_docs",
     // cumulative walks over the model-sized bucket table / the
     // distinct-length table — never over data rows
