@@ -3337,6 +3337,64 @@ object SparkEntry {
        |  floor(least(1.0, 20000.0 * (tt / tot) / n_tokens) * 1e6 + 0.5) / 1e6 AS sampling_rate
        |FROM t, tot ORDER BY domain""".stripMargin
 
+  /** DSIR data selection ([[graft.ext.Dsir]]): target = the English
+    * slice, raw = the whole corpus, 512 hashed-n-gram buckets, Gumbel
+    * top-40 at epoch 1. The oracle replays EVERYTHING — Karp–Rabin gram
+    * hashing, both bucket models with Laplace smoothing, per-doc log
+    * importance sums, the epoch-keyed mixed-hash Gumbel noise, and the
+    * exact selected subset. */
+  private def dsirSelectDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ratios = ext.Dsir.trainImportanceRatios(
+      docs.filter(col("lang") === "en"), docs, buckets = 512)
+    val scored = ext.Dsir.dsirScores(docs, ratios, buckets = 512)
+    ext.Dsir.dsirResample(scored, k = 40, epoch = 1)
+      .select(col("doc_id"), col("n_grams"), r6(col("dsir_logw")).as("dsir_logw"),
+        r6(col("gumbel_key")).as("gumbel_key"))
+      .orderBy("doc_id")
+  }
+
+  private def dsirSelectSql: String =
+    raw"""WITH d AS (SELECT doc_id, lang,
+       |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+       |gs AS (SELECT doc_id, lang, unnest(list_concat(toks,
+       |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS gram
+       |  FROM d),
+       |gb AS (SELECT doc_id, lang, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(gram)),
+       |      c -> ascii(substring(gram, c, 1))::BIGINT)),
+       |    (h, c) -> (h * 257 + c) % 1000000007) % 512 AS bucket FROM gs),
+       |ct AS (SELECT bucket, count(*)::BIGINT AS c_t FROM gb WHERE lang = 'en' GROUP BY bucket),
+       |cr AS (SELECT bucket, count(*)::BIGINT AS c_r FROM gb GROUP BY bucket),
+       |tt AS (SELECT coalesce(sum(c_t), 0) AS t_t FROM ct),
+       |tr AS (SELECT coalesce(sum(c_r), 0) AS t_r FROM cr),
+       |ratios AS (SELECT b.bucket,
+       |    ln((coalesce(ct.c_t, 0) + 1.0) / (tt.t_t + 512.0))
+       |      - ln((coalesce(cr.c_r, 0) + 1.0) / (tr.t_r + 512.0)) AS log_ratio
+       |  FROM (SELECT unnest(range(512)) AS bucket) b
+       |  CROSS JOIN tt CROSS JOIN tr
+       |  LEFT JOIN ct ON ct.bucket = b.bucket
+       |  LEFT JOIN cr ON cr.bucket = b.bucket),
+       |sc AS (SELECT gb.doc_id, count(*)::BIGINT AS n_grams,
+       |    sum(ratios.log_ratio) AS logw
+       |  FROM gb JOIN ratios ON ratios.bucket = gb.bucket GROUP BY gb.doc_id),
+       |f AS (SELECT doc_id, ((doc_id % 2147483648) * 1000003 + 1) % 2147483648 AS x FROM sc),
+       |h0 AS (SELECT doc_id, ((x % 2147483648) * 2654435761) % 4294967296 AS h FROM f),
+       |s1 AS (SELECT doc_id, xor(h, h >> 16) AS h FROM h0),
+       |m1 AS (SELECT doc_id, ((((h >> 16) * 2246822507) % 65536) * 65536
+       |    + (h % 65536) * 2246822507) % 4294967296 AS h FROM s1),
+       |s2 AS (SELECT doc_id, xor(h, h >> 13) AS h FROM m1),
+       |m2 AS (SELECT doc_id, ((((h >> 16) * 3266489909) % 65536) * 65536
+       |    + (h % 65536) * 3266489909) % 4294967296 AS h FROM s2),
+       |hx AS (SELECT doc_id, xor(h, h >> 16) AS h FROM m2),
+       |key AS (SELECT sc.doc_id, sc.n_grams, sc.logw,
+       |    sc.logw - ln(-ln((hx.h + 0.5) / 4294967296.0)) AS gk
+       |  FROM sc JOIN hx ON hx.doc_id = sc.doc_id),
+       |top AS (SELECT * FROM key ORDER BY gk DESC, doc_id LIMIT 40)
+       |SELECT doc_id, n_grams, floor(logw * 1e6 + 0.5) / 1e6 AS dsir_logw,
+       |  floor(gk * 1e6 + 0.5) / 1e6 AS gumbel_key
+       |FROM top ORDER BY doc_id""".stripMargin
+
   /** Deterministic epoch-3 training-order shuffle: the 50 first docs in
     * shuffle order with their ranks — DuckDB replays the affine epoch
     * fold and the full mixHash chain per doc, pinning the permutation
@@ -3752,6 +3810,7 @@ object SparkEntry {
     "q_url_domains_docs" -> urlDomainsDocs,
     "q_url_blocklist_docs" -> urlBlocklistDocs,
     "q_domain_mixture_docs" -> domainMixtureDocs,
+    "q_dsir_select_docs" -> dsirSelectDocs,
     "q_epoch_shuffle_docs" -> epochShuffleDocs,
     "q_cms_stream_docs" -> cmsStreamDocs,
     "q_gopher_quality_docs" -> gopherQualityDocs,
@@ -4018,6 +4077,7 @@ object SparkEntry {
     "q_url_domains_docs" -> urlDomainsSql,
     "q_url_blocklist_docs" -> urlBlocklistSql,
     "q_domain_mixture_docs" -> domainMixtureSql,
+    "q_dsir_select_docs" -> dsirSelectSql,
     "q_epoch_shuffle_docs" -> epochShuffleSql,
     "q_cms_stream_docs" -> cmsStreamSql,
     "q_gopher_quality_docs" -> gopherQualitySql,

@@ -101,6 +101,10 @@ class PlanLintSpec extends SparkSpec {
     // register is computed from) is exactly what the KMV input-column-
     // filter fix eliminated (ARCHITECTURE.md, round 7)
     ("q_epoch_shuffle_docs", "pmod(doc_id, 2147483648L)"),
+    // DSIR's Gumbel key: the same epoch-keyed mixHash chain (sort key +
+    // output column inline it) — O(1) integer arithmetic on the id, the
+    // expensive per-gram work is aggregated before this projection
+    ("q_dsir_select_docs", "pmod(doc_id, 2147483648L)"),
     ("q_hll_distinct_lineitem", "pmod(l_partkey, 2147483648L)"),
     ("q_kmv_distinct_lineitem", "pmod(l_partkey, 2147483648L)"),
     // the long-form lag explode materializes one struct per (pair, lag)
