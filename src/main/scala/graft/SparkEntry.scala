@@ -3337,6 +3337,35 @@ object SparkEntry {
        |  floor(least(1.0, 20000.0 * (tt / tot) / n_tokens) * 1e6 + 0.5) / 1e6 AS sampling_rate
        |FROM t, tot ORDER BY domain""".stripMargin
 
+  /** PCA fit, oracle-able surface ([[graft.ext.Pca.covarianceMatrix]]):
+    * the centered population covariance of the embedding corpus — the
+    * distributed 99% of a whitening fit (the eigen step is driver-side
+    * model numerics, property-tested in PcaSpec like the other iterative
+    * optimizers). DuckDB recomputes all 2,080 upper-triangle entries
+    * from scratch. */
+  private def pcaCovEmbeddings(s: SparkSession, dir: String): DataFrame =
+    ext.Pca.covarianceMatrix(Tables.embeddings(s, dir), dim = 64)
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        r6(col("cov")).as("cov"))
+      .orderBy("i", "j")
+
+  private def pcaCovSql: String =
+    """WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings
+      |  WHERE len(embedding) = 64),
+      |n AS (SELECT count(*)::DOUBLE AS n FROM e),
+      |p AS (SELECT idx.pos, e.emb[idx.pos] AS v
+      |  FROM e, (SELECT unnest(range(1, 65)) AS pos) idx),
+      |mu AS (SELECT pos, avg(v) AS m FROM p GROUP BY pos),
+      |mua AS (SELECT list(m ORDER BY pos) AS mu FROM mu),
+      |grid AS (SELECT a.i, b.j FROM (SELECT unnest(range(1, 65)) AS i) a,
+      |  (SELECT unnest(range(1, 65)) AS j) b WHERE a.i <= b.j),
+      |cov AS (SELECT grid.i, grid.j,
+      |    sum((e.emb[grid.i] - mua.mu[grid.i]) * (e.emb[grid.j] - mua.mu[grid.j])) AS s
+      |  FROM e, grid, mua GROUP BY grid.i, grid.j)
+      |SELECT cov.i - 1 AS i, cov.j - 1 AS j,
+      |  floor(cov.s / n.n * 1e6 + 0.5) / 1e6 AS cov
+      |FROM cov, n ORDER BY i, j""".stripMargin
+
   /** DSIR data selection ([[graft.ext.Dsir]]): target = the English
     * slice, raw = the whole corpus, 512 hashed-n-gram buckets, Gumbel
     * top-40 at epoch 1. The oracle replays EVERYTHING — Karp–Rabin gram
@@ -3811,6 +3840,7 @@ object SparkEntry {
     "q_url_blocklist_docs" -> urlBlocklistDocs,
     "q_domain_mixture_docs" -> domainMixtureDocs,
     "q_dsir_select_docs" -> dsirSelectDocs,
+    "q_pca_cov_embeddings" -> pcaCovEmbeddings,
     "q_epoch_shuffle_docs" -> epochShuffleDocs,
     "q_cms_stream_docs" -> cmsStreamDocs,
     "q_gopher_quality_docs" -> gopherQualityDocs,
@@ -4078,6 +4108,7 @@ object SparkEntry {
     "q_url_blocklist_docs" -> urlBlocklistSql,
     "q_domain_mixture_docs" -> domainMixtureSql,
     "q_dsir_select_docs" -> dsirSelectSql,
+    "q_pca_cov_embeddings" -> pcaCovSql,
     "q_epoch_shuffle_docs" -> epochShuffleSql,
     "q_cms_stream_docs" -> cmsStreamSql,
     "q_gopher_quality_docs" -> gopherQualitySql,
