@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ext.{Pq, Quantize, Similarity}
+
+/** Scale probe for the PQ ANN tier (round 8, committed so it re-runs per
+  * round — results in ARCHITECTURE.md): the ProbeIvf recipe (N perturbed
+  * copies of the SF's embeddings, 10 queries, k=10) comparing the full
+  * ANN ladder at the same corpus — brute, int8-quantized brute, PQ-ADC
+  * over a persisted encode — plus the encode-once cost and PQ recall vs
+  * brute on both the easy corpus and the hard overlapping mixture.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ProbePq [m] [ksub] [copies]
+  */
+object ProbePq {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val m = if (args.length > 0) args(0).toInt else 8
+    val ksub = if (args.length > 1) args(1).toInt else 256
+    val copies = if (args.length > 2) args(2).toInt else 50
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import ProbeUtil.time
+
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val n = base.agg(max("vec_id")).head().getLong(0) + 1L
+    val big = (0 until copies).map { k =>
+      base.select((col("vec_id") + lit(k * n)).as("vec_id"),
+        transform(col("embedding"), v => v + lit(k * 1e-3)).as("embedding"))
+    }.reduce(_ union _).repartition(32).cache()
+    println(s"probe table: ${big.count()} vectors, PQ m=$m ksub=$ksub")
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb")).cache()
+    queries.count()
+
+    val exact = time("brute (warm after one pass)") {
+      Similarity.bruteForceTopK(big, queries, k = 10).count()
+      val d = Similarity.bruteForceTopK(big, queries, k = 10).cache(); d.count(); d
+    }
+    val q8 = Quantize.quantizeEmbeddings(big).cache()
+    time("int8 quantize (once)") { q8.count() }
+    time("int8 brute (warm)") {
+      Quantize.quantizedTopK(q8, queries, 10).count()
+      Quantize.quantizedTopK(q8, queries, 10).count()
+    }
+    q8.unpersist()
+
+    val cb = time(s"pq train (3 iters, stride-5 sample)") {
+      Pq.trainPqCodebooks(big, dim = 64, m = m, ksub = ksub, iters = 3, sampleMod = 5L)
+    }
+    val enc = Pq.pqEncode(big, cb).cache()
+    time("pq encode (once, persisted in practice)") { enc.count() }
+    val approx = time("pq ADC search (cold)") {
+      val d = Pq.pqTopK(enc, queries, cb, 10).cache(); d.count(); d
+    }
+    time("pq ADC search (warm)") { Pq.pqTopK(enc, queries, cb, 10).count() }
+    val recall = Similarity.withRecallAtK(approx, exact)
+      .select("query_id", "recall_at_k").distinct()
+      .agg(avg("recall_at_k")).head().getDouble(0)
+    println(f"pq recall@10 vs brute (easy corpus): $recall%.3f")
+    approx.unpersist(); exact.unpersist(); big.unpersist()
+
+    // hard mode: the ProbeIvf overlapping mixture — genuine neighbor
+    // ambiguity, where quantization distortion actually costs recall
+    println("---- hard mode: 50k x 32-dim overlapping mixture ----")
+    val rng = new scala.util.Random(42)
+    val dim = 32; val nCenters = 100
+    val centers = Array.fill(nCenters)(Array.fill(dim)(rng.nextGaussian()))
+    import spark.implicits._
+    val hard = (0L until 50000L).map { i =>
+      val c = centers((i % nCenters).toInt)
+      (i, c.map(_ + rng.nextGaussian() * 0.8).toSeq)
+    }.toDF("vec_id", "embedding").repartition(32).cache()
+    hard.count()
+    val hq = hard.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb")).cache()
+    hq.count()
+    val hardExact = time("hard brute") {
+      val d = Similarity.bruteForceTopK(hard, hq, k = 10).cache(); d.count(); d
+    }
+    Seq(4, 8).foreach { hm =>
+      val hcb = Pq.trainPqCodebooks(hard, dim = 32, m = hm, ksub = ksub,
+        iters = 3, sampleMod = 5L)
+      val henc = Pq.pqEncode(hard, hcb).cache()
+      val t0 = System.nanoTime()
+      val happrox = Pq.pqTopK(henc, hq, hcb, 10).cache()
+      happrox.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val r = Similarity.withRecallAtK(happrox, hardExact)
+        .select("query_id", "recall_at_k").distinct()
+        .agg(avg("recall_at_k")).head().getDouble(0)
+      println(f"hard m=$hm%2d ksub=$ksub: recall@10 $r%.3f, encode+search $sec%.2f s")
+      happrox.unpersist(); henc.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -3386,13 +3386,15 @@ object SparkEntry {
   private def dsirSelectSql: String =
     raw"""WITH d AS (SELECT doc_id, lang,
        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
-       |gs AS (SELECT doc_id, lang, unnest(list_concat(toks,
-       |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS gram
-       |  FROM d),
-       |gb AS (SELECT doc_id, lang, list_reduce(list_prepend(0::BIGINT,
-       |    list_transform(generate_series(1, length(gram)),
-       |      c -> ascii(substring(gram, c, 1))::BIGINT)),
-       |    (h, c) -> (h * 257 + c) % 1000000007) % 512 AS bucket FROM gs),
+       |ks AS (SELECT doc_id, lang, list_transform(toks,
+       |    w -> list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(generate_series(1, length(w)),
+       |        c -> ascii(substring(w, c, 1))::BIGINT)),
+       |      (h, c) -> (h * 257 + c) % 1000000007)) AS hs FROM d),
+       |gb AS (SELECT doc_id, lang, unnest(list_concat(hs,
+       |    list_transform(range(1, len(hs)),
+       |      i -> (hs[i] * 1000003 + hs[i+1]) % 1000000007))) % 512 AS bucket
+       |  FROM ks),
        |ct AS (SELECT bucket, count(*)::BIGINT AS c_t FROM gb WHERE lang = 'en' GROUP BY bucket),
        |cr AS (SELECT bucket, count(*)::BIGINT AS c_r FROM gb GROUP BY bucket),
        |tt AS (SELECT coalesce(sum(c_t), 0) AS t_t FROM ct),

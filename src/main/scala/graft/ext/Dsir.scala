@@ -28,9 +28,14 @@ import org.apache.spark.sql.functions._
 object Dsir {
 
   /** Hashed (unigram + bigram) gram-bucket rows: (doc_id, bucket), one
-    * row per gram occurrence. Bigrams hash the space-joined token pair,
-    * exactly as the oracle rebuilds them. The lead() window is the one
-    * doc-keyed exchange of the scoring pipeline. */
+    * row per gram occurrence. Each token is Karp–Rabin-folded ONCE —
+    * the bigram hash combines the two token hashes arithmetically
+    * ((h1·1000003 + h2) mod p, every intermediate < 2^63) instead of
+    * re-folding the concatenated string, halving the per-character work
+    * (measured 2× on the r8 driver query). The token hash materializes
+    * in the window's child projection, so the lead() window — the one
+    * doc-keyed exchange of the scoring pipeline — carries hashes, not
+    * strings. */
   private[graft] def gramBuckets(
       docs: DataFrame,
       idCol: String,
@@ -40,13 +45,14 @@ object Dsir {
     require(buckets >= 2 && buckets <= (1 << 20),
       s"buckets must be in [2, 2^20], got $buckets")
     val tok = docs.select(col(idCol).as("doc_id"),
-      posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "w")))
+        posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), TextStats.rollingHash(col("w")).as("h1"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    tok.withColumn("w2", lead("w", 1).over(w))
+    tok.withColumn("h2", lead("h1", 1).over(w))
       .select(col("doc_id"), explode(concat(
-        array(TextStats.rollingHash(col("w"))),
-        when(col("w2").isNotNull,
-          array(TextStats.rollingHash(concat(col("w"), lit(" "), col("w2")))))
+        array(col("h1")),
+        when(col("h2").isNotNull,
+          array(pmod(col("h1") * lit(1000003L) + col("h2"), lit(1000000007L))))
           .otherwise(array().cast("array<bigint>")))).as("h"))
       .select(col("doc_id"), pmod(col("h"), lit(buckets.toLong)).as("bucket"))
   }
@@ -67,9 +73,15 @@ object Dsir {
       smoothing: Double = 1.0,
       idCol: String = "doc_id"): DataFrame = {
     require(smoothing > 0, s"smoothing must be positive, got $smoothing")
+    // pin the bucket-count tables (≤ buckets rows — models): each has
+    // THREE consumers (its total collect, the ratio join, and — through
+    // the returned frame — every downstream score pass), which would
+    // otherwise each replay the corpus-wide gram window. The
+    // trainBigramModel multi-consumer fix, same shape (measured r8:
+    // unpinned, q_dsir_select_docs ran 6 gram passes / 4.4 s).
     def counts(corpus: DataFrame): DataFrame =
-      gramBuckets(corpus, idCol, textCol, buckets)
-        .groupBy("bucket").agg(count(lit(1)).as("c"))
+      graft.core.Ckpt.pin(gramBuckets(corpus, idCol, textCol, buckets)
+        .groupBy("bucket").agg(count(lit(1)).as("c")))
     val ct = counts(target)
     val cr = counts(raw)
     val tT = ct.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
