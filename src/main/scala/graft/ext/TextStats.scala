@@ -590,15 +590,19 @@ object TextStats {
   // ---- fingerprinting ------------------------------------------------------
 
   /** Winnowing fingerprint rows (Schleimer et al. 2003): hash all char
-    * k-grams, keep the minimum of each sliding window of w. Relational
-    * form — posexplode gram positions, one substr/hash per position, a
-    * row-frame window min — linear and shuffle-shared with any downstream
-    * per-doc aggregation. (The Column form below nests array lambdas,
-    * which Catalyst inlines quadratically — fine for short strings in
-    * tests, lethal on a corpus; see ARCHITECTURE.md anti-lesson.) */
+    * k-grams, keep the minimum of each sliding window of w. Since round 8
+    * this is the fused native expression [[graft.expr.WinnowedMins]] —
+    * one O(n) monotone-deque pass per row producing the distinct
+    * fingerprint set map-side, where the earlier relational form
+    * (posexplode one row per character position → doc-keyed window min)
+    * EXCHANGED the whole position stream; values are bit-identical
+    * (xxhash64 of the same substrings), so downstream consumers and the
+    * Column-form parity spec are unchanged. (The Column form below nests
+    * array lambdas, which Catalyst inlines quadratically — fine for
+    * short strings in tests, lethal on a corpus.) */
   def fingerprintRows(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =
-    winnowRows(docs, idCol, textCol, k, w, g => xxhash64(g))
+    winnowExprRows(docs, idCol, textCol, k, w, rolling = false)
 
   /** Karp–Rabin polynomial gram hash — the hash family the winnowing paper
     * itself uses: fold `h ← (h·257 + codepoint) mod (10^9+7)` over the
@@ -611,40 +615,25 @@ object TextStats {
     aggregate(split(s, ""), lit(0L),
       (h, c) => (h * lit(257L) + ascii(c)) % lit(1000000007L))
 
-  /** [[fingerprintRows]] with the [[rollingHash]] gram hash: identical
-    * winnowing structure (posexplode → window min → valid-start filter →
-    * dedup), cross-engine-reproducible values. The xxhash64 variant is
-    * the hot path (no per-char array); this one is the compatibility /
+  /** [[fingerprintRows]] with the [[rollingHash]] gram hash family:
+    * identical winnowing selection (same fused kernel, Karp–Rabin values
+    * via the exact-mod O(1) slide), cross-engine-reproducible. The
+    * xxhash64 variant is the hot path; this one is the compatibility /
     * verification surface — the per-round DuckDB oracle replays the whole
     * pipeline against it, which pins the SHARED selection logic for both. */
   def rollingFingerprintRows(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =
-    winnowRows(docs, idCol, textCol, k, w, rollingHash)
+    winnowExprRows(docs, idCol, textCol, k, w, rolling = true)
 
-  private def winnowRows(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int, gramHash: Column => Column): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Shared winnowing driver: normalize (case-fold, collapse whitespace)
+    * and explode the fused kernel's distinct fingerprint set. Null text
+    * yields no rows (the kernel is null-propagating and explode skips
+    * nulls). */
+  private def winnowExprRows(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int, rolling: Boolean): org.apache.spark.sql.DataFrame = {
     val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
-    val base = docs.select(col(idCol).as("doc_id"), norm.as("norm"))
-      .withColumn("n", length(col("norm")))
-    val grams = base
-      .select(col("doc_id"),
-        posexplode(
-          when(col("n") >= k, sequence(lit(1), col("n") - k + 1)).otherwise(array(lit(1))))
-          .as(Seq("ord", "i")),
-        col("norm"), col("n"))
-      .withColumn("g",
-        when(col("n") >= k, gramHash(col("norm").substr(col("i"), lit(k))))
-          .otherwise(gramHash(col("norm"))))
-    val ww = Window.partitionBy("doc_id").orderBy("ord").rowsBetween(0, w - 1)
-    grams
-      .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .withColumn("fp", min(col("g")).over(ww))
-      // a window min is valid for every start position ≤ m − w (plus the
-      // degenerate whole-doc case)
-      .filter(col("ord") <= greatest(col("m") - w, lit(0)) || col("ord") === 0)
-      .select("doc_id", "fp")
-      .distinct()
+    docs.select(col(idCol).as("doc_id"),
+      explode(graft.expr.WinnowedMins.winnowedMins(norm, k, w, rolling)).as("fp"))
   }
 
   /** MOSS-style shared-span near-dup pairs: doc pairs sharing at least
