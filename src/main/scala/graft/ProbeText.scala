@@ -70,6 +70,30 @@ object ProbeText {
       Dedup.dropBoilerplateLines(docs(1000000L, footer = true), minDocFreq = 3)
         .agg(sum("n_lines_kept"), sum(length(col("text")))).collect()
     }
+
+    // DSIR scale axis (round 8): train both bucket models (target = the
+    // 10% doc_id-slice) and score the full corpus — the claim is one
+    // gram-keyed aggregate per model plus one doc-keyed score shuffle,
+    // all linear in corpus size with a fixed-size (buckets-row) model
+    for (n <- Seq(100000L, 1000000L)) {
+      val corpus = docs(n, footer = false)
+      t(s"dsir train (target=10%) n=$n") {
+        val r = graft.ext.Dsir.trainImportanceRatios(
+          corpus.filter(col("doc_id") % 10 === 0), corpus, buckets = 1 << 16)
+        r.agg(sum("log_ratio")).collect()
+      }
+      val ratios = graft.ext.Dsir.trainImportanceRatios(
+        corpus.filter(col("doc_id") % 10 === 0), corpus, buckets = 1 << 16)
+      t(s"dsir score n=$n") {
+        graft.ext.Dsir.dsirScores(corpus, ratios, buckets = 1 << 16)
+          .agg(sum("dsir_logw"), sum("n_grams")).collect()
+      }
+      t(s"dsir resample k=10000 n=$n") {
+        graft.ext.Dsir.dsirResample(
+          graft.ext.Dsir.dsirScores(corpus, ratios, buckets = 1 << 16), k = 10000)
+          .agg(sum("gumbel_key")).collect()
+      }
+    }
     spark.stop()
   }
 }

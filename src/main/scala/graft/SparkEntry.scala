@@ -1809,6 +1809,38 @@ object SparkEntry {
       |SELECT DISTINCT lang, doc_id FROM cg JOIN bg USING (gram)
       |ORDER BY lang, doc_id""".stripMargin
 
+  /** Per-benchmark-doc contamination report ([[graft.ext.TextStats
+    * .contaminationReport]]): same split and gram size as
+    * q_decontaminate_docs, but emitting the overlap TABLE (gram counts,
+    * hit counts, contamination fraction, widest gram spread) instead of
+    * the membership set. DuckDB replays it with raw string grams. */
+  private def contaminationReportDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextStats.contaminationReport(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25), k = 4)
+      .select(col("doc_id"), col("n_grams"), col("n_hit_grams"),
+        r6(col("contamination")).as("contamination"), col("max_gram_spread"))
+      .orderBy("doc_id")
+  }
+
+  private val contaminationReportSql: String =
+    raw"""WITH d AS (SELECT doc_id,
+      |  string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |bgo AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 2),
+      |    i -> array_to_string(toks[i:i+3], ' '))) AS gram
+      |  FROM d WHERE doc_id < 25 AND len(toks) >= 4),
+      |ch AS (SELECT gram, count(DISTINCT doc_id)::BIGINT AS n_corpus_docs
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 2),
+      |      i -> array_to_string(toks[i:i+3], ' '))) AS gram
+      |    FROM d WHERE doc_id >= 25 AND len(toks) >= 4)
+      |  WHERE gram IN (SELECT DISTINCT gram FROM bgo) GROUP BY gram)
+      |SELECT bgo.doc_id, count(*)::BIGINT AS n_grams,
+      |  count(ch.n_corpus_docs)::BIGINT AS n_hit_grams,
+      |  floor(count(ch.n_corpus_docs)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6 AS contamination,
+      |  coalesce(max(ch.n_corpus_docs), 0) AS max_gram_spread
+      |FROM bgo LEFT JOIN ch USING (gram)
+      |GROUP BY bgo.doc_id ORDER BY doc_id""".stripMargin
+
   /** Bloom-prefiltered decontamination, driver-exercised (round 7): the
     * corpus half is cleaned against the benchmark half via
     * [[TextStats.decontaminateBloom]] — Bloom sketch broadcast + exact
@@ -3791,6 +3823,7 @@ object SparkEntry {
     "q_repetition_docs" -> repetitionDocs,
     "q_decontaminate_docs" -> decontaminateDocs,
     "q_decontaminate_bloom_docs" -> decontaminateBloomDocs,
+    "q_contamination_report_docs" -> contaminationReportDocs,
     "q_quality_filter_docs" -> qualityFilterDocs,
     "q_quality_threshold_docs" -> qualityThresholdDocs,
     "q_fingerprint_docs" -> fingerprintDocs,
@@ -4087,6 +4120,7 @@ object SparkEntry {
     "q_repetition_docs" -> repetitionSql,
     "q_decontaminate_docs" -> decontaminateSql,
     "q_decontaminate_bloom_docs" -> decontaminateBloomSql,
+    "q_contamination_report_docs" -> contaminationReportSql,
     "q_quality_filter_docs" -> qualityFilterSql,
     "q_quality_threshold_docs" -> qualityThresholdSql,
     "q_langid_docs" -> langidSql,

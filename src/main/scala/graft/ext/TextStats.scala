@@ -325,6 +325,38 @@ object TextStats {
       .distinct()
   }
 
+  /** Contamination REPORT — the per-benchmark-doc overlap table the
+    * public decontamination write-ups publish (GPT-3 appendix C /
+    * PaLM-style "fraction of eval n-grams seen in training"): for each
+    * benchmark doc, its gram-occurrence count, how many of those
+    * occurrences appear anywhere in the corpus, the contamination
+    * fraction, and the widest corpus spread of any single shared gram.
+    * Plan shape mirrors [[contaminatedDocIds]]: the corpus gram stream
+    * is semi-joined map-side against the BROADCAST benchmark gram set,
+    * so only hit grams (bounded by the model-sized benchmark) reach the
+    * one gram-keyed aggregate; the corpus is never shuffled. Benchmark
+    * docs shorter than k tokens produce no grams and are absent from
+    * the report (the operators' documented short-doc exclusion). */
+  def contaminationReport(
+      corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bg = tokenGramHashRows(benchmark, idCol, textCol, k)
+    val bgd = bg.select("sh").distinct()
+    val hits = tokenGramHashRows(corpus, idCol, textCol, k)
+      .join(broadcast(bgd), "sh")
+      .groupBy("sh").agg(countDistinct("doc_id").as("n_corpus_docs"))
+    bg.join(broadcast(hits), Seq("sh"), "left")
+      .groupBy(col("doc_id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("n_corpus_docs")).as("n_hit_grams"),
+        coalesce(max("n_corpus_docs"), lit(0L)).as("max_gram_spread"))
+      .withColumn("contamination", col("n_hit_grams").cast("double") / col("n_grams"))
+  }
+
   /** Benchmark decontamination, filter side: the corpus minus every doc
     * [[contaminatedDocIds]] flags. */
   def decontaminate(

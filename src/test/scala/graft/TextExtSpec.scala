@@ -209,6 +209,27 @@ class TextExtSpec extends SparkSpec {
     assert(clean == Set(2L, 3L), s"clean $clean")
   }
 
+  test("contaminationReport: hand-computed fractions and gram spread") {
+    // bench doc 100: 8 tokens -> 5 4-gram occurrences; grams 1-2
+    // ("the secret eval answer", "secret eval answer is") appear in the
+    // corpus; "the secret eval answer" is in TWO corpus docs
+    val bench = Seq(
+      (100L, "the secret eval answer is forty two exactly"),
+      (101L, "nothing here overlaps anything at all truly"),
+      (102L, "too short")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x x the secret eval answer is y"),
+      (2L, "prefix the secret eval answer suffix words"),
+      (3L, "unrelated corpus content entirely different here")).toDF("doc_id", "text")
+    val r = TextStats.contaminationReport(corpus, bench, k = 4)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_grams"), x.getAs[Long]("n_hit_grams"),
+          x.getAs[Double]("contamination"), x.getAs[Long]("max_gram_spread"))).toMap
+    assert(r(100L) == ((5L, 2L, 0.4, 2L)), s"${r(100L)}")
+    assert(r(101L) == ((4L, 0L, 0.0, 0L)), s"${r(101L)}")
+    assert(!r.contains(102L), "sub-k bench docs produce no grams and no report row")
+  }
+
   test("bloom decontamination: empty benchmark keeps everything, null text is never flagged") {
     import spark.implicits._
     val corpus = Seq((1L, "alpha beta gamma delta epsilon"), (2L, null: String))
