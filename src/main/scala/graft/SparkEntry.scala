@@ -3398,6 +3398,76 @@ object SparkEntry {
       |  floor(cov.s / n.n * 1e6 + 0.5) / 1e6 AS cov
       |FROM cov, n ORDER BY i, j""".stripMargin
 
+  /** Composed IVF-PQ probe ([[graft.ext.Pq.ivfPqTopKReplayable]]): the
+    * production FAISS-style index — coarse-quantizer cell pruning plus
+    * PQ-ADC candidate scoring — with BOTH quantizers pinned, so one
+    * DuckDB replay covers assignment, nprobe probing, encode, both
+    * LUTs, the ordered score folds, and the final rank. */
+  private def ivfpqReplayTopk(s: SparkSession, dir: String): DataFrame =
+    ext.Pq.ivfPqTopKReplayable(Tables.embeddings(s, dir), similarityQueries(s, dir),
+        k = 5, dim = 64, nlist = 8, nprobe = 3, m = 8, ksub = 8)
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
+
+  private def ivfpqReplaySql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |cents AS (SELECT i, list_transform(range(1, 65),
+      |    d -> CAST((2654435761 * (i * 64 + d) + 97) % 1000000007 - 500000003 AS DOUBLE)) AS c
+      |  FROM (SELECT unnest(range(8)) AS i)),
+      |csc AS (SELECT e.vec_id, e.emb, cents.i,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(range(1, 65), d -> e.emb[d] * cents.c[d])), (a, x) -> a + x)
+      |    / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |        list_transform(range(1, 65), d -> e.emb[d] * e.emb[d])), (a, x) -> a + x))
+      |      * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |        list_transform(range(1, 65), d -> cents.c[d] * cents.c[d])), (a, x) -> a + x)))
+      |    AS cos
+      |  FROM e, cents),
+      |cell AS (SELECT vec_id, i AS cell FROM
+      |  (SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
+      |     ORDER BY cos DESC, i ASC) AS rn FROM csc) WHERE rn = 1),
+      |probes AS (SELECT vec_id AS query_id, i AS cell FROM
+      |  (SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
+      |     ORDER BY cos DESC, i DESC) AS rn FROM csc WHERE vec_id < 3)
+      |  WHERE rn <= 3),
+      |cb AS (SELECT j, c, list_transform(range(1, 9),
+      |    d -> CAST((2654435761 * ((j * 8 + c) * 8 + (d - 1) + 1) + 97) % 1000000007
+      |         - 500000003 AS DOUBLE)) AS v
+      |  FROM (SELECT unnest(range(8)) AS j), (SELECT unnest(range(8)) AS c)),
+      |dist AS (SELECT e.vec_id, cb.j, cb.c,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 9),
+      |      d -> (e.emb[cb.j * 8 + d] - cb.v[d]) * (e.emb[cb.j * 8 + d] - cb.v[d]))),
+      |      (a, x) -> a + x) AS dd
+      |  FROM e, cb),
+      |codes AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c,
+      |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dd ASC, c ASC) AS rn FROM dist)
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 3),
+      |lut AS (SELECT q.query_id, cb.j, cb.c,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 9),
+      |      d -> q.qemb[cb.j * 8 + d] * cb.v[d])), (a, x) -> a + x) AS dot,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 9),
+      |      d -> cb.v[d] * cb.v[d])), (a, x) -> a + x) AS nsq
+      |  FROM q, cb),
+      |qn AS (SELECT query_id, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |    list_transform(range(1, 65), d -> qemb[d] * qemb[d])), (a, x) -> a + x)) AS qnorm
+      |  FROM q),
+      |cand AS (SELECT probes.query_id, cell.vec_id
+      |  FROM probes JOIN cell ON cell.cell = probes.cell),
+      |terms AS (SELECT cand.query_id, cand.vec_id, l.j, l.dot, l.nsq
+      |  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
+      |  JOIN lut l ON l.query_id = cand.query_id AND l.j = codes.j AND l.c = codes.c),
+      |sc AS (SELECT query_id, vec_id,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list(dot ORDER BY j)), (a, x) -> a + x) AS dotsum,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list(nsq ORDER BY j)), (a, x) -> a + x) AS nsqsum
+      |  FROM terms GROUP BY query_id, vec_id),
+      |r AS (SELECT sc.query_id, sc.vec_id, sc.dotsum / (qn.qnorm * sqrt(sc.nsqsum)) AS cos
+      |  FROM sc JOIN qn USING (query_id)),
+      |rr AS (SELECT query_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM r WHERE vec_id IS NOT NULL AND cos IS NOT NULL AND NOT isnan(cos))
+      |SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
+      |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** DSIR data selection ([[graft.ext.Dsir]]): target = the English
     * slice, raw = the whole corpus, 512 hashed-n-gram buckets, Gumbel
     * top-40 at epoch 1. The oracle replays EVERYTHING — Karp–Rabin gram
@@ -3834,6 +3904,7 @@ object SparkEntry {
     "q_lsh_replay_topk" -> lshReplayTopk,
     "q_ivf_replay_topk" -> ivfReplayTopk,
     "q_pq_replay_topk" -> pqReplayTopk,
+    "q_ivfpq_replay_topk" -> ivfpqReplayTopk,
     "q_similarity_topk_ivf" -> similarityTopkIvf,
     "q_embedding_norms" -> embeddingNormsEmbeddings,
     "q_multimodal_features" -> multimodalFeatures,
@@ -4090,6 +4161,7 @@ object SparkEntry {
     "q_lsh_replay_topk" -> lshReplaySql,
     "q_ivf_replay_topk" -> ivfReplaySql,
     "q_pq_replay_topk" -> pqReplaySql,
+    "q_ivfpq_replay_topk" -> ivfpqReplaySql,
     "q_similarity_topk_ivf" -> ivfReplaySqlFor(16, 4),
     "q_simhash_replay_docs" -> simhashReplaySql,
     "q_embedding_neardup_docs" -> embeddingNearDupSql,

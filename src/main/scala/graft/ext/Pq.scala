@@ -275,6 +275,116 @@ object Pq {
     pqTopK(pqEncode(embeddings, cb, idCol, embCol), queries, cb, k, queryIdCol, queryEmbCol)
   }
 
+  /** IVF-PQ: the composed production ANN index (the public FAISS
+    * `IVFx,PQy` architecture) — the coarse quantizer restricts
+    * candidates to the `nprobe` nearest cells (same assignment/probing
+    * machinery as [[Similarity.ivfTopK]], pruning the scan to
+    * ~nprobe/nlist of the corpus), and the surviving candidates are
+    * scored by PQ-ADC table lookups instead of full-precision cosine
+    * (O(m) adds per candidate over ~m-byte codes). This is the
+    * no-residual variant (FAISS `by_residual=false`): codes quantize
+    * the raw vectors, so ONE codebook set serves every cell — the
+    * residual variant trades that simplicity for finer cell-local
+    * resolution and would need per-cell LUT rebuilds. Index build =
+    * assignment + encode, both persisted once in practice (the
+    * [[Similarity.assignCells]] amortization); at 100 TB the search
+    * reads nprobe/nlist of a 32×-compressed index. */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      cents: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nprobe: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_emb"): DataFrame = {
+    val (m, ksub, dsub) = requireShape(codebooks)
+    val enc = encodeUdf(codebooks)
+    val index = Similarity.assignCells(embeddings, cents, idCol, embCol)
+      .filter(size(col("emb")) >= m * dsub)
+      .select(col("vec_id"), col("cell"), enc(col("emb")).as("codes"))
+    searchIvfPq(index, queries, k, cents, codebooks, nprobe, queryIdCol, queryEmbCol)
+  }
+
+  /** Search a pre-built IVF-PQ index frame (the [[ivfPqTopK]] build
+    * schema: vec_id, cell, codes) — the amortized form. */
+  def searchIvfPq(
+      index: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      cents: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nprobe: Int,
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_emb"): DataFrame = {
+    val (m, ksub, _) = requireShape(codebooks)
+    val lutDot = lutDotUdf(codebooks)
+    val nsq = normSqTable(codebooks)
+    val qBase = queries.select(
+      col(queryIdCol).as("query_id"),
+      col(queryEmbCol).cast("array<double>").as("qemb"))
+    // nprobe nearest centroids, the Similarity probe machinery (same
+    // (cos desc, idx desc) tie rule both below and in the oracle)
+    val probeCells =
+      if (cents.length <= 16) {
+        val scoredCells = cents.zipWithIndex.map { case (c, i) =>
+          struct(
+            nanvl(Dedup.cosine(col("qemb"), array(c.map(lit): _*)),
+              lit(Double.NegativeInfinity)).as("c"),
+            lit(i).as("idx"))
+        }
+        slice(reverse(sort_array(array(scoredCells: _*))), 1, nprobe).getField("idx")
+      } else Similarity.probeUdf(cents, nprobe)(col("qemb"))
+    val probed = qBase
+      .withColumn("lut", lutDot(col("qemb")))
+      .withColumn("qnorm", sqrt(aggregate(col("qemb"), lit(0.0d), (a, v) => a + v * v)))
+      .select(col("query_id"), col("lut"), col("qnorm"),
+        explode(probeCells).as("cell"))
+    val nsqLit = array(nsq.map(lit): _*)
+    val adcDot = aggregate(
+      transform(col("codes"), (c, j) => element_at(col("lut"), j * ksub + c + 1)),
+      lit(0.0d), (a, v) => a + v)
+    val recNormSq = aggregate(
+      transform(col("codes"), (c, j) => element_at(nsqLit, j * ksub + c + 1)),
+      lit(0.0d), (a, v) => a + v)
+    val topk = udaf(new TopKAgg(k))
+    probed.join(index, "cell")
+      .withColumn("cos", adcDot / (col("qnorm") * sqrt(recNormSq)))
+      .filter(col("vec_id").isNotNull && col("cos").isNotNull && !isnan(col("cos")))
+      .groupBy("query_id")
+      .agg(topk(col("vec_id").cast("long"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sv")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("sv.vec_id").as("vec_id"), col("sv.cos").as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** SQL-replayable twin of the composed IVF-PQ pipeline: BOTH pinned
+    * quantizers — [[Similarity.integerPlanes]] centroids and
+    * [[integerCodebooks]] — through the production assignment, probing,
+    * encode, and ADC machinery, so one oracle replays cell pruning AND
+    * code scoring end-to-end. */
+  def ivfPqTopKReplayable(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int = 64,
+      nlist: Int = 8,
+      nprobe: Int = 3,
+      m: Int = 8,
+      ksub: Int = 8,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_emb"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    ivfPqTopK(embeddings, queries, k,
+      Similarity.integerPlanes(dim, nlist), integerCodebooks(m, ksub, dim / m),
+      nprobe, idCol, embCol, queryIdCol, queryEmbCol)
+  }
+
   /** SQL-replayable twin of the full PQ pipeline (the [[Similarity
     * .ivfTopKReplayable]] recipe): the IDENTICAL encode → LUT → ADC score
     * → k-capped rank path with [[integerCodebooks]] pinned in place of

@@ -85,6 +85,30 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq: candidates confined to probed cells, cluster-level retrieval") {
+    val rng = new scala.util.Random(9)
+    val dim = 16; val nCenters = 6
+    val centers = Array.fill(nCenters)(Array.fill(dim)(rng.nextGaussian() * 3))
+    val corpus = (0L until 300L).map { i =>
+      val c = centers((i % nCenters).toInt)
+      (i, c.map(_ + rng.nextGaussian() * 0.2).toSeq)
+    }.toDF("vec_id", "embedding").repartition(4)
+    val cents = Similarity.trainIvfCentroids(corpus, nlist = 6, iters = 3)
+    val cb = Pq.trainPqCodebooks(corpus, dim, m = 4, ksub = 8, iters = 3)
+    val queries = corpus.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_emb"))
+    val got = Pq.ivfPqTopK(corpus, queries, k = 10, cents, cb, nprobe = 2)
+    assert(got.groupBy("query_id").count().collect().forall(_.getLong(1) == 10L))
+    // tight clusters: every hit must be the query's own cluster
+    val wrong = got.filter(pmod(col("vec_id"), lit(nCenters)) =!=
+      pmod(col("query_id"), lit(nCenters))).count()
+    assert(wrong == 0, s"$wrong cross-cluster hits")
+    // run-deterministic
+    val a = got.collect().toSeq
+    val b = Pq.ivfPqTopK(corpus, queries, k = 10, cents, cb, nprobe = 2).collect().toSeq
+    assert(a == b)
+  }
+
   test("shape guards: dim % m, short vectors filtered") {
     intercept[IllegalArgumentException] {
       Pq.pqTopKReplayable(Seq((1L, Seq(1.0))).toDF("vec_id", "embedding"),
