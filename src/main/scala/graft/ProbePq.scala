@@ -65,7 +65,29 @@ object ProbePq {
       .select("query_id", "recall_at_k").distinct()
       .agg(avg("recall_at_k")).head().getDouble(0)
     println(f"pq recall@10 vs brute (easy corpus): $recall%.3f")
-    approx.unpersist(); exact.unpersist(); big.unpersist()
+    approx.unpersist()
+
+    // composed IVF-PQ at the same corpus: trained coarse quantizer
+    // (nlist ∝ √N), trained codebooks, pre-built index frame
+    val nlist = math.max(32, math.round(math.sqrt(big.count().toDouble)).toInt)
+    val cents = time(s"ivf train nlist=$nlist (for ivf-pq)") {
+      Similarity.trainIvfCentroids(big, nlist = nlist, iters = 3, sampleMod = 5L)
+    }
+    val enc3 = Pq.encodeUdf(cb)
+    val index = Similarity.assignCells(big, cents)
+      .select(col("vec_id"), col("cell"), enc3(col("emb")).as("codes")).cache()
+    time("ivf-pq index build (assign + encode, once)") { index.count() }
+    val ipq = time(s"ivf-pq search nprobe=16 (cold)") {
+      val d = Pq.searchIvfPq(index, queries, 10, cents, cb, nprobe = 16).cache(); d.count(); d
+    }
+    time("ivf-pq search (warm)") {
+      Pq.searchIvfPq(index, queries, 10, cents, cb, nprobe = 16).count()
+    }
+    val ipqRecall = Similarity.withRecallAtK(ipq, exact)
+      .select("query_id", "recall_at_k").distinct()
+      .agg(avg("recall_at_k")).head().getDouble(0)
+    println(f"ivf-pq recall@10 vs brute (easy corpus): $ipqRecall%.3f")
+    ipq.unpersist(); index.unpersist(); exact.unpersist(); big.unpersist()
 
     // hard mode: the ProbeIvf overlapping mixture — genuine neighbor
     // ambiguity, where quantization distortion actually costs recall

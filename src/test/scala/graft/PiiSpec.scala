@@ -41,6 +41,31 @@ class PiiSpec extends SparkSpec {
     assert(once.collect().toSeq == twice.collect().toSeq)
   }
 
+  test("stateless stream composability: redactPii on readStream equals the batch form") {
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      (1L, "mail a@b.io from 10.0.0.1"),
+      (2L, "call +1 555-0100 now"),
+      (3L, null.asInstanceOf[String]))
+    val dir = java.nio.file.Files.createTempDirectory("pii_stream").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val batch = Pii.redactPii(spark.read.parquet(dir))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(batch(1L) == "mail <EMAIL> from <IP>" && batch(2L) == "call <PHONE> now"
+      && batch(3L) == null)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = Pii.redactPii(spark.readStream.schema(schema).parquet(dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pii_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pii_out")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("rule validation: duplicates and group-reference replacements throw") {
     val df = Seq((1L, "t")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
