@@ -2732,6 +2732,45 @@ object SparkEntry {
       |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Binary (1-bit) ANN probe: sign signatures packed 32 bits per BIGINT
+    * word, Hamming stage-1 cut at rerank·k, exact-cosine re-rank — DuckDB
+    * replays the packing (incl. the NaN guard and the 32-bit word split),
+    * every Hamming distance via bit_count(xor), the deterministic
+    * (ham, vec_id) candidate cut, and the final cosine ranking. */
+  private def binaryTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("query_emb"))
+    ext.Quantize.binaryTopK(emb, q, k = 5, rerank = 4)
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def binaryTopkSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |sg AS (SELECT vec_id, emb,
+      |  list_transform(range(0, CAST(ceil(len(emb) / 32.0) AS INT)), w ->
+      |    CAST(list_sum(list_transform(range(0, 32), j ->
+      |      CASE WHEN w * 32 + j < len(emb) AND NOT isnan(emb[w * 32 + j + 1])
+      |             AND emb[w * 32 + j + 1] > 0
+      |        THEN CAST(1::BIGINT << j AS BIGINT) ELSE 0::BIGINT END)) AS BIGINT)) AS sig
+      |  FROM e),
+      |q AS (SELECT vec_id AS query_id, emb AS qemb, sig AS qsig FROM sg WHERE vec_id < 3),
+      |h AS (SELECT q.query_id, s.vec_id, s.emb, q.qemb,
+      |  CAST(list_sum(list_transform(list_zip(s.sig, q.qsig), p ->
+      |    bit_count(xor(p[1], p[2])))) AS BIGINT) AS ham
+      |  FROM sg s CROSS JOIN q),
+      |c AS (SELECT query_id, vec_id, emb, qemb,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY ham, vec_id) AS cr FROM h),
+      |sc AS (SELECT query_id, vec_id, list_cosine_similarity(emb, qemb) AS cos
+      |  FROM c WHERE cr <= 20),
+      |r AS (SELECT query_id, vec_id, cos,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM sc WHERE cos IS NOT NULL AND NOT isnan(cos))
+      |SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** CCNet-style LM quality probe: bigram model trained on the even-id
     * half of the corpus, add-k log-likelihood scored on a bounded doc
     * window — DuckDB replays tokenization, bigram/unigram counts, the
@@ -2762,6 +2801,55 @@ object SparkEntry {
        |  LEFT JOIN bi ON bi.w1 = db.w1 AND bi.w2 = db.w2
        |  LEFT JOIN uni ON uni.w1 = db.w1)
        |SELECT doc_id, floor(avg(lp) * 1e6 + 0.5) / 1e6 AS bigram_loglik,
+       |count(*) AS n_bigrams
+       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Interpolated Kneser–Ney LM probe: KN bigram model trained on the
+    * even-id half of the corpus, scored on a bounded doc window — DuckDB
+    * replays the bigram/context/continuation counts, the counts-of-counts
+    * discount D = n₁/(n₁+2n₂) (with its 0.75 degenerate-case CASE), the
+    * vocabulary, both out-of-model branches, and the per-doc mean. */
+  private def kneserneyQualityDocs(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(s, dir)
+    val model = TextStats.trainKneserNeyModel(all.filter(col("doc_id") % 2 === 0))
+    TextStats.kneserNeyLogLikelihood(all.filter(col("doc_id") < 50), model)
+      .select(col("doc_id"), round6("kn_loglik"), col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  private def kneserneyQualitySql: String =
+    raw"""WITH ref AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |rb AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM ref, LATERAL unnest(range(1, len(toks))) AS g(i)),
+       |bi AS (SELECT w1, w2, count(*) AS c12 FROM rb GROUP BY 1, 2),
+       |ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1fwd FROM bi GROUP BY 1),
+       |cont AS (SELECT w2, count(*) AS n1bwd FROM bi GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT w) AS v
+       |  FROM (SELECT unnest(toks) AS w FROM ref)),
+       |dd AS (SELECT count(*) AS b,
+       |  CASE WHEN sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)
+       |         + 2 * sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) > 0
+       |    THEN sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)::DOUBLE
+       |      / (sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)
+       |         + 2.0 * sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END))
+       |    ELSE 0.75 END AS d FROM bi),
+       |d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE doc_id < 50),
+       |db AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM d, LATERAL unnest(range(1, len(toks))) AS g(i)),
+       |lp AS (SELECT db.doc_id, ln(CASE WHEN ctx.c1 IS NOT NULL
+       |  THEN greatest(coalesce(bi.c12, 0) - dd.d, 0) / ctx.c1
+       |    + dd.d * ctx.n1fwd / ctx.c1
+       |      * (CASE WHEN cont.n1bwd IS NOT NULL THEN cont.n1bwd::DOUBLE / dd.b
+       |         ELSE 1.0 / (voc.v + 1.0) END)
+       |  ELSE (CASE WHEN cont.n1bwd IS NOT NULL THEN cont.n1bwd::DOUBLE / dd.b
+       |        ELSE 1.0 / (voc.v + 1.0) END) END) AS lp
+       |  FROM db CROSS JOIN dd CROSS JOIN voc
+       |  LEFT JOIN bi ON bi.w1 = db.w1 AND bi.w2 = db.w2
+       |  LEFT JOIN ctx ON ctx.w1 = db.w1
+       |  LEFT JOIN cont ON cont.w2 = db.w2)
+       |SELECT doc_id, floor(avg(lp) * 1e6 + 0.5) / 1e6 AS kn_loglik,
        |count(*) AS n_bigrams
        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -3914,9 +4002,11 @@ object SparkEntry {
     "q_study_facade_events" -> studyFacadeEvents,
     "q_quantize_embeddings" -> quantizeEmbeddings,
     "q_quantized_topk" -> quantizedTopk,
+    "q_binary_topk" -> binaryTopk,
     "q_neardup_stream_docs" -> nearDedupStreamDocs,
     "q_split_clusters_docs" -> splitClustersDocs,
     "q_bigram_quality_docs" -> bigramQualityDocs,
+    "q_kneserney_quality_docs" -> kneserneyQualityDocs,
     "q_chunk_docs" -> chunkDocs,
     "q_meanpool_embeddings" -> meanPoolEmbeddings,
     "q_hashed_topk_docs" -> hashedTopkDocs,
@@ -4143,8 +4233,10 @@ object SparkEntry {
     "q_multimodal_replay" -> multimodalReplaySql,
     "q_quantize_embeddings" -> quantizeEmbeddingsSql,
     "q_quantized_topk" -> quantizedTopkSql,
+    "q_binary_topk" -> binaryTopkSql,
     "q_split_clusters_docs" -> splitClustersSql,
     "q_bigram_quality_docs" -> bigramQualitySql,
+    "q_kneserney_quality_docs" -> kneserneyQualitySql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_meanpool_embeddings" -> meanPoolSql,
     "q_hashed_topk_docs" -> hashedTopkSql,

@@ -278,6 +278,96 @@ object TextStats {
       .agg(avg("lp").as("bigram_loglik"), count(lit(1)).as("n_bigrams"))
   }
 
+  /** Trained interpolated Kneser–Ney bigram model (Chen & Goodman 1999
+    * §2.7 / the smoothing KenLM implements): bigram type counts, per-
+    * context totals and continuation-type counts, plus the three model
+    * scalars — total bigram types B, unigram vocabulary V, and the Ney
+    * absolute discount D = n₁/(n₁+2n₂) estimated from the counts of
+    * counts. All frames are gram-keyed aggregates of the bigram type
+    * table (corpus-sized shuffles only at training, model-sized at
+    * scoring). */
+  final case class KnModel(bi: DataFrame, ctx: DataFrame, cont: DataFrame,
+      bigramTypes: Long, vocab: Long, discount: Double)
+
+  /** Train the interpolated Kneser–Ney bigram model on a reference
+    * corpus. One corpus scan builds the bigram type table (Ckpt-pinned —
+    * four consumers would each replay the token window otherwise); the
+    * context frame (c1 = Σc12, n1fwd = distinct continuations of w1),
+    * the continuation frame (n1bwd = distinct contexts preceding w2), and
+    * the scalar row (B, n₁, n₂) are all model-sized rollups of it. The
+    * discount falls back to the standard 0.75 iff n₁+2n₂ = 0 (no
+    * singleton or doubleton bigram types — the Ney estimator is 0/0
+    * there); the fallback is replayed as a CASE in the oracle. */
+  def trainKneserNeyModel(corpus: DataFrame,
+      textCol: String = "text"): KnModel = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = corpus.select(monotonically_increasing_id().as("__d"),
+        Dedup.tokens(col(textCol)).as("toks"))
+      .select(col("__d"), posexplode(col("toks")).as(Seq("pos", "w")))
+    val w = Window.partitionBy("__d").orderBy("pos")
+    val bi = graft.core.Ckpt.pin(
+      tok.withColumn("w2", lead("w", 1).over(w))
+        .filter(col("w2").isNotNull)
+        .groupBy(col("w").as("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+    val ctx = graft.core.Ckpt.pin(
+      bi.groupBy("w1").agg(sum("c12").as("c1"), count(lit(1)).as("n1fwd")))
+    val cont = graft.core.Ckpt.pin(
+      bi.groupBy("w2").agg(count(lit(1)).as("n1bwd")))
+    val scal = bi.agg(count(lit(1)).as("b"),
+      sum(when(col("c12") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("c12") === 2, 1L).otherwise(0L)).as("n2")).head()
+    val (b, n1, n2) = (scal.getLong(0), scal.getLong(1), scal.getLong(2))
+    val vocab = tok.select("w").distinct().count()
+    val d = if (n1 + 2 * n2 > 0) n1.toDouble / (n1 + 2.0 * n2) else 0.75
+    KnModel(bi, ctx, cont, b, vocab, d)
+  }
+
+  /** Per-doc mean log-likelihood under interpolated Kneser–Ney:
+    *
+    *   p(w2|w1) = max(c12 − D, 0)/c1 + (D·n1fwd(w1)/c1)·p_cont(w2)
+    *   p_cont(w2) = n1bwd(w2)/B
+    *
+    * For every trained context w1 the in-vocabulary probabilities sum to
+    * EXACTLY 1 (Σ n1bwd = B telescopes the interpolation — property-
+    * tested), which is the point of KN over add-k: discounted mass is
+    * reassigned by how promiscuous a continuation is, not how frequent.
+    * Two documented out-of-model branches keep the score total and
+    * deterministic where the textbook formula is undefined: an unseen
+    * context w1 backs off to p_cont(w2) alone, and a w2 with no
+    * continuation entry (OOV, or a corpus-initial-only token) scores the
+    * uniform floor 1/(V+1) — one reserved <unk> continuation type. Same
+    * join shape as [[bigramLogLikelihood]]: doc bigrams LEFT-join the
+    * three model frames on their gram keys. */
+  def kneserNeyLogLikelihood(docs: DataFrame, model: KnModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dCol = lit(model.discount)
+    val bCol = lit(model.bigramTypes.toDouble)
+    val floorP = lit(1.0 / (model.vocab + 1.0))
+    val tok = docs.select(col(idCol).as("doc_id"),
+        posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "w")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    tok.withColumn("w2", lead("w", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .join(model.bi.select(col("w1").as("w"), col("w2"), col("c12").as("__c12")),
+        Seq("w", "w2"), "left")
+      .join(model.ctx.select(col("w1").as("w"), col("c1").as("__c1"),
+        col("n1fwd").as("__n1fwd")), Seq("w"), "left")
+      .join(model.cont.select(col("w2"), col("n1bwd").as("__n1bwd")),
+        Seq("w2"), "left")
+      .withColumn("pcont",
+        when(col("__n1bwd").isNotNull, col("__n1bwd") / bCol).otherwise(floorP))
+      .withColumn("p",
+        when(col("__c1").isNotNull,
+          greatest(coalesce(col("__c12"), lit(0L)).cast("double") - dCol, lit(0.0)) /
+            col("__c1") +
+            dCol * col("__n1fwd") / col("__c1") * col("pcont"))
+          .otherwise(col("pcont")))
+      .select(col("doc_id"), log(col("p")).as("lp"))
+      .groupBy("doc_id")
+      .agg(avg("lp").as("kn_loglik"), count(lit(1)).as("n_bigrams"))
+  }
+
   // ---- benchmark decontamination -------------------------------------------
 
   /** Token k-gram rows, hashed: the contamination-check gram stream,

@@ -40,6 +40,10 @@ class PlanLintSpec extends SparkSpec {
     // PQ ADC scoring: corpus × broadcast(3 query LUTs) — the
     // bruteForceTopK shape (round 8)
     "q_pq_replay_topk",
+    // binary ANN stage 1: signature corpus × broadcast(3 query
+    // signatures) — the bruteForceTopK shape at 1/32 the scan bytes;
+    // stage 2 is an equijoin on the model-sized candidate set
+    "q_binary_topk",
     // mixture weights: model-sized domain table × broadcast(1-row Σc^τ)
     "q_domain_mixture_docs")
   private val globalWindowOk = Set("q_rrf_hybrid_docs",

@@ -108,4 +108,55 @@ class QuantizeSpec extends SparkSpec {
     val recall = quant.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.9, s"recall $recall vs brute")
   }
+
+  test("binary signatures: hand-checked packing, NaN guard, multi-word") {
+    val df = Seq(
+      (1L, Seq(0.5, -1.0, 2.0)),            // bits 0, 2 → 5
+      (2L, Seq(Double.NaN, 1.0)),           // NaN sets NO bit → 2
+      (3L, Seq(0.0, -0.0, 1e-300)),         // strict > 0: only bit 2 → 4
+      (4L, (0 until 40).map(_ => 1.0))      // 40 dims → words [2^32-1, 2^8-1]
+    ).toDF("vec_id", "embedding")
+    val sig = Quantize.binarySignatures(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(sig(1L) == ((3L, Seq(5L))), s"${sig(1L)}")
+    assert(sig(2L) == ((2L, Seq(2L))), s"${sig(2L)}")
+    assert(sig(3L) == ((3L, Seq(4L))), s"${sig(3L)}")
+    assert(sig(4L) == ((40L, Seq(4294967295L, 255L))), s"${sig(4L)}")
+  }
+
+  test("hamming distance: popcount of word-wise xor") {
+    val df = Seq((1L, Seq(5L, 255L), Seq(6L, 0L))).toDF("id", "a", "b")
+    // 5^6 = 3 (2 bits), 255^0 = 255 (8 bits) → 10
+    val d = df.select(Quantize.hammingDistance($"a", $"b").as("d")).head().getLong(0)
+    assert(d == 10L, s"$d")
+  }
+
+  test("binary top-k: full-coverage rerank equals brute force exactly") {
+    val rng = new scala.util.Random(23)
+    val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian()))
+    val df = (0L until 200L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(_ + rng.nextGaussian() * 0.05).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"),
+        $"embedding".cast("array<double>").as("query_emb"))
+    def rows(r: org.apache.spark.sql.DataFrame) = r
+      .select("query_id", "rank", "vec_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    // rerank·k = 200 covers the whole corpus → stage 2 IS brute force
+    val bin = rows(Quantize.binaryTopK(df, q, k = 10, rerank = 20))
+    val brute = rows(Similarity.bruteForceTopK(df, q, k = 10))
+    assert(bin == brute, "full-coverage binary ≠ brute")
+    // production rerank: self at rank 1 (hamming(self,self)=0 always
+    // survives stage 1) and high recall on clustered data
+    val prod = Quantize.binaryTopK(df, q, k = 10, rerank = 4)
+    val self = prod.filter($"rank" === 1)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    self.foreach { case (qid, vid) => assert(qid == vid, s"self not rank-1: $qid → $vid") }
+    val recall = rows(prod).map { case (a, _, c) => (a, c) }
+      .intersect(brute.map { case (a, _, c) => (a, c) }).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
 }

@@ -313,6 +313,59 @@ class TextExtSpec extends SparkSpec {
     assert(math.abs(scored(10L)._1 - expect) < 1e-12, s"${scored(10L)._1} vs $expect")
   }
 
+  test("Kneser-Ney LM: hand-checked counts/discount, exact unity, branches") {
+    val ref = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val m = TextStats.trainKneserNeyModel(ref)
+    // bigram types (a,b)x2 (b,a)x2 (a,c)x1 -> B=3, n1=1, n2=2, D=1/5
+    assert(m.bigramTypes == 3L && m.vocab == 3L)
+    assert(math.abs(m.discount - 0.2) < 1e-15, s"D=${m.discount}")
+    val ctx = m.ctx.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2)))).toMap
+    assert(ctx == Map("a" -> ((3L, 2L)), "b" -> ((2L, 1L))), s"$ctx")
+    val cont = m.cont.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cont == Map("a" -> 1L, "b" -> 1L, "c" -> 1L), s"$cont")
+    // local mirror of p(w2|w1) over the collected model
+    val bi = m.bi.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def p(w1: String, w2: String): Double = {
+      val pc = cont.get(w2).map(_.toDouble / m.bigramTypes)
+        .getOrElse(1.0 / (m.vocab + 1.0))
+      ctx.get(w1) match {
+        case Some((c1, n1f)) =>
+          math.max(bi.getOrElse((w1, w2), 0L).toDouble - m.discount, 0.0) / c1 +
+            m.discount * n1f / c1 * pc
+        case None => pc
+      }
+    }
+    // exact unity: for every trained context, in-vocab continuation
+    // probabilities sum to exactly 1 (the KN telescoping identity)
+    ctx.keys.foreach { w1 =>
+      // keys is a SET — map through toSeq or equal probabilities collapse
+      val s = cont.keys.toSeq.map(w2 => p(w1, w2)).sum
+      assert(math.abs(s - 1.0) < 1e-14, s"sum over ctx $w1 = $s")
+    }
+    val scored = TextStats.kneserNeyLogLikelihood(
+      Seq((10L, "a b"), (11L, "c a"), (12L, "a z"), (13L, "z z"))
+        .toDF("doc_id", "text"), m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // seen ctx + seen bigram: max(2-D)/3 + D*2/3*(1/3)
+    assert(math.abs(scored(10L) - math.log(1.8 / 3 + 0.2 * 2.0 / 3 / 3)) < 1e-12)
+    // unseen ctx backs off to pcont alone
+    assert(math.abs(scored(11L) - math.log(1.0 / 3)) < 1e-12)
+    // seen ctx, OOV continuation: clipped first term + uniform 1/(V+1) floor
+    assert(math.abs(scored(12L) - math.log(0.2 * 2.0 / 3 / 4)) < 1e-12)
+    // both OOV: the uniform floor
+    assert(math.abs(scored(13L) - math.log(1.0 / 4)) < 1e-12)
+    // in-domain ranks above out-of-domain on a larger model
+    val ref2 = Seq((1L, "the cat sat on the mat"),
+      (2L, "the cat ran on the mat")).toDF("doc_id", "text")
+    val m2 = TextStats.trainKneserNeyModel(ref2)
+    val s2 = TextStats.kneserNeyLogLikelihood(
+      Seq((20L, "the cat sat"), (21L, "purple elephants fly quickly"))
+        .toDF("doc_id", "text"), m2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s2(20L) > s2(21L), s"$s2")
+  }
+
   test("repetitionStats: hand-computed fractions, short-doc zeros") {
     val df = Seq(
       (1L, "foo bar foo bar foo"),  // bigrams: foo-bar x2, bar-foo x2; trigrams: fbf x2, bfb x1
