@@ -2804,6 +2804,40 @@ object SparkEntry {
        |count(*) AS n_bigrams
        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Sparse random projection (Achlioptas JL) probe: 64 → 16 dims over a
+    * bounded vector window — DuckDB regenerates the deterministic sign
+    * matrix cell-by-cell (mixHash(i·k+j) mod 6), rebuilds each row's
+    * ordered sign list, and replays every projected component with a
+    * list_reduce fold in the native dot product's accumulation order. */
+  private def randprojEmbeddings(s: SparkSession, dir: String): DataFrame =
+    ext.RandomProjection.project(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 50), dim = 64, k = 16)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "y")))
+      .select(col("vec_id"), col("j"), round6("y"))
+      .orderBy("vec_id", "j")
+
+  private def randprojEmbeddingsSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      |  WHERE vec_id < 50),
+      |cells AS (SELECT i, j,
+      |  (((i * 16 + j) % 2147483648) * 2654435761) % 4294967296 AS h0
+      |  FROM range(0, 64) t1(i), range(0, 16) t2(j)),
+      |c1_ AS (SELECT i, j, xor(h0, h0 >> 16) AS x FROM cells),
+      |c2_ AS (SELECT i, j, ((((x >> 16) * 2246822507) % 65536) * 65536
+      |  + (x % 65536) * 2246822507) % 4294967296 AS h FROM c1_),
+      |c3_ AS (SELECT i, j, xor(h, h >> 13) AS x FROM c2_),
+      |c4_ AS (SELECT i, j, ((((x >> 16) * 3266489909) % 65536) * 65536
+      |  + (x % 65536) * 3266489909) % 4294967296 AS h FROM c3_),
+      |c5_ AS (SELECT i, j, xor(h, h >> 16) AS h FROM c4_),
+      |sgn AS (SELECT i, j, CASE WHEN h % 6 = 0 THEN 1.0
+      |  WHEN h % 6 = 1 THEN -1.0 ELSE 0.0 END AS r FROM c5_),
+      |rl AS (SELECT j, list(r ORDER BY i) AS rs FROM sgn GROUP BY j),
+      |proj AS (SELECT e.vec_id, rl.j, sqrt(3.0 / 16) * list_reduce(
+      |  list_transform(range(1, 65), i -> emb[i] * rs[i]), (a, b) -> a + b) AS y
+      |  FROM e CROSS JOIN rl)
+      |SELECT vec_id, j, floor(y * 1e6 + 0.5) / 1e6 AS y
+      |FROM proj ORDER BY vec_id, j""".stripMargin
+
   /** Interpolated Kneser–Ney LM probe: KN bigram model trained on the
     * even-id half of the corpus, scored on a bounded doc window — DuckDB
     * replays the bigram/context/continuation counts, the counts-of-counts
@@ -4007,6 +4041,7 @@ object SparkEntry {
     "q_split_clusters_docs" -> splitClustersDocs,
     "q_bigram_quality_docs" -> bigramQualityDocs,
     "q_kneserney_quality_docs" -> kneserneyQualityDocs,
+    "q_randproj_embeddings" -> randprojEmbeddings,
     "q_chunk_docs" -> chunkDocs,
     "q_meanpool_embeddings" -> meanPoolEmbeddings,
     "q_hashed_topk_docs" -> hashedTopkDocs,
@@ -4237,6 +4272,7 @@ object SparkEntry {
     "q_split_clusters_docs" -> splitClustersSql,
     "q_bigram_quality_docs" -> bigramQualitySql,
     "q_kneserney_quality_docs" -> kneserneyQualitySql,
+    "q_randproj_embeddings" -> randprojEmbeddingsSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_meanpool_embeddings" -> meanPoolSql,
     "q_hashed_topk_docs" -> hashedTopkSql,
