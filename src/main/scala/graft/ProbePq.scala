@@ -52,6 +52,23 @@ object ProbePq {
     }
     q8.unpersist()
 
+    // binary tier: 1-bit signatures (32x smaller scan), Hamming stage-1,
+    // exact-cosine re-rank on the candidate set
+    val sigs = Quantize.binarySignatures(big).cache()
+    time("binary signatures (once, persisted in practice)") { sigs.count() }
+    val bin = time("binary hamming+rerank search (cold)") {
+      val d = Quantize.binaryTopKPreSigned(sigs, big, queries, k = 10, rerank = 4)
+        .cache(); d.count(); d
+    }
+    time("binary search (warm)") {
+      Quantize.binaryTopKPreSigned(sigs, big, queries, k = 10, rerank = 4).count()
+    }
+    val binRecall = Similarity.withRecallAtK(bin, exact)
+      .select("query_id", "recall_at_k").distinct()
+      .agg(avg("recall_at_k")).head().getDouble(0)
+    println(f"binary recall@10 vs brute (easy corpus): $binRecall%.3f")
+    bin.unpersist(); sigs.unpersist()
+
     val cb = time(s"pq train (3 iters, stride-5 sample)") {
       Pq.trainPqCodebooks(big, dim = 64, m = m, ksub = ksub, iters = 3, sampleMod = 5L)
     }
@@ -120,6 +137,17 @@ object ProbePq {
         .agg(avg("recall_at_k")).head().getDouble(0)
       println(f"hard m=$hm%2d ksub=$ksub: recall@10 $r%.3f, encode+search $sec%.2f s")
       happrox.unpersist(); henc.unpersist()
+    }
+    Seq(4, 16).foreach { rr =>
+      val t0 = System.nanoTime()
+      val hbin = Quantize.binaryTopK(hard, hq, k = 10, rerank = rr).cache()
+      hbin.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val r = Similarity.withRecallAtK(hbin, hardExact)
+        .select("query_id", "recall_at_k").distinct()
+        .agg(avg("recall_at_k")).head().getDouble(0)
+      println(f"hard binary rerank=$rr%2d: recall@10 $r%.3f, sign+search $sec%.2f s")
+      hbin.unpersist()
     }
     spark.stop()
   }

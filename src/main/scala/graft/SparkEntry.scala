@@ -2804,6 +2804,75 @@ object SparkEntry {
        |count(*) AS n_bigrams
        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Corpus-resemblance probe (Broder bottom-k MinHash): Jaccard estimate
+    * between the even-doc and odd-doc 3-token SHINGLE SETS (KR shingle
+    * hashes as set keys — the unigram vocabulary is degenerate on this
+    * corpus, 31 shared tokens ⇒ J=1, and bigrams still overlap 98.6%;
+    * trigram shingles give J≈0.25) next to
+    * the exact Jaccard — DuckDB replays tokenization, the shingle split
+    * (incl. the short-doc whole-text shingle), the KR hash, the
+    * membership flags, the full mixHash chain, the deterministic (h, id)
+    * bottom-64 cut, and both ratios. The exact side doubles as the
+    * accuracy exhibit. */
+  private def vocabResemblanceDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def vocab(rem: Int) = docs.filter(col("doc_id") % 2 === rem)
+      .select(explode(Dedup.shingles(col("text"), 3)).as("sh"))
+      .select(TextStats.rollingHash(col("sh")).as("key"))
+    val a = vocab(0); val b = vocab(1)
+    val est = ext.Sketches.corpusResemblance(a, b, "key", 64)
+    val ex = a.select(col("key"), lit(1).as("ina"), lit(0).as("inb"))
+      .unionAll(b.select(col("key"), lit(0).as("ina"), lit(1).as("inb")))
+      .groupBy("key").agg(max("ina").as("ina"), max("inb").as("inb"))
+      .agg((coalesce(sum((col("ina") * col("inb")).cast("long")), lit(0L))
+        .cast("double") / count(lit(1))).as("jaccard_exact"))
+    est.crossJoin(broadcast(ex))
+      .select(col("k"), col("n_kept"), col("n_both"),
+        round6("resemblance_est"), round6("jaccard_exact"))
+  }
+
+  private def vocabResemblanceSql: String =
+    raw"""WITH ta AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |tb AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE doc_id % 2 = 1),
+       |da AS (SELECT unnest(CASE WHEN len(toks) >= 3
+       |  THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+       |  ELSE [array_to_string(toks, ' ')] END) AS tok FROM ta),
+       |db_ AS (SELECT unnest(CASE WHEN len(toks) >= 3
+       |  THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+       |  ELSE [array_to_string(toks, ' ')] END) AS tok FROM tb),
+       |ka AS (SELECT list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(tok)),
+       |      j -> ascii(substring(tok, j, 1))::BIGINT)),
+       |    (h, c) -> (h * 257 + c) % 1000000007) AS id FROM da),
+       |kb AS (SELECT list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(tok)),
+       |      j -> ascii(substring(tok, j, 1))::BIGINT)),
+       |    (h, c) -> (h * 257 + c) % 1000000007) AS id FROM db_),
+       |u AS (SELECT id, max(ina) AS ina, max(inb) AS inb FROM (
+       |  SELECT id, 1 AS ina, 0 AS inb FROM ka
+       |  UNION ALL SELECT id, 0 AS ina, 1 AS inb FROM kb) GROUP BY id),
+       |h0 AS (SELECT id, ina, inb,
+       |  ((id % 2147483648) * 2654435761) % 4294967296 AS h FROM u),
+       |s1_ AS (SELECT id, ina, inb, xor(h, h >> 16) AS h FROM h0),
+       |m1_ AS (SELECT id, ina, inb, ((((h >> 16) * 2246822507) % 65536) * 65536
+       |  + (h % 65536) * 2246822507) % 4294967296 AS h FROM s1_),
+       |s2_ AS (SELECT id, ina, inb, xor(h, h >> 13) AS h FROM m1_),
+       |m2_ AS (SELECT id, ina, inb, ((((h >> 16) * 3266489909) % 65536) * 65536
+       |  + (h % 65536) * 3266489909) % 4294967296 AS h FROM s2_),
+       |hx AS (SELECT id, ina, inb, xor(h, h >> 16) AS h FROM m2_),
+       |sel AS (SELECT ina, inb FROM hx ORDER BY h, id LIMIT 64),
+       |est AS (SELECT count(*) AS n_kept,
+       |  coalesce(sum(ina * inb), 0) AS n_both FROM sel),
+       |ex AS (SELECT coalesce(sum(ina * inb), 0)::DOUBLE / count(*) AS je FROM u)
+       |SELECT CAST(64 AS BIGINT) AS k, CAST(n_kept AS BIGINT) AS n_kept,
+       |CAST(n_both AS BIGINT) AS n_both,
+       |floor((CASE WHEN n_kept > 0 THEN n_both::DOUBLE / n_kept ELSE 0.0 END)
+       |  * 1e6 + 0.5) / 1e6 AS resemblance_est,
+       |floor(je * 1e6 + 0.5) / 1e6 AS jaccard_exact
+       |FROM est, ex""".stripMargin
+
   /** Sparse random projection (Achlioptas JL) probe: 64 → 16 dims over a
     * bounded vector window — DuckDB regenerates the deterministic sign
     * matrix cell-by-cell (mixHash(i·k+j) mod 6), rebuilds each row's
@@ -4042,6 +4111,7 @@ object SparkEntry {
     "q_bigram_quality_docs" -> bigramQualityDocs,
     "q_kneserney_quality_docs" -> kneserneyQualityDocs,
     "q_randproj_embeddings" -> randprojEmbeddings,
+    "q_vocab_resemblance_docs" -> vocabResemblanceDocs,
     "q_chunk_docs" -> chunkDocs,
     "q_meanpool_embeddings" -> meanPoolEmbeddings,
     "q_hashed_topk_docs" -> hashedTopkDocs,
@@ -4273,6 +4343,7 @@ object SparkEntry {
     "q_bigram_quality_docs" -> bigramQualitySql,
     "q_kneserney_quality_docs" -> kneserneyQualitySql,
     "q_randproj_embeddings" -> randprojEmbeddingsSql,
+    "q_vocab_resemblance_docs" -> vocabResemblanceSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_meanpool_embeddings" -> meanPoolSql,
     "q_hashed_topk_docs" -> hashedTopkSql,

@@ -328,4 +328,46 @@ object Sketches {
       .groupBy(tokenCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
+
+  // ---- corpus resemblance (Broder bottom-k MinHash) ------------------------
+
+  /** Broder's bottom-k resemblance estimate of the Jaccard similarity
+    * between two KEY SETS (Broder 1997, "On the resemblance and
+    * containment of documents" — the dataset-versioning diagnostic:
+    * "how much does snapshot B's vocabulary / shingle set / url set
+    * overlap snapshot A's?"). The k smallest [[mixHash]] values of the
+    * UNION are an unbiased sample of it; the fraction of that sample
+    * present in BOTH sides estimates J = |A∩B| / |A∪B| with standard
+    * error ≈ √(J(1−J)/k). Exact (not an estimate) whenever the union has
+    * ≤ k distinct keys.
+    *
+    * Plan shape: one key-keyed groupBy builds (key, inA, inB) membership
+    * flags (the only corpus-wide shuffle), the bottom-k cut is
+    * ORDER BY (h, key) LIMIT k — Spark's TakeOrderedAndProject, a
+    * per-partition k-cap + k·P-row merge, never a global sort — and the
+    * estimate is one aggregate over k rows. Ties and hash collisions are
+    * broken by the key itself, so the selected sample (and therefore the
+    * estimate) is deterministic and SQL-replayable. Keys must be numeric
+    * (pre-hash strings with a replayable hash, e.g.
+    * [[TextStats.rollingHash]]).
+    *
+    * Returns ONE row: (k, n_kept, n_both, resemblance_est). */
+  def corpusResemblance(a: DataFrame, b: DataFrame, keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ta = a.select(col(keyCol).cast("long").as("id"),
+      lit(1).as("ina"), lit(0).as("inb"))
+    val tb = b.select(col(keyCol).cast("long").as("id"),
+      lit(0).as("ina"), lit(1).as("inb"))
+    ta.unionAll(tb)
+      .groupBy("id").agg(max("ina").as("ina"), max("inb").as("inb"))
+      .withColumn("h", mixHash(col("id")))
+      .orderBy("h", "id").limit(k)
+      .agg(count(lit(1)).as("n_kept"),
+        coalesce(sum((col("ina") * col("inb")).cast("long")), lit(0L)).as("n_both"))
+      .select(lit(k).cast("long").as("k"), col("n_kept"), col("n_both"),
+        when(col("n_kept") > 0,
+          col("n_both").cast("double") / col("n_kept"))
+          .otherwise(lit(0.0)).as("resemblance_est"))
+  }
 }

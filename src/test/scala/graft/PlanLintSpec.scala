@@ -32,6 +32,8 @@ class PlanLintSpec extends SparkSpec {
     // row + the exact-count row) — a broadcast loop over one row is the
     // model-sized case the whitelist exists for
     "q_kmv_distinct_lineitem", "q_hll_distinct_lineitem",
+    // resemblance: 1-row bottom-k estimate × 1-row exact-Jaccard exhibit
+    "q_vocab_resemblance_docs",
     // quantile read: the non-equi rank-vs-cumulative join broadcasts the
     // ≤16·60-row bucket table (and, in the exact exhibit leg, the
     // distinct-value cum table — value-cardinality-sized, bounded by max
@@ -111,6 +113,11 @@ class PlanLintSpec extends SparkSpec {
     ("q_dsir_select_docs", "pmod(doc_id, 2147483648L)"),
     ("q_hll_distinct_lineitem", "pmod(l_partkey, 2147483648L)"),
     ("q_kmv_distinct_lineitem", "pmod(l_partkey, 2147483648L)"),
+    // bottom-k resemblance sort key: the same mixHash avalanche on the
+    // raw groupBy key — O(1) integer arithmetic per DISTINCT key, applied
+    // after the aggregate (the expensive side, per-occurrence text
+    // hashing, is upstream and not duplicated)
+    ("q_vocab_resemblance_docs", "pmod(id, 2147483648L)"),
     // the long-form lag explode materializes one struct per (pair, lag)
     // combination; each entry re-states the O(1) null/NaN CASE guard on
     // an already-read double — the explode IS the rewrite that killed

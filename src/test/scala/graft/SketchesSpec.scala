@@ -233,4 +233,33 @@ class SketchesSpec extends SparkSpec {
     // stays in the 32-bit range (the overflow-free split-multiply contract)
     assert(rows.values.forall(h => h >= 0 && h < 4294967296L))
   }
+
+  test("corpusResemblance: exact below k, estimated above, edge cases") {
+    def row(d: org.apache.spark.sql.DataFrame) = {
+      val r = d.head()
+      (r.getAs[Long]("k"), r.getAs[Long]("n_kept"),
+       r.getAs[Long]("n_both"), r.getAs[Double]("resemblance_est"))
+    }
+    // union ≤ k → EXACT Jaccard: A=1..60, B=31..90 → 30/90
+    val a = (1L to 60L).toDF("id"); val b = (31L to 90L).toDF("id")
+    val ex = row(Sketches.corpusResemblance(a, b, "id", 128))
+    assert(ex == ((128L, 90L, 30L, 30.0 / 90.0)), s"$ex")
+    // identical and disjoint corpora
+    assert(row(Sketches.corpusResemblance(a, a, "id", 128))._4 == 1.0)
+    assert(row(Sketches.corpusResemblance(a, (200L to 260L).toDF("id"), "id", 128))._4 == 0.0)
+    // estimate: |union|=15000, J=1/3, k=256 → within ±3·se (~0.09)
+    val bigA = (1L to 10000L).toDF("id")
+    val bigB = (5001L to 15000L).toDF("id")
+    val est = row(Sketches.corpusResemblance(bigA, bigB, "id", 256))
+    assert(est._2 == 256L)
+    assert(math.abs(est._4 - 1.0 / 3.0) < 0.09, s"est ${est._4}")
+    // duplicates inside a side don't change set semantics
+    val dupA = a.unionAll(a)
+    assert(row(Sketches.corpusResemblance(dupA, b, "id", 128)) == ex)
+    // partitioning invariance (deterministic bottom-k sample)
+    assert(row(Sketches.corpusResemblance(bigA.repartition(13), bigB.repartition(7), "id", 256)) == est)
+    // empty inputs
+    val none = spark.emptyDataset[Long].toDF("id")
+    assert(row(Sketches.corpusResemblance(none, none, "id", 8)) == ((8L, 0L, 0L, 0.0)))
+  }
 }
