@@ -2827,8 +2827,9 @@ object SparkEntry {
       .agg((coalesce(sum((col("ina") * col("inb")).cast("long")), lit(0L))
         .cast("double") / count(lit(1))).as("jaccard_exact"))
     est.crossJoin(broadcast(ex))
-      .select(col("k"), col("n_kept"), col("n_both"),
-        round6("resemblance_est"), round6("jaccard_exact"))
+      .select(col("k"), col("n_kept"), col("n_a"), col("n_b"), col("n_both"),
+        round6("resemblance_est"), round6("containment_a_est"),
+        round6("containment_b_est"), round6("jaccard_exact"))
   }
 
   private def vocabResemblanceSql: String =
@@ -2864,14 +2865,52 @@ object SparkEntry {
        |hx AS (SELECT id, ina, inb, xor(h, h >> 16) AS h FROM m2_),
        |sel AS (SELECT ina, inb FROM hx ORDER BY h, id LIMIT 64),
        |est AS (SELECT count(*) AS n_kept,
+       |  coalesce(sum(ina), 0) AS n_a, coalesce(sum(inb), 0) AS n_b,
        |  coalesce(sum(ina * inb), 0) AS n_both FROM sel),
        |ex AS (SELECT coalesce(sum(ina * inb), 0)::DOUBLE / count(*) AS je FROM u)
        |SELECT CAST(64 AS BIGINT) AS k, CAST(n_kept AS BIGINT) AS n_kept,
+       |CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        |CAST(n_both AS BIGINT) AS n_both,
        |floor((CASE WHEN n_kept > 0 THEN n_both::DOUBLE / n_kept ELSE 0.0 END)
        |  * 1e6 + 0.5) / 1e6 AS resemblance_est,
+       |floor((CASE WHEN n_a > 0 THEN n_both::DOUBLE / n_a ELSE 0.0 END)
+       |  * 1e6 + 0.5) / 1e6 AS containment_a_est,
+       |floor((CASE WHEN n_b > 0 THEN n_both::DOUBLE / n_b ELSE 0.0 END)
+       |  * 1e6 + 0.5) / 1e6 AS containment_b_est,
        |floor(je * 1e6 + 0.5) / 1e6 AS jaccard_exact
        |FROM est, ex""".stripMargin
+
+  /** Zipf corpus-health probe: OLS of ln(count) on ln(rank) over the top
+    * 20 token types plus their mass share — DuckDB replays the counts,
+    * the deterministic (count desc, token asc) rank cut, the log-log
+    * sums, both degenerate-fit guards, and the mass ratio. */
+  private def zipfDocs(s: SparkSession, dir: String): DataFrame =
+    TextStats.zipfStats(Tables.documents(s, dir), topN = 20)
+      .select(col("n_tokens"), col("vocab"), col("n_top"),
+        round6("zipf_slope"), round6("zipf_r2"), round6("top_mass"))
+
+  private def zipfDocsSql: String =
+    raw"""WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+       |  FROM documents),
+       |c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+       |tot AS (SELECT sum(c) AS n_tokens, count(*) AS vocab FROM c),
+       |top AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank
+       |  FROM c ORDER BY c DESC, tok LIMIT 20),
+       |xy AS (SELECT ln(rank::DOUBLE) AS x, ln(c::DOUBLE) AS y, c FROM top),
+       |f AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |  sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy,
+       |  sum(c) AS top_c FROM xy)
+       |SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+       |CAST(vocab AS BIGINT) AS vocab, CAST(n AS BIGINT) AS n_top,
+       |floor((CASE WHEN n * sxx - sx * sx > 0
+       |  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) ELSE 0.0 END)
+       |  * 1e6 + 0.5) / 1e6 AS zipf_slope,
+       |floor((CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+       |  THEN pow(n * sxy - sx * sy, 2)
+       |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) ELSE 0.0 END)
+       |  * 1e6 + 0.5) / 1e6 AS zipf_r2,
+       |floor((top_c::DOUBLE / n_tokens) * 1e6 + 0.5) / 1e6 AS top_mass
+       |FROM f, tot""".stripMargin
 
   /** Sparse random projection (Achlioptas JL) probe: 64 → 16 dims over a
     * bounded vector window — DuckDB regenerates the deterministic sign
@@ -4112,6 +4151,7 @@ object SparkEntry {
     "q_kneserney_quality_docs" -> kneserneyQualityDocs,
     "q_randproj_embeddings" -> randprojEmbeddings,
     "q_vocab_resemblance_docs" -> vocabResemblanceDocs,
+    "q_zipf_docs" -> zipfDocs,
     "q_chunk_docs" -> chunkDocs,
     "q_meanpool_embeddings" -> meanPoolEmbeddings,
     "q_hashed_topk_docs" -> hashedTopkDocs,
@@ -4344,6 +4384,7 @@ object SparkEntry {
     "q_kneserney_quality_docs" -> kneserneyQualitySql,
     "q_randproj_embeddings" -> randprojEmbeddingsSql,
     "q_vocab_resemblance_docs" -> vocabResemblanceSql,
+    "q_zipf_docs" -> zipfDocsSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_meanpool_embeddings" -> meanPoolSql,
     "q_hashed_topk_docs" -> hashedTopkSql,

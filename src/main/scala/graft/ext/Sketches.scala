@@ -351,7 +351,14 @@ object Sketches {
     * (pre-hash strings with a replayable hash, e.g.
     * [[TextStats.rollingHash]]).
     *
-    * Returns ONE row: (k, n_kept, n_both, resemblance_est). */
+    * The same bottom-k sample also yields Broder's CONTAINMENT estimates
+    * ("how much of A is inside B"): the sample rows lying in A estimate
+    * |A|/|A∪B|, so |A∩B|/|A| ≈ n_both/n_a (a ratio estimator — unbiased
+    * in the numerator and denominator separately, documented small ratio
+    * bias O(1/k); exact below k like the resemblance).
+    *
+    * Returns ONE row: (k, n_kept, n_a, n_b, n_both, resemblance_est,
+    * containment_a_est, containment_b_est). */
   def corpusResemblance(a: DataFrame, b: DataFrame, keyCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -359,15 +366,20 @@ object Sketches {
       lit(1).as("ina"), lit(0).as("inb"))
     val tb = b.select(col(keyCol).cast("long").as("id"),
       lit(0).as("ina"), lit(1).as("inb"))
+    def ratio(num: Column, den: Column) =
+      when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
     ta.unionAll(tb)
       .groupBy("id").agg(max("ina").as("ina"), max("inb").as("inb"))
       .withColumn("h", mixHash(col("id")))
       .orderBy("h", "id").limit(k)
       .agg(count(lit(1)).as("n_kept"),
+        coalesce(sum(col("ina").cast("long")), lit(0L)).as("n_a"),
+        coalesce(sum(col("inb").cast("long")), lit(0L)).as("n_b"),
         coalesce(sum((col("ina") * col("inb")).cast("long")), lit(0L)).as("n_both"))
-      .select(lit(k).cast("long").as("k"), col("n_kept"), col("n_both"),
-        when(col("n_kept") > 0,
-          col("n_both").cast("double") / col("n_kept"))
-          .otherwise(lit(0.0)).as("resemblance_est"))
+      .select(lit(k).cast("long").as("k"), col("n_kept"), col("n_a"), col("n_b"),
+        col("n_both"),
+        ratio(col("n_both"), col("n_kept")).as("resemblance_est"),
+        ratio(col("n_both"), col("n_a")).as("containment_a_est"),
+        ratio(col("n_both"), col("n_b")).as("containment_b_est"))
   }
 }

@@ -368,6 +368,54 @@ object TextStats {
       .agg(avg("lp").as("kn_loglik"), count(lit(1)).as("n_bigrams"))
   }
 
+  // ---- corpus-health diagnostics (Zipf fit) --------------------------------
+
+  /** Zipf's-law fit over the top-N token frequencies — the classic
+    * corpus-health diagnostic (Zipf 1949; natural language shows
+    * log f ≈ a + s·log r with slope s ≈ −1, while templated/synthetic or
+    * boilerplate-heavy corpora bend the curve): OLS of ln(count) on
+    * ln(rank) over the top `topN` token types, plus the mass fraction
+    * those types cover. One row out:
+    * (n_tokens, vocab, n_top, zipf_slope, zipf_r2, top_mass).
+    *
+    * Plan shape: one gram-keyed count (the only corpus-wide shuffle),
+    * a TakeOrdered top-N cut with deterministic (count desc, token asc)
+    * ties, then model-sized arithmetic — the rank window and the OLS
+    * aggregate run over ≤ topN rows. Degenerate fits (fewer than 2 types,
+    * or zero count variance) report r2 = 0 and slope 0 rather than
+    * dividing by zero. */
+  def zipfStats(corpus: DataFrame, topN: Int = 1000,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val counts = corpus
+      .select(explode(Dedup.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"))
+    val top = counts.orderBy(col("c").desc, col("tok")).limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"), col("c"))
+    val fit = top.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum("c").as("top_c"))
+    fit.crossJoin(broadcast(totals)).select(
+      col("n_tokens"), col("vocab"), col("n").as("n_top"),
+      when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+        .otherwise(lit(0.0)).as("zipf_slope"),
+      when((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+        pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+           (col("n") * col("syy") - col("sy") * col("sy"))))
+        .otherwise(lit(0.0)).as("zipf_r2"),
+      (col("top_c").cast("double") / col("n_tokens")).as("top_mass"))
+  }
+
   // ---- benchmark decontamination -------------------------------------------
 
   /** Token k-gram rows, hashed: the contamination-check gram stream,

@@ -34,6 +34,8 @@ class PlanLintSpec extends SparkSpec {
     "q_kmv_distinct_lineitem", "q_hll_distinct_lineitem",
     // resemblance: 1-row bottom-k estimate × 1-row exact-Jaccard exhibit
     "q_vocab_resemblance_docs",
+    // zipf fit: 1-row OLS aggregate × 1-row corpus totals
+    "q_zipf_docs",
     // quantile read: the non-equi rank-vs-cumulative join broadcasts the
     // ≤16·60-row bucket table (and, in the exact exhibit leg, the
     // distinct-value cum table — value-cardinality-sized, bounded by max
@@ -51,7 +53,9 @@ class PlanLintSpec extends SparkSpec {
   private val globalWindowOk = Set("q_rrf_hybrid_docs",
     // cumulative walks over the model-sized bucket table / the
     // distinct-length table — never over data rows
-    "q_hdr_quantiles_docs")
+    "q_hdr_quantiles_docs",
+    // zipf rank window runs over the ≤ topN-row TakeOrdered cut
+    "q_zipf_docs")
 
   test("no unlisted cartesian / nested-loop / unpartitioned-window in any driver query plan") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists())
@@ -118,6 +122,10 @@ class PlanLintSpec extends SparkSpec {
     // after the aggregate (the expensive side, per-occurrence text
     // hashing, is upstream and not duplicated)
     ("q_vocab_resemblance_docs", "pmod(id, 2147483648L)"),
+    // zipf OLS: the variance/covariance terms appear in the guard AND the
+    // ratio of both slope and r2 — a projection over a ONE-row aggregate,
+    // O(1) arithmetic total
+    ("q_zipf_docs", "(CAST(n AS DOUBLE) * sxx) - (sx * sx)"),
     // the long-form lag explode materializes one struct per (pair, lag)
     // combination; each entry re-states the O(1) null/NaN CASE guard on
     // an already-read double — the explode IS the rewrite that killed

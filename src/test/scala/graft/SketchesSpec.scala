@@ -237,22 +237,28 @@ class SketchesSpec extends SparkSpec {
   test("corpusResemblance: exact below k, estimated above, edge cases") {
     def row(d: org.apache.spark.sql.DataFrame) = {
       val r = d.head()
-      (r.getAs[Long]("k"), r.getAs[Long]("n_kept"),
-       r.getAs[Long]("n_both"), r.getAs[Double]("resemblance_est"))
+      (r.getAs[Long]("k"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_a"),
+       r.getAs[Long]("n_b"), r.getAs[Long]("n_both"),
+       r.getAs[Double]("resemblance_est"), r.getAs[Double]("containment_a_est"),
+       r.getAs[Double]("containment_b_est"))
     }
-    // union ≤ k → EXACT Jaccard: A=1..60, B=31..90 → 30/90
+    // union ≤ k → EXACT Jaccard AND containments: A=1..60, B=31..90
     val a = (1L to 60L).toDF("id"); val b = (31L to 90L).toDF("id")
     val ex = row(Sketches.corpusResemblance(a, b, "id", 128))
-    assert(ex == ((128L, 90L, 30L, 30.0 / 90.0)), s"$ex")
+    assert(ex == ((128L, 90L, 60L, 60L, 30L, 30.0 / 90.0, 0.5, 0.5)), s"$ex")
     // identical and disjoint corpora
-    assert(row(Sketches.corpusResemblance(a, a, "id", 128))._4 == 1.0)
-    assert(row(Sketches.corpusResemblance(a, (200L to 260L).toDF("id"), "id", 128))._4 == 0.0)
-    // estimate: |union|=15000, J=1/3, k=256 → within ±3·se (~0.09)
+    assert(row(Sketches.corpusResemblance(a, a, "id", 128))._6 == 1.0)
+    assert(row(Sketches.corpusResemblance(a, (200L to 260L).toDF("id"), "id", 128))._6 == 0.0)
+    // asymmetric containment: A=1..30 fully inside B=1..90 → C_A=1, C_B=1/3
+    val sub = row(Sketches.corpusResemblance((1L to 30L).toDF("id"), (1L to 90L).toDF("id"), "id", 128))
+    assert(sub._7 == 1.0 && math.abs(sub._8 - 1.0 / 3.0) < 1e-15, s"$sub")
+    // estimate: |union|=15000, J=1/3, C=1/2, k=256 → within ±3·se (~0.09)
     val bigA = (1L to 10000L).toDF("id")
     val bigB = (5001L to 15000L).toDF("id")
     val est = row(Sketches.corpusResemblance(bigA, bigB, "id", 256))
     assert(est._2 == 256L)
-    assert(math.abs(est._4 - 1.0 / 3.0) < 0.09, s"est ${est._4}")
+    assert(math.abs(est._6 - 1.0 / 3.0) < 0.09, s"est ${est._6}")
+    assert(math.abs(est._7 - 0.5) < 0.12 && math.abs(est._8 - 0.5) < 0.12, s"$est")
     // duplicates inside a side don't change set semantics
     val dupA = a.unionAll(a)
     assert(row(Sketches.corpusResemblance(dupA, b, "id", 128)) == ex)
@@ -260,6 +266,7 @@ class SketchesSpec extends SparkSpec {
     assert(row(Sketches.corpusResemblance(bigA.repartition(13), bigB.repartition(7), "id", 256)) == est)
     // empty inputs
     val none = spark.emptyDataset[Long].toDF("id")
-    assert(row(Sketches.corpusResemblance(none, none, "id", 8)) == ((8L, 0L, 0L, 0.0)))
+    assert(row(Sketches.corpusResemblance(none, none, "id", 8)) ==
+      ((8L, 0L, 0L, 0L, 0L, 0.0, 0.0, 0.0)))
   }
 }

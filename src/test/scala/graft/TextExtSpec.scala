@@ -366,6 +366,38 @@ class TextExtSpec extends SparkSpec {
     assert(s2(20L) > s2(21L), s"$s2")
   }
 
+  test("zipfStats: hand-computed OLS, top-N mass, degenerate corpus") {
+    // counts a:8 b:4 c:2 d:1 → ranks 1..4 (desc count, asc token ties)
+    val corpus = Seq((1L, ("a " * 8 + "b " * 4 + "c " * 2 + "d").trim))
+      .toDF("doc_id", "text")
+    val r = TextStats.zipfStats(corpus, topN = 4).head()
+    assert(r.getAs[Long]("n_tokens") == 15L && r.getAs[Long]("vocab") == 4L &&
+      r.getAs[Long]("n_top") == 4L)
+    // local OLS mirror on (ln rank, ln count)
+    val xs = Seq(1.0, 2.0, 3.0, 4.0).map(math.log)
+    val ys = Seq(8.0, 4.0, 2.0, 1.0).map(math.log)
+    val n = 4.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (xs.map(v => v * v).sum, ys.map(v => v * v).sum)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r2 = math.pow(n * sxy - sx * sy, 2) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(r.getAs[Double]("zipf_slope") - slope) < 1e-12)
+    assert(math.abs(r.getAs[Double]("zipf_r2") - r2) < 1e-12)
+    assert(slope < -1.0 && r2 > 0.9, s"sanity: $slope $r2")
+    assert(r.getAs[Double]("top_mass") == 1.0)
+    // topN cut: top 2 of 4 types → mass 12/15
+    val cut = TextStats.zipfStats(corpus, topN = 2).head()
+    assert(cut.getAs[Long]("n_top") == 2L)
+    assert(math.abs(cut.getAs[Double]("top_mass") - 12.0 / 15.0) < 1e-15)
+    // degenerate: uniform counts → zero variance in y → slope 0, r2 0
+    val flat = TextStats.zipfStats(
+      Seq((1L, "x y z")).toDF("doc_id", "text"), topN = 3).head()
+    assert(flat.getAs[Double]("zipf_slope") == 0.0 &&
+      flat.getAs[Double]("zipf_r2") == 0.0)
+  }
+
   test("repetitionStats: hand-computed fractions, short-doc zeros") {
     val df = Seq(
       (1L, "foo bar foo bar foo"),  // bigrams: foo-bar x2, bar-foo x2; trigrams: fbf x2, bfb x1
