@@ -2816,16 +2816,38 @@ object SparkEntry {
     * accuracy exhibit. */
   private def vocabResemblanceDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    def vocab(rem: Int) = docs.filter(col("doc_id") % 2 === rem)
-      .select(explode(Dedup.shingles(col("text"), 3)).as("sh"))
-      .select(TextStats.rollingHash(col("sh")).as("key"))
-    val a = vocab(0); val b = vocab(1)
-    val est = ext.Sketches.corpusResemblance(a, b, "key", 64)
-    val ex = a.select(col("key"), lit(1).as("ina"), lit(0).as("inb"))
-      .unionAll(b.select(col("key"), lit(0).as("ina"), lit(1).as("inb")))
-      .groupBy("key").agg(max("ina").as("ina"), max("inb").as("inb"))
-      .agg((coalesce(sum((col("ina") * col("inb")).cast("long")), lit(0L))
-        .cast("double") / count(lit(1))).as("jaccard_exact"))
+    // shingle keys built the DSIR way: hash each TOKEN once (KR), combine
+    // 3 consecutive token hashes arithmetically via window leads — the
+    // string-shingle form (explode(Dedup.shingles) + KR over the joined
+    // string) re-evaluates the derived token array per element (the
+    // documented quadratic transform-lambda trap) and re-folds every
+    // character 3×; this form measured 3.05 → 1.7-2.2 s (BenchOne). Docs
+    // shorter than 3 tokens contribute one whole-doc combined key.
+    def vocab(rem: Int): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val wd = Window.partitionBy("doc_id")
+      def comb(a: Column, b: Column) = pmod(a * lit(1000003L) + b, lit(1000000007L))
+      docs.filter(col("doc_id") % 2 === rem)
+        .select(col("doc_id"), posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("th", TextStats.rollingHash(col("tok")))
+        .withColumn("n", count(lit(1)).over(wd))
+        .withColumn("t2", lead("th", 1).over(w))
+        .withColumn("t3", lead("th", 2).over(w))
+        .filter((col("n") >= 3 && col("pos") <= col("n") - 3) ||
+          (col("n") < 3 && col("pos") === 0))
+        .select(when(col("n") >= 3, comb(comb(col("th"), col("t2")), col("t3")))
+          .when(col("n") === 2, comb(col("th"), col("t2")))
+          .otherwise(col("th")).as("key"))
+    }
+    // the DISTINCT-key flags frame is the thing to pin: it has two
+    // consumers (bottom-k estimate + exact-Jaccard exhibit) and is
+    // vocabulary-sized — pinning the corpus-sized shingle frames instead
+    // measured SLOWER than recomputing them (4.8 vs 3.4 s, BenchOne)
+    val u = Ckpt.pin(ext.Sketches.membershipFlags(vocab(0), vocab(1), "key"))
+    val est = ext.Sketches.corpusResemblanceFromFlags(u, 64)
+    val ex = u.agg((coalesce(sum((col("ina") * col("inb")).cast("long")), lit(0L))
+      .cast("double") / count(lit(1))).as("jaccard_exact"))
     est.crossJoin(broadcast(ex))
       .select(col("k"), col("n_kept"), col("n_a"), col("n_b"), col("n_both"),
         round6("resemblance_est"), round6("containment_a_est"),
@@ -2837,20 +2859,24 @@ object SparkEntry {
        |  FROM documents WHERE doc_id % 2 = 0),
        |tb AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
        |  FROM documents WHERE doc_id % 2 = 1),
-       |da AS (SELECT unnest(CASE WHEN len(toks) >= 3
-       |  THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-       |  ELSE [array_to_string(toks, ' ')] END) AS tok FROM ta),
-       |db_ AS (SELECT unnest(CASE WHEN len(toks) >= 3
-       |  THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-       |  ELSE [array_to_string(toks, ' ')] END) AS tok FROM tb),
-       |ka AS (SELECT list_reduce(list_prepend(0::BIGINT,
-       |    list_transform(generate_series(1, length(tok)),
-       |      j -> ascii(substring(tok, j, 1))::BIGINT)),
-       |    (h, c) -> (h * 257 + c) % 1000000007) AS id FROM da),
-       |kb AS (SELECT list_reduce(list_prepend(0::BIGINT,
-       |    list_transform(generate_series(1, length(tok)),
-       |      j -> ascii(substring(tok, j, 1))::BIGINT)),
-       |    (h, c) -> (h * 257 + c) % 1000000007) AS id FROM db_),
+       |ha AS (SELECT list_transform(toks, t -> list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(t)),
+       |      j -> ascii(substring(t, j, 1))::BIGINT)),
+       |    (h, c) -> (h * 257 + c) % 1000000007)) AS hs FROM ta),
+       |hb AS (SELECT list_transform(toks, t -> list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(t)),
+       |      j -> ascii(substring(t, j, 1))::BIGINT)),
+       |    (h, c) -> (h * 257 + c) % 1000000007)) AS hs FROM tb),
+       |ka AS (SELECT unnest(CASE WHEN len(hs) >= 3
+       |  THEN list_transform(range(1, len(hs) - 1), i ->
+       |    (((hs[i] * 1000003 + hs[i+1]) % 1000000007) * 1000003 + hs[i+2]) % 1000000007)
+       |  WHEN len(hs) = 2 THEN [(hs[1] * 1000003 + hs[2]) % 1000000007]
+       |  ELSE [hs[1]] END) AS id FROM ha),
+       |kb AS (SELECT unnest(CASE WHEN len(hs) >= 3
+       |  THEN list_transform(range(1, len(hs) - 1), i ->
+       |    (((hs[i] * 1000003 + hs[i+1]) % 1000000007) * 1000003 + hs[i+2]) % 1000000007)
+       |  WHEN len(hs) = 2 THEN [(hs[1] * 1000003 + hs[2]) % 1000000007]
+       |  ELSE [hs[1]] END) AS id FROM hb),
        |u AS (SELECT id, max(ina) AS ina, max(inb) AS inb FROM (
        |  SELECT id, 1 AS ina, 0 AS inb FROM ka
        |  UNION ALL SELECT id, 0 AS ina, 1 AS inb FROM kb) GROUP BY id),
@@ -2879,6 +2905,35 @@ object SparkEntry {
        |  * 1e6 + 0.5) / 1e6 AS containment_b_est,
        |floor(je * 1e6 + 0.5) / 1e6 AS jaccard_exact
        |FROM est, ex""".stripMargin
+
+  /** Gram-duplication profile probe: per-doc shared-5-gram counts and
+    * fractions with the doc frequency computed over the FULL corpus,
+    * output bounded to doc_id < 80 — DuckDB replays the distinct gram
+    * sets with raw strings, the doc-frequency aggregate, the ≥2-doc
+    * rule, and the zero rows for gram-less docs. */
+  private def gramDuplicationDocs(s: SparkSession, dir: String): DataFrame =
+    TextStats.gramDuplicationStats(Tables.documents(s, dir), k = 5)
+      .filter(col("doc_id") < 80)
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round6("shared_frac"))
+      .orderBy("doc_id")
+
+  private def gramDuplicationSql: String =
+    raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents),
+       |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+       |  FROM d, LATERAL unnest(range(1, len(toks) - 3)) AS t(i)
+       |  WHERE len(toks) >= 5),
+       |f AS (SELECT gram, count(*) AS gdf FROM g GROUP BY gram),
+       |p AS (SELECT g.doc_id, count(*) AS n_grams,
+       |  sum(CASE WHEN f.gdf >= 2 THEN 1 ELSE 0 END) AS n_shared
+       |  FROM g JOIN f USING (gram) GROUP BY g.doc_id)
+       |SELECT dd.doc_id, coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       |coalesce(p.n_shared, 0)::BIGINT AS n_shared,
+       |floor(coalesce(p.n_shared::DOUBLE / p.n_grams, 0.0) * 1e6 + 0.5) / 1e6
+       |  AS shared_frac
+       |FROM documents dd LEFT JOIN p ON dd.doc_id = p.doc_id
+       |WHERE dd.doc_id < 80 ORDER BY dd.doc_id""".stripMargin
 
   /** Zipf corpus-health probe: OLS of ln(count) on ln(rank) over the top
     * 20 token types plus their mass share — DuckDB replays the counts,
@@ -4152,6 +4207,7 @@ object SparkEntry {
     "q_randproj_embeddings" -> randprojEmbeddings,
     "q_vocab_resemblance_docs" -> vocabResemblanceDocs,
     "q_zipf_docs" -> zipfDocs,
+    "q_gram_duplication_docs" -> gramDuplicationDocs,
     "q_chunk_docs" -> chunkDocs,
     "q_meanpool_embeddings" -> meanPoolEmbeddings,
     "q_hashed_topk_docs" -> hashedTopkDocs,
@@ -4385,6 +4441,7 @@ object SparkEntry {
     "q_randproj_embeddings" -> randprojEmbeddingsSql,
     "q_vocab_resemblance_docs" -> vocabResemblanceSql,
     "q_zipf_docs" -> zipfDocsSql,
+    "q_gram_duplication_docs" -> gramDuplicationSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_meanpool_embeddings" -> meanPoolSql,
     "q_hashed_topk_docs" -> hashedTopkSql,

@@ -360,16 +360,31 @@ object Sketches {
     * Returns ONE row: (k, n_kept, n_a, n_b, n_both, resemblance_est,
     * containment_a_est, containment_b_est). */
   def corpusResemblance(a: DataFrame, b: DataFrame, keyCol: String,
-      k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+      k: Int): DataFrame =
+    corpusResemblanceFromFlags(membershipFlags(a, b, keyCol), k)
+
+  /** The membership-flag frame behind [[corpusResemblance]]: one row per
+    * DISTINCT key of A∪B with (id, ina, inb) flags — the set-difference /
+    * overlap report in its own right (ina=1 ∧ inb=0 ⇒ only-in-A, …), and
+    * distinct-key-sized, so callers with several consumers (an estimate
+    * plus an exact audit) should build it once, pin it, and fan out —
+    * re-deriving it re-runs the corpus scan AND the key-keyed shuffle. */
+  def membershipFlags(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
     val ta = a.select(col(keyCol).cast("long").as("id"),
       lit(1).as("ina"), lit(0).as("inb"))
     val tb = b.select(col(keyCol).cast("long").as("id"),
       lit(0).as("ina"), lit(1).as("inb"))
-    def ratio(num: Column, den: Column) =
-      when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
     ta.unionAll(tb)
       .groupBy("id").agg(max("ina").as("ina"), max("inb").as("inb"))
+  }
+
+  /** [[corpusResemblance]] over a pre-built (possibly pinned)
+    * [[membershipFlags]] frame. */
+  def corpusResemblanceFromFlags(flags: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def ratio(num: Column, den: Column) =
+      when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
+    flags
       .withColumn("h", mixHash(col("id")))
       .orderBy("h", "id").limit(k)
       .agg(count(lit(1)).as("n_kept"),

@@ -441,6 +441,45 @@ object TextStats {
       explode(graft.expr.TokenGramHashes.tokenGramHashes(
         Dedup.tokens(col(textCol)), k)).as("sh"))
 
+  /** Per-document gram-duplication profile — the corpus-duplication
+    * DIAGNOSTIC companion to the span/near-dup REMOVAL operators (the
+    * analysis Lee et al. 2022 run before deciding how hard to dedup):
+    * for each doc, how many of its distinct k-token grams also appear in
+    * at least `minDocs − 1` OTHER documents, and what fraction of the doc
+    * that is. Returns (doc_id, n_grams, n_shared, shared_frac); docs
+    * shorter than k tokens have no grams and report (0, 0, 0.0).
+    *
+    * Plan shape: the fused [[graft.expr.TokenGramHashes]] gram stream
+    * (shuffle-free), per-doc DISTINCT grams, one gram-keyed
+    * doc-frequency aggregate (the only corpus-wide shuffle — it carries
+    * (gram, doc) pairs, partial-aggregated map-side), a gram-keyed join
+    * back, and a doc-keyed rollup. Gram identity is hash-self-consistent
+    * like the decontamination path — the oracle replays with raw string
+    * grams. */
+  def gramDuplicationStats(docs: DataFrame, k: Int = 5, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val grams = tokenGramHashRows(docs, idCol, textCol, k)
+      .select(col("doc_id"), col("sh")).distinct()
+    // grams is (doc, gram)-distinct already, so a plain count IS the
+    // distinct-doc frequency — no countDistinct expand needed
+    val df = grams.groupBy("sh").agg(count(lit(1)).as("gdf"))
+    val perDoc = grams.join(df, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") >= minDocs, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_grams"))
+    // gram-less docs (shorter than k tokens, or null text) report zeros
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("shared_frac"), lit(0.0)).as("shared_frac"))
+  }
+
   /** Benchmark decontamination, membership side: corpus docs that share
     * at least one k-token gram with ANY benchmark document — the standard
     * "drop training documents that contain eval data" check (public

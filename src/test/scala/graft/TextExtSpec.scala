@@ -366,6 +366,29 @@ class TextExtSpec extends SparkSpec {
     assert(s2(20L) > s2(21L), s"$s2")
   }
 
+  test("gramDuplicationStats: shared-gram fractions, distinctness, short docs") {
+    val docs = Seq(
+      (1L, "a b c d"),              // grams abc, bcd
+      (2L, "a b c x"),              // abc shared with 1&5, bcx unique
+      (3L, "q r s t u"),            // all unique
+      (4L, "zz"),                   // < k tokens → no grams
+      (5L, "a b c d"),              // exact dup of 1
+      (6L, "m n o m n o m n o")     // within-doc repeats count ONCE
+    ).toDF("doc_id", "text")
+    val r = TextStats.gramDuplicationStats(docs, k = 3).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((2L, 2L, 1.0)), s"${r(1L)}")   // abc(df=3), bcd(df=2)
+    assert(r(2L) == ((2L, 1L, 0.5)), s"${r(2L)}")
+    assert(r(3L) == ((3L, 0L, 0.0)), s"${r(3L)}")
+    assert(r(4L) == ((0L, 0L, 0.0)), s"${r(4L)}")
+    assert(r(5L) == ((2L, 2L, 1.0)), s"${r(5L)}")
+    assert(r(6L) == ((3L, 0L, 0.0)), s"${r(6L)}")   // 7 gram slots, 3 distinct
+    // stricter threshold: bcd (df=2) no longer counts, abc (df=3) still does
+    val strict = TextStats.gramDuplicationStats(docs, k = 3, minDocs = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(strict(1L) == 1L && strict(2L) == 1L && strict(5L) == 1L, s"$strict")
+  }
+
   test("zipfStats: hand-computed OLS, top-N mass, degenerate corpus") {
     // counts a:8 b:4 c:2 d:1 → ranks 1..4 (desc count, asc token ties)
     val corpus = Seq((1L, ("a " * 8 + "b " * 4 + "c " * 2 + "d").trim))
