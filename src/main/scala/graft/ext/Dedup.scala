@@ -183,13 +183,19 @@ object Dedup {
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
   /** k-word shingles of a token array (higher-order functions — codegen,
-    * no UDF). */
+    * no UDF). Built by zipping k top-level-bound shifted copies of the
+    * token array, NOT by a transform lambda that slices the derived
+    * array per element — that form re-evaluates the tokenizing split
+    * once per output shingle (the documented quadratic lambda trap;
+    * measured 1.7 s for 130k shingles before the rewrite). concat_ws
+    * skips the nulls zip_with pads the short side with; those partial
+    * tail entries are cut by the final slice. */
   def shingles(text: Column, k: Int): Column = {
     val toks = tokens(text)
-    when(size(toks) >= k,
-      transform(
-        sequence(lit(0), size(toks) - k),
-        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+    val joined = (1 until k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j + 1), size(toks)), (a, b) => concat_ws(" ", a, b))
+    }
+    when(size(toks) >= k, slice(joined, lit(1), size(toks) - lit(k - 1)))
       .otherwise(array(array_join(toks, " ")))
   }
 
