@@ -3861,6 +3861,55 @@ object SparkEntry {
     } finally core.Fs.rmTree(tmp)
   }
 
+  /** Streaming bottom-k sample store probe: three uneven micro-batches
+    * fold into a persisted bottom-16 Broder sample of the corpus's
+    * distinct token KR hashes (the production batch processor, replayed
+    * deterministically like q_cms_stream_docs). The bottom-k merge law
+    * makes the streamed store equal the ONE-SHOT sample, which DuckDB
+    * replays hash-exactly — a lost batch, a double merge, or a stale
+    * store read breaks the hash. */
+  private def bottomkStreamDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("bk_q")
+    val store = s"$tmp/store"
+    try {
+      Seq(docs.filter(col("doc_id") < 37),
+        docs.filter(col("doc_id") >= 37 && col("doc_id") < 150),
+        docs.filter(col("doc_id") >= 150))
+        .foreach { b =>
+          val keys = b.select(explode(Dedup.tokens(col("text"))).as("tok"))
+            .filter(col("tok") =!= "")
+            .select(TextStats.rollingHash(col("tok")).as("key"))
+          streaming.StreamOps.bottomKUpdateBatch(keys, col("key"), store, 16)
+        }
+      val rows = s.read.parquet(store).orderBy("h", "id").collect().toSeq
+      s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+    } finally core.Fs.rmTree(tmp)
+  }
+
+  private def bottomkStreamSql: String =
+    raw"""WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+       |  FROM documents WHERE doc_id < 200),
+       |d_ AS (SELECT DISTINCT tok FROM t WHERE tok <> ''),
+       |u AS (SELECT DISTINCT list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(tok)),
+       |      j -> ascii(substring(tok, j, 1))::BIGINT)),
+       |    (h, c) -> (h * 257 + c) % 1000000007) AS id FROM d_),
+       |h0 AS (SELECT id, ((id % 2147483648) * 2654435761) % 4294967296 AS h FROM u),
+       |s1_ AS (SELECT id, xor(h, h >> 16) AS h FROM h0),
+       |m1_ AS (SELECT id, ((((h >> 16) * 2246822507) % 65536) * 65536
+       |  + (h % 65536) * 2246822507) % 4294967296 AS h FROM s1_),
+       |s2_ AS (SELECT id, xor(h, h >> 13) AS h FROM m1_),
+       |m2_ AS (SELECT id, ((((h >> 16) * 3266489909) % 65536) * 65536
+       |  + (h % 65536) * 3266489909) % 4294967296 AS h FROM s2_),
+       |hx AS (SELECT id, xor(h, h >> 16) AS h FROM m2_)
+       |SELECT h::BIGINT AS h, id::BIGINT AS id FROM hx
+       |ORDER BY h, id LIMIT 16""".stripMargin
+
   private def cmsStreamSql: String =
     raw"""WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
        |  FROM documents WHERE doc_id < 200),
@@ -4240,6 +4289,7 @@ object SparkEntry {
     "q_pca_cov_embeddings" -> pcaCovEmbeddings,
     "q_epoch_shuffle_docs" -> epochShuffleDocs,
     "q_cms_stream_docs" -> cmsStreamDocs,
+    "q_bottomk_stream_docs" -> bottomkStreamDocs,
     "q_gopher_quality_docs" -> gopherQualityDocs,
     "q_weighted_keep_docs" -> weightedKeepDocs,
     "q_boilerplate_docs" -> boilerplateDocs,
@@ -4516,6 +4566,7 @@ object SparkEntry {
     "q_pca_cov_embeddings" -> pcaCovSql,
     "q_epoch_shuffle_docs" -> epochShuffleSql,
     "q_cms_stream_docs" -> cmsStreamSql,
+    "q_bottomk_stream_docs" -> bottomkStreamSql,
     "q_gopher_quality_docs" -> gopherQualitySql,
     "q_weighted_keep_docs" -> weightedKeepSql,
     "q_boilerplate_docs" -> boilerplateSql,

@@ -378,6 +378,43 @@ object Sketches {
       .groupBy("id").agg(max("ina").as("ina"), max("inb").as("inb"))
   }
 
+  /** Bottom-k key SAMPLE of one corpus: the k smallest (mixHash(id), id)
+    * pairs over its DISTINCT keys — Broder's resemblance sketch for one
+    * side, ≤ k rows. MERGEABLE: the bottom-k of a union equals the
+    * bottom-k of the merged per-side samples (nothing below the union's
+    * k-th value can be missing from its side's own bottom-k), so
+    * snapshots keep a persisted sample each and
+    * [[resemblanceFromSamples]] compares them WITHOUT co-scanning the
+    * corpora — the dataset-versioning shape, and the same merge law the
+    * streaming store ([[graft.streaming.StreamOps.bottomKUpdateBatch]])
+    * is hard-oracled by. */
+  def bottomKSample(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(col(keyCol).cast("long").as("id")).distinct()
+      .withColumn("h", mixHash(col("id")))
+      .orderBy("h", "id").limit(k)
+      .select("h", "id")
+  }
+
+  /** Merge two bottom-k samples into the bottom-k of their union. */
+  def mergeBottomK(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    a.select("h", "id").unionByName(b.select("h", "id")).distinct()
+      .orderBy("h", "id").limit(k)
+  }
+
+  /** Resemblance + containments from two PRE-BUILT bottom-k samples —
+    * numerically IDENTICAL to [[corpusResemblance]] over the original
+    * corpora (property-tested): every key in the bottom-k of the merged
+    * samples hashes below its own side's k-th value, so it is present in
+    * that side's sample whenever it is in the corpus — the membership
+    * flags are exact on the selected cut. */
+  def resemblanceFromSamples(sa: DataFrame, sb: DataFrame, k: Int): DataFrame =
+    corpusResemblanceFromFlags(
+      sa.select(col("id"), lit(1).as("ina"), lit(0).as("inb"))
+        .unionAll(sb.select(col("id"), lit(0).as("ina"), lit(1).as("inb")))
+        .groupBy("id").agg(max("ina").as("ina"), max("inb").as("inb")), k)
+
   /** [[corpusResemblance]] over a pre-built (possibly pinned)
     * [[membershipFlags]] frame. */
   def corpusResemblanceFromFlags(flags: DataFrame, k: Int): DataFrame = {

@@ -464,6 +464,26 @@ object StreamOps {
       storeDir)
   }
 
+  /** Same discipline for the Broder bottom-k resemblance sample: each
+    * micro-batch's bottom-k of its distinct keys merges into the
+    * persistent sample by the bottom-k merge law (bottomK(A∪B) =
+    * bottomK(bottomK(A) ∪ bottomK(B))), so ANY batch decomposition
+    * yields the bit-identical ≤ k-row store as a one-shot
+    * [[graft.ext.Sketches.bottomKSample]] over the whole corpus — the
+    * live side of snapshot-vs-snapshot
+    * [[graft.ext.Sketches.resemblanceFromSamples]]. */
+  def bottomKUpdateBatch(batch: DataFrame, keyExpr: org.apache.spark.sql.Column,
+      storeDir: String, k: Int): DataFrame = {
+    import graft.ext.Sketches
+    val spark = batch.sparkSession
+    val fresh = Sketches.bottomKSample(batch.select(keyExpr.as("key")), "key", k)
+    val merged =
+      if (new java.io.File(storeDir).exists())
+        Sketches.mergeBottomK(spark.read.parquet(storeDir), fresh, k)
+      else fresh
+    replaceStore(merged.select(col("h"), col("id")), storeDir)
+  }
+
   /** Same discipline for the HDR quantile histogram: per-batch histograms
     * of `exprCol` (e.g. doc length) merge by per-bucket addition into a
     * persistent store, read at any time via

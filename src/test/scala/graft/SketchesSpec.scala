@@ -220,9 +220,40 @@ class SketchesSpec extends SparkSpec {
       val ho = Sketches.hdrHistogram(docs.select(length($"text").cast("long").as("v")), "v")
         .as[(Long, Long)].collect().toSet
       assert(hs == ho)
+      // bottom-k sample: same decomposition law, ORDERED equality (the
+      // store IS the k smallest (h, id) pairs)
+      Seq(docs.filter($"doc_id" < 80), docs.filter($"doc_id" >= 80 && $"doc_id" < 90),
+        docs.filter($"doc_id" >= 90))
+        .foreach(b => StreamOps.bottomKUpdateBatch(b, $"doc_id" * 7919L, s"$tmp/bk", 16))
+      val bs = spark.read.parquet(s"$tmp/bk").orderBy("h", "id")
+        .as[(Long, Long)].collect().toSeq
+      val bo = Sketches.bottomKSample(
+        docs.select(($"doc_id" * 7919L).as("key")), "key", 16)
+        .orderBy("h", "id").as[(Long, Long)].collect().toSeq
+      assert(bs == bo && bs.length == 16)
     } finally {
       graft.core.Fs.rmTree(tmp)
     }
+  }
+
+  test("bottomKSample: merge law; two-sketch resemblance equals the direct form") {
+    // 3-way uneven split, merged samples == one-shot sample, ordered
+    val df = (1L to 5000L).map(i => i * 13 % 4999).toDF("id")
+    val whole = Sketches.bottomKSample(df, "id", 64)
+      .orderBy("h", "id").as[(Long, Long)].collect().toSeq
+    val merged = Seq(df.filter($"id" < 300),
+        df.filter($"id" >= 300 && $"id" < 2100), df.filter($"id" >= 2100))
+      .map(Sketches.bottomKSample(_, "id", 64))
+      .reduce(Sketches.mergeBottomK(_, _, 64))
+      .orderBy("h", "id").as[(Long, Long)].collect().toSeq
+    assert(merged == whole && whole.length == 64)
+    // two persisted samples estimate EXACTLY what co-scanning estimates
+    val a = (1L to 3000L).toDF("id"); val b = (1500L to 4500L).toDF("id")
+    val direct = Sketches.corpusResemblance(a, b, "id", 128).collect().toSeq
+    val viaSamples = Sketches.resemblanceFromSamples(
+      Sketches.bottomKSample(a, "id", 128),
+      Sketches.bottomKSample(b, "id", 128), 128).collect().toSeq
+    assert(viaSamples == direct, s"$viaSamples vs $direct")
   }
 
   test("mixHash: column arithmetic agrees with an independent 64-bit implementation") {
