@@ -94,6 +94,30 @@ object ProbeText {
           .agg(sum("gumbel_key")).collect()
       }
     }
+
+    // round-8 corpus-wide diagnostics: gram-duplication profile (two
+    // gram-keyed shuffles + a doc rollup — claim linear in corpus) and
+    // bottom-k resemblance between the even/odd halves (one key-keyed
+    // groupBy + a TakeOrdered cut — claim linear with a k-row result)
+    for (n <- Seq(100000L, 1000000L)) {
+      val corpus = docs(n, footer = false)
+      t(s"gram_duplication k=5 n=$n") {
+        TextStats.gramDuplicationStats(corpus, k = 5)
+          .agg(sum("n_shared"), sum("n_grams")).collect()
+      }
+      t(s"resemblance (even vs odd halves) n=$n") {
+        val a = corpus.filter(col("doc_id") % 2 === 0)
+          .select(explode(Dedup.tokens(col("text"))).as("tok"))
+          .select(TextStats.rollingHash(col("tok")).as("key"))
+        val b = corpus.filter(col("doc_id") % 2 === 1)
+          .select(explode(Dedup.tokens(col("text"))).as("tok"))
+          .select(TextStats.rollingHash(col("tok")).as("key"))
+        graft.ext.Sketches.corpusResemblance(a, b, "key", 256).collect()
+      }
+      t(s"zipf_stats topN=1000 n=$n") {
+        TextStats.zipfStats(corpus, topN = 1000).collect()
+      }
+    }
     spark.stop()
   }
 }
