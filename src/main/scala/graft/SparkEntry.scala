@@ -2375,6 +2375,42 @@ object SparkEntry {
       |SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
       |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** OPQ replay twin: the production rotate → encode → LUT → ADC → rank
+    * path with a pinned signed-permutation rotation (orthonormal,
+    * regenerable from the mixHash chain + one ORDER BY) and the pinned
+    * integer codebooks. */
+  private def opqReplayTopk(s: SparkSession, dir: String): DataFrame =
+    ext.Pq.opqTopKReplayable(Tables.embeddings(s, dir), similarityQueries(s, dir),
+        k = 5, dim = 64, m = 8, ksub = 8)
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
+
+  /** OPQ oracle = the rotation CTEs prepended to [[pqReplaySql]]'s PQ
+    * machinery verbatim (derived by string surgery so the two replay
+    * oracles can never drift apart): `e` becomes the signed-permutation-
+    * rotated embeddings — perm = argsort of (mixHash(i), i) over 0..63,
+    * sign_r = mixHash(64 + r) parity. */
+  private def opqReplaySql: String = {
+    val prefix = "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),"
+    require(pqReplaySql.startsWith(prefix), "pqReplaySql prefix changed — update opqReplaySql")
+    """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |mh AS (SELECT i, xor(h2, h2 >> 16) AS h FROM (
+      |  SELECT i, ((((x2 >> 16) * 3266489909) % 65536) * 65536
+      |    + (x2 % 65536) * 3266489909) % 4294967296 AS h2 FROM (
+      |    SELECT i, xor(h1, h1 >> 13) AS x2 FROM (
+      |      SELECT i, ((((x1 >> 16) * 2246822507) % 65536) * 65536
+      |        + (x1 % 65536) * 2246822507) % 4294967296 AS h1 FROM (
+      |        SELECT i, xor(h0, h0 >> 16) AS x1 FROM (
+      |          SELECT i, ((i % 2147483648) * 2654435761) % 4294967296 AS h0
+      |          FROM range(0, 128) t(i))))))),
+      |pl AS (SELECT list(i ORDER BY h, i) AS pl FROM mh WHERE i < 64),
+      |sl AS (SELECT list(CASE WHEN h % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY i) AS sl
+      |  FROM mh WHERE i >= 64),
+      |e AS (SELECT vec_id,
+      |  list_transform(range(1, 65), rr -> sl[rr] * emb[pl[rr] + 1]) AS emb
+      |  FROM e0 CROSS JOIN pl CROSS JOIN sl),""".stripMargin +
+      "\n" + pqReplaySql.stripPrefix(prefix)
+  }
+
   /** Whole-pipeline semantic-dedup probe: [[graft.ext.SemDedup
     * .semanticNearDupPairsReplayable]] — the production SemDeDup pipeline
     * (same codegen'd max-cosine cell assignment with its (cos desc, idx
@@ -4238,6 +4274,7 @@ object SparkEntry {
     "q_lsh_replay_topk" -> lshReplayTopk,
     "q_ivf_replay_topk" -> ivfReplayTopk,
     "q_pq_replay_topk" -> pqReplayTopk,
+    "q_opq_replay_topk" -> opqReplayTopk,
     "q_ivfpq_replay_topk" -> ivfpqReplayTopk,
     "q_similarity_topk_ivf" -> similarityTopkIvf,
     "q_embedding_norms" -> embeddingNormsEmbeddings,
@@ -4508,6 +4545,7 @@ object SparkEntry {
     "q_lsh_replay_topk" -> lshReplaySql,
     "q_ivf_replay_topk" -> ivfReplaySql,
     "q_pq_replay_topk" -> pqReplaySql,
+    "q_opq_replay_topk" -> opqReplaySql,
     "q_ivfpq_replay_topk" -> ivfpqReplaySql,
     "q_similarity_topk_ivf" -> ivfReplaySqlFor(16, 4),
     "q_simhash_replay_docs" -> simhashReplaySql,

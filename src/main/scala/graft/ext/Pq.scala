@@ -408,4 +408,215 @@ object Pq {
     val cb = integerCodebooks(m, ksub, dim / m)
     pqTopK(pqEncode(embeddings, cb, idCol, embCol), queries, cb, k, queryIdCol, queryEmbCol)
   }
+
+  // ---- OPQ (Ge et al. 2013, "Optimized Product Quantization") -------------
+
+  /** Dense matrix–vector rotation as a closure UDF (R changes per
+    * training iteration — a literal-expression form would Janino-compile
+    * fresh code each round, the [[Similarity.assignUdf]] precedent).
+    * Wrong-length / null vectors map to null, matching the other
+    * encoders' guards. */
+  private[graft] def rotateUdf(r: Array[Array[Double]]): UserDefinedFunction = {
+    val frozen = r.map(_.clone())
+    val d = frozen.length
+    udf { (v: Seq[Double]) =>
+      if (v == null || v.length != d) null
+      else {
+        val out = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          val row = frozen(i)
+          var s = 0.0
+          var j = 0
+          while (j < d) { s += row(j) * v(j); j += 1 }
+          out(i) = s
+          i += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** Decode PQ codes back to the concatenated centroid vector x̂. */
+  private def decodeUdf(cb: Array[Array[Array[Double]]]): UserDefinedFunction = {
+    val frozen = cb.map(_.map(_.clone()))
+    val m = frozen.length
+    val dsub = frozen(0)(0).length
+    udf { (codes: Seq[Int]) =>
+      if (codes == null || codes.length != m) null
+      else {
+        val out = new Array[Double](m * dsub)
+        var j = 0
+        while (j < m) {
+          System.arraycopy(frozen(j)(codes(j)), 0, out, j * dsub, dsub)
+          j += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** Σ x̂·xᵀ cross-Gram accumulator for the Procrustes step: the partial
+    * state is dim² doubles per partition (the [[Pca.GramAgg]] shape,
+    * full square because the cross-Gram is not symmetric). */
+  private class CrossGramAgg(d: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Seq[Double], Seq[Double]), Array[Double], Array[Double]] {
+    def zero: Array[Double] = new Array[Double](d * d)
+    def reduce(buf: Array[Double], xy: (Seq[Double], Seq[Double])): Array[Double] = {
+      val (x, xhat) = xy
+      if (x == null || xhat == null || x.length != d || xhat.length != d) return buf
+      var i = 0
+      while (i < d) {
+        val xi = xhat(i)
+        var j = 0
+        while (j < d) { buf(i * d + j) += xi * x(j); j += 1 }
+        i += 1
+      }
+      buf
+    }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var t = 0
+      while (t < a.length) { a(t) += b(t); t += 1 }
+      a
+    }
+    def finish(buf: Array[Double]): Array[Double] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  /** Train OPQ (the non-parametric alternation of Ge et al. 2013 §4):
+    * repeat { train PQ codebooks in the rotated space; solve the
+    * orthogonal Procrustes problem min_R ||R·x − x̂||_F over the sample —
+    * R = U·Vᵀ from the SVD of M = Σ x̂·xᵀ }. Distributed parts: the
+    * rotation scan, the codebook training pass, and the cross-Gram
+    * accumulation (dim²-double partial state per partition); driver
+    * parts: the dim×dim SVD (Breeze — model numerics, same policy as the
+    * PCA eigendecomposition and the Lloyd argmax). Iterative optimizer ⇒
+    * declared non-oracle; the machinery is pinned by
+    * [[opqTopKReplayable]]. Returns (rotation, codebooks) where rotation
+    * is row-major R with rotated = R·x. */
+  def trainOpq(
+      embeddings: DataFrame,
+      dim: Int,
+      m: Int = 8,
+      ksub: Int = 256,
+      iters: Int = 3,
+      sampleMod: Long = 1L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val base = embeddings
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .filter(size(col("emb")) === dim)
+    val sample =
+      (if (sampleMod > 1L) base.filter(col("vec_id") % sampleMod === 0) else base)
+        .coalesce(8).cache()
+    try {
+      var r = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+      var cb: Array[Array[Array[Double]]] = null
+      var it = 0
+      while (it < iters) {
+        val rot = rotateUdf(r)
+        cb = trainPqCodebooks(
+          sample.select(col("vec_id"), rot(col("emb")).as("embedding")),
+          dim, m, ksub, iters = 1, sampleMod = 1L)
+        if (it < iters - 1) {
+          val enc = encodeUdf(cb)
+          val dec = decodeUdf(cb)
+          val cg = udaf(new CrossGramAgg(dim))
+          val mArr = sample
+            .select(col("emb").as("x"), dec(enc(rot(col("emb")))).as("xhat"))
+            .agg(cg(col("x"), col("xhat")).as("cg"))
+            .head().getSeq[Double](0).toArray
+          val mm = breeze.linalg.DenseMatrix.tabulate(dim, dim)(
+            (i, j) => mArr(i * dim + j))
+          val s = breeze.linalg.svd(mm)
+          val rNext = s.U * s.Vt
+          r = Array.tabulate(dim, dim)((i, j) => rNext(i, j))
+        }
+        it += 1
+      }
+      (r, cb)
+    } finally { sample.unpersist(false); () }
+  }
+
+  /** Encode a corpus against an OPQ model: rotate, then [[pqEncode]].
+    * Persist-once like the plain PQ index. */
+  def opqEncode(
+      embeddings: DataFrame,
+      rotation: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val d = rotation.length
+    val rot = rotateUdf(rotation)
+    pqEncode(
+      embeddings
+        .select(col(idCol).cast("long").as("vec_id"),
+          col(embCol).cast("array<double>").as("emb"))
+        .filter(size(col("emb")) === d)
+        .select(col("vec_id"), rot(col("emb")).as("emb")),
+      codebooks, "vec_id", "emb")
+  }
+
+  /** ADC top-k over an OPQ-encoded corpus: queries rotate through the
+    * SAME R (model-sized work — the corpus side scans codes only), then
+    * [[pqTopK]]. R orthonormal preserves dots and norms, so the ADC
+    * cosine in rotated space estimates the original-space cosine. */
+  def opqTopK(
+      encoded: DataFrame,
+      queries: DataFrame,
+      rotation: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_emb"): DataFrame = {
+    val rot = rotateUdf(rotation)
+    pqTopK(encoded,
+      queries.select(col(queryIdCol).as("query_id"),
+        rot(col(queryEmbCol).cast("array<double>")).as("query_emb")),
+      codebooks, k)
+  }
+
+  /** Deterministic SIGNED-PERMUTATION rotation for the replayable twin:
+    * output r reads source index perm(r) (the argsort of (mixHash(i), i)
+    * over 0..dim−1) with sign from mixHash(dim + r) parity. A signed
+    * permutation IS orthonormal, and both parts regenerate from BIGINT
+    * arithmetic + one ORDER BY in SQL. */
+  private[graft] def signedPermutationRotation(dim: Int): Array[Array[Double]] = {
+    val perm = (0 until dim).sortBy(i => (Sketches.mixHashLocal(i.toLong), i)).toArray
+    Array.tabulate(dim, dim) { (r, j) =>
+      if (j == perm(r))
+        (if (Sketches.mixHashLocal((dim + r).toLong) % 2 == 0) 1.0 else -1.0)
+      else 0.0
+    }
+  }
+
+  /** SQL-replayable twin of the full OPQ pipeline: the IDENTICAL
+    * rotate → encode → LUT → ADC → rank path with
+    * [[signedPermutationRotation]] + [[integerCodebooks]] pinned in
+    * place of trained ones. Training only moves parameter VALUES; the
+    * twin pins the machinery. */
+  def opqTopKReplayable(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int = 64,
+      m: Int = 8,
+      ksub: Int = 8,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_emb"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val rot = signedPermutationRotation(dim)
+    val cb = integerCodebooks(m, ksub, dim / m)
+    opqTopK(opqEncode(embeddings, rot, cb, idCol, embCol),
+      queries, rot, cb, k, queryIdCol, queryEmbCol)
+  }
 }

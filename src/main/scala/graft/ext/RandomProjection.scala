@@ -27,14 +27,9 @@ import org.apache.spark.sql.functions._
   * order with list_reduce, so the doubles match bit-for-bit). */
 object RandomProjection {
 
-  /** Local 64-bit mirror of the [[Sketches.mixHash]] column arithmetic
-    * (the column and 64-bit forms are asserted equal in SketchesSpec). */
-  private def mixHashLocal(id: Long): Long = {
-    var h = ((id % 2147483648L) * 2654435761L) % 4294967296L
-    h ^= h >> 16; h = (h * 2246822507L) & 0xffffffffL
-    h ^= h >> 13; h = (h * 3266489909L) & 0xffffffffL
-    h ^ (h >> 16)
-  }
+  /** Shared driver-local mirror of the [[Sketches.mixHash]] column
+    * arithmetic (asserted equal in SketchesSpec). */
+  private def mixHashLocal(id: Long): Long = Sketches.mixHashLocal(id)
 
   /** The deterministic Achlioptas sign matrix, k rows × dim cols:
     * R(j)(i) = {0→+1, 1→−1, 2..5→0}(mixHash(i·k + j) mod 6). Public so

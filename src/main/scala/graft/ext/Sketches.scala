@@ -97,6 +97,17 @@ object Sketches {
     pmod(pmod(shiftright(x, 16) * c, lit(65536L)) * 65536L +
       pmod(x, lit(65536L)) * c, lit(4294967296L))
 
+  /** Driver-local 64-bit mirror of [[mixHash]] (asserted equal to the
+    * column arithmetic in SketchesSpec) — for operators that pin
+    * hash-derived model structure (JL sign matrices, replay-twin
+    * permutations) at plan-build time. */
+  private[graft] def mixHashLocal(id: Long): Long = {
+    var h = ((id % 2147483648L) * 2654435761L) % 4294967296L
+    h ^= h >> 16; h = (h * 2246822507L) & 0xffffffffL
+    h ^= h >> 13; h = (h * 3266489909L) & 0xffffffffL
+    h ^ (h >> 16)
+  }
+
   /** 32-bit mixed hash of a numeric id: Knuth multiplicative step then the
     * murmur3 fmix32 finalizer (xor-shift 16 / ·0x85ebca6b / xor-shift 13 /
     * ·0xc2b2ae35 / xor-shift 16), all in replayable BIGINT arithmetic. */

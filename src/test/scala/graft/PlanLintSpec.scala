@@ -44,6 +44,9 @@ class PlanLintSpec extends SparkSpec {
     // PQ ADC scoring: corpus × broadcast(3 query LUTs) — the
     // bruteForceTopK shape (round 8)
     "q_pq_replay_topk",
+    // OPQ: the same ADC shape — queries rotate driver-side, the corpus
+    // side scans codes
+    "q_opq_replay_topk",
     // binary ANN stage 1: signature corpus × broadcast(3 query
     // signatures) — the bruteForceTopK shape at 1/32 the scan bytes;
     // stage 2 is an equijoin on the model-sized candidate set

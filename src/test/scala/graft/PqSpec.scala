@@ -119,4 +119,95 @@ class PqSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     assert(Pq.pqEncode(mixed, cb).count() == 1, "short vectors are filtered, not crashed on")
   }
+
+  test("opq: signed permutation orthonormal; identity rotation equals plain pq") {
+    val dim = 8
+    val r = Pq.signedPermutationRotation(dim)
+    // R·Rᵀ = I exactly (entries are ±1/0)
+    (0 until dim).foreach { i =>
+      (0 until dim).foreach { j =>
+        val dot = (0 until dim).map(d => r(i)(d) * r(j)(d)).sum
+        assert(dot == (if (i == j) 1.0 else 0.0), s"RRᵀ($i,$j)=$dot")
+      }
+    }
+    // every row/col has exactly one nonzero, ±1
+    assert(r.forall(row => row.count(_ != 0.0) == 1 && row.forall(v => v == 0.0 || v.abs == 1.0)))
+    // identity rotation through the OPQ path == plain PQ, row for row
+    val eye = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    val rng = new scala.util.Random(7)
+    val df = (0L until 60L).map(i => (i, Seq.fill(dim)(rng.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".cast("array<double>").as("query_emb"))
+    val cb = Pq.integerCodebooks(2, 4, 4)
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("query_id", "rank", "vec_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSeq
+    val viaOpq = rows(Pq.opqTopK(Pq.opqEncode(df, eye, cb), q, eye, cb, k = 5))
+    val plain = rows(Pq.pqTopK(Pq.pqEncode(df, cb), q, cb, k = 5))
+    assert(viaOpq == plain)
+  }
+
+  test("opq: trained rotation orthonormal; error not worse than plain pq") {
+    // anisotropic correlated data: a random mix of 2 latent factors across
+    // 8 dims — the setting where a learned rotation helps subspace quantizers
+    val rng = new scala.util.Random(19)
+    val mix = Array.fill(8, 2)(rng.nextGaussian())
+    val df = (0L until 400L).map { i =>
+      val g = Array.fill(2)(rng.nextGaussian())
+      (i, mix.map(row => row(0) * g(0) + row(1) * g(1) + rng.nextGaussian() * 0.05).toSeq)
+    }.toDF("vec_id", "embedding")
+    val (r, cb) = Pq.trainOpq(df, dim = 8, m = 4, ksub = 8, iters = 3)
+    // orthonormality of the learned rotation
+    (0 until 8).foreach { i =>
+      (0 until 8).foreach { j =>
+        val dot = (0 until 8).map(d => r(i)(d) * r(j)(d)).sum
+        assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-10, s"RRᵀ($i,$j)=$dot")
+      }
+    }
+    // mean squared reconstruction error: ||R·x − decode(encode(R·x))||²
+    def msError(rot: Array[Array[Double]], books: Array[Array[Array[Double]]]): Double = {
+      val data = df.collect().map(x => x.getSeq[Double](1).toArray)
+      val m = books.length; val dsub = books(0)(0).length
+      data.map { x =>
+        val rx = rot.map(row => row.zip(x).map { case (a, b) => a * b }.sum)
+        (0 until m).map { j =>
+          val sub = rx.slice(j * dsub, (j + 1) * dsub)
+          books(j).map(c => c.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum).min
+        }.sum
+      }.sum / data.length
+    }
+    val eye = Array.tabulate(8, 8)((i, j) => if (i == j) 1.0 else 0.0)
+    val pqCb = Pq.trainPqCodebooks(df, dim = 8, m = 4, ksub = 8, iters = 3)
+    val opqErr = msError(r, cb)
+    val pqErr = msError(eye, pqCb)
+    assert(opqErr <= pqErr * 1.05, s"opq $opqErr vs pq $pqErr")
+  }
+
+  test("opq replayable twin: deterministic, self at rank 1 on exact corpus") {
+    val rng = new scala.util.Random(29)
+    // vectors built FROM the integer codebooks in rotated space, pushed
+    // back through Rᵀ — encode must recover them exactly, so ADC cosine
+    // of self is exactly 1 and self wins rank 1
+    val cb = Pq.integerCodebooks(4, 4, 4)
+    val rot = Pq.signedPermutationRotation(16)
+    val df = (0L until 40L).map { i =>
+      val codes = Array.fill(4)(rng.nextInt(4))
+      val rx = (0 until 4).flatMap(j => cb(j)(codes(j))).toArray
+      // x = Rᵀ·rx (R orthonormal ⇒ R·x = rx)
+      val x = (0 until 16).map(d => (0 until 16).map(r2 => rot(r2)(d) * rx(r2)).sum)
+      (i, x)
+    }.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".cast("array<double>").as("query_emb"))
+    val a = Pq.opqTopKReplayable(df, q, k = 4, dim = 16, m = 4, ksub = 4)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3))).toSeq
+    val b = Pq.opqTopKReplayable(df.repartition(5), q, k = 4, dim = 16, m = 4, ksub = 4)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3))).toSeq
+    assert(a == b, "twin not deterministic under repartitioning")
+    a.filter(_._2 == 1).foreach { case (qid, _, vid, cos) =>
+      // multiple vectors may share codes; rank-1 must still score cos==1
+      assert(math.abs(cos - 1.0) < 1e-12, s"query $qid rank-1 cos $cos (vec $vid)")
+    }
+  }
 }
