@@ -84,6 +84,24 @@ object ProbePq {
     println(f"pq recall@10 vs brute (easy corpus): $recall%.3f")
     approx.unpersist()
 
+    // OPQ at the same corpus: learned rotation + codebooks, ADC search
+    // over the rotated encode — recall delta vs plain PQ measures how
+    // anisotropic the embedding space actually is
+    val (orot, ocb) = time(s"opq train (3 alternations, stride-5 sample)") {
+      Pq.trainOpq(big, dim = 64, m = m, ksub = ksub, iters = 3, sampleMod = 5L)
+    }
+    val oenc = Pq.opqEncode(big, orot, ocb).cache()
+    time("opq encode (once, persisted in practice)") { oenc.count() }
+    val oapprox = time("opq ADC search (warm)") {
+      Pq.opqTopK(oenc, queries, orot, ocb, 10).count()
+      val d = Pq.opqTopK(oenc, queries, orot, ocb, 10).cache(); d.count(); d
+    }
+    val opqRecall = Similarity.withRecallAtK(oapprox, exact)
+      .select("query_id", "recall_at_k").distinct()
+      .agg(avg("recall_at_k")).head().getDouble(0)
+    println(f"opq recall@10 vs brute (easy corpus): $opqRecall%.3f")
+    oapprox.unpersist(); oenc.unpersist()
+
     // composed IVF-PQ at the same corpus: trained coarse quantizer
     // (nlist ∝ √N), trained codebooks, pre-built index frame
     val nlist = math.max(32, math.round(math.sqrt(big.count().toDouble)).toInt)
@@ -148,6 +166,22 @@ object ProbePq {
         .agg(avg("recall_at_k")).head().getDouble(0)
       println(f"hard binary rerank=$rr%2d: recall@10 $r%.3f, sign+search $sec%.2f s")
       hbin.unpersist()
+    }
+    // OPQ on the hard mixture at the tightest budget (m=4): the setting
+    // where a learned rotation has the most room to help
+    Seq(4, 8).foreach { hm =>
+      val t0 = System.nanoTime()
+      val (hrot, hocb) = Pq.trainOpq(hard, dim = 32, m = hm, ksub = ksub,
+        iters = 3, sampleMod = 5L)
+      val henc = Pq.opqEncode(hard, hrot, hocb).cache()
+      val happrox = Pq.opqTopK(henc, hq, hrot, hocb, 10).cache()
+      happrox.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val r = Similarity.withRecallAtK(happrox, hardExact)
+        .select("query_id", "recall_at_k").distinct()
+        .agg(avg("recall_at_k")).head().getDouble(0)
+      println(f"hard opq m=$hm%2d ksub=$ksub: recall@10 $r%.3f, train+encode+search $sec%.2f s")
+      happrox.unpersist(); henc.unpersist()
     }
     spark.stop()
   }
