@@ -4213,6 +4213,36 @@ object SparkEntry {
        |  string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos) AS bpe_text
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer fertility probe: per-doc tokens-per-word and chars-per-
+    * token under the trained 8-merge vocabulary — DuckDB re-derives the
+    * dict through the same materialized-CTE chain as the tokenize oracle
+    * and replays the counts and both ratios. */
+  private def bpeFertilityDocs(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergesFor(s, dir).map(m => (m.s1, m.s2))
+    ext.Bpe.fertilityStats(Tables.documents(s, dir).filter(col("doc_id") < 40), merges)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"), col("n_chars"),
+        round6("fertility"), round6("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  private def bpeFertilitySql: String =
+    s"""WITH ${bpeDictCtes(bpeNumMerges)},
+       |dt AS (SELECT doc_id, t.toks[g.i] AS word
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM documents WHERE doc_id < 40) t,
+       |  LATERAL unnest(range(1, len(t.toks) + 1)) AS g(i)
+       |  WHERE length(t.toks[g.i]) > 0),
+       |j AS (SELECT dt.doc_id, len(d.syms) AS n_toks, length(dt.word) AS n_chars
+       |  FROM dt JOIN d$bpeNumMerges d ON d.word = dt.word),
+       |a AS (SELECT doc_id, count(*) AS n_words, sum(n_toks) AS n_bpe_tokens,
+       |  sum(n_chars) AS n_chars FROM j GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       |CAST(n_chars AS BIGINT) AS n_chars,
+       |floor((n_bpe_tokens::DOUBLE / n_words) * 1e6 + 0.5) / 1e6 AS fertility,
+       |floor((n_chars::DOUBLE / n_bpe_tokens) * 1e6 + 0.5) / 1e6 AS chars_per_token
+       |FROM a ORDER BY doc_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -4333,6 +4363,7 @@ object SparkEntry {
     "q_bpe_pairs_docs" -> bpePairsDocs,
     "q_bpe_train_docs" -> bpeTrainDocs,
     "q_bpe_tokenize_docs" -> bpeTokenizeDocs,
+    "q_bpe_fertility_docs" -> bpeFertilityDocs,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4611,6 +4642,7 @@ object SparkEntry {
     "q_bpe_pairs_docs" -> bpePairsSql,
     "q_bpe_train_docs" -> bpeTrainSql,
     "q_bpe_tokenize_docs" -> bpeTokenizeSql,
+    "q_bpe_fertility_docs" -> bpeFertilitySql,
     // q_dedup_minhash_docs / q_simhash_docs / q_similarity_topk_lsh /
     // q_fingerprint_docs / q_multimodal_features / q_multimodal_transform:
     // hash-seeded operators —

@@ -364,4 +364,40 @@ object Bpe {
         array_sort(collect_list(struct(col("pos"), col("toks")))),
         x => x("toks"))).as("bpe_tokens"))
   }
+
+  /** Tokenizer fertility / compression statistics — the standard
+    * public tokenizer-evaluation metrics (tokens-per-word "fertility"
+    * and characters-per-token compression; a vocabulary that fits the
+    * corpus poorly shows fertility ≫ 1 and low chars/token, and the
+    * numbers drive vocab-size / training-corpus decisions). Per doc:
+    * (n_words, n_bpe_tokens, n_chars, fertility, chars_per_token).
+    *
+    * Same plan shape as [[tokenize]] minus the token materialization:
+    * DISTINCT words run the local merge kernel once, per-word counts
+    * join back onto word occurrences (gram-keyed), one doc rollup. */
+  def fertilityStats(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(Dedup.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+    val bc = spark.sparkContext.broadcast(merges.toIndexedSeq)
+    val wordStats = words.as[String]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map(w => (w, applyMergesLocal(w, m).length.toLong, w.length.toLong))
+      }
+      .toDF("word", "n_toks", "n_chars")
+    docs
+      .select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(wordStats, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_toks").as("n_bpe_tokens"),
+        sum("n_chars").as("n_chars"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_words"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_bpe_tokens"))
+  }
 }

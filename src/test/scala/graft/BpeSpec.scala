@@ -146,4 +146,21 @@ class BpeSpec extends SparkSpec {
     val restored = toks.mkString("").replace(Bpe.Eow, " ").trim
     assert(restored == "interchangeable interchangeability", s"$toks")
   }
+
+  test("fertilityStats: hand-checked counts under explicit merges") {
+    // with merge (a,b): "abc" -> [ab, c, </w>] (3), "ab" -> [ab, </w>] (2),
+    // "x" -> [x, </w>] (2)
+    val docs = Seq((1L, "abc ab"), (2L, "x"), (3L, "   ")).toDF("doc_id", "text")
+    val r = Bpe.fertilityStats(docs, Seq(("a", "b"))).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5)))).toMap
+    assert(r(1L) == ((2L, 5L, 5L, 2.5, 1.0)), s"${r(1L)}")
+    assert(r(2L) == ((1L, 2L, 1L, 2.0, 0.5)), s"${r(2L)}")
+    // wordless docs are absent (inner vocabulary join, like tokenize)
+    assert(!r.contains(3L))
+    // more merges can only LOWER per-word token counts (monotonicity)
+    val deep = Bpe.fertilityStats(docs, Seq(("a", "b"), ("ab", "c")))
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(deep(1L) < r(1L)._2, s"${deep(1L)}")
+  }
 }
