@@ -140,6 +140,10 @@ object Quantize {
     val cands = signatures
       .crossJoin(broadcast(qsig))
       .withColumn("ham", hammingDistance(col("sig"), col("qsig")))
+      // null signature (null embedding) or word-count mismatch → null
+      // distance; drop BEFORE the k-capped aggregate like brute force
+      // drops null cosines
+      .filter(col("vec_id").isNotNull && col("ham").isNotNull)
       .groupBy("query_id")
       .agg(stage1(col("vec_id"), -col("ham").cast("double")).as("top"))
       .select(col("query_id"), explode(col("top")).as("sv"))

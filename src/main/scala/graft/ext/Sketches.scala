@@ -381,11 +381,15 @@ object Sketches {
     * plus an exact audit) should build it once, pin it, and fan out —
     * re-deriving it re-runs the corpus scan AND the key-keyed shuffle. */
   def membershipFlags(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    // null keys are DROPPED, not sampled: a null id would otherwise form
+    // its own group whose null hash sorts NULLS-FIRST in Spark but
+    // NULLS-LAST in standard SQL — an engine-divergent bottom-k slot
     val ta = a.select(col(keyCol).cast("long").as("id"),
       lit(1).as("ina"), lit(0).as("inb"))
     val tb = b.select(col(keyCol).cast("long").as("id"),
       lit(0).as("ina"), lit(1).as("inb"))
     ta.unionAll(tb)
+      .filter(col("id").isNotNull)
       .groupBy("id").agg(max("ina").as("ina"), max("inb").as("inb"))
   }
 
@@ -401,7 +405,8 @@ object Sketches {
     * is hard-oracled by. */
   def bottomKSample(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    df.select(col(keyCol).cast("long").as("id")).distinct()
+    df.select(col(keyCol).cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
       .withColumn("h", mixHash(col("id")))
       .orderBy("h", "id").limit(k)
       .select("h", "id")

@@ -131,6 +131,18 @@ class QuantizeSpec extends SparkSpec {
     assert(d == 10L, s"$d")
   }
 
+  test("binary top-k: null embeddings never reach the candidate cut") {
+    val df = Seq(
+      (1L, Some(Seq(1.0, 0.0))),
+      (2L, Some(Seq(0.9, 0.1))),
+      (3L, None: Option[Seq[Double]])
+    ).toDF("vec_id", "embedding")
+    val q = Seq((1L, Seq(1.0, 0.0))).toDF("query_id", "query_emb")
+    val got = Quantize.binaryTopK(df, q, k = 5, rerank = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), s"null-emb vector leaked: $got")
+  }
+
   test("binary top-k: full-coverage rerank equals brute force exactly") {
     val rng = new scala.util.Random(23)
     val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian()))

@@ -299,5 +299,11 @@ class SketchesSpec extends SparkSpec {
     val none = spark.emptyDataset[Long].toDF("id")
     assert(row(Sketches.corpusResemblance(none, none, "id", 8)) ==
       ((8L, 0L, 0L, 0L, 0L, 0.0, 0.0, 0.0)))
+    // null keys are dropped, never sampled (Spark sorts NULLS FIRST,
+    // standard SQL NULLS LAST — a null id would be an engine-divergent slot)
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("id")
+    val nn = row(Sketches.corpusResemblance(withNull, (1L to 2L).toDF("id"), "id", 8))
+    assert(nn._2 == 2L && nn._6 == 1.0, s"$nn")
+    assert(Sketches.bottomKSample(withNull, "id", 8).count() == 2L)
   }
 }
