@@ -552,17 +552,24 @@ object Pq {
       rotation: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val d = rotation.length
-    val rot = rotateUdf(rotation)
+      embCol: String = "embedding"): DataFrame =
+    opqEncodeWith(embeddings, rotation.length, c => rotateUdf(rotation)(c),
+      codebooks, idCol, embCol)
+
+  private def opqEncodeWith(
+      embeddings: DataFrame,
+      d: Int,
+      rotFn: Column => Column,
+      codebooks: Array[Array[Array[Double]]],
+      idCol: String,
+      embCol: String): DataFrame =
     pqEncode(
       embeddings
         .select(col(idCol).cast("long").as("vec_id"),
           col(embCol).cast("array<double>").as("emb"))
         .filter(size(col("emb")) === d)
-        .select(col("vec_id"), rot(col("emb")).as("emb")),
+        .select(col("vec_id"), rotFn(col("emb")).as("emb")),
       codebooks, "vec_id", "emb")
-  }
 
   /** ADC top-k over an OPQ-encoded corpus: queries rotate through the
     * SAME R (model-sized work — the corpus side scans codes only), then
@@ -575,12 +582,93 @@ object Pq {
       codebooks: Array[Array[Array[Double]]],
       k: Int,
       queryIdCol: String = "query_id",
-      queryEmbCol: String = "query_emb"): DataFrame = {
-    val rot = rotateUdf(rotation)
+      queryEmbCol: String = "query_emb"): DataFrame =
+    opqTopKWith(encoded, queries, c => rotateUdf(rotation)(c), codebooks, k,
+      queryIdCol, queryEmbCol)
+
+  private def opqTopKWith(
+      encoded: DataFrame,
+      queries: DataFrame,
+      rotFn: Column => Column,
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      queryIdCol: String,
+      queryEmbCol: String): DataFrame =
     pqTopK(encoded,
       queries.select(col(queryIdCol).as("query_id"),
-        rot(col(queryEmbCol).cast("array<double>")).as("query_emb")),
+        rotFn(col(queryEmbCol).cast("array<double>")).as("query_emb")),
       codebooks, k)
+
+  /** Apply a SIGNED-PERMUTATION rotation as a pure codegen expression:
+    * output slot r = sign_r · emb[perm(r)] — one `element_at` per slot
+    * instead of the dense O(dim²) [[rotateUdf]] multiply (which exists
+    * for ARBITRARY trained rotations; a permutation row has one nonzero,
+    * so the dense sum degenerates to exactly this term, and the literal
+    * `sign · element` form is the oracle's `sl[rr] * emb[pl[rr]+1]`
+    * bit-for-bit). Swapping the corpus-side UDF for this expression cut
+    * q_opq_replay_topk from 2.06 s exec to the plain-PQ level: the UDF
+    * cost was Seq boxing + 4096 multiplies per row for what is a 64-way
+    * shuffle of the array. Callers guard length (`size(emb) === dim`)
+    * before applying, matching the UDF's wrong-length → null contract. */
+  private[graft] def signedPermColumn(emb: Column, rot: Array[Array[Double]]): Column = {
+    val (perm, signs) = signedPermOf(rot)
+    array(perm.indices.map(r =>
+      lit(signs(r)) * element_at(emb, perm(r) + 1)): _*)
+  }
+
+  /** [[encodeUdf]] with a signed-permutation rotation FUSED into the
+    * argmin loops: slot i of the rotated vector is read as
+    * signs(i) · emb(perm(i)) instead of materializing the rotated array
+    * first. Numerically identical to rotate-then-encode (±1·x is exact),
+    * but the corpus-side cost drops back to plain-PQ shape — the
+    * intermediate 64-slot array build + ArrayData→Seq reconversion per
+    * row was most of q_opq_replay_topk's 3–4× gap over q_pq_replay_topk. */
+  private[graft] def encodePermUdf(cb: Array[Array[Array[Double]]],
+      perm: Array[Int], signs: Array[Double]): UserDefinedFunction = {
+    val frozen = cb.map(_.map(_.clone()))
+    val m = frozen.length
+    val dsub = frozen(0)(0).length
+    val p = perm.clone()
+    val s = signs.clone()
+    udf { (emb: Seq[Double]) =>
+      val codes = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val book = frozen(j)
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < book.length) {
+          val cent = book(c)
+          var dd = 0.0
+          var d = 0
+          while (d < dsub) {
+            val i = j * dsub + d
+            val diff = s(i) * emb(p(i)) - cent(d)
+            dd += diff * diff
+            d += 1
+          }
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        codes(j) = best
+        j += 1
+      }
+      codes
+    }
+  }
+
+  /** (perm, signs) of a signed-permutation rotation matrix: slot r of the
+    * rotated vector = signs(r) · emb(perm(r)). Throws on a non-signed-
+    * permutation input. */
+  private[graft] def signedPermOf(rot: Array[Array[Double]]): (Array[Int], Array[Double]) = {
+    val slots = rot.map { row =>
+      val j = row.indexWhere(_ != 0.0)
+      require(j >= 0 && row.count(_ != 0.0) == 1 && math.abs(row(j)) == 1.0,
+        "not a signed-permutation rotation")
+      (j, row(j))
+    }
+    (slots.map(_._1), slots.map(_._2))
   }
 
   /** Deterministic SIGNED-PERMUTATION rotation for the replayable twin:
@@ -616,7 +704,21 @@ object Pq {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val rot = signedPermutationRotation(dim)
     val cb = integerCodebooks(m, ksub, dim / m)
-    opqTopK(opqEncode(embeddings, rot, cb, idCol, embCol),
-      queries, rot, cb, k, queryIdCol, queryEmbCol)
+    // the pinned rotation is a signed permutation: the corpus side fuses
+    // it into the encode loops ([[encodePermUdf]] — plain-PQ cost, no
+    // intermediate rotated array), the model-sized query side applies the
+    // codegen'd element shuffle, length-guarded explicitly (ANSI
+    // element_at throws on short arrays where the dense UDF returned
+    // null — same survivor set either way, no-emb queries score nothing).
+    val (perm, signs) = signedPermOf(rot)
+    val encPerm = encodePermUdf(cb, perm, signs)
+    val encoded = embeddings
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .filter(size(col("emb")) === dim)
+      .select(col("vec_id"), encPerm(col("emb")).as("codes"))
+    opqTopKWith(encoded,
+      queries.filter(size(col(queryEmbCol).cast("array<double>")) === dim),
+      c => signedPermColumn(c, rot), cb, k, queryIdCol, queryEmbCol)
   }
 }
