@@ -2428,8 +2428,11 @@ object SparkEntry {
     * assignment (the ivfReplaySql fragment — list_reduce fold matches the
     * codegen'd left-to-right dot product on every assignment decision)
     * and the within-cell cosine-threshold pair cut. */
-  private val semdedupCtePrefix: String =
-    """WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+  /** Pinned-quantizer assignment scoring shared by the semdedup and
+    * cluster-curation oracles: per-(vec, centroid) cosine via the
+    * list_reduce fold (≡ the codegen'd left-to-right dot product). */
+  private val assignScoreCtes: String =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
       |cents AS (SELECT i, list_transform(range(1, 65),
       |    d -> CAST((2654435761 * (i * 64 + d) + 97) % 1000000007 - 500000003 AS DOUBLE)) AS c
       |  FROM (SELECT unnest(range(8)) AS i)),
@@ -2441,7 +2444,10 @@ object SparkEntry {
       |      * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
       |        list_transform(range(1, 65), d -> cents.c[d] * cents.c[d])), (a, x) -> a + x)))
       |    AS cos
-      |  FROM e, cents),
+      |  FROM e, cents)""".stripMargin
+
+  private val semdedupCtePrefix: String =
+    s"""WITH RECURSIVE $assignScoreCtes,
       |cell AS (SELECT vec_id, emb, i AS cell FROM
       |  (SELECT vec_id, emb, i, row_number() OVER (PARTITION BY vec_id
       |     ORDER BY cos DESC, i ASC) AS rn FROM sc) WHERE rn = 1),
@@ -2478,6 +2484,29 @@ object SparkEntry {
        |losers AS (SELECT v FROM c2 WHERE v <> component)
        |SELECT vec_id, label FROM embeddings
        |WHERE vec_id NOT IN (SELECT v FROM losers) ORDER BY vec_id""".stripMargin
+
+  /** Cluster-balanced curation keep set (SSL-prototypes recipe):
+    * [[graft.ext.ClusterCurate.clusterBalancedKeepReplayable]] — pinned
+    * quantizer, per-cluster prototypicality ranking, quota cut via the
+    * k-capped TopKAgg. The oracle replays centroid regeneration, the
+    * max-cosine assignment, the cosine-to-assigned-centroid score, and
+    * the (cos desc, vec_id) per-cell rank. */
+  private def clusterKeepEmbeddings(s: SparkSession, dir: String): DataFrame =
+    ext.ClusterCurate.clusterBalancedKeepReplayable(
+        Tables.embeddings(s, dir), quota = 20, keepMostPrototypical = true)
+      .select(col("cell"), col("rank"), col("vec_id"), round6("proto_cos"))
+
+  private def clusterKeepSql: String =
+    s"""WITH $assignScoreCtes,
+       |cellc AS (SELECT vec_id, i AS cell, cos FROM
+       |  (SELECT vec_id, i, cos, row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY cos DESC, i ASC) AS rn FROM sc
+       |   WHERE cos IS NOT NULL AND NOT isnan(cos)) WHERE rn = 1),
+       |rk AS (SELECT cell, vec_id, cos,
+       |    row_number() OVER (PARTITION BY cell ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM cellc)
+       |SELECT cell, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS proto_cos
+       |FROM rk WHERE rank <= 20 ORDER BY cell, rank""".stripMargin
 
   /** The approximate ANN paths emit recall@k vs the brute-force result on
     * the same (bounded) query probe, so the driver tracks approximation
@@ -4330,6 +4359,7 @@ object SparkEntry {
     "q_bm25_topk_docs" -> bm25TopkDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
+    "q_cluster_keep_embeddings" -> clusterKeepEmbeddings,
     "q_rrf_hybrid_docs" -> rrfHybridDocs,
     "q_span_dedup_docs" -> spanDedupDocs,
     "q_asof_join_events" -> asofJoinEvents,
@@ -4566,6 +4596,7 @@ object SparkEntry {
     "q_bm25_topk_docs" -> bm25TopkSql,
     "q_semdedup_pairs" -> semdedupPairsSql,
     "q_semdedup_keep" -> semdedupKeepSql,
+    "q_cluster_keep_embeddings" -> clusterKeepSql,
     "q_rrf_hybrid_docs" -> rrfHybridSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_asof_join_events" -> asofJoinSql,
