@@ -4272,6 +4272,118 @@ object SparkEntry {
        |floor((n_chars::DOUBLE / n_bpe_tokens) * 1e6 + 0.5) / 1e6 AS chars_per_token
        |FROM a ORDER BY doc_id""".stripMargin
 
+  /** Unigram-LM seed statistic ([[graft.ext.Unigram.pieceCounts]], Kudo
+    * 2018 §3.2): frequency-weighted substring counts over the word dict,
+    * top-40 multi-character pieces. The oracle replays the substring
+    * explosion and the (cnt desc, piece) cut. */
+  private def unigramSeedDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Unigram.pieceCounts(Tables.documents(s, dir), maxPieceLen = 4)
+      .filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(40)
+      .select(col("piece"), col("cnt"))
+
+  private val unigramDictSql: String =
+    raw"""w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+       |  FROM documents),
+       |f AS (SELECT word, count(*) AS freq FROM w WHERE length(word) > 0 GROUP BY word),
+       |pc AS (SELECT substr(f.word, g.i, l.k) AS piece, CAST(sum(f.freq) AS BIGINT) AS cnt
+       |  FROM f,
+       |  LATERAL unnest(range(1, length(f.word) + 1)) AS g(i),
+       |  LATERAL unnest(range(1, 5)) AS l(k)
+       |  WHERE g.i + l.k - 1 <= length(f.word)
+       |  GROUP BY piece)""".stripMargin
+
+  private def unigramSeedSql: String =
+    s"""WITH $unigramDictSql
+       |SELECT piece, cnt FROM pc WHERE length(piece) >= 2
+       |ORDER BY cnt DESC, piece LIMIT 40""".stripMargin
+
+  /** Viterbi decode under the seed unigram model (chars + top-200 multis,
+    * lp = ln(cnt/total)) over the distinct words of docs 0–19 — the
+    * tokenizer's decode DP, hard-oracled: DuckDB regenerates the model
+    * from counts, runs the forward DP as a recursive CTE over prefix
+    * lengths (same k-ascending strict-> max, same OOV single-char score),
+    * and reconstructs the piece path by the min-k-achieving-best rule,
+    * which the kernel's first-improvement backpointer provably equals.
+    * The oracle is deliberately LAMBDA-FREE: list_transform lambdas that
+    * capture joined outer columns inside a recursive CTE member are
+    * row-misaligned nondeterministically by DuckDB's vectorized executor
+    * (observed: the same backtrack flipped tie-free paths run to run), so
+    * the DP carries a 4-slot sliding window of best scores through a
+    * GROUP BY recursion and backpointers come from a materialized
+    * equality join instead. */
+  private def unigramTokenizeDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    // the model's log-probs are canonicalized to 1e-6 BEFORE the DP: the
+    // seed corpus produces real ties (p_a·total = p_b·p_c with integer
+    // counts), and ln() differs by ulps between libm implementations, so
+    // un-quantized models can flip tie paths between engines. On the
+    // quantized model both engines run the DP on identical doubles.
+    val lp = ext.Unigram.seedLogProbs(
+        ext.Unigram.seedVocab(d, maxPieceLen = 4, maxMulti = 200))
+      .map { case (p, v) => p -> (math.floor(v * 1e6 + 0.5) / 1e6) }
+    ext.Unigram.viterbiWords(d.filter(col("doc_id") < 20), lp, maxPieceLen = 4)
+      .select(col("word"), col("n_toks"), round6("logprob"), col("pieces"))
+      .orderBy("word")
+  }
+
+  private def unigramTokenizeSql: String =
+    s"""WITH RECURSIVE $unigramDictSql,
+       |multis AS (SELECT piece, cnt FROM (SELECT piece, cnt FROM pc
+       |  WHERE length(piece) >= 2 ORDER BY cnt DESC, piece LIMIT 200)),
+       |vocab AS (SELECT piece, cnt FROM pc WHERE length(piece) = 1
+       |  UNION ALL SELECT piece, cnt FROM multis),
+       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM vocab),
+       |vp AS (SELECT piece,
+       |    floor(ln(CAST(cnt AS DOUBLE) / tot.tot) * 1e6 + 0.5) / 1e6 AS lp
+       |  FROM vocab, tot),
+       |dw AS (SELECT DISTINCT t.toks[g.i] AS word
+       |  FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM documents WHERE doc_id < 20) t,
+       |  LATERAL unnest(range(1, len(t.toks) + 1)) AS g(i)
+       |  WHERE length(t.toks[g.i]) > 0),
+       |cand0 AS (SELECT w.word, g.i AS i, l.k AS k,
+       |    substr(w.word, g.i - l.k + 1, l.k) AS piece
+       |  FROM dw w,
+       |  LATERAL unnest(range(1, length(w.word) + 1)) AS g(i),
+       |  LATERAL unnest(range(1, 5)) AS l(k)
+       |  WHERE l.k <= g.i),
+       |cand AS MATERIALIZED (SELECT c.word, c.i, c.k,
+       |    CASE WHEN vp.lp IS NOT NULL THEN vp.lp ELSE -1e9 END AS lp
+       |  FROM cand0 c LEFT JOIN vp ON vp.piece = c.piece
+       |  WHERE vp.lp IS NOT NULL OR c.k = 1),
+       |dp AS (
+       |  SELECT word, 0 AS i, 0.0::DOUBLE AS b0, CAST('-infinity' AS DOUBLE) AS b1,
+       |    CAST('-infinity' AS DOUBLE) AS b2, CAST('-infinity' AS DOUBLE) AS b3
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT d.word, d.i + 1,
+       |    max(CASE c.k WHEN 1 THEN d.b0 WHEN 2 THEN d.b1 WHEN 3 THEN d.b2
+       |        ELSE d.b3 END + c.lp),
+       |    max(d.b0), max(d.b1), max(d.b2)
+       |  FROM dp d JOIN cand c ON c.word = d.word AND c.i = d.i + 1
+       |  GROUP BY d.word, d.i),
+       |bests AS MATERIALIZED (SELECT word, i, b0 AS best FROM dp),
+       |bk AS MATERIALIZED (SELECT c.word, c.i, min(c.k) AS kk
+       |  FROM cand c
+       |  JOIN bests be ON be.word = c.word AND be.i = c.i
+       |  JOIN bests bp ON bp.word = c.word AND bp.i = c.i - c.k
+       |  WHERE bp.best + c.lp = be.best
+       |  GROUP BY c.word, c.i),
+       |bt AS (
+       |  SELECT word, length(word) AS i, CAST([] AS VARCHAR[]) AS toks FROM dw
+       |  UNION ALL
+       |  SELECT b.word, b.i - k.kk,
+       |    list_prepend(substr(b.word, b.i - k.kk + 1, k.kk), b.toks)
+       |  FROM bt b JOIN bk k ON k.word = b.word AND k.i = b.i
+       |  WHERE b.i > 0),
+       |res AS (SELECT word, toks FROM bt WHERE i = 0)
+       |SELECT r.word, CAST(len(r.toks) AS BIGINT) AS n_toks,
+       |  floor(be.best * 1e6 + 0.5) / 1e6 AS logprob,
+       |  array_to_string(r.toks, ' ') AS pieces
+       |FROM res r JOIN bests be ON be.word = r.word AND be.i = length(r.word)
+       |ORDER BY r.word""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -4394,6 +4506,8 @@ object SparkEntry {
     "q_bpe_train_docs" -> bpeTrainDocs,
     "q_bpe_tokenize_docs" -> bpeTokenizeDocs,
     "q_bpe_fertility_docs" -> bpeFertilityDocs,
+    "q_unigram_seed_docs" -> unigramSeedDocs,
+    "q_unigram_tokenize_docs" -> unigramTokenizeDocs,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4674,6 +4788,8 @@ object SparkEntry {
     "q_bpe_train_docs" -> bpeTrainSql,
     "q_bpe_tokenize_docs" -> bpeTokenizeSql,
     "q_bpe_fertility_docs" -> bpeFertilitySql,
+    "q_unigram_seed_docs" -> unigramSeedSql,
+    "q_unigram_tokenize_docs" -> unigramTokenizeSql,
     // q_dedup_minhash_docs / q_simhash_docs / q_similarity_topk_lsh /
     // q_fingerprint_docs / q_multimodal_features / q_multimodal_transform:
     // hash-seeded operators —
