@@ -48,27 +48,38 @@ object Unigram {
     * pass; the shuffle carries (piece, cnt), bounded by the dict's
     * substring universe, never the corpus. */
   def pieceCounts(docs: DataFrame, maxPieceLen: Int = 4,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    pieceCountsFromDict(Bpe.wordFreqs(docs, textCol), maxPieceLen)
+
+  /** [[pieceCounts]] over an already-built (word, freq) dictionary — the
+    * form [[trainUnigram]] uses so the pinned dict serves both seeding
+    * and EM without a second corpus scan. */
+  def pieceCountsFromDict(dict: DataFrame, maxPieceLen: Int = 4): DataFrame = {
     require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
     val len = length(col("word"))
     val pieces = flatten(transform(sequence(lit(1), len), i =>
       transform(sequence(lit(1), least(lit(maxPieceLen), len - i + 1)), k =>
         col("word").substr(i, k))))
-    Bpe.wordFreqs(docs, textCol)
+    dict
       .select(col("freq"), explode(pieces).as("piece"))
       .groupBy("piece").agg(sum("freq").as("cnt"))
+  }
+
+  /** [[seedVocab]] over an already-built dictionary. */
+  def seedVocabFromDict(dict: DataFrame, maxPieceLen: Int = 4,
+      maxMulti: Int = 200): DataFrame = {
+    val pc = pieceCountsFromDict(dict, maxPieceLen)
+    pc.filter(length(col("piece")) === 1).unionByName(
+      pc.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(maxMulti))
   }
 
   /** Seed vocabulary: ALL single characters (full coverage — every word
     * stays segmentable) plus the `maxMulti` most frequent multi-character
     * pieces, ties (cnt desc, piece asc). (piece, cnt). */
   def seedVocab(docs: DataFrame, maxPieceLen: Int = 4, maxMulti: Int = 200,
-      textCol: String = "text"): DataFrame = {
-    val pc = pieceCounts(docs, maxPieceLen, textCol)
-    pc.filter(length(col("piece")) === 1).unionByName(
-      pc.filter(length(col("piece")) >= 2)
-        .orderBy(col("cnt").desc, col("piece")).limit(maxMulti))
-  }
+      textCol: String = "text"): DataFrame =
+    seedVocabFromDict(Bpe.wordFreqs(docs, textCol), maxPieceLen, maxMulti)
 
   /** The seed unigram model: lp(piece) = ln(cnt / Σcnt) over a collected
     * (piece, cnt) vocabulary — model-sized driver state by construction
@@ -274,7 +285,7 @@ object Unigram {
       textCol: String = "text"): Map[String, Double] = {
     require(emIters >= 0, "emIters must be >= 0")
     val dict = graft.core.Ckpt.pin(Bpe.wordFreqs(docs, textCol))
-    var lp = seedLogProbs(seedVocab(docs, maxPieceLen, maxMulti, textCol))
+    var lp = seedLogProbs(seedVocabFromDict(dict, maxPieceLen, maxMulti))
     var it = 0
     while (it < emIters) {
       val (counts, _) = eStep(dict, lp, maxPieceLen)
