@@ -3080,7 +3080,15 @@ object SparkEntry {
   }
 
   private def kneserneyQualitySql: String =
-    raw"""WITH ref AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+    s"""WITH $knScoreCtes
+       |SELECT doc_id, floor(avg(lp) * 1e6 + 0.5) / 1e6 AS kn_loglik,
+       |count(*) AS n_bigrams
+       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Shared CTE chain of the Kneser–Ney oracles: model training rollups
+    * and the per-bigram log-probability stream `lp`. */
+  private val knScoreCtes: String =
+    raw"""ref AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
        |  FROM documents WHERE doc_id % 2 = 0),
        |rb AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
        |  FROM ref, LATERAL unnest(range(1, len(toks))) AS g(i)),
@@ -3110,10 +3118,90 @@ object SparkEntry {
        |  FROM db CROSS JOIN dd CROSS JOIN voc
        |  LEFT JOIN bi ON bi.w1 = db.w1 AND bi.w2 = db.w2
        |  LEFT JOIN ctx ON ctx.w1 = db.w1
-       |  LEFT JOIN cont ON cont.w2 = db.w2)
-       |SELECT doc_id, floor(avg(lp) * 1e6 + 0.5) / 1e6 AS kn_loglik,
-       |count(*) AS n_bigrams
-       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  LEFT JOIN cont ON cont.w2 = db.w2)""".stripMargin
+
+  /** CCNet-style per-language quality terciles (Wenzek et al. 2020 §4.3)
+    * over the Kneser–Ney score: [[graft.ext.TextStats.qualityTerciles]]
+    * ranking the CANONICALIZED (1e-6) score within the table's `lang`
+    * column. The oracle re-derives the score through the shared KN CTEs
+    * and replays the (score desc, doc_id) rank and the exact-integer
+    * tercile rule. */
+  private def ccnetBucketsDocs(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(s, dir)
+    val model = TextStats.trainKneserNeyModel(all.filter(col("doc_id") % 2 === 0))
+    val scored = TextStats.kneserNeyLogLikelihood(all.filter(col("doc_id") < 50), model)
+      .select(col("doc_id"), round6("kn_loglik"))
+      .join(all.select("doc_id", "lang"), "doc_id")
+    TextStats.qualityTerciles(scored, "lang", "kn_loglik")
+      .select(col("doc_id"), col("lang"), col("kn_loglik"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  private def ccnetBucketsSql: String =
+    s"""WITH $knScoreCtes,
+       |sc AS (SELECT doc_id, floor(avg(lp) * 1e6 + 0.5) / 1e6 AS kn_loglik
+       |  FROM lp GROUP BY doc_id),
+       |j AS (SELECT s.doc_id, d2.lang, s.kn_loglik
+       |  FROM sc s JOIN documents d2 USING (doc_id)),
+       |rk AS (SELECT doc_id, lang, kn_loglik,
+       |    row_number() OVER (PARTITION BY lang ORDER BY kn_loglik DESC, doc_id) AS r,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM j)
+       |SELECT doc_id, lang, kn_loglik,
+       |  CASE WHEN r * 3 <= n THEN 'head'
+       |       WHEN r * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM rk ORDER BY doc_id""".stripMargin
+
+  /** Model-based quality filter (CCNet §4.4 / DataComp / FineWeb-Edu
+    * practice): [[graft.ext.Classifier]] — logistic regression on
+    * KR-hashed token counts, trained by TWO quantized full-batch GD
+    * steps on the (lang = 'en') label, scoring docs 0–49. The oracle
+    * unrolls BOTH training iterations (feature build, gradient sums,
+    * quantized weight updates) and the scoring pass — the trainer
+    * itself is hash-pinned, not just the inference. */
+  private def qualityClassifierDocs(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(s, dir)
+    val model = ext.Classifier.trainLogistic(
+      all.withColumn("y", (col("lang") === "en").cast("int")), "y",
+      dim = 64, iters = 2, lr = 0.5)
+    ext.Classifier.scoreDocs(all.filter(col("doc_id") < 50), model)
+      .select(col("doc_id"), round6("margin"), round6("prob"),
+        (col("margin") > 0).as("pred_en"))
+      .orderBy("doc_id")
+  }
+
+  private def qualityClassifierSql: String =
+    raw"""WITH lbl AS (SELECT doc_id, (lang = 'en')::INT AS y FROM documents),
+       |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+       |tk AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+       |  FROM documents),
+       |kr AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(t)),
+       |      c -> ascii(substring(t, c, 1))::BIGINT)),
+       |    (h, c) -> (h * 257 + c) % 1000000007) AS k
+       |  FROM tk WHERE length(t) > 0),
+       |f AS (SELECT doc_id, k % 64 AS bucket, count(*)::DOUBLE AS cnt
+       |  FROM kr GROUP BY 1, 2),
+       |g1 AS (SELECT f.bucket, sum((0.5 - lbl.y) * f.cnt) AS gs
+       |  FROM f JOIN lbl USING (doc_id) GROUP BY 1),
+       |w1 AS (SELECT b.bucket,
+       |    floor((0.0 - 0.5 * coalesce(g1.gs, 0.0) / n.n) * 1e6 + 0.5) / 1e6 AS wv
+       |  FROM (SELECT unnest(range(0, 64)) AS bucket) b
+       |  LEFT JOIN g1 USING (bucket) CROSS JOIN n),
+       |m2 AS (SELECT f.doc_id, sum(f.cnt * w1.wv) AS margin
+       |  FROM f JOIN w1 USING (bucket) GROUP BY 1),
+       |g2 AS (SELECT f.bucket,
+       |    sum((1.0 / (1.0 + exp(-m2.margin)) - lbl.y) * f.cnt) AS gs
+       |  FROM f JOIN m2 USING (doc_id) JOIN lbl USING (doc_id) GROUP BY 1),
+       |w2 AS (SELECT w1.bucket,
+       |    floor((w1.wv - 0.5 * coalesce(g2.gs, 0.0) / n.n) * 1e6 + 0.5) / 1e6 AS wv
+       |  FROM w1 LEFT JOIN g2 USING (bucket) CROSS JOIN n),
+       |sc AS (SELECT f.doc_id, sum(f.cnt * w2.wv) AS margin
+       |  FROM f JOIN w2 USING (bucket) GROUP BY 1)
+       |SELECT doc_id, floor(margin * 1e6 + 0.5) / 1e6 AS margin,
+       |  floor((1.0 / (1.0 + exp(-margin))) * 1e6 + 0.5) / 1e6 AS prob,
+       |  margin > 0 AS pred_en
+       |FROM sc WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
 
   /** Chunking probe: overlapping token windows (maxTokens=40, overlap=8)
     * over a bounded doc window — DuckDB replays the token split, window
@@ -4461,6 +4549,8 @@ object SparkEntry {
     "q_split_clusters_docs" -> splitClustersDocs,
     "q_bigram_quality_docs" -> bigramQualityDocs,
     "q_kneserney_quality_docs" -> kneserneyQualityDocs,
+    "q_ccnet_buckets_docs" -> ccnetBucketsDocs,
+    "q_quality_classifier_docs" -> qualityClassifierDocs,
     "q_randproj_embeddings" -> randprojEmbeddings,
     "q_vocab_resemblance_docs" -> vocabResemblanceDocs,
     "q_zipf_docs" -> zipfDocs,
@@ -4700,6 +4790,8 @@ object SparkEntry {
     "q_split_clusters_docs" -> splitClustersSql,
     "q_bigram_quality_docs" -> bigramQualitySql,
     "q_kneserney_quality_docs" -> kneserneyQualitySql,
+    "q_ccnet_buckets_docs" -> ccnetBucketsSql,
+    "q_quality_classifier_docs" -> qualityClassifierSql,
     "q_randproj_embeddings" -> randprojEmbeddingsSql,
     "q_vocab_resemblance_docs" -> vocabResemblanceSql,
     "q_zipf_docs" -> zipfDocsSql,

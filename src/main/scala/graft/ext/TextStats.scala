@@ -110,6 +110,42 @@ object TextStats {
       .drop("__thr")
   }
 
+  /** CCNet-style per-group quality terciles (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data" §4.3): rank each document within its group (CCNet: language)
+    * by an LM quality score and label head / middle / tail thirds — the
+    * published recipe buckets by per-language perplexity and trains on
+    * head+middle. Takes an already-SCORED frame so any scorer composes
+    * (the driver query feeds the Kneser–Ney log-likelihood); callers
+    * should canonicalize the score to their comparison precision first —
+    * ranking on raw doubles makes sub-ulp scorer differences flip
+    * buckets (the BM25 ranking lesson).
+    *
+    * Bucket rule in exact integer arithmetic: rank r of n (score desc,
+    * id asc) → head iff 3r ≤ n, middle iff 3r ≤ 2n, else tail — so
+    * |head| = ⌊n/3⌋ and the boundary is engine-independent. The rank
+    * window partitions on the group column (CCNet's own sharding axis);
+    * at corpus scales where one group outweighs a partition, cut on
+    * per-group quantile thresholds instead (the
+    * [[topQualityPerGroupByThreshold]] trade). */
+  def qualityTerciles(
+      scored: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col(scoreCol).desc, col(idCol))
+    val wg = Window.partitionBy(groupCol)
+    scored
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wg))
+      .withColumn("bucket",
+        when(col("__r") * 3 <= col("__n"), "head")
+          .when(col("__r") * 3 <= col("__n") * 2, "middle")
+          .otherwise("tail"))
+      .drop("__r", "__n")
+  }
+
   // ---- within-doc repetition (Gopher-style quality rules) ------------------
 
   /** Per-document repetition metrics — the standard "remove pathologically

@@ -1123,4 +1123,18 @@ class TextExtSpec extends SparkSpec {
     assert(out(2) == "version 1.2 is not an ip, 256 chars neither")
     assert(out(3) == "plain text stays put")
   }
+
+  test("qualityTerciles: head/middle/tail thirds per group, ties by id, integer boundaries") {
+    import spark.implicits._
+    // group a: 7 docs scored 7..1 → head = floor(7/3) = 2, middle = 2, tail = 3
+    // group b: 3 docs, one per bucket; equal scores rank by doc_id
+    val scored = ((1 to 7).map(i => (i.toLong, "a", (8 - i).toDouble)) ++
+      Seq((10L, "b", 5.0), (11L, "b", 5.0), (12L, "b", 1.0)))
+      .toDF("doc_id", "lang", "s")
+    val out = graft.ext.TextStats.qualityTerciles(scored, "lang", "s")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert(out == Map(1L -> "head", 2L -> "head", 3L -> "middle", 4L -> "middle",
+      5L -> "tail", 6L -> "tail", 7L -> "tail",
+      10L -> "head", 11L -> "middle", 12L -> "tail"), s"got $out")
+  }
 }
