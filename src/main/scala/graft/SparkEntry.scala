@@ -3425,6 +3425,36 @@ object SparkEntry {
        |  array_to_string(list(span ORDER BY span_idx), ' ') AS text
        |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** ExactSubstr-style sliding-window dedup probe ([[graft.ext.Dedup
+    * .dropDuplicateWindows]], Lee et al. 2022 §3.1) at 12-token windows
+    * over the full documents table, exact string keys. DuckDB replays
+    * the sliding gram build, the global first-occurrence winner rule,
+    * the per-doc RANGE-window coverage union, and the reassembly. */
+  private def windowDedupDocs(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropDuplicateWindows(Tables.documents(s, dir), windowTokens = 12)
+      .select(col("doc_id"), col("n_tokens_kept"), col("text"))
+      .orderBy("doc_id")
+
+  private def windowDedupSql: String =
+    raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents),
+       |t AS (SELECT doc_id, g.i - 1 AS pos, toks[g.i] AS w
+       |  FROM d, LATERAL unnest(range(1, len(toks) + 1)) AS g(i)),
+       |gr AS (SELECT doc_id, g.i - 1 AS pos, array_to_string(toks[g.i:g.i + 11], ' ') AS g
+       |  FROM d, LATERAL unnest(range(1, len(toks) - 10)) AS g(i)
+       |  WHERE len(toks) >= 12),
+       |lo AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn FROM gr)
+       |  WHERE rn > 1),
+       |cv AS (SELECT t.doc_id, t.pos, t.w,
+       |    max(CASE WHEN lo.pos IS NOT NULL THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY t.doc_id ORDER BY t.pos
+       |            RANGE BETWEEN 11 PRECEDING AND CURRENT ROW) AS c
+       |  FROM t LEFT JOIN lo ON lo.doc_id = t.doc_id AND lo.pos = t.pos)
+       |SELECT doc_id, count(*) AS n_tokens_kept,
+       |  string_agg(w, ' ' ORDER BY pos) AS text
+       |FROM cv WHERE c = 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   /** Leakage-free split probe: [[Sampling.splitByCluster]] on the SAME
@@ -4564,6 +4594,7 @@ object SparkEntry {
     "q_cluster_keep_embeddings" -> clusterKeepEmbeddings,
     "q_rrf_hybrid_docs" -> rrfHybridDocs,
     "q_span_dedup_docs" -> spanDedupDocs,
+    "q_window_dedup_docs" -> windowDedupDocs,
     "q_asof_join_events" -> asofJoinEvents,
     "q_range_join_events" -> rangeJoinEvents,
     "q_rollup_docs" -> rollupDocs,
@@ -4805,6 +4836,7 @@ object SparkEntry {
     "q_cluster_keep_embeddings" -> clusterKeepSql,
     "q_rrf_hybrid_docs" -> rrfHybridSql,
     "q_span_dedup_docs" -> spanDedupSql,
+    "q_window_dedup_docs" -> windowDedupSql,
     "q_asof_join_events" -> asofJoinSql,
     "q_range_join_events" -> rangeJoinSql,
     "q_rollup_docs" -> rollupDocsSql,

@@ -130,6 +130,77 @@ object Dedup {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** ExactSubstr-style duplicate-text removal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" §3.1) at
+    * sliding-window granularity: every k-token window that occurs more
+    * than once in the corpus keeps ONLY its globally-first occurrence
+    * (min (doc_id, pos)); every token covered by a losing window is
+    * removed and each doc's survivors reassemble in order. Differs from
+    * [[dropRepeatedSpans]] in granularity: spans are disjoint fixed
+    * blocks (a shifted copy of a repeated passage survives), windows
+    * slide — a duplicated passage is caught at every alignment, the
+    * reference paper's point. The suffix-array machinery of the paper is
+    * replaced by the relational form: a gram-keyed winner rule + a
+    * per-doc range-window coverage union, both corpus-parallel.
+    *
+    * Plan shape: ONE posexplode of the token stream serves both sides —
+    * gram strings assemble from k−1 window `lead`s over the (doc, pos)
+    * exchange (the minhash-pipeline form; the array-of-shingles form
+    * duplicated the tokenizing split into the pushed length filter and
+    * tripped the expression-duplication lint, and its per-doc gram
+    * arrays cost 3× the wall time), the winner rule is one gram-keyed
+    * rank, coverage is a per-doc RANGE window over loser starts (no
+    * interval explosion), reassembly the shared sort-collect fold.
+    * Shuffles: one by gram key, one by doc. With
+    * `hashKeys` the gram key is xxhash64(gram) — 8 bytes instead of ~8·k
+    * on the wire, the right trade at corpus scale (false-merge odds
+    * ~2⁻⁶⁴ per pair; the driver query uses exact strings so the oracle
+    * is collision-free).
+    *
+    * Semantics notes (deterministic, oracle-replayed): a position inside
+    * a FIRST-occurrence window is still removed if some OTHER losing
+    * window covers it (coverage is a union over losers, not winners);
+    * docs shorter than k tokens contribute no windows and survive
+    * intact; docs whose every token is covered are absent from the
+    * output (the [[dropRepeatedSpans]] convention). */
+  def dropDuplicateWindows(docs: DataFrame, windowTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      hashKeys: Boolean = false): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
+    import org.apache.spark.sql.expressions.Window
+    val k = windowTokens
+    val tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until k).map(j => lead("w", j).over(wOrd).as(s"__w$j"))
+    val gram = concat_ws(" ", col("w") +: (1 until k).map(j => col(s"__w$j")): _*)
+    val grams = tok
+      .select(col("doc_id") +: col("pos") +: col("w") +: leads: _*)
+      // a full k-token window exists iff the furthest lead is defined
+      .filter(col(s"__w${k - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"), gram.as("g"))
+      .withColumn("key", if (hashKeys) xxhash64(col("g")) else col("g"))
+    val losers = grams
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("key").orderBy("doc_id", "pos")))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos"), lit(1).as("l"))
+    val wr = Window.partitionBy("doc_id").orderBy("pos")
+      .rangeBetween(-(k - 1), Window.currentRow)
+    tok
+      .join(losers, Seq("doc_id", "pos"), "left")
+      .withColumn("covered", max(coalesce(col("l"), lit(0))).over(wr) > 0)
+      .filter(!col("covered"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            s => s.getField("w")),
+          " ").as(textCol))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** CCNet-style boilerplate-line removal (Wenzek et al. 2020 dedup
     * paragraphs by hash across shards; the frequency-threshold variant
     * here is the standard crawl-cleanup rule): drop every line whose

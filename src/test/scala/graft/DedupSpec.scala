@@ -8,6 +8,44 @@ class DedupSpec extends SparkSpec {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("window dedup: sliding duplicate caught at any alignment, first doc keeps it") {
+    // doc2 repeats doc1's 3-token phrase SHIFTED by one token — the span
+    // (block) form misses this, the sliding form must not
+    val d = docs((1L, "p q r x1 x2"), (2L, "y0 p q r y1"), (3L, "all fresh tokens here"))
+    val out = Dedup.dropDuplicateWindows(d, windowTokens = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens_kept"), r.getAs[String]("text"))).toMap
+    assert(out(1L) == (5L, "p q r x1 x2"), s"got ${out(1L)}")
+    // doc2: losing window starts at pos 1 → tokens 1..3 removed
+    assert(out(2L) == (2L, "y0 y1"), s"got ${out(2L)}")
+    assert(out(3L) == (4L, "all fresh tokens here"), s"got ${out(3L)}")
+  }
+
+  test("window dedup: coverage is the union of losing windows; fully-covered doc disappears") {
+    val phrase = "a b c d"
+    val d = docs((1L, phrase), (2L, phrase))
+    val out = Dedup.dropDuplicateWindows(d, windowTokens = 4)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(out.sameElements(Array(1L)), s"got ${out.toSeq}")
+    // overlapping losers within one doc union cleanly: doc 4 repeats the
+    // phrase twice back-to-back — the second copy is covered, first kept
+    val d2 = docs((4L, s"$phrase $phrase"), (5L, "z1 z2"))
+    val out2 = Dedup.dropDuplicateWindows(d2, windowTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out2(4L) == phrase, s"got ${out2(4L)}")
+  }
+
+  test("window dedup: docs shorter than the window survive intact; hashKeys form agrees") {
+    val d = docs((1L, "tiny doc"), (2L, "tiny doc"), (3L, "one two three four five"),
+      (4L, "zz one two three four five tail"))
+    val s1 = Dedup.dropDuplicateWindows(d, windowTokens = 5).orderBy("doc_id").collect().toSeq
+    // both 2-token docs survive whole (no 5-token window exists in them)
+    assert(s1.count(r => r.getAs[String]("text") == "tiny doc") == 2)
+    val s2 = Dedup.dropDuplicateWindows(d, windowTokens = 5, hashKeys = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(s1 == s2, "hash-keyed form diverged from exact-string form")
+  }
+
   test("span dedup: global first occurrence wins, within-doc repeats dropped") {
     // 4-token spans: doc1 = [A][B], doc2 = [A][C], doc3 = [D][D]
     val a = "w1 w2 w3 w4"; val b = "b1 b2 b3 b4"; val c = "c1 c2 c3 c4"
