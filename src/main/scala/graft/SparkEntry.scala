@@ -4502,6 +4502,89 @@ object SparkEntry {
        |FROM res r JOIN bests be ON be.word = r.word AND be.i = length(r.word)
        |ORDER BY r.word""".stripMargin
 
+  /** Unigram-EM E-step, hard-oracled ([[graft.ext.Unigram.eStepProb]]):
+    * expected piece counts over the corpus dictionary under the seed
+    * model in PROBABILITY space — p = cnt/total is one IEEE division
+    * (no libm anywhere), so the forward–backward lattice replays
+    * bit-for-bit. The oracle runs both DPs as lambda-free GROUP-BY-free
+    * sliding-window recursions (the Viterbi oracle's determinism
+    * pattern) over per-position candidate pivots, then joins
+    * alpha(i−k) · p · beta(i) / Z per candidate. The EM LOOP is rounds
+    * of exactly this step plus a model-sized renormalize — oracling one
+    * round pins the machinery the loop reuses. */
+  private def unigramEstepDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val dict = ext.Bpe.wordFreqs(d)
+    val vocab = ext.Unigram.seedVocabFromDict(dict, maxPieceLen = 4, maxMulti = 200)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = vocab.map(_._2).sum.toDouble
+    val p = vocab.map { case (piece, c) => piece -> (c / total) }.toMap
+    ext.Unigram.eStepProb(dict, p, maxPieceLen = 4)
+      .select(col("piece"), round6("expected_count"))
+      .orderBy("piece")
+  }
+
+  private def unigramEstepSql: String =
+    s"""WITH RECURSIVE $unigramDictSql,
+       |multis AS (SELECT piece, cnt FROM (SELECT piece, cnt FROM pc
+       |  WHERE length(piece) >= 2 ORDER BY cnt DESC, piece LIMIT 200)),
+       |vocab AS (SELECT piece, cnt FROM pc WHERE length(piece) = 1
+       |  UNION ALL SELECT piece, cnt FROM multis),
+       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM vocab),
+       |vp AS (SELECT piece, CAST(cnt AS DOUBLE) / tot.tot AS p FROM vocab, tot),
+       |dw AS (SELECT word, freq FROM f),
+       |cand AS MATERIALIZED (SELECT c.word, c.i, c.k, c.piece, vp.p
+       |  FROM (SELECT w.word, g.i AS i, l.k AS k,
+       |      substr(w.word, g.i - l.k + 1, l.k) AS piece
+       |    FROM dw w,
+       |    LATERAL unnest(range(1, length(w.word) + 1)) AS g(i),
+       |    LATERAL unnest(range(1, 5)) AS l(k)
+       |    WHERE l.k <= g.i) c
+       |  JOIN vp ON vp.piece = c.piece),
+       |cp AS MATERIALIZED (SELECT word, i,
+       |    max(CASE WHEN k = 1 THEN p END) AS p1, max(CASE WHEN k = 2 THEN p END) AS p2,
+       |    max(CASE WHEN k = 3 THEN p END) AS p3, max(CASE WHEN k = 4 THEN p END) AS p4
+       |  FROM cand GROUP BY word, i),
+       |cs AS MATERIALIZED (SELECT word, i - k AS s,
+       |    max(CASE WHEN k = 1 THEN p END) AS q1, max(CASE WHEN k = 2 THEN p END) AS q2,
+       |    max(CASE WHEN k = 3 THEN p END) AS q3, max(CASE WHEN k = 4 THEN p END) AS q4
+       |  FROM cand GROUP BY word, i - k),
+       |fa AS (
+       |  SELECT word, 0 AS i, 1.0::DOUBLE AS a0, 0.0::DOUBLE AS a1,
+       |    0.0::DOUBLE AS a2, 0.0::DOUBLE AS a3
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT f.word, f.i + 1,
+       |    coalesce(f.a0 * c.p1, 0.0) + coalesce(f.a1 * c.p2, 0.0)
+       |      + coalesce(f.a2 * c.p3, 0.0) + coalesce(f.a3 * c.p4, 0.0),
+       |    f.a0, f.a1, f.a2
+       |  FROM fa f JOIN cp c ON c.word = f.word AND c.i = f.i + 1),
+       |fb AS (
+       |  SELECT word, length(word) AS i, 1.0::DOUBLE AS b0, 0.0::DOUBLE AS b1,
+       |    0.0::DOUBLE AS b2, 0.0::DOUBLE AS b3
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT f.word, f.i - 1,
+       |    coalesce(c.q1 * f.b0, 0.0) + coalesce(c.q2 * f.b1, 0.0)
+       |      + coalesce(c.q3 * f.b2, 0.0) + coalesce(c.q4 * f.b3, 0.0),
+       |    f.b0, f.b1, f.b2
+       |  FROM fb f JOIN cs c ON c.word = f.word AND c.s = f.i - 1
+       |  WHERE f.i > 0),
+       |af AS MATERIALIZED (SELECT word, i, a0 AS alpha FROM fa),
+       |bf AS MATERIALIZED (SELECT word, i, b0 AS beta FROM fb),
+       |zz AS (SELECT word, alpha AS z FROM af WHERE i = length(word)),
+       |ec AS (SELECT c.piece,
+       |    sum(dw.freq * aa.alpha * c.p * bb.beta / zz.z) AS expected_count
+       |  FROM cand c
+       |  JOIN dw ON dw.word = c.word
+       |  JOIN af aa ON aa.word = c.word AND aa.i = c.i - c.k
+       |  JOIN bf bb ON bb.word = c.word AND bb.i = c.i
+       |  JOIN zz ON zz.word = c.word
+       |  WHERE zz.z > 0
+       |  GROUP BY c.piece)
+       |SELECT piece, floor(expected_count * 1e6 + 0.5) / 1e6 AS expected_count
+       |FROM ec ORDER BY piece""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -4629,6 +4712,7 @@ object SparkEntry {
     "q_bpe_fertility_docs" -> bpeFertilityDocs,
     "q_unigram_seed_docs" -> unigramSeedDocs,
     "q_unigram_tokenize_docs" -> unigramTokenizeDocs,
+    "q_unigram_estep_docs" -> unigramEstepDocs,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4914,6 +4998,7 @@ object SparkEntry {
     "q_bpe_fertility_docs" -> bpeFertilitySql,
     "q_unigram_seed_docs" -> unigramSeedSql,
     "q_unigram_tokenize_docs" -> unigramTokenizeSql,
+    "q_unigram_estep_docs" -> unigramEstepSql,
     // q_dedup_minhash_docs / q_simhash_docs / q_similarity_topk_lsh /
     // q_fingerprint_docs / q_multimodal_features / q_multimodal_transform:
     // hash-seeded operators —

@@ -243,6 +243,97 @@ object Unigram {
     (out, z)
   }
 
+  /** PROBABILITY-SPACE forward–backward expected counts for one word —
+    * the oracle-facing E-step arithmetic. Differences from the log-space
+    * [[expectedCountsLocal]], chosen so a SQL engine replays every
+    * operation bit-for-bit: piece probabilities are plain ratios
+    * (one IEEE division — no libm ln/exp anywhere), alpha/beta are
+    * prob-space sums accumulated k-ascending with missing candidates
+    * contributing +0.0 (exact for the non-negative lattice), and OOV
+    * pieces (including single chars) simply don't participate — a word
+    * with an uncovered char has Z = 0 and is skipped, where the log
+    * kernel charges [[UnkLogProb]]. Words are short: lattice values stay
+    * far above double underflow at any realistic word length. Each
+    * contribution is ((((freq·alpha)·p)·beta)/Z) in exactly that order.
+    * Agrees with the log-space kernel to float tolerance on covered
+    * words (property-tested). */
+  private[graft] def expectedCountsProbLocal(word: String, freq: Long,
+      p: Map[String, Double], maxPieceLen: Int):
+      (scala.collection.Map[String, Double], Double) = {
+    val n = word.length
+    import scala.collection.mutable
+    val out = mutable.Map.empty[String, Double]
+    if (n == 0) return (out, 0.0)
+    val alpha = new Array[Double](n + 1); alpha(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var s = 0.0
+      var k = 1
+      val kmax = math.min(maxPieceLen, i)
+      while (k <= kmax) {
+        p.get(word.substring(i - k, i)).foreach(pv => s += alpha(i - k) * pv)
+        k += 1
+      }
+      alpha(i) = s
+      i += 1
+    }
+    val beta = new Array[Double](n + 1); beta(n) = 1.0
+    i = n - 1
+    while (i >= 0) {
+      var s = 0.0
+      var k = 1
+      val kmax = math.min(maxPieceLen, n - i)
+      while (k <= kmax) {
+        p.get(word.substring(i, i + k)).foreach(pv => s += pv * beta(i + k))
+        k += 1
+      }
+      beta(i) = s
+      i -= 1
+    }
+    val z = alpha(n)
+    if (z <= 0.0) return (out, 0.0)
+    i = 1
+    while (i <= n) {
+      var k = 1
+      val kmax = math.min(maxPieceLen, i)
+      while (k <= kmax) {
+        val piece = word.substring(i - k, i)
+        p.get(piece).foreach { pv =>
+          val contrib = freq * alpha(i - k) * pv * beta(i) / z
+          out(piece) = out.getOrElse(piece, 0.0) + contrib
+        }
+        k += 1
+      }
+      i += 1
+    }
+    (out, z)
+  }
+
+  /** Distributed probability-space E-step: per-piece expected counts as
+    * a DataFrame (piece, expected_count) — the [[eStep]] plan shape
+    * (per-word kernels over the broadcast model, map-side-combined
+    * partials, model-sized shuffle), with [[expectedCountsProbLocal]]'s
+    * replayable arithmetic. `p` maps pieces to plain probabilities. */
+  def eStepProb(dict: DataFrame, p: Map[String, Double],
+      maxPieceLen: Int = 4): DataFrame = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(p)
+    dict.select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val m = bc.value
+        val acc = scala.collection.mutable.Map.empty[String, Double]
+        it.foreach { case (w, f) =>
+          val (ec, _) = expectedCountsProbLocal(w, f, m, maxPieceLen)
+          ec.foreach { case (piece, c) => acc(piece) = acc.getOrElse(piece, 0.0) + c }
+        }
+        acc.iterator
+      }
+      .toDF("piece", "ecp")
+      .groupBy("piece").agg(sum("ecp").as("expected_count"))
+  }
+
   /** One distributed E-step over a (word, freq) dict frame: per-piece
     * expected counts (map-side combined) and the corpus log-likelihood
     * Σ freq · ln Z(word). The shuffle carries (piece, partial) rows —

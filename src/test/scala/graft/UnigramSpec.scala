@@ -69,6 +69,40 @@ class UnigramSpec extends SparkSpec {
     ec.foreach { case (p, c) => assert(math.abs(ec5(p) - 5 * c) < 1e-9) }
   }
 
+  test("prob-space kernel agrees with the log-space kernel on covered words") {
+    val lp = Map("a" -> -1.0, "b" -> -1.5, "ab" -> -1.2, "ba" -> -2.0)
+    val p = lp.map { case (k, v) => k -> math.exp(v) }
+    for (word <- Seq("abab", "aaa", "b", "abba")) {
+      val (ecLog, zLog) = Unigram.expectedCountsLocal(word, 3L, lp, 4)
+      val (ecProb, zProb) = Unigram.expectedCountsProbLocal(word, 3L, p, 4)
+      assert(math.abs(math.exp(zLog) - zProb) < 1e-12 * zProb, s"Z mismatch for $word")
+      assert(ecLog.keySet == ecProb.keySet, s"piece sets differ for $word")
+      ecLog.foreach { case (piece, c) =>
+        assert(math.abs(c - ecProb(piece)) < 1e-9, s"$word/$piece: $c vs ${ecProb(piece)}")
+      }
+      // coverage identity holds in prob space too
+      val mass = ecProb.map { case (pc, c) => pc.length * c }.sum
+      assert(math.abs(mass - 3L * word.length) < 1e-9)
+    }
+    // uncovered word: prob kernel skips (Z = 0), log kernel charges UnkLogProb
+    val (ecX, zX) = Unigram.expectedCountsProbLocal("axa", 1L, p, 4)
+    assert(zX == 0.0 && ecX.isEmpty)
+  }
+
+  test("eStepProb equals summed local prob kernels") {
+    val p = Map("a" -> 0.25, "b" -> 0.125, "ab" -> 0.0625)
+    val dict = Seq(("ab", 3L), ("aab", 2L), ("b", 7L)).toDF("word", "freq")
+    val out = Unigram.eStepProb(dict, p, 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val local = Seq(("ab", 3L), ("aab", 2L), ("b", 7L))
+      .map { case (w, f) => Unigram.expectedCountsProbLocal(w, f, p, 4)._1 }
+      .foldLeft(Map.empty[String, Double]) { (m, ec) =>
+        ec.foldLeft(m) { case (mm, (pc, c)) => mm.updated(pc, mm.getOrElse(pc, 0.0) + c) }
+      }
+    assert(out.keySet == local.keySet)
+    local.foreach { case (pc, c) => assert(math.abs(out(pc) - c) < 1e-9, s"piece $pc") }
+  }
+
   test("distributed eStep equals the sum of local kernels") {
     val lp = Map("a" -> -1.0, "b" -> -1.5, "ab" -> -1.2)
     val dict = Seq(("ab", 3L), ("aab", 2L), ("b", 7L)).toDF("word", "freq")
