@@ -2227,6 +2227,52 @@ object SparkEntry {
     Similarity.bruteForceTopK(Tables.embeddings(s, dir), similarityQueries(s, dir), k = 5)
       .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
 
+  /** Matryoshka-truncation retrieval eval ([[graft.ext.Similarity
+    * .truncatedTopK]]): top-5 on the first 16 of 64 dims plus recall@5
+    * against the full-dim exact result — BOTH sides of the recall are
+    * exact relational pipelines, so the whole eval is hash-oracled
+    * (unlike the seeded-LSH recall, which is rows-only). */
+  private def mrlTopkEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = similarityQueries(s, dir)
+    Similarity.withRecallAtK(
+        Similarity.truncatedTopK(emb, q, k = 5, dPrime = 16),
+        Similarity.bruteForceTopK(emb, q, k = 5))
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"),
+        round6("recall_at_k"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def mrlTopkSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qemb
+      |  FROM embeddings WHERE vec_id < 3),
+      |st AS (SELECT q.query_id, e.vec_id,
+      |  list_cosine_similarity((e.embedding::DOUBLE[])[1:16], q.qemb[1:16]) AS cos
+      |  FROM embeddings e CROSS JOIN q),
+      |rt AS (SELECT query_id, vec_id, cos,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM st WHERE vec_id IS NOT NULL AND cos IS NOT NULL AND NOT isnan(cos)),
+      |tt AS (SELECT * FROM rt WHERE rank <= 5),
+      |sf AS (SELECT q.query_id, e.vec_id,
+      |  list_cosine_similarity(e.embedding::DOUBLE[], q.qemb) AS cos
+      |  FROM embeddings e CROSS JOIN q),
+      |rf AS (SELECT query_id, vec_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM sf WHERE vec_id IS NOT NULL AND cos IS NOT NULL AND NOT isnan(cos)),
+      |ff AS (SELECT query_id, vec_id FROM rf WHERE rank <= 5),
+      |nf AS (SELECT query_id, count(*) AS n FROM ff GROUP BY 1),
+      |rec AS (SELECT t.query_id,
+      |    sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+      |      / max(nf.n) AS recall
+      |  FROM tt t
+      |  LEFT JOIN ff f ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+      |  JOIN nf ON nf.query_id = t.query_id
+      |  GROUP BY t.query_id)
+      |SELECT tt.query_id, tt.rank, tt.vec_id,
+      |  floor(tt.cos * 1e6 + 0.5) / 1e6 AS cos,
+      |  floor(rec.recall * 1e6 + 0.5) / 1e6 AS recall_at_k
+      |FROM tt JOIN rec USING (query_id) ORDER BY query_id, rank""".stripMargin
+
   /** Whole-ANN-pipeline probe: [[graft.ext.Similarity.lshTopKReplayable]] —
     * the production lshTopK pipeline (same bucketing expression, bits+1
     * multiprobe, no-distinct candidate equijoin, k-capped TopKAgg ranking)
@@ -4642,6 +4688,7 @@ object SparkEntry {
     "q_fingerprint_rolling_docs" -> fingerprintRollingDocs,
     "q_fingerprint_pairs_docs" -> fingerprintPairsDocs,
     "q_similarity_topk_brute" -> similarityTopkBrute,
+    "q_mrl_topk_embeddings" -> mrlTopkEmbeddings,
     "q_similarity_topk_lsh" -> similarityTopkLsh,
     "q_lsh_replay_topk" -> lshReplayTopk,
     "q_ivf_replay_topk" -> ivfReplayTopk,
@@ -4885,6 +4932,7 @@ object SparkEntry {
         |  FROM s WHERE vec_id IS NOT NULL AND cos IS NOT NULL AND NOT isnan(cos))
         |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_mrl_topk_embeddings" -> mrlTopkSql,
     "q_weighted_bins_lineitem" -> weightedBinsSql,
     "q_frequency_lineitem" -> frequencyLineitemSql,
     "q_stationarity_events" -> stationarityEventsSql,

@@ -69,6 +69,33 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Matryoshka-truncation retrieval (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): search on the FIRST `dPrime` dimensions
+    * of every vector — the deployment pattern MRL-trained embeddings
+    * enable, scanning dPrime/D of the bytes at some recall cost, which
+    * [[withRecallAtK]] quantifies against the full-dim exact result.
+    * Pure composition: slice both sides, then the brute-force path (same
+    * tie rule, same k-capped TopKAgg bound). Vectors shorter than dPrime
+    * slice to their full length (Spark slice semantics) — same cosine as
+    * their full-dim self. */
+  def truncatedTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dPrime: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_emb"): DataFrame = {
+    require(dPrime >= 1, "dPrime must be >= 1")
+    bruteForceTopK(
+      embeddings.select(col(idCol),
+        slice(col(embCol).cast("array<double>"), 1, dPrime).as(embCol)),
+      queries.select(col(queryIdCol),
+        slice(col(queryEmbCol).cast("array<double>"), 1, dPrime).as(queryEmbCol)),
+      k, idCol, embCol, queryIdCol, queryEmbCol)
+  }
+
   /** Assignment expression: cell index of the max-cosine centroid (lowest
     * index on ties, via the (cos, −idx) struct-max trick). NaN cosines
     * (zero-norm vector or centroid) are mapped to −∞ so they never win —

@@ -28,6 +28,9 @@ class PlanLintSpec extends SparkSpec {
     "q_jaccard_pairs_docs", "q_multimodal_embedding", "q_multimodal_replay",
     "q_quantized_topk", "q_rrf_hybrid_docs", "q_simhash_replay_docs",
     "q_similarity_topk_brute", "q_similarity_topk_lsh", "q_sql_functions_embeddings",
+    // matryoshka truncation: both legs (d'=16 and full-dim) are the
+    // bruteForceTopK shape — corpus × broadcast(3 query rows)
+    "q_mrl_topk_embeddings",
     // sketch queries: both join sides are ONE-row aggregates (the sketch
     // row + the exact-count row) — a broadcast loop over one row is the
     // model-sized case the whitelist exists for

@@ -171,4 +171,23 @@ class QuantizeSpec extends SparkSpec {
       .intersect(brute.map { case (a, _, c) => (a, c) }).size.toDouble / brute.size
     assert(recall >= 0.8, s"recall $recall")
   }
+
+  test("matryoshka truncation: prefix-dim search ranks by prefix cosine, full dPrime = brute") {
+    // vec 2 matches the query on the FIRST two dims; vec 3 only on the tail —
+    // truncation to dPrime=2 must prefer 2, full-dim must prefer 3
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (3L, Seq(0.9, 0.1, 5.0, 5.0))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((0L, Seq(0.9, 0.1, 5.0, 5.0))).toDF("query_id", "query_emb")
+    val trunc = Similarity.truncatedTopK(df, q, k = 1, dPrime = 2).collect()
+    assert(trunc(0).getAs[Long]("vec_id") == 2L, s"got ${trunc.toSeq}")
+    val full = Similarity.bruteForceTopK(df, q, k = 1).collect()
+    assert(full(0).getAs[Long]("vec_id") == 3L)
+    // dPrime >= dim degenerates to exact brute force, bit-for-bit
+    val t4 = Similarity.truncatedTopK(df, q, k = 3, dPrime = 4).collect().toSeq
+    val b4 = Similarity.bruteForceTopK(df, q, k = 3).collect().toSeq
+    assert(t4 == b4)
+  }
 }
