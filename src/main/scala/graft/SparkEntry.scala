@@ -4153,6 +4153,84 @@ object SparkEntry {
        |SELECT r::BIGINT AS r, bucket::BIGINT AS bucket, sum(c)::BIGINT AS cnt
        |FROM rb GROUP BY r, bucket ORDER BY r, bucket""".stripMargin
 
+  /** Efraimidis–Spirakis exact-k weighted sample ([[graft.ext.Sampling
+    * .weightedSample]]) of the corpus with weight = token count — docs
+    * enter the eval holdout with probability proportional to their
+    * length, i.e. token-uniform sampling at document granularity. DuckDB
+    * replays the tokenizer length, the epoch-keyed mix-hash chain, and
+    * the ln(u)/w key; the top-30 cut is hash-compared exactly. */
+  private def weightedSampleDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val weighted = docs.select(col("doc_id"),
+      size(ext.Dedup.tokens(col("text"))).cast("double").as("w"))
+    ext.Sampling.weightedSample(weighted, "doc_id", "w", k = 30, epoch = 1)
+      .select(col("doc_id"), col("w").cast("long").as("n_tokens"),
+        r6(col("es_key")).as("es_key"))
+      .orderBy("doc_id")
+  }
+
+  private def esMixChainCtes(epoch: Int): String =
+    raw"""f AS (SELECT doc_id, n_tokens,
+       |  ((doc_id % 2147483648) * 1000003 + $epoch) % 2147483648 AS x FROM nt),
+       |h0 AS (SELECT doc_id, n_tokens, ((x % 2147483648) * 2654435761) % 4294967296 AS h FROM f),
+       |s1 AS (SELECT doc_id, n_tokens, xor(h, h >> 16) AS h FROM h0),
+       |m1 AS (SELECT doc_id, n_tokens, ((((h >> 16) * 2246822507) % 65536) * 65536
+       |  + (h % 65536) * 2246822507) % 4294967296 AS h FROM s1),
+       |s2 AS (SELECT doc_id, n_tokens, xor(h, h >> 13) AS h FROM m1),
+       |m2 AS (SELECT doc_id, n_tokens, ((((h >> 16) * 3266489909) % 65536) * 65536
+       |  + (h % 65536) * 3266489909) % 4294967296 AS h FROM s2),
+       |hx AS (SELECT doc_id, n_tokens, xor(h, h >> 16) AS h FROM m2),
+       |key AS (SELECT doc_id, n_tokens,
+       |  ln((h + 0.5) / 4294967296.0) / n_tokens AS es_key FROM hx)""".stripMargin
+
+  private def weightedSampleSql: String =
+    raw"""WITH nt AS (SELECT doc_id,
+       |  len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS n_tokens
+       |  FROM documents),
+       |${esMixChainCtes(1)},
+       |top AS (SELECT * FROM key ORDER BY es_key DESC, doc_id LIMIT 30)
+       |SELECT doc_id, n_tokens, floor(es_key * 1e6 + 0.5) / 1e6 AS es_key
+       |FROM top ORDER BY doc_id""".stripMargin
+
+  /** The streaming face of the same sample: three disjoint micro-batches
+    * fold into a persisted ≤ k store via [[graft.streaming.StreamOps
+    * .esUpdateBatch]]; the ES top-k merge law makes the store
+    * bit-identical to the one-shot sample, so the one-shot DuckDB replay
+    * is a FULL hash oracle for the streamed store. */
+  private def esStreamDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        size(ext.Dedup.tokens(col("text"))).cast("double").as("w"))
+    val tmp = java.nio.file.Files.createTempDirectory("es_q")
+    val store = s"$tmp/store"
+    try {
+      Seq(docs.filter(col("doc_id") < 37),
+        docs.filter(col("doc_id") >= 37 && col("doc_id") < 150),
+        docs.filter(col("doc_id") >= 150))
+        .foreach(b => streaming.StreamOps.esUpdateBatch(
+          b, "doc_id", "w", store, k = 16, epoch = 2))
+      val rows = s.read.parquet(store)
+        .select(col("id").as("doc_id"),
+          col("weight").cast("long").as("n_tokens"),
+          r6(col("es_key")).as("es_key"))
+        .orderBy("doc_id").collect().toSeq
+      s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("es_key", org.apache.spark.sql.types.DoubleType))))
+    } finally core.Fs.rmTree(tmp)
+  }
+
+  private def esStreamSql: String =
+    raw"""WITH nt AS (SELECT doc_id,
+       |  len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS n_tokens
+       |  FROM documents WHERE doc_id < 200),
+       |${esMixChainCtes(2)},
+       |top AS (SELECT * FROM key ORDER BY es_key DESC, doc_id LIMIT 16)
+       |SELECT doc_id, n_tokens, floor(es_key * 1e6 + 0.5) / 1e6 AS es_key
+       |FROM top ORDER BY doc_id""".stripMargin
+
   /** Gopher-rules quality pass over the full documents corpus: every §A1.1
     * statistic (word counts, mean word length, alpha-word fraction,
     * symbol ratio, bullet/ellipsis line fractions, TTR, token entropy)
@@ -4750,6 +4828,8 @@ object SparkEntry {
     "q_epoch_shuffle_docs" -> epochShuffleDocs,
     "q_cms_stream_docs" -> cmsStreamDocs,
     "q_bottomk_stream_docs" -> bottomkStreamDocs,
+    "q_weighted_sample_docs" -> weightedSampleDocs,
+    "q_es_stream_docs" -> esStreamDocs,
     "q_gopher_quality_docs" -> gopherQualityDocs,
     "q_weighted_keep_docs" -> weightedKeepDocs,
     "q_boilerplate_docs" -> boilerplateDocs,
@@ -5037,6 +5117,8 @@ object SparkEntry {
     "q_epoch_shuffle_docs" -> epochShuffleSql,
     "q_cms_stream_docs" -> cmsStreamSql,
     "q_bottomk_stream_docs" -> bottomkStreamSql,
+    "q_weighted_sample_docs" -> weightedSampleSql,
+    "q_es_stream_docs" -> esStreamSql,
     "q_gopher_quality_docs" -> gopherQualitySql,
     "q_weighted_keep_docs" -> weightedKeepSql,
     "q_boilerplate_docs" -> boilerplateSql,

@@ -112,6 +112,61 @@ object Sampling {
       .orderBy(col("shuffle_rank"), col(idCol))
   }
 
+  /** Efraimidis–Spirakis (IPL 2006) weighted-sampling key: the row draws
+    * u from the replayable epoch-keyed mixed hash (u = (rank + 0.5)/2^32
+    * ∈ (0,1)) and is ranked by ln(u)/w — taking the k LARGEST keys
+    * samples k rows without replacement with probability proportional to
+    * weight (the A-ES order; ln(u)/w is the monotone log form of the
+    * paper's u^(1/w), safe against double underflow at large w).
+    * Weights must be strictly positive, non-null, non-NaN — anything
+    * else raises per row (a zero-weight row silently never sampled would
+    * hide an upstream scoring bug; NaN needs its own guard because Spark
+    * orders NaN above every number, so an unguarded NaN key would hijack
+    * the top-k). Deterministic in (id, weight, epoch): retries,
+    * speculative tasks and re-runs select the identical subset, and the
+    * plain-BIGINT + ln arithmetic replays in ANSI SQL (the driver
+    * hash-verifies it end-to-end in q_weighted_sample_docs). */
+  def esKey(id: Column, weight: Column, epoch: Int = 0): Column = {
+    val u = (epochShuffleRank(id, epoch).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val w = weight.cast("double")
+    when(!isnan(w) && w > 0.0, log(u) / w)
+      .otherwise(raise_error(concat(lit("es key weight must be finite > 0: "),
+        coalesce(w.cast("string"), lit("NULL")))))
+  }
+
+  /** Exact-k weighted sample without replacement: the k rows with the
+    * largest [[esKey]], id-tiebroken. Spark plans the sorted limit as
+    * TakeOrderedAndProject — per-partition partial top-k, one k-row
+    * reduce, no global sort — so this exact code is the 100 TB shape.
+    * Returns the input columns plus `es_key`. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+      epoch: Int = 0): DataFrame = {
+    requireNumericId(df, idCol)
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.withColumn("es_key", esKey(col(idCol), col(weightCol), epoch))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Merge two (id, weight, es_key) samples into the exact-k sample of
+    * their union — the ES top-k obeys the same merge law as the Broder
+    * bottom-k ([[Sketches.mergeBottomK]]): any row in top-k(A ∪ B) keys
+    * at or above the union's k-th key, hence at or above its own side's
+    * k-th key, so it already sits in that side's top-k. An id on BOTH
+    * sides must carry the same weight (keys are deterministic, so the
+    * rows are then bit-identical and distinct() collapses them); the
+    * streaming store feeds disjoint micro-batches, which satisfies this
+    * trivially. */
+  def mergeWeightedSample(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    a.select("id", "weight", "es_key")
+      .unionByName(b.select("id", "weight", "es_key"))
+      .distinct()
+      .orderBy(col("es_key").desc, col("id"))
+      .limit(k)
+  }
+
   /** Per-group sampling fractions (e.g. language rebalancing): groups
     * absent from `fracs` fall back to `defaultFrac`. The frac lookup is a
     * model-sized table broadcast against the corpus — the data-sized pass

@@ -484,6 +484,29 @@ object StreamOps {
     replaceStore(merged.select(col("h"), col("id")), storeDir)
   }
 
+  /** Same discipline for the Efraimidis–Spirakis weighted reservoir: each
+    * micro-batch's exact-k weighted sample ([[graft.ext.Sampling
+    * .weightedSample]]) merges into the persistent ≤ k-row store by the
+    * top-k-by-key merge law ([[graft.ext.Sampling.mergeWeightedSample]]),
+    * so ANY batch decomposition of a corpus with disjoint ids yields the
+    * bit-identical store as a one-shot sample over the whole corpus — a
+    * continuously maintained probability-proportional-to-size holdout
+    * over an unbounded ingest stream (e.g. eval docs drawn ∝ token
+    * count). Returns the merged sample. */
+  def esUpdateBatch(batch: DataFrame, idCol: String, weightCol: String,
+      storeDir: String, k: Int, epoch: Int = 0): DataFrame = {
+    import graft.ext.Sampling
+    val spark = batch.sparkSession
+    val fresh = Sampling.weightedSample(batch, idCol, weightCol, k, epoch)
+      .select(col(idCol).cast("long").as("id"),
+        col(weightCol).cast("double").as("weight"), col("es_key"))
+    val merged =
+      if (new java.io.File(storeDir).exists())
+        Sampling.mergeWeightedSample(spark.read.parquet(storeDir), fresh, k)
+      else fresh
+    replaceStore(merged.select(col("id"), col("weight"), col("es_key")), storeDir)
+  }
+
   /** Same discipline for the HDR quantile histogram: per-batch histograms
     * of `exprCol` (e.g. doc length) merge by per-bucket addition into a
     * persistent store, read at any time via

@@ -121,6 +121,12 @@ class PlanLintSpec extends SparkSpec {
     // output column inline it) — O(1) integer arithmetic on the id, the
     // expensive per-gram work is aggregated before this projection
     ("q_dsir_select_docs", "pmod(doc_id, 2147483648L)"),
+    // ES weighted-sample key: same epoch-keyed mixHash chain as DSIR
+    // (the split-multiply avalanche references its own input twice per
+    // step, so the chain self-duplicates structurally) — O(1) integer
+    // arithmetic on the id; the expensive tokenizer projection sits in
+    // its own upstream Project and is evaluated once
+    ("q_weighted_sample_docs", "pmod(doc_id, 2147483648L)"),
     ("q_hll_distinct_lineitem", "pmod(l_partkey, 2147483648L)"),
     ("q_kmv_distinct_lineitem", "pmod(l_partkey, 2147483648L)"),
     // bottom-k resemblance sort key: the same mixHash avalanche on the

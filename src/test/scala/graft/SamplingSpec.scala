@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.ext.Sampling
 
@@ -187,5 +188,68 @@ class SamplingSpec extends SparkSpec {
     assert(mix.columns.contains("mix_source"))
     intercept[IllegalArgumentException](
       Sampling.weightedMix(Seq(("x", a, 0.5), ("x", b, 0.5)), "id"))
+  }
+
+  private lazy val weighted = docs.withColumn("w",
+    when($"id" % 2 === 0, 8.0).otherwise(1.0))
+
+  test("weightedSample: inclusion scales with weight across epochs") {
+    // one job over 40 epochs: rank per epoch, keep top-20 of 2000, then
+    // compare inclusion mass of the w=8 ids vs the w=1 ids
+    val perEpoch = (0 until 40).map { e =>
+      Sampling.weightedSample(weighted, "id", "w", k = 20, epoch = e)
+        .select($"id", $"w")
+    }.reduce(_ unionAll _)
+    val byW = perEpoch.groupBy("w").count().as[(Double, Long)].collect().toMap
+    val heavy = byW.getOrElse(8.0, 0L).toDouble
+    val light = byW.getOrElse(1.0, 0L).toDouble
+    assert(heavy + light == 40 * 20)
+    // k/n = 1%: inclusion ≈ proportional; demand a wide margin, not exact 8×
+    assert(light > 0 && heavy / light > 3.0,
+      s"w=8 ids must dominate the sample: heavy=$heavy light=$light")
+  }
+
+  test("weightedSample: deterministic, returns all rows when k >= n, TakeOrdered plan") {
+    val a = Sampling.weightedSample(weighted, "id", "w", 30, epoch = 2)
+    val b = Sampling.weightedSample(weighted, "id", "w", 30, epoch = 2)
+    assert(a.select("id").as[Long].collect().toSet ==
+      b.select("id").as[Long].collect().toSet)
+    assert(Sampling.weightedSample(weighted, "id", "w", 5000).count() == 2000)
+    a.collect()
+    val plan = a.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected partial top-k, not a global sort:\n$plan")
+  }
+
+  test("esKey raises on zero, negative, null, and NaN weights") {
+    def run(w: Column): Unit =
+      weighted.withColumn("w2", w)
+        .withColumn("k", Sampling.esKey($"id", $"w2")).collect()
+    for (bad <- Seq(lit(0.0), lit(-1.0), lit(null).cast("double"),
+        lit(Double.NaN))) {
+      val e = intercept[Exception](run(bad))
+      assert(e.getMessage.contains("es key weight"),
+        s"wrong failure for $bad: ${e.getMessage}")
+    }
+  }
+
+  test("ES streaming store: any batch decomposition ≡ one-shot sample, bit-identical") {
+    val tmp = java.nio.file.Files.createTempDirectory("es_store")
+    val store = s"$tmp/store"
+    try {
+      Seq(weighted.filter($"id" < 300),
+        weighted.filter($"id" >= 300 && $"id" < 1100),
+        weighted.filter($"id" >= 1100))
+        .foreach(b => graft.streaming.StreamOps.esUpdateBatch(
+          b, "id", "w", store, k = 25, epoch = 3))
+      val streamed = spark.read.parquet(store)
+        .select("id", "weight", "es_key").as[(Long, Double, Double)]
+        .collect().toSet
+      val oneShot = Sampling.weightedSample(weighted, "id", "w", 25, epoch = 3)
+        .select($"id", $"w".as("weight"), $"es_key")
+        .as[(Long, Double, Double)].collect().toSet
+      assert(streamed == oneShot, "merge law must make stream ≡ batch exactly")
+      assert(streamed.size == 25)
+    } finally graft.core.Fs.rmTree(tmp)
   }
 }
