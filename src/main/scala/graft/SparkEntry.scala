@@ -3166,6 +3166,52 @@ object SparkEntry {
        |  LEFT JOIN ctx ON ctx.w1 = db.w1
        |  LEFT JOIN cont ON cont.w2 = db.w2)""".stripMargin
 
+  /** Stupid Backoff trigram scoring ([[graft.ext.TextStats
+    * .stupidBackoffScore]], Brants et al. 2007) with the model trained
+    * on the even-doc half — the same train/score split as the KN query
+    * so the two LM families are directly comparable. The oracle replays
+    * the three count frames, both backoff divisions, the α/α² arms, and
+    * the OOV floor; the α² literal is written 0.4*0.4 on BOTH sides so
+    * the engines carry the identical IEEE product. */
+  private def stupidBackoffDocs(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(s, dir)
+    val model = TextStats.trainStupidBackoff(all.filter(col("doc_id") % 2 === 0))
+    TextStats.stupidBackoffScore(all.filter(col("doc_id") < 50), model)
+      .select(col("doc_id"), round6("sb_loglik"), col("n_trigrams"))
+      .orderBy("doc_id")
+  }
+
+  private def stupidBackoffSql: String =
+    raw"""WITH ref AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |uni AS (SELECT w, count(*) AS c FROM
+       |  (SELECT unnest(toks) AS w FROM ref) GROUP BY 1),
+       |tot AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM uni),
+       |rb AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM ref, LATERAL unnest(range(1, len(toks))) AS g(i)),
+       |bi AS (SELECT w1, w2, count(*) AS c12 FROM rb GROUP BY 1, 2),
+       |rt AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+       |  FROM ref, LATERAL unnest(range(1, len(toks) - 1)) AS g(i)),
+       |tri AS (SELECT w1, w2, w3, count(*) AS c123 FROM rt GROUP BY 1, 2, 3),
+       |d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE doc_id < 50),
+       |dt AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+       |  FROM d, LATERAL unnest(range(1, len(toks) - 1)) AS g(i)),
+       |lp AS (SELECT dt.doc_id, ln(
+       |    CASE WHEN tri.c123 IS NOT NULL THEN tri.c123::DOUBLE / bc.c12
+       |         WHEN bb.c12 IS NOT NULL THEN 0.4 * bb.c12::DOUBLE / u2.c
+       |         WHEN u3.c IS NOT NULL THEN 0.4 * 0.4 * u3.c::DOUBLE / tot.n
+       |         ELSE 0.4 * 0.4 / (tot.n + 1.0) END) AS lp
+       |  FROM dt CROSS JOIN tot
+       |  LEFT JOIN tri ON tri.w1 = dt.w1 AND tri.w2 = dt.w2 AND tri.w3 = dt.w3
+       |  LEFT JOIN bi bc ON bc.w1 = dt.w1 AND bc.w2 = dt.w2
+       |  LEFT JOIN bi bb ON bb.w1 = dt.w2 AND bb.w2 = dt.w3
+       |  LEFT JOIN uni u2 ON u2.w = dt.w2
+       |  LEFT JOIN uni u3 ON u3.w = dt.w3)
+       |SELECT doc_id, floor(avg(lp) * 1e6 + 0.5) / 1e6 AS sb_loglik,
+       |  count(*) AS n_trigrams
+       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** CCNet-style per-language quality terciles (Wenzek et al. 2020 §4.3)
     * over the Kneser–Ney score: [[graft.ext.TextStats.qualityTerciles]]
     * ranking the CANONICALIZED (1e-6) score within the table's `lang`
@@ -4787,6 +4833,7 @@ object SparkEntry {
     "q_split_clusters_docs" -> splitClustersDocs,
     "q_bigram_quality_docs" -> bigramQualityDocs,
     "q_kneserney_quality_docs" -> kneserneyQualityDocs,
+    "q_stupid_backoff_docs" -> stupidBackoffDocs,
     "q_ccnet_buckets_docs" -> ccnetBucketsDocs,
     "q_quality_classifier_docs" -> qualityClassifierDocs,
     "q_randproj_embeddings" -> randprojEmbeddings,
@@ -5033,6 +5080,7 @@ object SparkEntry {
     "q_split_clusters_docs" -> splitClustersSql,
     "q_bigram_quality_docs" -> bigramQualitySql,
     "q_kneserney_quality_docs" -> kneserneyQualitySql,
+    "q_stupid_backoff_docs" -> stupidBackoffSql,
     "q_ccnet_buckets_docs" -> ccnetBucketsSql,
     "q_quality_classifier_docs" -> qualityClassifierSql,
     "q_randproj_embeddings" -> randprojEmbeddingsSql,

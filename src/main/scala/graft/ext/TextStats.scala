@@ -404,6 +404,100 @@ object TextStats {
       .agg(avg("lp").as("kn_loglik"), count(lit(1)).as("n_bigrams"))
   }
 
+  // ---- Stupid Backoff trigram LM (Brants et al., EMNLP 2007) ---------------
+
+  /** Trained Stupid Backoff trigram model: trigram / bigram / unigram
+    * type-count frames plus the corpus token total — raw counts ONLY.
+    * No discounting, no continuation counts, no normalization pass: the
+    * scheme Google built for trillion-token distributed LM estimation
+    * ("Large Language Models in Machine Translation", Brants et al.
+    * 2007) precisely because each frame is one plain count aggregate —
+    * one gram-keyed shuffle each, additive across corpus shards — where
+    * Kneser–Ney needs global type statistics per order. The natural
+    * 100 TB upgrade of [[KnModel]] when the corpus outgrows smoothing. */
+  final case class SbModel(tri: DataFrame, bi: DataFrame, uni: DataFrame,
+      total: Long)
+
+  /** Train the Stupid Backoff count frames on a reference corpus. One
+    * corpus scan builds the (w, w2, w3) position stream (Ckpt-pinned —
+    * three count rollups would each replay the token window otherwise);
+    * unigram, bigram and trigram counts are independent aggregates of
+    * it, and the token total is a sum over the unigram frame. */
+  def trainStupidBackoff(corpus: DataFrame, textCol: String = "text"): SbModel = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = corpus.select(monotonically_increasing_id().as("__d"),
+        Dedup.tokens(col(textCol)).as("toks"))
+      .select(col("__d"), posexplode(col("toks")).as(Seq("pos", "w")))
+    val w = Window.partitionBy("__d").orderBy("pos")
+    val seq3 = graft.core.Ckpt.pin(tok
+      .withColumn("w2", lead("w", 1).over(w))
+      .withColumn("w3", lead("w", 2).over(w))
+      .select(col("w").as("w1"), col("w2"), col("w3")))
+    val uni = graft.core.Ckpt.pin(
+      seq3.groupBy("w1").agg(count(lit(1)).as("c1")))
+    val bi = graft.core.Ckpt.pin(seq3.filter(col("w2").isNotNull)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    val tri = graft.core.Ckpt.pin(seq3.filter(col("w3").isNotNull)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123")))
+    val total = uni.agg(coalesce(sum("c1"), lit(0L))).head().getLong(0)
+    SbModel(tri, bi, uni, total)
+  }
+
+  /** Per-doc mean log Stupid Backoff score over trigram positions:
+    *
+    *   S(w3|w1 w2) = c123/c12            if the trigram was seen
+    *               = α · c23/c2          else if the (w2,w3) bigram was
+    *               = α² · c3/N           else (α = 0.4, Brants §3)
+    *
+    * with one deterministic extension: an OOV w3 (no unigram count)
+    * scores the reserved-type floor α²/(N+1) — the same <unk>
+    * convention as the Kneser–Ney floor, keeping the score total where
+    * the paper leaves it undefined. S is a relative score, NOT a
+    * probability (it never normalizes) — the paper's point: quality
+    * ranking at web scale with zero normalization passes. Docs shorter
+    * than 3 tokens produce no row (no trigram evidence).
+    *
+    * Join shape: the doc trigram stream LEFT-joins the three count
+    * frames on their gram keys (the trigram once, the bigram frame
+    * twice — context (w1,w2) and backoff (w2,w3) — the unigram frame
+    * twice — denominator w2 and numerator w3). A seen trigram implies
+    * its context bigram is in the model, and a seen bigram implies its
+    * first word is, so the CASE arms never divide by null. */
+  def stupidBackoffScore(docs: DataFrame, model: SbModel, alpha: Double = 0.4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    val a = lit(alpha)
+    val a2 = lit(alpha * alpha)
+    val n = lit(model.total.toDouble)
+    val tok = docs.select(col(idCol).as("doc_id"),
+        posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "w")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    tok.withColumn("w2", lead("w", 1).over(w))
+      .withColumn("w3", lead("w", 2).over(w))
+      .filter(col("w3").isNotNull)
+      .withColumnRenamed("w", "w1")
+      .join(model.tri.select(col("w1"), col("w2"), col("w3"),
+        col("c123").as("__c123")), Seq("w1", "w2", "w3"), "left")
+      .join(model.bi.select(col("w1"), col("w2"), col("c12").as("__c12")),
+        Seq("w1", "w2"), "left")
+      .join(model.bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c12").as("__c23")), Seq("w2", "w3"), "left")
+      .join(model.uni.select(col("w1").as("w2"), col("c1").as("__c2")),
+        Seq("w2"), "left")
+      .join(model.uni.select(col("w1").as("w3"), col("c1").as("__c3")),
+        Seq("w3"), "left")
+      .select(col("doc_id"), log(
+        when(col("__c123").isNotNull,
+          col("__c123").cast("double") / col("__c12"))
+        .when(col("__c23").isNotNull,
+          a * col("__c23").cast("double") / col("__c2"))
+        .when(col("__c3").isNotNull, a2 * col("__c3").cast("double") / n)
+        .otherwise(a2 / (n + lit(1.0)))).as("lp"))
+      .groupBy("doc_id")
+      .agg(avg("lp").as("sb_loglik"), count(lit(1)).as("n_trigrams"))
+  }
+
   // ---- corpus-health diagnostics (Zipf fit) --------------------------------
 
   /** Zipf's-law fit over the top-N token frequencies — the classic

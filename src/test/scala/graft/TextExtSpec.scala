@@ -366,6 +366,37 @@ class TextExtSpec extends SparkSpec {
     assert(s2(20L) > s2(21L), s"$s2")
   }
 
+  test("Stupid Backoff: hand-checked counts and all four backoff arms") {
+    val ref = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val m = TextStats.trainStupidBackoff(ref)
+    assert(m.total == 6L, s"N=${m.total}")
+    val uni = m.uni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni == Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L), s"$uni")
+    val tri = m.tri.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(tri.size == 4 && tri(("a", "b", "c")) == 1L && tri(("a", "b", "d")) == 1L)
+    val scored = TextStats.stupidBackoffScore(
+      Seq((10L, "a b c"),   // seen trigram: c123/c12 = 1/2
+          (11L, "b b c"),   // unseen trigram, seen (b,c): 0.4 * 1/2
+          (12L, "x y a"),   // unseen bigram, seen a: 0.16 * 2/6
+          (13L, "x y z"),   // OOV z: floor 0.16/(6+1)
+          (14L, "a b"))     // no trigram -> absent
+        .toDF("doc_id", "text"), m)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val a2 = 0.4 * 0.4
+    assert(math.abs(scored(10L)._1 - math.log(1.0 / 2.0)) < 1e-12, s"${scored(10L)}")
+    assert(math.abs(scored(11L)._1 - math.log(0.4 * 1.0 / 2.0)) < 1e-12)
+    assert(math.abs(scored(12L)._1 - math.log(a2 * 2.0 / 6.0)) < 1e-12)
+    assert(math.abs(scored(13L)._1 - math.log(a2 / 7.0)) < 1e-12)
+    assert(!scored.contains(14L), "2-token doc must produce no row")
+    assert(scored.values.forall(_._2 == 1L))
+    // the backoff arms are strictly ordered on this corpus
+    assert(scored(10L)._1 > scored(11L)._1 && scored(11L)._1 > scored(12L)._1 &&
+      scored(12L)._1 > scored(13L)._1, s"$scored")
+    intercept[IllegalArgumentException](
+      TextStats.stupidBackoffScore(ref, m, alpha = 1.5))
+  }
+
   test("gramDuplicationStats: shared-gram fractions, distinctness, short docs") {
     val docs = Seq(
       (1L, "a b c d"),              // grams abc, bcd
