@@ -2227,6 +2227,69 @@ object SparkEntry {
     Similarity.bruteForceTopK(Tables.embeddings(s, dir), similarityQueries(s, dir), k = 5)
       .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
 
+  /** MMR diversity re-ranking ([[graft.ext.Mmr.mmrTopK]], Carbonell &
+    * Goldstein 1998): greedy λ-blended selection of 4 from the top-12
+    * relevance pool per query. The oracle unrolls all four greedy
+    * iterations as CTEs — pool cut, quantized pairwise candidate
+    * similarities, per-step argmax with max-over-selected penalties —
+    * exactly replaying the aggregator's decisions because BOTH engines
+    * quantize rel/sim to 1e-6 before scoring (the tie-sensitive-DP
+    * parity rule); μ = 1−λ is interpolated from the Scala double so the
+    * engines share its bits. */
+  private def mmrRerankEmbeddings(s: SparkSession, dir: String): DataFrame =
+    ext.Mmr.mmrTopK(Tables.embeddings(s, dir), similarityQueries(s, dir),
+        k = 4, m = 12, lambda = 0.7)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("rel"),
+        r6(col("mmr")).as("mmr"))
+
+  private def mmrRerankSql: String = {
+    val lam = "0.7"
+    val mu = s"(${(1.0 - 0.7).toString})::DOUBLE"
+    val steps = (2 to 4).map { r =>
+      val sel = (1 until r).map(i => s"SELECT query_id, vec_id FROM p$i")
+        .mkString(" UNION ALL ")
+      raw"""sel$r AS ($sel),
+         |m$r AS (SELECT c.query_id, c.vec_id, c.relq,
+         |    $lam * c.relq - $mu * max(pw.sim) AS mmr
+         |  FROM cand c
+         |  JOIN pw ON pw.query_id = c.query_id AND pw.da = c.vec_id
+         |  JOIN sel$r s ON s.query_id = pw.query_id AND s.vec_id = pw.db
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$r x
+         |    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+         |  GROUP BY c.query_id, c.vec_id, c.relq),
+         |p$r AS (SELECT query_id, vec_id, relq, mmr FROM m$r
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY mmr DESC, vec_id) = 1)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to 4).map(r =>
+      s"SELECT query_id, $r AS rank, vec_id, relq, mmr FROM p$r")
+      .mkString("\n  UNION ALL ")
+    raw"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qemb
+       |  FROM embeddings WHERE vec_id < 3),
+       |sc AS (SELECT q.query_id, e.vec_id,
+       |    list_cosine_similarity(e.embedding::DOUBLE[], q.qemb) AS cos
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id IS NOT NULL),
+       |cand AS (SELECT query_id, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS relq
+       |  FROM (SELECT query_id, vec_id, cos,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |    FROM sc WHERE cos IS NOT NULL AND NOT isnan(cos))
+       |  WHERE rk <= 12),
+       |pw AS (SELECT a.query_id, a.vec_id AS da, b.vec_id AS db,
+       |    floor(list_cosine_similarity(ea.embedding::DOUBLE[],
+       |      eb.embedding::DOUBLE[]) * 1e6 + 0.5) / 1e6 AS sim
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |p1 AS (SELECT query_id, vec_id, relq, $lam * relq AS mmr FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY $lam * relq DESC, vec_id) = 1),
+       |$steps,
+       |allp AS ($unionAll)
+       |SELECT query_id, rank, vec_id, relq AS rel,
+       |  floor(mmr * 1e6 + 0.5) / 1e6 AS mmr
+       |FROM allp ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Matryoshka-truncation retrieval eval ([[graft.ext.Similarity
     * .truncatedTopK]]): top-5 on the first 16 of 64 dims plus recall@5
     * against the full-dim exact result — BOTH sides of the recall are
@@ -4812,6 +4875,7 @@ object SparkEntry {
     "q_fingerprint_rolling_docs" -> fingerprintRollingDocs,
     "q_fingerprint_pairs_docs" -> fingerprintPairsDocs,
     "q_similarity_topk_brute" -> similarityTopkBrute,
+    "q_mmr_rerank_embeddings" -> mmrRerankEmbeddings,
     "q_mrl_topk_embeddings" -> mrlTopkEmbeddings,
     "q_similarity_topk_lsh" -> similarityTopkLsh,
     "q_lsh_replay_topk" -> lshReplayTopk,
@@ -5060,6 +5124,7 @@ object SparkEntry {
         |SELECT query_id, rank, vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_mrl_topk_embeddings" -> mrlTopkSql,
+    "q_mmr_rerank_embeddings" -> mmrRerankSql,
     "q_weighted_bins_lineitem" -> weightedBinsSql,
     "q_frequency_lineitem" -> frequencyLineitemSql,
     "q_stationarity_events" -> stationarityEventsSql,

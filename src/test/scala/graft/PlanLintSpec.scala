@@ -31,6 +31,10 @@ class PlanLintSpec extends SparkSpec {
     // matryoshka truncation: both legs (d'=16 and full-dim) are the
     // bruteForceTopK shape — corpus × broadcast(3 query rows)
     "q_mrl_topk_embeddings",
+    // MMR re-rank: the scoring stage is the bruteForceTopK shape
+    // (corpus × broadcast(3 query rows)); the greedy stage is an
+    // m-capped aggregation, never a join
+    "q_mmr_rerank_embeddings",
     // sketch queries: both join sides are ONE-row aggregates (the sketch
     // row + the exact-count row) — a broadcast loop over one row is the
     // model-sized case the whitelist exists for
