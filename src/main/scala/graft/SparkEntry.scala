@@ -4262,6 +4262,60 @@ object SparkEntry {
        |SELECT r::BIGINT AS r, bucket::BIGINT AS bucket, sum(c)::BIGINT AS cnt
        |FROM rb GROUP BY r, bucket ORDER BY r, bucket""".stripMargin
 
+  /** Streaming HLL distinct-token store: three micro-batches (the middle
+    * two OVERLAP by construction — the register max is idempotent, so
+    * replayed rows are a no-op, which is the at-least-once-delivery
+    * story) fold into a persisted ≤ 256-row register table via
+    * [[graft.streaming.StreamOps.hllUpdateBatch]]; the merge law makes
+    * the store bit-identical to a one-shot [[graft.ext.Sketches
+    * .hllRegisters]], so the one-shot DuckDB replay is a FULL hash
+    * oracle for the streamed estimate. */
+  private def hllStreamDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("hll_q")
+    val store = s"$tmp/store"
+    try {
+      Seq(docs.filter(col("doc_id") < 80),
+        docs.filter(col("doc_id") >= 60 && col("doc_id") < 150),
+        docs.filter(col("doc_id") >= 150))
+        .foreach { b =>
+          val keys = b.select(explode(Dedup.tokens(col("text"))).as("tok"))
+            .filter(col("tok") =!= "")
+            .select(TextStats.rollingHash(col("tok")).as("key"))
+          streaming.StreamOps.hllUpdateBatch(keys, col("key"), store, b = 8)
+        }
+      val rows = ext.Sketches.hllEstimate(s.read.parquet(store), 8)
+        .select(col("m"), col("n_registers"),
+          r6(col("est_distinct")).as("est_distinct"))
+        .collect().toSeq
+      s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("m", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_registers", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("est_distinct", org.apache.spark.sql.types.DoubleType))))
+    } finally core.Fs.rmTree(tmp)
+  }
+
+  private def hllStreamSql: String =
+    s"""WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents WHERE doc_id < 200),
+       |d_ AS (SELECT DISTINCT tok FROM t WHERE tok <> ''),
+       |ids AS (SELECT list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(tok)),
+       |      j -> ascii(substring(tok, j, 1))::BIGINT)),
+       |    (h, c) -> (h * 257 + c) % 1000000007) AS id FROM d_),
+       |$mixHashCtes,
+       |r_ AS (SELECT h >> 24 AS bucket, h % 16777216 AS w FROM hx),
+       |rr AS (SELECT bucket, max(CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END) AS rank
+       |  FROM r_ GROUP BY bucket),
+       |a_ AS (SELECT sum(power(2.0, -rank)) AS pinv, count(*) AS nreg FROM rr),
+       |e_ AS (SELECT (0.7213 / (1 + 1.079 / 256) * 256 * 256) / (pinv + CAST(256 - nreg AS DOUBLE)) AS raw,
+       |  CAST(256 - nreg AS DOUBLE) AS v, nreg FROM a_)
+       |SELECT CAST(256 AS BIGINT) AS m, CAST(nreg AS BIGINT) AS n_registers,
+       |  floor((CASE WHEN raw <= 640.0 AND v > 0 THEN 256.0 * ln(256.0 / v) ELSE raw END) * 1e6 + 0.5) / 1e6 AS est_distinct
+       |FROM e_""".stripMargin
+
   /** Efraimidis–Spirakis exact-k weighted sample ([[graft.ext.Sampling
     * .weightedSample]]) of the corpus with weight = token count — docs
     * enter the eval holdout with probability proportional to their
@@ -4941,6 +4995,7 @@ object SparkEntry {
     "q_bottomk_stream_docs" -> bottomkStreamDocs,
     "q_weighted_sample_docs" -> weightedSampleDocs,
     "q_es_stream_docs" -> esStreamDocs,
+    "q_hll_stream_docs" -> hllStreamDocs,
     "q_gopher_quality_docs" -> gopherQualityDocs,
     "q_weighted_keep_docs" -> weightedKeepDocs,
     "q_boilerplate_docs" -> boilerplateDocs,
@@ -5232,6 +5287,7 @@ object SparkEntry {
     "q_bottomk_stream_docs" -> bottomkStreamSql,
     "q_weighted_sample_docs" -> weightedSampleSql,
     "q_es_stream_docs" -> esStreamSql,
+    "q_hll_stream_docs" -> hllStreamSql,
     "q_gopher_quality_docs" -> gopherQualitySql,
     "q_weighted_keep_docs" -> weightedKeepSql,
     "q_boilerplate_docs" -> boilerplateSql,

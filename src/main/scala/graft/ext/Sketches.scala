@@ -183,6 +183,17 @@ object Sketches {
       .groupBy("bucket").agg(max("rank").as("rank"))
   }
 
+  /** Merge two register tables into the registers of the corpus union —
+    * per-bucket max. Exact by the HLL merge law: a register is the max
+    * of per-item ranks, and max is associative, commutative and
+    * idempotent, so ANY shard/batch decomposition (including overlapping
+    * ones) merges to the bit-identical table a one-shot
+    * [[hllRegisters]] over the union would build. */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bucket"), col("rank"))
+      .unionByName(b.select(col("bucket"), col("rank")))
+      .groupBy("bucket").agg(max("rank").as("rank"))
+
   /** HLL estimate from a register table: ONE row
     * (m, n_registers, est_distinct). alpha_m = 0.7213/(1 + 1.079/m) (the
     * published constant for m ≥ 128); registers are exact powers of two so

@@ -523,6 +523,30 @@ object StreamOps {
     replaceStore(merged.select(col("bucket"), col("cnt")), storeDir)
   }
 
+  /** Same discipline for the HLL cardinality registers: each
+    * micro-batch's (bucket, rank) table merges into the persistent ≤ 2^b
+    * register store by per-bucket max — exact under the HLL merge law
+    * even for OVERLAPPING batches (max is idempotent), so the streamed
+    * store is bit-identical to a one-shot [[graft.ext.Sketches
+    * .hllRegisters]] over everything ingested: continuously-maintained
+    * distinct counts (unique tokens/urls/ids) over an unbounded stream,
+    * read at any time via [[graft.ext.Sketches.hllEstimate]]. */
+  def hllUpdateBatch(batch: DataFrame, valueExpr: org.apache.spark.sql.Column,
+      storeDir: String, b: Int): DataFrame = {
+    import graft.ext.Sketches
+    val spark = batch.sparkSession
+    val fresh = Sketches.hllRegisters(batch.select(valueExpr.as("v")), "v", b)
+    val merged =
+      if (new java.io.File(storeDir).exists())
+        Sketches.hllMergeRegisters(
+          spark.read.parquet(storeDir)
+            .select(col("bucket"), col("rank").cast("int").as("rank")),
+          fresh)
+      else fresh
+    replaceStore(merged.select(col("bucket"), col("rank").cast("int").as("rank")),
+      storeDir)
+  }
+
   /** readStream → foreachBatch wiring for the CMS store: each arriving
     * parquet file's documents fold into `storeDir`. */
   def cmsStream(

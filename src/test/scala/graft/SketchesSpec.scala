@@ -231,6 +231,15 @@ class SketchesSpec extends SparkSpec {
         docs.select(($"doc_id" * 7919L).as("key")), "key", 16)
         .orderBy("h", "id").as[(Long, Long)].collect().toSeq
       assert(bs == bo && bs.length == 16)
+      // HLL registers: same decomposition law, and OVERLAPPING batches
+      // too — register max is idempotent, so re-ingesting rows is a no-op
+      Seq(docs.filter($"doc_id" < 120), docs.filter($"doc_id" >= 100))
+        .foreach(b => StreamOps.hllUpdateBatch(b, $"doc_id" * 104729L, s"$tmp/hll", 8))
+      val rs = spark.read.parquet(s"$tmp/hll").as[(Long, Int)].collect().toSet
+      val ro = Sketches.hllRegisters(
+        docs.select(($"doc_id" * 104729L).as("v")), "v", 8)
+        .as[(Long, Int)].collect().toSet
+      assert(rs == ro, "overlapping-batch HLL store must equal the one-shot registers")
     } finally {
       graft.core.Fs.rmTree(tmp)
     }
