@@ -3558,6 +3558,41 @@ object SparkEntry {
        |SELECT doc_id, n_terms_hit, score FROM r WHERE rn <= 25
        |ORDER BY score DESC, doc_id""".stripMargin
 
+  /** TF-IDF vector-space retrieval ([[graft.ext.Search.tfidfTopK]] —
+    * scikit-learn smooth-idf convention, L2 document norms) over the
+    * full documents table. DuckDB replays the inverted-index build
+    * (per-(doc, term) tf, corpus df, smooth idf, per-doc L2 norm), the
+    * query-vector weights RECOVERED the same way the engine's
+    * posting-time path recovers them (idf = max(tfidf/tf) per term, so
+    * both engines divide the identical IEEE product), the cosine sum,
+    * and the canon'd (score desc, id) top-25 cut. */
+  private def tfidfTopkDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Search.tfidfTopK(Tables.documents(s, dir), bm25Terms, k = 25)
+      .select(col("doc_id"), col("n_terms_hit"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+
+  private def tfidfTopkSql: String =
+    raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM t),
+       |h AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM h GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |w AS (SELECT tf.doc_id, tf.term, tf.tf,
+       |  tf.tf * (ln((1 + n.n_docs) / (1 + dft.df)) + 1) AS tfidf
+       |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+       |nm AS (SELECT doc_id, sqrt(sum(tfidf * tfidf)) AS doc_norm FROM w GROUP BY 1),
+       |qw AS (SELECT term, max(tfidf / tf) AS q_w FROM w
+       |  WHERE term IN ('spark', 'vector', 'merge', 'stream') GROUP BY 1),
+       |qn AS (SELECT sqrt(sum(q_w * q_w)) AS q_norm FROM qw),
+       |sc AS (SELECT w.doc_id, count(*) AS n_terms_hit,
+       |  floor(sum((w.tfidf / nm.doc_norm) * qw.q_w / qn.q_norm) * 1e6 + 0.5) / 1e6 AS score
+       |  FROM w JOIN nm USING (doc_id) JOIN qw USING (term) CROSS JOIN qn GROUP BY 1),
+       |r AS (SELECT doc_id, n_terms_hit, score,
+       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc)
+       |SELECT doc_id, n_terms_hit, score FROM r WHERE rn <= 25
+       |ORDER BY score DESC, doc_id""".stripMargin
+
   /** Corpus-wide repeated-span removal probe: [[graft.ext.Dedup
     * .dropRepeatedSpans]] (C4 recipe) at 8-token blocks over the full
     * documents table. DuckDB replays the block split, the global
@@ -4962,6 +4997,7 @@ object SparkEntry {
     "q_meanpool_embeddings" -> meanPoolEmbeddings,
     "q_hashed_topk_docs" -> hashedTopkDocs,
     "q_bm25_topk_docs" -> bm25TopkDocs,
+    "q_tfidf_topk_docs" -> tfidfTopkDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
     "q_cluster_keep_embeddings" -> clusterKeepEmbeddings,
@@ -5211,6 +5247,7 @@ object SparkEntry {
     "q_meanpool_embeddings" -> meanPoolSql,
     "q_hashed_topk_docs" -> hashedTopkSql,
     "q_bm25_topk_docs" -> bm25TopkSql,
+    "q_tfidf_topk_docs" -> tfidfTopkSql,
     "q_semdedup_pairs" -> semdedupPairsSql,
     "q_semdedup_keep" -> semdedupKeepSql,
     "q_cluster_keep_embeddings" -> clusterKeepSql,

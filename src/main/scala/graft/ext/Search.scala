@@ -134,4 +134,115 @@ object Search {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  // ---- TF-IDF vector-space retrieval ---------------------------------------
+
+  /** L2-normalized tf-idf posting list over the corpus — the classic
+    * vector-space model in the convention scikit-learn's TfidfVectorizer
+    * made canonical (smooth idf, raw tf, L2 document norm):
+    *
+    *   w(d,t)  = tf(d,t) · (ln((1+N)/(1+df(t))) + 1)
+    *   wn(d,t) = w(d,t) / sqrt(Σ_t w(d,t)²)
+    *
+    * Unlike [[bm25Scores]] (which only needs document LENGTH and so never
+    * shuffles the corpus token stream), a tf-idf document vector's norm
+    * depends on the idf of EVERY term in the document — corpus-wide df is
+    * irreducible. This is therefore the AMORTIZED index pass of the
+    * vector-space model, shaped as the standard inverted-index build:
+    *
+    *   - (doc, term, tf): one map-side-combinable groupBy over the token
+    *     stream — the only full-corpus shuffle, and the one every
+    *     inverted-index build pays;
+    *   - df(t): aggregates the tf frame (≤ one row per (doc, term)),
+    *     map-combinable on term;
+    *   - the tf ⋈ df join brings idf back: the build side is ONE row per
+    *     term, so a hot stopword term skews only the probe side — exactly
+    *     the shape AQE's skew-join splitting handles (split the fat probe
+    *     partition, replicate the 1-row build key);
+    *   - the per-doc norm is a groupBy(doc) over the same frame,
+    *     map-combinable, bounded by a doc's own vocabulary.
+    *
+    * Persist the result bucketed by term (sources/Bucketing) and
+    * [[tfidfTopKFromPostings]] prunes the corpus scan entirely — the same
+    * standing-index amortization choice as the BM25 note above.
+    *
+    * Output: (idCol, term, tf, tfidf, tfidf_norm). Null/empty text
+    * produces no postings (explode of an empty array), matching the BM25
+    * null contract. */
+  def tfidfPostings(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // N = docs with non-null text: every such doc yields ≥ 1 posting (an
+    // all-whitespace text still splits to one "" term), so this equals a
+    // distinct-doc count over the token stream — without paying a
+    // distinct aggregation over it.
+    val nDocs = docs.filter(col(textCol).isNotNull).agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dft, "term")
+      .join(broadcast(nDocs))
+      .withColumn("idf",
+        log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + lit(1.0))
+      .withColumn("tfidf", col("tf") * col("idf"))
+    val norms = w.groupBy(col(idCol))
+      .agg(sqrt(sum(col("tfidf") * col("tfidf"))).as("doc_norm"))
+    w.join(norms, idCol)
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"),
+        (col("tfidf") / col("doc_norm")).as("tfidf_norm"))
+  }
+
+  /** Cosine top-k against a tf-idf query vector built from `queryTerms`
+    * (duplicates = query tf), using corpus df for the query weights —
+    * terms absent from the corpus vocabulary are dropped (df undefined;
+    * scikit-learn's transform does the same by construction of its
+    * fitted vocabulary). Since both sides are L2-normalized the score is
+    * the cosine Σ_t wn(d,t)·wn(q,t) ∈ [0, 1].
+    *
+    * The query-side weights stay INSIDE the plan: df for the ≤|q| query
+    * terms is a filtered aggregate of the (already tiny) hit frame's
+    * parent, and the query norm is one scalar aggregate over those rows —
+    * no driver collect. Ranks on the 6-decimal canonicalized score with
+    * the (score desc, id asc) tie rule shared with [[bm25TopK]]. */
+  def tfidfTopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    tfidfTopKFromPostings(tfidfPostings(docs, idCol, textCol), queryTerms, k, idCol)
+  }
+
+  /** Query-time half of the vector-space model over a (possibly
+    * persisted) [[tfidfPostings]] frame. Only posting rows for query
+    * terms cross a shuffle: the filter is pushed to the postings scan
+    * (partition-pruned when the index is bucketed/partitioned by term). */
+  def tfidfTopKFromPostings(postings: DataFrame, queryTerms: Seq[String], k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // query tf from the term multiset; model-sized literal frame
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qtf = queryTerms.groupBy(identity).map { case (t, ts) => (t, ts.size.toLong) }
+      .toSeq.toDF("term", "q_tf")
+    // idf is recoverable from any posting row of the term: tfidf / tf
+    val termIdf = postings
+      .where(col("term").isInCollection(queryTerms.distinct))
+      .groupBy(col("term"))
+      .agg(max(col("tfidf") / col("tf")).as("idf"))
+    val qw = termIdf.join(broadcast(qtf), "term")
+      .withColumn("q_w", col("q_tf") * col("idf"))
+    val qnorm = qw.agg(sqrt(sum(col("q_w") * col("q_w"))).as("q_norm"))
+    val hits = postings
+      .where(col("term").isInCollection(queryTerms.distinct))
+      .join(broadcast(qw.select(col("term"), col("q_w"))), "term")
+      .join(broadcast(qnorm))
+    hits
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("tfidf_norm") * col("q_w") / col("q_norm")).as("score"))
+      .withColumn("score", floor(col("score") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -85,4 +85,75 @@ class SearchSpec extends SparkSpec {
       .filter($"doc_id" === 1L).collect()(0).getAs[Double]("score")
     assert(a == b)
   }
+
+  // ---- tf-idf vector-space model -------------------------------------------
+
+  test("tfidfPostings: hand-computed weights and unit L2 document norms") {
+    val p = Search.tfidfPostings(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
+        (r.getAs[Long]("tf"), r.getAs[Double]("tfidf"), r.getAs[Double]("tfidf_norm")))
+      .toMap
+    // doc 1 = "table scan table merge table": tf(table)=3, df(table)=2, N=4
+    val idfTable = math.log(5.0 / 3.0) + 1.0
+    val idfScan = math.log(5.0 / 2.0) + 1.0   // df=1
+    val idfMerge = math.log(5.0 / 3.0) + 1.0  // df=2 (docs 1, 3)
+    assert(p((1L, "table"))._1 == 3L)
+    assert(math.abs(p((1L, "table"))._2 - 3 * idfTable) < 1e-12)
+    val norm1 = math.sqrt(math.pow(3 * idfTable, 2) + math.pow(idfScan, 2)
+      + math.pow(idfMerge, 2))
+    assert(math.abs(p((1L, "table"))._3 - 3 * idfTable / norm1) < 1e-12)
+    // every document vector is unit-norm
+    Search.tfidfPostings(corpus).groupBy($"doc_id")
+      .agg(org.apache.spark.sql.functions.sum($"tfidf_norm" * $"tfidf_norm").as("n2"))
+      .collect().foreach(r =>
+        assert(math.abs(r.getAs[Double]("n2") - 1.0) < 1e-12, r.toString))
+  }
+
+  test("tfidfTopK: cosine ranking, OOV query terms dropped, no-hit docs absent") {
+    val top = Search.tfidfTopK(corpus, Seq("vector", "table", "nosuchterm"), k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_terms_hit"), r.getAs[Double]("score")))
+    val byId = top.toMap
+    // docs 3 and 4 contain neither query term
+    assert(!byId.contains(3L) && !byId.contains(4L), top.toSeq.toString)
+    // doc 2 holds the rare term + table; doc 1 is table-heavy but its norm
+    // is dominated by table so its cosine against the mixed query is lower
+    // on the vector axis; both scores are valid cosines in [0, 1]
+    assert(byId.values.forall(v => v._2 >= 0.0 && v._2 <= 1.0 + 1e-9), top.toSeq.toString)
+    assert(byId(2L)._1 == 2L && byId(1L)._1 == 1L)
+    // hand-check doc 1's cosine: query vector (vector, table) at q_tf=1
+    val idfTable = math.log(5.0 / 3.0) + 1.0
+    val idfVector = math.log(5.0 / 2.0) + 1.0
+    val qnorm = math.sqrt(idfTable * idfTable + idfVector * idfVector)
+    val idfScan = math.log(5.0 / 2.0) + 1.0
+    val idfMerge = math.log(5.0 / 3.0) + 1.0
+    val norm1 = math.sqrt(math.pow(3 * idfTable, 2) + math.pow(idfScan, 2)
+      + math.pow(idfMerge, 2))
+    val want1 = (3 * idfTable / norm1) * (idfTable / qnorm)
+    assert(math.abs(byId(1L)._2 - want1) < 1e-6, s"got ${byId(1L)._2} want $want1")
+  }
+
+  test("tfidfTopK: query built from persisted postings equals inline; dup terms raise q_tf") {
+    val postings = Search.tfidfPostings(corpus)
+    val inline = Search.tfidfTopK(corpus, Seq("merge", "table"), k = 3).collect()
+    val fromPost = Search.tfidfTopKFromPostings(postings, Seq("merge", "table"), k = 3).collect()
+    assert(inline.map(_.toString).sameElements(fromPost.map(_.toString)))
+    // doubling a query term shifts query mass toward it: doc 3 (merge x2)
+    // must rank strictly higher with the doubled merge query
+    def scoreOf(terms: Seq[String], id: Long): Double =
+      Search.tfidfTopK(corpus, terms, k = 4).collect()
+        .find(_.getAs[Long]("doc_id") == id).map(_.getAs[Double]("score")).getOrElse(0.0)
+    assert(scoreOf(Seq("merge", "merge", "table"), 3L) > scoreOf(Seq("merge", "table"), 3L))
+  }
+
+  test("tfidf: null text yields no postings; whitespace-only text still counts in N") {
+    val df = Seq((1L, "table merge"), (2L, null.asInstanceOf[String]), (3L, "   "))
+      .toDF("doc_id", "text")
+    val p = Search.tfidfPostings(df)
+    // null doc absent entirely; whitespace doc postings carry the "" term
+    assert(!p.filter($"doc_id" === 2L).collect().nonEmpty)
+    // N=2 (docs 1 and 3): idf(table) = ln(3/2)+1
+    val w = p.filter($"doc_id" === 1L && $"term" === "table").collect()(0)
+    assert(math.abs(w.getAs[Double]("tfidf") - (math.log(3.0 / 2.0) + 1.0)) < 1e-12)
+  }
 }
