@@ -1,0 +1,142 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hard-negative mining over an embedded corpus — the contrastive-
+  * training data-prep op (SURVEY §7.4 extension family): for each anchor
+  * vector, the highest-cosine candidates that do NOT share the anchor's
+  * label. "Take the top-scoring non-gold passages" is the DPR recipe
+  * (Karpukhin et al. 2020, §4.2 "hard negatives"); the optional margin
+  * band below the hardest positive is FaceNet's semi-hard rule
+  * (Schroff et al. 2015, §3.2) transplanted from euclidean to cosine.
+  *
+  * Scale shape:
+  *   - [[hardNegatives]] broadcasts the ANCHOR set — a training batch's
+  *     anchors are model-sized by construction — and streams the corpus
+  *     through a label-mismatch filter into the k-capped [[TopKAgg]], so
+  *     map-side combine reduces every scan partition to ≤ k rows per
+  *     anchor and the shuffle moves k·P rows, never the N·A scored
+  *     stream (the [[Similarity.bruteForceTopK]] plan with an extra
+  *     pushed filter).
+  *   - [[hardNegativesCelled]] is the corpus-wide form (every row an
+  *     anchor): candidates come from an IVF cell EQUIJOIN — anchors
+  *     probe their nprobe nearest cells, candidates sit in their
+  *     assigned cell — so there is no broadcast loop and no N² scan;
+  *     per-cell work is bounded by cell population (nlist ∝ √N keeps
+  *     cells ~√N), the same shuffle geometry as [[Similarity.ivfTopK]].
+  *
+  * The label column is the positive-set oracle (gold cluster / source
+  * query id). Anchors are never their own negative (label equality
+  * excludes self-pairs); `pos_max` — the hardest positive's cosine,
+  * self excluded by id — rides along for downstream triplet assembly.
+  */
+object Negatives {
+
+  /** Mine top-k hard negatives for each (broadcast) anchor. Output:
+    * (query_id, rank, vec_id, cos, pos_max) with the library's
+    * deterministic (cos desc, vec_id asc) tie rule inside [[TopKAgg]].
+    *
+    * `marginBand = Some(m)` keeps only semi-hard negatives, i.e. those
+    * with `pos_max - m < cos < pos_max`: harder than the band floor,
+    * easier than the hardest positive. Anchors with NO positive
+    * (`pos_max` null) emit no semi-hard rows — the band is undefined —
+    * but DO emit plain hard negatives when `marginBand` is None (their
+    * `pos_max` is null in the output). The corpus is scanned twice when
+    * the band is active (once for pos_max, once for mining); cache the
+    * corpus frame if that matters at your scale.
+    *
+    * Null/NaN discipline matches bruteForceTopK: null ids, null
+    * embeddings, and NaN cosines are filtered before ranking, and rows
+    * with a null label never qualify as negatives (unknown gold set) —
+    * nor as positives. */
+  def hardNegatives(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      k: Int,
+      marginBand: Option[Double] = None,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    marginBand.foreach(m => require(m > 0, s"marginBand must be positive, got $m"))
+    val topk = udaf(new TopKAgg(k))
+    val cand = corpus.select(
+      col(idCol).cast("long").as("vec_id"),
+      col(embCol).cast("array<double>").as("emb"),
+      col(labelCol).as("label"))
+    val anc = broadcast(anchors.select(
+      col(idCol).cast("long").as("query_id"),
+      col(embCol).cast("array<double>").as("qemb"),
+      col(labelCol).as("qlabel")))
+    val scored = cand.crossJoin(anc)
+      .withColumn("cos", Dedup.cosine(col("emb"), col("qemb")))
+      .filter(col("vec_id").isNotNull && col("cos").isNotNull && !isnan(col("cos")))
+    // hardest positive per anchor: same label, self excluded by id
+    val posMax = scored
+      .filter(col("label").isNotNull && col("label") === col("qlabel") &&
+        col("vec_id") =!= col("query_id"))
+      .groupBy("query_id").agg(max(col("cos")).as("pos_max"))
+    val negs = scored.filter(col("label").isNotNull && col("label") =!= col("qlabel"))
+    // band path: pos_max is constant per anchor, so riding it through the
+    // aggregation (max) avoids referencing the posMax subplan twice —
+    // each reference is a separate corpus scan to Catalyst
+    val top = marginBand match {
+      case Some(m) => negs.join(broadcast(posMax), "query_id")
+        .filter(col("cos") < col("pos_max") && col("cos") > col("pos_max") - lit(m))
+        .groupBy("query_id")
+        .agg(topk(col("vec_id"), col("cos")).as("top"), max(col("pos_max")).as("pos_max"))
+      case None => negs
+        .groupBy("query_id")
+        .agg(topk(col("vec_id"), col("cos")).as("top"))
+        .join(broadcast(posMax), Seq("query_id"), "left")
+    }
+    top
+      .select(col("query_id"), col("pos_max"), posexplode(col("top")).as(Seq("pos", "sv")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("sv.vec_id").as("vec_id"), col("sv.cos").as("cos"), col("pos_max"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Corpus-wide hard-negative mining: EVERY corpus row is an anchor, and
+    * the candidate generator is the IVF cell equijoin instead of a
+    * broadcast scan — anchors explode to their `nprobe` nearest cells,
+    * candidates sit in their one assigned cell, and the join key is the
+    * cell id. Approximate exactly like [[Similarity.ivfTopK]] (a negative
+    * outside the probed cells is missed); recall vs the brute path is
+    * spec-measured. No margin band here: the semi-hard floor needs the
+    * hardest POSITIVE, which cell pruning cannot bound — mine semi-hard
+    * batches with [[hardNegatives]] on a bounded anchor set instead. */
+  def hardNegativesCelled(
+      corpus: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 3,
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val topk = udaf(new TopKAgg(k))
+    val cents = Similarity.trainIvfCentroids(corpus, idCol, embCol, nlist, iters)
+    val labels = corpus.select(col(idCol).cast("long").as("vec_id"),
+      col(labelCol).as("label"))
+    val assigned = Similarity.assignCells(corpus, cents, idCol, embCol)
+      .join(labels, "vec_id")
+    val probe = Similarity.probeUdf(cents, nprobe)
+    val anchors = assigned.select(
+      col("vec_id").as("query_id"), col("emb").as("qemb"), col("label").as("qlabel"),
+      explode(probe(col("emb"))).as("cell"))
+    anchors.join(assigned, "cell")
+      .filter(col("label").isNotNull && col("qlabel").isNotNull &&
+        col("label") =!= col("qlabel"))
+      .withColumn("cos", Dedup.cosine(col("emb"), col("qemb")))
+      .filter(col("vec_id").isNotNull && col("cos").isNotNull && !isnan(col("cos")))
+      .groupBy("query_id")
+      .agg(topk(col("vec_id"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sv")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("sv.vec_id").as("vec_id"), col("sv.cos").as("cos"))
+      .orderBy("query_id", "rank")
+  }
+}
