@@ -38,12 +38,21 @@ object SparkEntry {
     * long-lived service can't accumulate unbounded cached frames or pin
     * arbitrarily many sessions; `clearPanelCache(session)` drops a
     * session's entries eagerly (also the staleness hook if a directory's
-    * contents change under the same path). */
+    * contents change under the same path).
+    *
+    * Keying: the SESSION OBJECT itself (SparkSession does not override
+    * equals, so tuple equality is reference identity) — not
+    * `identityHashCode`, whose value can collide across live sessions
+    * and silently serve one session's cached frame to another. The memo
+    * holds a strong session reference, but no longer than its cached
+    * DataFrames (which reference the session through QueryExecution
+    * anyway) survive the 16-entry LRU; a closing caller should
+    * `clearPanelCache(session)`. */
   private val panelMemoMax = 16
   private val panelMemo =
-    new java.util.LinkedHashMap[(Int, String, String), DataFrame](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String, String), DataFrame]): Boolean =
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
         if (size() > panelMemoMax) {
           try e.getValue.unpersist(false) catch { case _: Throwable => () }
           true
@@ -51,7 +60,7 @@ object SparkEntry {
     }
   private def memoPanel(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
     panelMemo.synchronized {
-      val k = (System.identityHashCode(s), dir, key)
+      val k = (s, dir, key)
       val got = panelMemo.get(k)
       if (got != null) got
       else { val df = build.cache(); panelMemo.put(k, df); df }
@@ -59,11 +68,10 @@ object SparkEntry {
 
   /** Unpersist and drop every panel memoized for `session`. */
   def clearPanelCache(session: SparkSession): Unit = panelMemo.synchronized {
-    val id = System.identityHashCode(session)
     val it = panelMemo.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey._1 == id) {
+      if (e.getKey._1 eq session) {
         try e.getValue.unpersist(false) catch { case _: Throwable => () }
         it.remove()
       }
@@ -2227,6 +2235,53 @@ object SparkEntry {
     Similarity.bruteForceTopK(Tables.embeddings(s, dir), similarityQueries(s, dir), k = 5)
       .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
 
+  /** Hard-negative mining ([[graft.ext.Negatives.hardNegatives]], the
+    * DPR top-scoring-non-gold recipe): for each of the 3 anchor vectors,
+    * the 5 highest-cosine corpus rows whose label differs from the
+    * anchor's, with the hardest positive's cosine (self excluded)
+    * riding along. The oracle replays the scored cross product, the
+    * label-mismatch filter, the per-anchor pos_max aggregate, and the
+    * (cos desc, id) rank cut. */
+  private def hardNegativesEmbeddings(s: SparkSession, dir: String): DataFrame =
+    ext.Negatives.hardNegatives(Tables.embeddings(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") < 3), k = 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"), round6("pos_max"))
+
+  /** Semi-hard variant (FaceNet margin band): only negatives with
+    * pos_max − 0.1 < cos < pos_max qualify — harder than the band
+    * floor, easier than the hardest positive. Both engines compare the
+    * RAW IEEE cosine against the band (quantization happens only at
+    * output), so the filter decisions are bit-identical. */
+  private def semihardNegativesEmbeddings(s: SparkSession, dir: String): DataFrame =
+    ext.Negatives.hardNegatives(Tables.embeddings(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") < 3), k = 5, marginBand = Some(0.1))
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"), round6("pos_max"))
+
+  private def hardNegativesSql(band: Option[Double]): String = {
+    val negFilter = "s.label IS NOT NULL AND s.label <> s.qlabel"
+    val (joinKind, bandFilter, posMaxExpr) = band match {
+      case Some(m) => ("JOIN", s" AND s.cos < pm.pos_max AND s.cos > pm.pos_max - $m", "pm.pos_max")
+      case None => ("LEFT JOIN", "", "pm.pos_max")
+    }
+    raw"""WITH a AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qemb, label AS qlabel
+       |  FROM embeddings WHERE vec_id < 3),
+       |s AS (SELECT a.query_id, a.qlabel, e.vec_id, e.label,
+       |  list_cosine_similarity(e.embedding::DOUBLE[], a.qemb) AS cos
+       |  FROM embeddings e CROSS JOIN a
+       |  WHERE e.vec_id IS NOT NULL),
+       |pm AS (SELECT query_id, max(cos) AS pos_max FROM s
+       |  WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |    AND label IS NOT NULL AND label = qlabel AND vec_id <> query_id
+       |  GROUP BY 1),
+       |n AS (SELECT s.query_id, s.vec_id, s.cos, $posMaxExpr AS pos_max,
+       |  row_number() OVER (PARTITION BY s.query_id ORDER BY s.cos DESC, s.vec_id) AS rank
+       |  FROM s $joinKind pm ON pm.query_id = s.query_id
+       |  WHERE s.cos IS NOT NULL AND NOT isnan(s.cos) AND $negFilter$bandFilter)
+       |SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos,
+       |  floor(pos_max * 1e6 + 0.5) / 1e6 AS pos_max
+       |FROM n WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** MMR diversity re-ranking ([[graft.ext.Mmr.mmrTopK]], Carbonell &
     * Goldstein 1998): greedy λ-blended selection of 4 from the top-12
     * relevance pool per query. The oracle unrolls all four greedy
@@ -3563,9 +3618,11 @@ object SparkEntry {
     * full documents table. DuckDB replays the inverted-index build
     * (per-(doc, term) tf, corpus df, smooth idf, per-doc L2 norm), the
     * query-vector weights RECOVERED the same way the engine's
-    * posting-time path recovers them (idf = max(tfidf/tf) per term, so
-    * both engines divide the identical IEEE product), the cosine sum,
-    * and the canon'd (score desc, id) top-25 cut. */
+    * posting-time path recovers them (q_w = q_tf · idf with idf =
+    * max(tfidf/tf) per term — the q_tf VALUES list is generated from
+    * `bm25Terms`' multiset, so a future duplicated query term keeps
+    * engine and oracle in lockstep), the cosine sum, and the canon'd
+    * (score desc, id) top-25 cut. */
   private def tfidfTopkDocs(s: SparkSession, dir: String): DataFrame =
     ext.Search.tfidfTopK(Tables.documents(s, dir), bm25Terms, k = 25)
       .select(col("doc_id"), col("n_terms_hit"), col("score"))
@@ -3582,8 +3639,12 @@ object SparkEntry {
        |  tf.tf * (ln((1 + n.n_docs) / (1 + dft.df)) + 1) AS tfidf
        |  FROM tf JOIN dft USING (term) CROSS JOIN n),
        |nm AS (SELECT doc_id, sqrt(sum(tfidf * tfidf)) AS doc_norm FROM w GROUP BY 1),
-       |qw AS (SELECT term, max(tfidf / tf) AS q_w FROM w
-       |  WHERE term IN ('spark', 'vector', 'merge', 'stream') GROUP BY 1),
+       |qt AS (SELECT * FROM (VALUES ${bm25Terms
+      .groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (t, ts) => s"('$t', ${ts.size})" }
+      .mkString(", ")}) AS qt(term, q_tf)),
+       |qw AS (SELECT qt.term, qt.q_tf * max(w.tfidf / w.tf) AS q_w
+       |  FROM w JOIN qt USING (term) GROUP BY 1, qt.q_tf),
        |qn AS (SELECT sqrt(sum(q_w * q_w)) AS q_norm FROM qw),
        |sc AS (SELECT w.doc_id, count(*) AS n_terms_hit,
        |  floor(sum((w.tfidf / nm.doc_norm) * qw.q_w / qn.q_norm) * 1e6 + 0.5) / 1e6 AS score
@@ -4973,6 +5034,8 @@ object SparkEntry {
     "q_opq_replay_topk" -> opqReplayTopk,
     "q_ivfpq_replay_topk" -> ivfpqReplayTopk,
     "q_similarity_topk_ivf" -> similarityTopkIvf,
+    "q_hard_negatives_embeddings" -> hardNegativesEmbeddings,
+    "q_semihard_negatives_embeddings" -> semihardNegativesEmbeddings,
     "q_embedding_norms" -> embeddingNormsEmbeddings,
     "q_multimodal_features" -> multimodalFeatures,
     "q_multimodal_transform" -> multimodalTransform,
@@ -5216,6 +5279,8 @@ object SparkEntry {
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_mrl_topk_embeddings" -> mrlTopkSql,
     "q_mmr_rerank_embeddings" -> mmrRerankSql,
+    "q_hard_negatives_embeddings" -> hardNegativesSql(None),
+    "q_semihard_negatives_embeddings" -> hardNegativesSql(Some(0.1)),
     "q_weighted_bins_lineitem" -> weightedBinsSql,
     "q_frequency_lineitem" -> frequencyLineitemSql,
     "q_stationarity_events" -> stationarityEventsSql,

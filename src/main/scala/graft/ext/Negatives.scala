@@ -42,14 +42,21 @@ object Negatives {
     * easier than the hardest positive. Anchors with NO positive
     * (`pos_max` null) emit no semi-hard rows — the band is undefined —
     * but DO emit plain hard negatives when `marginBand` is None (their
-    * `pos_max` is null in the output). The corpus is scanned twice when
-    * the band is active (once for pos_max, once for mining); cache the
-    * corpus frame if that matters at your scale.
+    * `pos_max` is null in the output). BOTH paths reference the scored
+    * corpus subplan twice (pos_max is a second aggregate over it — the
+    * band path joins it pre-aggregation, the plain path left-joins it
+    * onto the ranked output), and each reference is a separate corpus
+    * scan to Catalyst; cache the corpus frame if that matters at your
+    * scale.
     *
     * Null/NaN discipline matches bruteForceTopK: null ids, null
     * embeddings, and NaN cosines are filtered before ranking, and rows
     * with a null label never qualify as negatives (unknown gold set) —
-    * nor as positives. */
+    * nor as positives. The same null-unsafe comparison applies to the
+    * ANCHOR side: an anchor whose own label is null emits NO rows on
+    * either path (`label =!= qlabel` is null-valued for every candidate
+    * — its gold set is unknown, so nothing can be certified a
+    * negative); filter such anchors out, or label them, before mining. */
   def hardNegatives(
       corpus: DataFrame,
       anchors: DataFrame,

@@ -59,7 +59,17 @@ class PlanLintSpec extends SparkSpec {
     // stage 2 is an equijoin on the model-sized candidate set
     "q_binary_topk",
     // mixture weights: model-sized domain table × broadcast(1-row Σc^τ)
-    "q_domain_mixture_docs")
+    "q_domain_mixture_docs",
+    // TF-IDF: two keyless 1-row broadcasts — the corpus-count row into
+    // the idf projection (tfidfPostings) and the query-norm row into the
+    // score (tfidfTopKFromPostings) — the q_kmv/q_hll/q_zipf class
+    // (round 9; the r8 commit landed without this entry and reddened
+    // the suite — see ARCHITECTURE.md "end-of-round invariant")
+    "q_tfidf_topk_docs",
+    // hard-negative mining: the scoring stage is the bruteForceTopK
+    // shape (corpus × broadcast(3 anchor rows)); pos_max rides a keyed
+    // broadcast-HASH join, and the k-cap is TopKAgg, never a join
+    "q_hard_negatives_embeddings", "q_semihard_negatives_embeddings")
   private val globalWindowOk = Set("q_rrf_hybrid_docs",
     // cumulative walks over the model-sized bucket table / the
     // distinct-length table — never over data rows
