@@ -3678,11 +3678,19 @@ object SparkEntry {
 
   /** ExactSubstr-style sliding-window dedup probe ([[graft.ext.Dedup
     * .dropDuplicateWindows]], Lee et al. 2022 §3.1) at 12-token windows
-    * over the full documents table, exact string keys. DuckDB replays
-    * the sliding gram build, the global first-occurrence winner rule,
-    * the per-doc RANGE-window coverage union, and the reassembly. */
+    * over the full documents table, with `hashKeys = true` — the
+    * corpus-scale default (8-byte xxhash64 gram keys instead of ~96-byte
+    * strings through the widest shuffle; round-9 verdict task). The
+    * exact-string DuckDB oracle stays valid UNCHANGED because hashing
+    * only relabels the winner-rule groups: absent a 2⁻⁶⁴ collision the
+    * admitted/removed sets are identical, and `DedupSpec` pins
+    * hash-key ≡ exact-string equivalence every round. The oracle
+    * replays the sliding gram build, the global first-occurrence winner
+    * rule, the per-doc RANGE-window coverage union, and the
+    * reassembly. */
   private def windowDedupDocs(s: SparkSession, dir: String): DataFrame =
-    Dedup.dropDuplicateWindows(Tables.documents(s, dir), windowTokens = 12)
+    Dedup.dropDuplicateWindows(Tables.documents(s, dir), windowTokens = 12,
+        hashKeys = true)
       .select(col("doc_id"), col("n_tokens_kept"), col("text"))
       .orderBy("doc_id")
 

@@ -154,8 +154,10 @@ object Dedup {
     * Shuffles: one by gram key, one by doc. With
     * `hashKeys` the gram key is xxhash64(gram) — 8 bytes instead of ~8·k
     * on the wire, the right trade at corpus scale (false-merge odds
-    * ~2⁻⁶⁴ per pair; the driver query uses exact strings so the oracle
-    * is collision-free).
+    * ~2⁻⁶⁴ per pair). The driver query ships hashKeys = true (round 9);
+    * its exact-string oracle stays valid because hashing only relabels
+    * the winner-rule groups — the admitted/removed sets are identical
+    * absent a collision, and DedupSpec pins the equivalence.
     *
     * Semantics notes (deterministic, oracle-replayed): a position inside
     * a FIRST-occurrence window is still removed if some OTHER losing
