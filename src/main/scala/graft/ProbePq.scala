@@ -183,6 +183,93 @@ object ProbePq {
       println(f"hard opq m=$hm%2d ksub=$ksub: recall@10 $r%.3f, train+encode+search $sec%.2f s")
       happrox.unpersist(); henc.unpersist()
     }
+
+    // ---- anisotropic mode (round 9 verdict task): the OPQ win regime ----
+    // Ge et al. 2013 motivate OPQ by UNBALANCED variance across subspaces
+    // plus CROSS-subspace correlation — both of which the isotropic probe
+    // corpora above lack, which is why OPQ ≤ PQ on them. This corpus makes
+    // the regime explicit: z ~ N(0, I_32) scaled by the geometric spectrum
+    // 0.82^j (effective rank ≈ 5), then mixed by a fixed random rotation so
+    // the high-variance directions are axis-UNaligned and smear across
+    // every raw coordinate block. Plain PQ must quantize correlated
+    // subvectors with independent codebooks; OPQ's learned R can undo the
+    // mix. Reports recall@10 AND reconstruction MSE (the objective OPQ
+    // actually minimizes; OPQ's is measured in rotated space, norm-
+    // preserved by R orthonormal).
+    println("---- anisotropic mode: 50k x 32-dim spectrum-decayed + mixed ----")
+    val adim = 32
+    val arng = new scala.util.Random(7)
+    val spec = Array.tabulate(adim)(j => math.pow(0.82, j))
+    val mix = {
+      val a = Array.fill(adim)(Array.fill(adim)(arng.nextGaussian()))
+      var i = 0
+      while (i < adim) { // Gram–Schmidt: a becomes a genuine rotation
+        var j = 0
+        while (j < i) {
+          val d = (0 until adim).map(t => a(i)(t) * a(j)(t)).sum
+          (0 until adim).foreach(t => a(i)(t) -= d * a(j)(t))
+          j += 1
+        }
+        val nrm = math.sqrt((0 until adim).map(t => a(i)(t) * a(i)(t)).sum)
+        (0 until adim).foreach(t => a(i)(t) /= nrm)
+        i += 1
+      }
+      a
+    }
+    val aniso = (0L until 50000L).map { i =>
+      val z = Array.fill(adim)(arng.nextGaussian())
+      (i, Array.tabulate(adim)(r =>
+        (0 until adim).map(c => mix(r)(c) * spec(c) * z(c)).sum).toSeq)
+    }.toDF("vec_id", "embedding").repartition(32).cache()
+    aniso.count()
+    val aq = aniso.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb")).cache()
+    aq.count()
+    val aExact = time("aniso brute") {
+      val d = Similarity.bruteForceTopK(aniso, aq, k = 10).cache(); d.count(); d
+    }
+    def mseOf(encoded: org.apache.spark.sql.DataFrame, cb: Array[Array[Array[Double]]],
+        rotated: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Double = {
+      val frozen = cb.map(_.map(_.clone()))
+      val dsub = frozen(0)(0).length
+      val err = udf { (emb: Seq[Double], codes: Seq[Int]) =>
+        var s = 0.0; var j = 0
+        while (j < codes.length) {
+          val cent = frozen(j)(codes(j)); var d = 0
+          while (d < dsub) {
+            val diff = emb(j * dsub + d) - cent(d); s += diff * diff; d += 1
+          }
+          j += 1
+        }
+        s
+      }
+      aniso.select(col("vec_id"), rotated(col("embedding")).as("emb"))
+        .join(encoded, "vec_id")
+        .agg(avg(err(col("emb"), col("codes")))).head().getDouble(0)
+    }
+    Seq(4, 8).foreach { am =>
+      val acb = Pq.trainPqCodebooks(aniso, dim = adim, m = am, ksub = ksub,
+        iters = 3, sampleMod = 5L)
+      val aenc = Pq.pqEncode(aniso, acb).cache()
+      val aapprox = Pq.pqTopK(aenc, aq, acb, 10).cache(); aapprox.count()
+      val r = Similarity.withRecallAtK(aapprox, aExact)
+        .select("query_id", "recall_at_k").distinct()
+        .agg(avg("recall_at_k")).head().getDouble(0)
+      val e = mseOf(aenc, acb, identity)
+      println(f"aniso pq  m=$am%2d ksub=$ksub: recall@10 $r%.3f, reconstruction MSE $e%.4f")
+      aapprox.unpersist(); aenc.unpersist()
+
+      val (arot, aocb) = Pq.trainOpq(aniso, dim = adim, m = am, ksub = ksub,
+        iters = 3, sampleMod = 5L)
+      val aoenc = Pq.opqEncode(aniso, arot, aocb).cache()
+      val aoapprox = Pq.opqTopK(aoenc, aq, arot, aocb, 10).cache(); aoapprox.count()
+      val or = Similarity.withRecallAtK(aoapprox, aExact)
+        .select("query_id", "recall_at_k").distinct()
+        .agg(avg("recall_at_k")).head().getDouble(0)
+      val oe = mseOf(aoenc, aocb, c => Pq.rotateUdf(arot)(c))
+      println(f"aniso opq m=$am%2d ksub=$ksub: recall@10 $or%.3f, reconstruction MSE $oe%.4f")
+      aoapprox.unpersist(); aoenc.unpersist()
+    }
     spark.stop()
   }
 }

@@ -35,10 +35,33 @@ object ProbeStream {
     // round 8: "banded" second arg drives the band-bucketed compacting
     // store instead of the default append-only layout
     val banded = args.lift(1).contains("banded")
+    // round 9 (crossover measurement): third arg pre-seeds the store
+    // with N synthetic signatures IN THE LAYOUT UNDER TEST before the
+    // batch loop, so per-batch cost is measured against a store orders
+    // of magnitude past what 50 live batches build (90k) — the regime
+    // the r8 probe could only argue about. Seed ids are negative
+    // (disjoint from batch ids); seed hashes are xxhash64(id) — uniform
+    // 64-bit, so accidental Hamming-≤3 store hits are ~1e-10/doc and
+    // the 1,800-admissions-per-batch expectation still holds.
+    val preSeed = args.lift(2).map(_.toLong).getOrElse(0L)
     val compactEvery = 16
     val base = java.nio.file.Files.createTempDirectory("graft_stream_probe").toString
     val sinkDir = s"$base/sink"
     val stateDir = s"$base/state"
+
+    if (preSeed > 0) {
+      import org.apache.spark.sql.functions._
+      val seeds = spark.range(preSeed)
+        .select((-col("id") - 1).as("doc_id"), xxhash64(col("id")).as("simhash"))
+      if (banded)
+        graft.ext.Dedup.simhashBands(seeds)
+          .withColumn("bg", pmod(col("bucket"),
+            lit(streaming.StreamOps.StoreBucketGroups.toLong)).cast("int"))
+          .repartition(col("band"), col("bg"))
+          .write.mode("overwrite").partitionBy("band", "bg").parquet(stateDir)
+      else seeds.write.mode("overwrite").parquet(stateDir)
+      println(s"pre-seeded $preSeed signatures (${if (banded) "banded" else "default"} layout)")
+    }
 
     def freshDocs(b: Int): Seq[(Long, String)] =
       (0 until 1800).map { i =>

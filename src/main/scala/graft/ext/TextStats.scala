@@ -285,6 +285,59 @@ object TextStats {
     (bi, uni, uni.count())
   }
 
+  /** Collocation / phrase detection — the word2phrase recipe (Mikolov et
+    * al. 2013, "Distributed Representations of Words and Phrases...",
+    * §4): score(a, b) = (c_ab − δ) · N / (c_a · c_b) — discounted, scaled
+    * PMI; pairs scoring high are merged into single phrase tokens before
+    * vocabulary builds. δ discounts rare accidents; c_ab < minCount pairs
+    * are cut before scoring (the reference implementation's min-count
+    * gate).
+    *
+    * ONE corpus scan: the (w, lead(w)) pair-count frame (doc-final
+    * tokens keep a NULL successor marker) is pinned and serves all three
+    * statistics — c_ab is the non-null rows, EXACT unigram counts c_a
+    * are the per-w1 rollup (every token appears exactly once as a left
+    * element, null marker included), and N is the global rollup of the
+    * same model-sized frame. The scoring joins are pair-keyed hash joins
+    * against the vocabulary-sized count frames; the 1-row N frame rides
+    * a broadcast (the q_kmv whitelist class). Scores are 1e-6-canonized
+    * BEFORE the (score desc, w1, w2) top-N cut so both engines rank
+    * identical values. Output: (w1, w2, c12, c1, c2, score). */
+  def collocations(corpus: DataFrame, minCount: Long = 5, delta: Double = 5.0,
+      topN: Int = 100, textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(delta >= 0, s"delta must be >= 0, got $delta")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    import org.apache.spark.sql.expressions.Window
+    // two-step: the id must bind to the DOC row before the explode —
+    // fused into one select, monotonically_increasing_id() evaluates per
+    // EXPLODED row and every token lands alone in its window partition
+    // (the trainBigramModel shape)
+    val tok = corpus.select(monotonically_increasing_id().as("__d"),
+        Dedup.tokens(col(textCol)).as("toks"))
+      .select(col("__d"), posexplode(col("toks")).as(Seq("pos", "w")))
+    val wnd = Window.partitionBy("__d").orderBy("pos")
+    val pairs = graft.core.Ckpt.pin(
+      tok.withColumn("w2", lead("w", 1).over(wnd))
+        .groupBy(col("w").as("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+    val c1 = pairs.groupBy(col("w1")).agg(sum("c12").as("c1"))
+    val nTok = pairs.agg(sum("c12").as("n_tokens"))
+    pairs
+      .filter(col("w2").isNotNull && col("c12") >= minCount)
+      .join(c1, "w1")
+      .join(c1.select(col("w1").as("w2"), col("c1").as("c2")), "w2")
+      .join(broadcast(nTok))
+      // c1·c2 multiplies in DOUBLE: two stopword counts at corpus scale
+      // overflow a long product (c1·c2 ≤ N², past 2⁶³ for N ≥ ~3e9 tokens)
+      .withColumn("score",
+        floor((col("c12") - lit(delta)) * col("n_tokens")
+          / (col("c1").cast("double") * col("c2").cast("double")) * lit(1e6) + lit(0.5))
+          / lit(1e6))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"), col("score"))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** Per-doc mean bigram log-likelihood under the trained model with
     * add-k smoothing: score = mean over doc bigrams of
     * log((c12 + k) / (c1 + k·V)). Unseen contexts get the floor
