@@ -3654,6 +3654,38 @@ object SparkEntry {
        |SELECT doc_id, n_terms_hit, score FROM r WHERE rn <= 25
        |ORDER BY score DESC, doc_id""".stripMargin
 
+  /** Collocation / phrase detection ([[graft.ext.TextStats
+    * .collocations]], the word2phrase discounted scaled PMI) over the
+    * full documents table: top-50 pairs with c_ab ≥ 5 at δ = 1. The
+    * oracle replays the pair-count frame (doc-final NULL markers
+    * included, so the unigram rollup and token total are exact), both
+    * count joins, the double-typed score arithmetic in the engine's
+    * operation order (δ written `(1.0)::DOUBLE` so DuckDB doesn't slip
+    * into DECIMAL), and the canonized (score desc, w1, w2) top-50
+    * cut. */
+  private def collocationsDocs(s: SparkSession, dir: String): DataFrame =
+    ext.TextStats.collocations(Tables.documents(s, dir),
+      minCount = 5, delta = 1.0, topN = 50)
+
+  private def collocationsSql: String =
+    raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |t AS (SELECT doc_id, g.i AS pos, toks[g.i] AS w
+       |  FROM d, LATERAL unnest(range(1, len(toks) + 1)) AS g(i)),
+       |b AS (SELECT doc_id, pos, w,
+       |  lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM t),
+       |p AS (SELECT w AS w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+       |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM p GROUP BY 1),
+       |n AS (SELECT sum(c12)::BIGINT AS n_tokens FROM p),
+       |sc AS (SELECT p.w1, p.w2, p.c12, a.c1, bb.c1 AS c2,
+       |  floor((p.c12 - (1.0)::DOUBLE) * n.n_tokens
+       |    / (a.c1::DOUBLE * bb.c1::DOUBLE) * 1e6 + 0.5) / 1e6 AS score
+       |  FROM p JOIN c1 a USING (w1) JOIN c1 bb ON bb.w1 = p.w2 CROSS JOIN n
+       |  WHERE p.w2 IS NOT NULL AND p.c12 >= 5),
+       |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, w1, w2) AS rn FROM sc)
+       |SELECT w1, w2, c12, c1, c2, score FROM r WHERE rn <= 50
+       |ORDER BY score DESC, w1, w2""".stripMargin
+
   /** Corpus-wide repeated-span removal probe: [[graft.ext.Dedup
     * .dropRepeatedSpans]] (C4 recipe) at 8-token blocks over the full
     * documents table. DuckDB replays the block split, the global
@@ -5073,6 +5105,7 @@ object SparkEntry {
     "q_semdedup_keep" -> semdedupKeepDocs,
     "q_cluster_keep_embeddings" -> clusterKeepEmbeddings,
     "q_rrf_hybrid_docs" -> rrfHybridDocs,
+    "q_collocations_docs" -> collocationsDocs,
     "q_span_dedup_docs" -> spanDedupDocs,
     "q_window_dedup_docs" -> windowDedupDocs,
     "q_asof_join_events" -> asofJoinEvents,
@@ -5325,6 +5358,7 @@ object SparkEntry {
     "q_semdedup_keep" -> semdedupKeepSql,
     "q_cluster_keep_embeddings" -> clusterKeepSql,
     "q_rrf_hybrid_docs" -> rrfHybridSql,
+    "q_collocations_docs" -> collocationsSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,
     "q_asof_join_events" -> asofJoinSql,

@@ -69,7 +69,10 @@ class PlanLintSpec extends SparkSpec {
     // hard-negative mining: the scoring stage is the bruteForceTopK
     // shape (corpus × broadcast(3 anchor rows)); pos_max rides a keyed
     // broadcast-HASH join, and the k-cap is TopKAgg, never a join
-    "q_hard_negatives_embeddings", "q_semihard_negatives_embeddings")
+    "q_hard_negatives_embeddings", "q_semihard_negatives_embeddings",
+    // collocations: the 1-row token-total aggregate broadcasts into the
+    // vocabulary-sized scored frame — the q_kmv class
+    "q_collocations_docs")
   private val globalWindowOk = Set("q_rrf_hybrid_docs",
     // cumulative walks over the model-sized bucket table / the
     // distinct-length table — never over data rows
