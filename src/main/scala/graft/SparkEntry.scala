@@ -2257,6 +2257,41 @@ object SparkEntry {
         Tables.embeddings(s, dir).filter(col("vec_id") < 3), k = 5, marginBand = Some(0.1))
       .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"), round6("pos_max"))
 
+  /** Training-triplet assembly ([[graft.ext.Negatives.triplets]]): each
+    * of the 3 anchors paired with its hardest positive and each of its
+    * top-5 hard negatives, margin riding along. The oracle replays the
+    * scored cross product, the positive argmax with the (cos desc, id)
+    * tie rule, the negative rank cut, and the raw-double margin
+    * difference (canonized only at output on both engines). */
+  private def tripletsEmbeddings(s: SparkSession, dir: String): DataFrame =
+    ext.Negatives.triplets(Tables.embeddings(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") < 3), k = 5)
+      .select(col("query_id"), col("rank"), col("pos_id"), col("neg_id"),
+        round6("pos_cos"), round6("neg_cos"), round6("margin"))
+
+  private def tripletsSql: String =
+    raw"""WITH a AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qemb, label AS qlabel
+       |  FROM embeddings WHERE vec_id < 3),
+       |s AS (SELECT a.query_id, a.qlabel, e.vec_id, e.label,
+       |  list_cosine_similarity(e.embedding::DOUBLE[], a.qemb) AS cos
+       |  FROM embeddings e CROSS JOIN a
+       |  WHERE e.vec_id IS NOT NULL),
+       |sc AS (SELECT * FROM s WHERE cos IS NOT NULL AND NOT isnan(cos)),
+       |p AS (SELECT query_id, vec_id AS pos_id, cos AS pos_cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM sc WHERE label IS NOT NULL AND label = qlabel AND vec_id <> query_id)
+       |  WHERE rn = 1),
+       |n AS (SELECT query_id, vec_id AS neg_id, cos AS neg_cos,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM sc WHERE label IS NOT NULL AND label <> qlabel)
+       |SELECT n.query_id, n.rank, p.pos_id, n.neg_id,
+       |  floor(p.pos_cos * 1e6 + 0.5) / 1e6 AS pos_cos,
+       |  floor(n.neg_cos * 1e6 + 0.5) / 1e6 AS neg_cos,
+       |  floor((p.pos_cos - n.neg_cos) * 1e6 + 0.5) / 1e6 AS margin
+       |FROM n JOIN p USING (query_id) WHERE n.rank <= 5
+       |ORDER BY n.query_id, n.rank""".stripMargin
+
   private def hardNegativesSql(band: Option[Double]): String = {
     val negFilter = "s.label IS NOT NULL AND s.label <> s.qlabel"
     val (joinKind, bandFilter, posMaxExpr) = band match {
@@ -5076,6 +5111,7 @@ object SparkEntry {
     "q_similarity_topk_ivf" -> similarityTopkIvf,
     "q_hard_negatives_embeddings" -> hardNegativesEmbeddings,
     "q_semihard_negatives_embeddings" -> semihardNegativesEmbeddings,
+    "q_triplets_embeddings" -> tripletsEmbeddings,
     "q_embedding_norms" -> embeddingNormsEmbeddings,
     "q_multimodal_features" -> multimodalFeatures,
     "q_multimodal_transform" -> multimodalTransform,
@@ -5322,6 +5358,7 @@ object SparkEntry {
     "q_mmr_rerank_embeddings" -> mmrRerankSql,
     "q_hard_negatives_embeddings" -> hardNegativesSql(None),
     "q_semihard_negatives_embeddings" -> hardNegativesSql(Some(0.1)),
+    "q_triplets_embeddings" -> tripletsSql,
     "q_weighted_bins_lineitem" -> weightedBinsSql,
     "q_frequency_lineitem" -> frequencyLineitemSql,
     "q_stationarity_events" -> stationarityEventsSql,

@@ -105,6 +105,64 @@ object Negatives {
       .orderBy("query_id", "rank")
   }
 
+  /** Training-triplet assembly — the consumable form of this module's
+    * output (FaceNet §3 trains on (anchor, positive, negative); DPR
+    * batches gold + mined hard negative per question): each anchor is
+    * paired with its HARDEST positive (max cosine, same label, self
+    * excluded, vec_id tiebreak asc on cosine ties) and each of its top-k
+    * hard negatives, with the triplet margin pos_cos − neg_cos riding
+    * along (the quantity FaceNet's α thresholds). Anchors with no
+    * positive produce NO triplets — a triplet needs all three legs —
+    * and null-label anchors none either (the [[hardNegatives]]
+    * contract). Same plan shape as [[hardNegatives]]: one broadcast
+    * scoring scan referenced twice (positive argmax + negative TopKAgg),
+    * both keyed joins.
+    *
+    * Output: (query_id, rank, pos_id, neg_id, pos_cos, neg_cos, margin),
+    * ordered (query_id, rank). */
+  def triplets(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val topk = udaf(new TopKAgg(k))
+    val cand = corpus.select(
+      col(idCol).cast("long").as("vec_id"),
+      col(embCol).cast("array<double>").as("emb"),
+      col(labelCol).as("label"))
+    val anc = broadcast(anchors.select(
+      col(idCol).cast("long").as("query_id"),
+      col(embCol).cast("array<double>").as("qemb"),
+      col(labelCol).as("qlabel")))
+    val scored = cand.crossJoin(anc)
+      .withColumn("cos", Dedup.cosine(col("emb"), col("qemb")))
+      .filter(col("vec_id").isNotNull && col("cos").isNotNull && !isnan(col("cos")))
+    // hardest positive: argmax by (cos desc, vec_id asc) — max_by on the
+    // (cos, -vec_id) struct would tie-break DESCENDING on id, so rank
+    // with the library's explicit tie rule instead
+    val pos = scored
+      .filter(col("label").isNotNull && col("label") === col("qlabel") &&
+        col("vec_id") =!= col("query_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
+    val negs = scored.filter(col("label").isNotNull && col("label") =!= col("qlabel"))
+      .groupBy("query_id")
+      .agg(topk(col("vec_id"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sv")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("sv.vec_id").as("neg_id"), col("sv.cos").as("neg_cos"))
+    negs.join(pos, "query_id")
+      .select(col("query_id"), col("rank"), col("pos_id"), col("neg_id"),
+        col("pos_cos"), col("neg_cos"), (col("pos_cos") - col("neg_cos")).as("margin"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Corpus-wide hard-negative mining: EVERY corpus row is an anchor, and
     * the candidate generator is the IVF cell equijoin instead of a
     * broadcast scan — anchors explode to their `nprobe` nearest cells,

@@ -72,6 +72,25 @@ class NegativesSpec extends SparkSpec {
     assert(Negatives.hardNegatives(corpus, anon, k = 3, marginBand = Some(0.3)).count() == 0L)
   }
 
+  test("triplet assembly pairs the hardest positive with each mined negative") {
+    val out = Negatives.triplets(corpus, anchorRow, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        math.rint(r.getDouble(4) * 1e6) / 1e6, math.rint(r.getDouble(5) * 1e6) / 1e6,
+        math.rint(r.getDouble(6) * 1e6) / 1e6))
+    // pos leg: id 2 (cos 15° = .965926); neg legs: ids 3 (.866025), 4 (.5);
+    // margins are the raw-double differences, canonized at read
+    assert(out.toSeq == Seq(
+      (1L, 1, 2L, 3L, 0.965926, 0.866025, 0.0999),
+      (1L, 2, 2L, 4L, 0.965926, 0.5, 0.465926)))
+  }
+
+  test("no positive leg or null anchor label ⇒ no triplets") {
+    val lone = Seq((9L, unit(40), Option(99))).toDF("vec_id", "embedding", "label")
+    assert(Negatives.triplets(corpus, lone, k = 3).count() == 0L)
+    val anon = Seq((8L, unit(10), Option.empty[Int])).toDF("vec_id", "embedding", "label")
+    assert(Negatives.triplets(corpus, anon, k = 3).count() == 0L)
+  }
+
   test("celled mining holds a recall floor vs the brute path on the driver fixture") {
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())

@@ -70,6 +70,9 @@ class PlanLintSpec extends SparkSpec {
     // shape (corpus × broadcast(3 anchor rows)); pos_max rides a keyed
     // broadcast-HASH join, and the k-cap is TopKAgg, never a join
     "q_hard_negatives_embeddings", "q_semihard_negatives_embeddings",
+    // triplet assembly: same scoring shape; the positive leg is a keyed
+    // window argmax, the join back is a keyed broadcast-hash join
+    "q_triplets_embeddings",
     // collocations: the 1-row token-total aggregate broadcasts into the
     // vocabulary-sized scored frame — the q_kmv class
     "q_collocations_docs")
