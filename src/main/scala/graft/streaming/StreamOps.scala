@@ -214,21 +214,27 @@ object StreamOps {
     * degenerate signature and dedup against each other like any other
     * doc. Two store layouts, identical admissions (spec-asserted):
     *
-    *   - default: append-only parquet of (id, simhash) rows, band
-    *     expansion recomputed per batch — simplest, fine while the probe
-    *     curve stays flat (ARCHITECTURE: flat to 90k signatures);
-    *   - `bandedStore = true`: the PRE-EXPANDED band rows persist,
-    *     hash-partitioned on disk by (band, bucket-group) so (a) the
-    *     per-batch join reads the store's bands instead of recomputing
-    *     them, (b) the store read PRUNES to the partitions the batch's
-    *     own buckets touch (planning-time, via a model-sized isin), and
-    *     (c) every `compactEvery` batches the store rewrites to one file
-    *     per partition, bounding the file-listing growth that is the
-    *     first real bend at corpus scale. The rewrite-the-store
-    *     compaction is the local-parquet stand-in for a compacting table
-    *     format's maintenance job; the swap is not atomic to concurrent
-    *     readers (the single-writer foreachBatch loop is the only
-    *     consumer mid-stream).
+    *   - default (RECOMMENDED): append-only parquet of (id, simhash)
+    *     rows, band expansion recomputed per batch in codegen. The
+    *     round-9 pre-seeded probe grid (1M and 4M store signatures)
+    *     shows this layout cheaper at EVERY measured size, and the
+    *     batch-vs-store join plans as a BroadcastHashJoin with the
+    *     batch side as build — the store never shuffles, so the
+    *     linear-in-store-size term is a pure map-side scan that
+    *     parallelizes embarrassingly on a real cluster;
+    *   - `bandedStore = true` (opt-in, measured SLOWER at 90k, 1M and
+    *     4M signatures — see ARCHITECTURE.md round-9 crossover note):
+    *     PRE-EXPANDED band rows persist, hash-partitioned by (band,
+    *     bucket-group), with a `compactEvery`-batch rewrite bounding
+    *     file-listing growth. It reads 4× the rows the default scans
+    *     and its compaction is O(store); the partition pruning it buys
+    *     only materializes for near-single-doc trickle batches at the
+    *     8-group granularity (finer granularity drowns in small files
+    *     on a real FS). Kept as the layout shape a compacting TABLE
+    *     FORMAT (incremental maintenance, cheap small files) would
+    *     make viable; the swap is not atomic to concurrent readers
+    *     (the single-writer foreachBatch loop is the only consumer
+    *     mid-stream).
     *
     * The state is 16 bytes/doc (×4 band rows when banded), corpus-sized.
     * First-arrival wins across batches, exactly like [[dedupStream]]. */
