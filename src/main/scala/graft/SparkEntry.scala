@@ -4006,6 +4006,34 @@ object SparkEntry {
     * replays tokenization, the boundary-stripping token normalization,
     * the IN-list membership, and the ratio. ("legacy" never occurs in the
     * corpus — the oracle must agree on absent words too.) */
+  /** Phrase-blocklist pass ([[graft.ext.TextStats.phraseBlocklistHits]],
+    * the multi-word half of the C4 badwords rule) over the full
+    * documents table with mixed 1- and 2-token entries. The oracle
+    * replays the normalized token stream, BOTH gram lengths (the
+    * 2-gram via a lead window, empty-normalized tokens breaking
+    * adjacency), the IN-list match, and the per-doc occurrence
+    * count. */
+  private def phraseBlocklistDocs(s: SparkSession, dir: String): DataFrame =
+    ext.TextStats.phraseBlocklistHits(Tables.documents(s, dir), "doc_id", "text",
+        Seq("merge", "slow query", "table scan", "big table"))
+      .orderBy("doc_id")
+
+  private def phraseBlocklistSql: String =
+    raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |t AS (SELECT doc_id, g.i AS pos,
+       |  regexp_replace(toks[g.i], '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g') AS w
+       |  FROM d, LATERAL unnest(range(1, len(toks) + 1)) AS g(i)),
+       |b AS (SELECT doc_id, pos, w,
+       |  lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM t),
+       |g AS (SELECT doc_id, w AS g FROM b WHERE w <> ''
+       |  UNION ALL
+       |  SELECT doc_id, w || ' ' || w2 FROM b
+       |  WHERE w <> '' AND w2 IS NOT NULL AND w2 <> ''),
+       |h AS (SELECT doc_id FROM g
+       |  WHERE g IN ('merge', 'slow query', 'table scan', 'big table'))
+       |SELECT doc_id, count(*) AS n_flagged FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def blocklistDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val hits = ext.TextStats.blocklistHits(docs, "doc_id", "text", blockWords)
@@ -5160,6 +5188,7 @@ object SparkEntry {
     "q_cms_topk_docs" -> cmsTopkDocs,
     "q_hdr_quantiles_docs" -> hdrQuantilesDocs,
     "q_blocklist_docs" -> blocklistDocs,
+    "q_phrase_blocklist_docs" -> phraseBlocklistDocs,
     "q_pii_redact_docs" -> piiRedactDocs,
     "q_url_domains_docs" -> urlDomainsDocs,
     "q_url_blocklist_docs" -> urlBlocklistDocs,
@@ -5457,6 +5486,7 @@ object SparkEntry {
     "q_cms_topk_docs" -> cmsTopkSql,
     "q_hdr_quantiles_docs" -> hdrQuantilesSql,
     "q_blocklist_docs" -> blocklistSql,
+    "q_phrase_blocklist_docs" -> phraseBlocklistSql,
     "q_pii_redact_docs" -> piiRedactSql,
     "q_url_domains_docs" -> urlDomainsSql,
     "q_url_blocklist_docs" -> urlBlocklistSql,

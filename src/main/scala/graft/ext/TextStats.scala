@@ -912,6 +912,66 @@ object TextStats {
       .groupBy(idCol).agg(count(lit(1)).as("n_flagged"))
   }
 
+  /** Per-doc PHRASE-blocklist hit counts — the multi-word half of the C4
+    * badwords pass (the published list has entries like "bad phrase";
+    * [[blocklistHits]]' token join can't see them). A phrase matches as
+    * a CONSECUTIVE token subsequence after per-token [[blocklistToken]]
+    * normalization on both sides, so "Bad phrase!" in a doc still hits
+    * the entry "bad phrase" (tokenization is whitespace-only — a
+    * hyphenated "bad-phrase" is ONE token and does not match a
+    * two-token entry; punct-only tokens normalize empty and break
+    * adjacency). Emits (idCol, n_flagged) for docs with
+    * ≥ 1 hit, counting every occurrence of every entry.
+    *
+    * Scale shape: ONE corpus token scan — Lmax−1 window `lead`s on the
+    * (doc, pos) exchange assemble, per position, one candidate gram for
+    * EACH distinct entry length (an array of ≤ |lengths| structs,
+    * null-marked where the window runs off the doc), a single explode
+    * flattens them, and a broadcast LEFT SEMI join against the
+    * model-sized normalized phrase list keeps only hits (gram string
+    * determines its own length — space-joined ℓ-token grams only equal
+    * ℓ-token entries). The corpus is never shuffled except by the
+    * (doc, pos) window exchange and the final per-doc count, both
+    * map-side combinable. */
+  def phraseBlocklistHits(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "blocklist must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val norm = phrases
+      .map(_.trim.toLowerCase.split("\\s+").toSeq
+        .map(_.replaceAll("^[^a-z0-9]+|[^a-z0-9]+$", "")).filter(_.nonEmpty))
+      .filter(_.nonEmpty).map(_.mkString(" ")).distinct
+    require(norm.nonEmpty, "blocklist is empty after normalization")
+    val lengths = norm.map(_.split(" ").length).distinct.sorted
+    val maxL = lengths.max
+    val wl = norm.toDF("__p")
+    val tok = docs
+      .select(col(idCol), posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "__t")))
+      .select(col(idCol), col("pos"), blocklistToken(col("__t")).as("__t"))
+    val wnd = Window.partitionBy(idCol).orderBy("pos")
+    val leads = (1 until maxL).map(j => lead("__t", j).over(wnd).as(s"__t$j"))
+    val withLeads = tok.select(col(idCol) +: col("pos") +: col("__t") +: leads: _*)
+    def gram(l: Int): Column = {
+      val parts = col("__t") +: (1 until l).map(j => col(s"__t$j"))
+      val full =
+        if (l == 1) lit(true)
+        else parts.map(_.isNotNull).reduce(_ && _)
+      // empty normalized tokens disqualify a gram (the entry list never
+      // contains them, and concat_ws would silently skip them and
+      // misalign lengths)
+      val nonEmpty = parts.map(_ =!= "").reduce(_ && _)
+      when(full && nonEmpty, concat_ws(" ", parts: _*))
+    }
+    withLeads
+      .select(col(idCol),
+        explode(array(lengths.map(l => gram(l)): _*)).as("__g"))
+      .filter(col("__g").isNotNull)
+      .join(broadcast(wl), col("__g") === col("__p"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_flagged"))
+  }
+
   /** Drop every doc containing ≥ 1 blocklisted word (the C4 rule). An
     * anti-join against the flagged-id set — deliberately NOT hinted
     * broadcast: the flagged set is usually corpus-fraction-sized, and
