@@ -2257,6 +2257,59 @@ object SparkEntry {
         Tables.embeddings(s, dir).filter(col("vec_id") < 3), k = 5, marginBand = Some(0.1))
       .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"), round6("pos_max"))
 
+  /** Retrieval-evaluation harness ([[graft.ext.IrEval.evalRanking]],
+    * trec_eval conventions): the brute-force cosine run for the 3
+    * anchors scored at k=10 against label-derived binary qrels (same
+    * label, self excluded). The log₂ discount and ideal-DCG tables are
+    * LITERALS computed once from the same Scala doubles on both engines
+    * (each VALUES entry cast ::DOUBLE so DuckDB doesn't slip into
+    * DECIMAL arithmetic) — no libm inside either plan, per the round-8
+    * oracle lesson. */
+  private def irEvalEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val run = Similarity.bruteForceTopK(emb, similarityQueries(s, dir), k = 10)
+    val anchors = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val qrels = anchors.join(emb.select(col("vec_id"), col("label")),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    ext.IrEval.evalRanking(run, qrels, k = 10, docCol = "vec_id")
+  }
+
+  private def irEvalSql: String = {
+    val disc = ext.IrEval.discounts(10)
+    val ideal = ext.IrEval.idealDcg(10)
+    val discVals = disc.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, ($v)::DOUBLE)" }.mkString(", ")
+    val idcgVals = ideal.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, ($v)::DOUBLE)" }.mkString(", ")
+    raw"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qemb, label AS qlabel
+       |  FROM embeddings WHERE vec_id < 3),
+       |s AS (SELECT q.query_id, e.vec_id,
+       |  list_cosine_similarity(e.embedding::DOUBLE[], q.qemb) AS cos
+       |  FROM embeddings e CROSS JOIN q),
+       |r AS (SELECT query_id, vec_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM s WHERE vec_id IS NOT NULL AND cos IS NOT NULL AND NOT isnan(cos)),
+       |run AS (SELECT query_id, vec_id, rank FROM r WHERE rank <= 10),
+       |qr AS (SELECT DISTINCT q.query_id, e.vec_id FROM q JOIN embeddings e
+       |  ON e.label = q.qlabel AND e.vec_id <> q.query_id),
+       |nrel AS (SELECT query_id, count(*) AS n_rel FROM qr GROUP BY 1),
+       |disc AS (SELECT * FROM (VALUES $discVals) AS t(rank, d)),
+       |idcg AS (SELECT * FROM (VALUES $idcgVals) AS t(n, v)),
+       |hits AS (SELECT run.query_id, run.rank FROM run JOIN qr USING (query_id, vec_id)),
+       |pq AS (SELECT h.query_id, min(h.rank) AS first_rel, count(*) AS n_hits,
+       |  sum(disc.d) AS dcg FROM hits h JOIN disc ON disc.rank = h.rank GROUP BY 1)
+       |SELECT nrel.query_id, nrel.n_rel,
+       |  coalesce(pq.n_hits, 0) AS n_hits_at_k,
+       |  floor(coalesce((1.0)::DOUBLE / pq.first_rel, (0.0)::DOUBLE) * 1e6 + 0.5) / 1e6 AS mrr_at_k,
+       |  floor((coalesce(pq.n_hits, 0)::DOUBLE / nrel.n_rel) * 1e6 + 0.5) / 1e6 AS recall_at_k,
+       |  floor((coalesce(pq.dcg, (0.0)::DOUBLE) / idcg.v) * 1e6 + 0.5) / 1e6 AS ndcg_at_k
+       |FROM nrel LEFT JOIN pq USING (query_id)
+       |JOIN idcg ON idcg.n = least(nrel.n_rel, 10)
+       |ORDER BY nrel.query_id""".stripMargin
+  }
+
   /** Training-triplet assembly ([[graft.ext.Negatives.triplets]]): each
     * of the 3 anchors paired with its hardest positive and each of its
     * top-5 hard negatives, margin riding along. The oracle replays the
@@ -5140,6 +5193,7 @@ object SparkEntry {
     "q_hard_negatives_embeddings" -> hardNegativesEmbeddings,
     "q_semihard_negatives_embeddings" -> semihardNegativesEmbeddings,
     "q_triplets_embeddings" -> tripletsEmbeddings,
+    "q_ir_eval_embeddings" -> irEvalEmbeddings,
     "q_embedding_norms" -> embeddingNormsEmbeddings,
     "q_multimodal_features" -> multimodalFeatures,
     "q_multimodal_transform" -> multimodalTransform,
@@ -5388,6 +5442,7 @@ object SparkEntry {
     "q_hard_negatives_embeddings" -> hardNegativesSql(None),
     "q_semihard_negatives_embeddings" -> hardNegativesSql(Some(0.1)),
     "q_triplets_embeddings" -> tripletsSql,
+    "q_ir_eval_embeddings" -> irEvalSql,
     "q_weighted_bins_lineitem" -> weightedBinsSql,
     "q_frequency_lineitem" -> frequencyLineitemSql,
     "q_stationarity_events" -> stationarityEventsSql,

@@ -73,6 +73,9 @@ class PlanLintSpec extends SparkSpec {
     // triplet assembly: same scoring shape; the positive leg is a keyed
     // window argmax, the join back is a keyed broadcast-hash join
     "q_triplets_embeddings",
+    // IR eval: the run side is the bruteForceTopK shape; the metric
+    // joins are query-keyed against model-sized frames
+    "q_ir_eval_embeddings",
     // collocations: the 1-row token-total aggregate broadcasts into the
     // vocabulary-sized scored frame — the q_kmv class
     "q_collocations_docs")
