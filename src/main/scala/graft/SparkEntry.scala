@@ -3774,6 +3774,66 @@ object SparkEntry {
        |SELECT w1, w2, c12, c1, c2, score FROM r WHERE rn <= 50
        |ORDER BY score DESC, w1, w2""".stripMargin
 
+  /** Pseudo-relevance-feedback retrieval ([[graft.ext.Search.prfTopK]],
+    * Rocchio/RSJ offer weights): first-pass BM25 top-10 feedback set,
+    * top-5 expansion terms by canonized r(t)·idf(t) (original terms
+    * excluded), re-rank with the weighted expanded query (originals at
+    * 1.0, expansions at 0.5). The oracle replays ALL THREE passes —
+    * first-pass rank cut, candidate r/df/offer-weight selection, and
+    * the weighted final scoring — with the proven-green bm25 literal
+    * conventions. */
+  private def prfTopkDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Search.prfTopK(Tables.documents(s, dir), bm25Terms, k = 25,
+        fbDocs = 10, fbTerms = 5, beta = 0.5)
+      .select(col("doc_id"), col("n_terms_hit"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+
+  private def prfTopkSql: String = {
+    val orig = bm25Terms.distinct.map(t => s"'$t'").mkString(", ")
+    val origVals = bm25Terms.distinct.map(t => s"('$t')").mkString(", ")
+    raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM d),
+       |h AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+       |tf1 AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM h
+       |  WHERE term IN ($orig) GROUP BY 1, 2),
+       |df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
+       |w1 AS (SELECT tf1.doc_id,
+       |  ln(1 + (st.n_docs - df1.df + 0.5) / (df1.df + 0.5)) *
+       |    (tf1.tf * 2.2) / (tf1.tf + 1.2 * (0.25 + 0.75 * tf1.dl / st.avgdl)) AS w
+       |  FROM tf1 JOIN df1 USING (term) CROSS JOIN st),
+       |b1 AS (SELECT doc_id, floor(sum(w) * 1e6 + 0.5) / 1e6 AS score FROM w1 GROUP BY 1),
+       |fb AS (SELECT doc_id FROM (SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM b1) WHERE rn <= 10),
+       |rt AS (SELECT term, count(*) AS r FROM (
+       |    SELECT DISTINCT h.doc_id, h.term FROM h JOIN fb USING (doc_id))
+       |  WHERE term NOT IN ($orig) AND term <> '' GROUP BY 1),
+       |cdf AS (SELECT term, count(*) AS df FROM (
+       |    SELECT DISTINCT h.doc_id, h.term FROM h JOIN rt USING (term)) GROUP BY 1),
+       |ow AS (SELECT rt.term,
+       |  floor(rt.r * ln(1 + (st.n_docs - cdf.df + 0.5) / (cdf.df + 0.5)) * 1e6 + 0.5) / 1e6 AS ow
+       |  FROM rt JOIN cdf USING (term) CROSS JOIN st),
+       |expn AS (SELECT term, (0.5)::DOUBLE AS q_w FROM (
+       |    SELECT term, row_number() OVER (ORDER BY ow DESC, term) AS rn FROM ow)
+       |  WHERE rn <= 5),
+       |qw AS (SELECT term, (1.0)::DOUBLE AS q_w FROM (VALUES $origVals) AS v(term)
+       |  UNION ALL SELECT term, q_w FROM expn),
+       |tf2 AS (SELECT h.doc_id, h.term, count(*) AS tf, max(h.dl) AS dl,
+       |  max(qw.q_w) AS q_w FROM h JOIN qw USING (term) GROUP BY 1, 2),
+       |df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+       |w2 AS (SELECT tf2.doc_id,
+       |  tf2.q_w * (ln(1 + (st.n_docs - df2.df + 0.5) / (df2.df + 0.5)) *
+       |    (tf2.tf * 2.2) / (tf2.tf + 1.2 * (0.25 + 0.75 * tf2.dl / st.avgdl))) AS w
+       |  FROM tf2 JOIN df2 USING (term) CROSS JOIN st),
+       |sc AS (SELECT doc_id, count(*) AS n_terms_hit,
+       |  floor(sum(w) * 1e6 + 0.5) / 1e6 AS score FROM w2 GROUP BY 1),
+       |r AS (SELECT doc_id, n_terms_hit, score,
+       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc)
+       |SELECT doc_id, n_terms_hit, score FROM r WHERE rn <= 25
+       |ORDER BY score DESC, doc_id""".stripMargin
+  }
+
   /** Corpus-wide repeated-span removal probe: [[graft.ext.Dedup
     * .dropRepeatedSpans]] (C4 recipe) at 8-token blocks over the full
     * documents table. DuckDB replays the block split, the global
@@ -5219,6 +5279,7 @@ object SparkEntry {
     "q_hashed_topk_docs" -> hashedTopkDocs,
     "q_bm25_topk_docs" -> bm25TopkDocs,
     "q_tfidf_topk_docs" -> tfidfTopkDocs,
+    "q_prf_topk_docs" -> prfTopkDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
     "q_cluster_keep_embeddings" -> clusterKeepEmbeddings,
@@ -5480,6 +5541,7 @@ object SparkEntry {
     "q_cluster_keep_embeddings" -> clusterKeepSql,
     "q_rrf_hybrid_docs" -> rrfHybridSql,
     "q_collocations_docs" -> collocationsSql,
+    "q_prf_topk_docs" -> prfTopkSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,
     "q_asof_join_events" -> asofJoinSql,

@@ -119,6 +119,105 @@ object Search {
       .limit(k)
   }
 
+  /** Weighted BM25 scoring against a RUNTIME (term, q_w) weight frame —
+    * the scoring half of [[prfTopK]], where the expanded query only
+    * exists as data. Identical arithmetic to [[bm25Scores]] except the
+    * compile-time `isInCollection` filter becomes a broadcast join
+    * against the model-sized weight frame, and each term's contribution
+    * multiplies its q_w. Same pipelined shape: only weighted-term hits
+    * cross a shuffle. */
+  def bm25ScoresWeighted(docs: DataFrame, termWeights: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, 0 <= b <= 1; got k1=$k1 b=$b")
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = toks.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val hits = toks
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(termWeights.select(col("term"), col("q_w"))), "term")
+    val tf = hits.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"), max(col("q_w")).as("q_w"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dft), "term")
+      .join(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("q_w") * (col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("w")).as("score"))
+  }
+
+  /** Pseudo-relevance-feedback retrieval — the classic Rocchio/RSJ
+    * expansion loop (Rocchio 1971; Robertson's offer-weight term
+    * selection; the RM3-family idea of mining the first pass's top docs
+    * for query terms): (1) BM25-rank the original query and take the
+    * top `fbDocs` as the pseudo-relevant set; (2) score every term of
+    * those docs by the offer weight r(t) · idf(t), where r(t) = number
+    * of feedback docs containing t and idf is the same non-negative
+    * Lucene form the ranker uses, excluding original query terms;
+    * (3) re-rank with the expanded weighted query — original terms at
+    * q_w = 1, the top `fbTerms` expansion terms at q_w = `beta`.
+    *
+    * Everything stays inside the plan: the feedback set, candidate
+    * vocabulary, offer weights, and the selected expansion terms are
+    * frames (model-sized — ≤ fbDocs docs' vocabulary), never driver
+    * collections. Three corpus scans total (first pass, candidate df
+    * pass, final pass) — the irreducible PRF shape without a standing
+    * index; with [[tfidfPostings]]-style persisted postings each scan
+    * becomes an index probe. Offer weights are 1e-6-canonized before
+    * the (ow desc, term asc) top-`fbTerms` cut, so expansion selection
+    * is engine-reproducible; the final rank reuses the bm25TopK canon +
+    * tie rule. */
+  def prfTopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      fbDocs: Int = 10, fbTerms: Int = 5, beta: Double = 0.5,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(fbDocs > 0, s"fbDocs must be positive, got $fbDocs")
+    require(fbTerms >= 0, s"fbTerms must be >= 0, got $fbTerms")
+    require(beta >= 0, s"beta must be >= 0, got $beta")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fb = bm25TopK(docs, queryTerms, fbDocs, k1, b, idCol, textCol)
+      .select(col(idCol))
+    val corpusTok = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    // r(t): number of DISTINCT feedback docs containing t
+    val rt = corpusTok.join(broadcast(fb), idCol)
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("r"))
+      .filter(!col("term").isInCollection(queryTerms.distinct) && col("term") =!= "")
+    // corpus df restricted to the candidate vocabulary (broadcast semi)
+    val cdf = corpusTok
+      .join(broadcast(rt.select(col("term"))), Seq("term"), "left_semi")
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.filter(col(textCol).isNotNull).agg(count(lit(1)).as("n_docs"))
+    val expansion = rt.join(cdf, "term")
+      .join(broadcast(nDocs))
+      .withColumn("ow", col("r") *
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("ow", floor(col("ow") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .orderBy(col("ow").desc, col("term").asc)
+      .limit(fbTerms)
+      .select(col("term"), lit(beta).as("q_w"))
+    val weights = queryTerms.distinct.toDF("term")
+      .withColumn("q_w", lit(1.0))
+      .unionByName(expansion)
+    bm25ScoresWeighted(docs, weights, k1, b, idCol, textCol)
+      .withColumn("score", floor(col("score") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Top-k BM25 retrieval with the library's deterministic tie rule:
     * score descending, id ascending. Ranking happens on a 6-decimal
     * canonicalized score (floor(x*1e6+0.5)/1e6) so that the ORDER is a

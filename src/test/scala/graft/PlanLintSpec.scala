@@ -78,7 +78,10 @@ class PlanLintSpec extends SparkSpec {
     "q_ir_eval_embeddings",
     // collocations: the 1-row token-total aggregate broadcasts into the
     // vocabulary-sized scored frame — the q_kmv class
-    "q_collocations_docs")
+    "q_collocations_docs",
+    // PRF: three 1-row corpus-stats broadcasts (one per scoring pass)
+    // — the q_kmv class; every data-bearing join is term- or doc-keyed
+    "q_prf_topk_docs")
   private val globalWindowOk = Set("q_rrf_hybrid_docs",
     // cumulative walks over the model-sized bucket table / the
     // distinct-length table — never over data rows

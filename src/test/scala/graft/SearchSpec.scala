@@ -156,4 +156,50 @@ class SearchSpec extends SparkSpec {
     val w = p.filter($"doc_id" === 1L && $"term" === "table").collect()(0)
     assert(math.abs(w.getAs[Double]("tfidf") - (math.log(3.0 / 2.0) + 1.0)) < 1e-12)
   }
+
+  // ---- pseudo-relevance feedback --------------------------------------
+
+  // PRF corpus: "apple" retrieves docs 1-3; feedback top-2 (tie on score,
+  // id asc) = docs 1, 2; candidates banana(r=2,df=3) cherry(r=1,df=2)
+  // date(r=1,df=1); offer weights rank date > banana > cherry.
+  private def prfCorpus = Seq(
+    (1L, "apple banana cherry"),
+    (2L, "apple banana date"),
+    (3L, "apple elderberry fig"),
+    (4L, "grape banana cherry"),
+    (5L, "kiwi lemon mango")
+  ).toDF("doc_id", "text")
+
+  test("prf expands with the top offer-weight terms and re-ranks") {
+    val out = Search.prfTopK(prfCorpus, Seq("apple"), k = 5,
+        fbDocs = 2, fbTerms = 2, beta = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every dl = 3 = avgdl and every tf = 1, so the saturation factor is
+    // exactly 1 and each hit contributes q_w * idf
+    def idf(df: Double) = math.log(1 + (5.0 - df + 0.5) / (df + 0.5))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = Seq(
+      (2L, 3L, r6(idf(3) + 0.5 * idf(1) + 0.5 * idf(3))), // apple date banana
+      (1L, 2L, r6(idf(3) + 0.5 * idf(3))),                // apple banana
+      (3L, 1L, r6(idf(3))),                               // apple
+      (4L, 1L, r6(0.5 * idf(3))))                         // banana only
+    assert(out.toSeq == expected, s"got ${out.toSeq}")
+  }
+
+  test("prf with fbTerms = 0 degenerates to plain bm25 ranking") {
+    val prf = Search.prfTopK(prfCorpus, Seq("apple"), k = 3, fbDocs = 2, fbTerms = 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val plain = Search.bm25TopK(prfCorpus, Seq("apple"), k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    assert(prf == plain)
+  }
+
+  test("prf validation raises on bad arguments") {
+    intercept[IllegalArgumentException](
+      Search.prfTopK(prfCorpus, Seq("apple"), k = 0))
+    intercept[IllegalArgumentException](
+      Search.prfTopK(prfCorpus, Seq("apple"), k = 1, fbDocs = 0))
+    intercept[IllegalArgumentException](
+      Search.prfTopK(prfCorpus, Seq("apple"), k = 1, beta = -0.1))
+  }
 }
