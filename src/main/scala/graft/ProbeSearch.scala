@@ -56,6 +56,33 @@ object ProbeSearch {
       "sort", "window", "the", "a", "big", "small", "data", "column", "join",
       "customer", "query", "order", "group", "filter", "stream2", "x1", "x2",
       "x3", "x4", "x5", "x6", "x7", "x8", "x9")
+    // --- round 9: standing-index amortization for the vector-space /
+    // PRF family. tfidfPostings is the inverted index; persisting it
+    // bucketed by term turns every query-time scan into an index probe
+    // (bucket pruning on the term IN (...) predicate). Measured against
+    // the full per-query recompute, plus the 3-scan PRF cost.
+    time("tfidf full recompute top-25 (warm)") {
+      Search.tfidfTopK(bigDocs, q4, k = 25).count()
+      Search.tfidfTopK(bigDocs, q4, k = 25).count()
+    }
+    val postings = Search.tfidfPostings(bigDocs)
+    // clear any stale managed-table location from a previous probe run
+    spark.sql("DROP TABLE IF EXISTS probe_tfidf_postings")
+    graft.core.Fs.rmTree("spark-warehouse/probe_tfidf_postings")
+    time("tfidf postings build + bucketed write (once, amortized)") {
+      graft.sources.Bucketing.writeBucketed(postings, "probe_tfidf_postings",
+        "term", nBuckets = 32, sortCols = Seq("term"))
+    }
+    val standing = spark.table("probe_tfidf_postings")
+    time("tfidf top-25 from persisted postings (cold)") {
+      Search.tfidfTopKFromPostings(standing, q4, k = 25).count()
+    }
+    time("tfidf top-25 from persisted postings (warm)") {
+      Search.tfidfTopKFromPostings(standing, q4, k = 25).count()
+    }
+    time("prf top-25 (3 corpus scans, warm corpus)") {
+      Search.prfTopK(bigDocs, q4, k = 25, fbDocs = 10, fbTerms = 5).count()
+    }
     time("bm25 top-25, 40-term query (warm corpus)") {
       Search.bm25TopK(bigDocs, q40, k = 25).count()
     }
