@@ -3834,6 +3834,54 @@ object SparkEntry {
        |ORDER BY score DESC, doc_id""".stripMargin
   }
 
+  /** TextRank corpus keywords: [[graft.ext.TextRank.topKeywords]] —
+    * 4 quantized weighted-PageRank iterations (d = 0.85) over the
+    * window-2 co-occurrence graph of ≥2-char terms, top-25 cut. DuckDB
+    * replays pair extraction (list_transform skip-grams over the
+    * FILTERED token list), the canonical undirected edge counts, the
+    * out-weight normalizers, and all four iterations as unrolled CTEs;
+    * both engines quantize scores to 1e-6 per iteration and force the
+    * (1 − d) term through the same double subtraction, so state stays
+    * bit-identical in lockstep (the Classifier trainer convention). */
+  private def textrankDocs(s: SparkSession, dir: String): DataFrame =
+    ext.TextRank.topKeywords(Tables.documents(s, dir), k = 25,
+        window = 2, iters = 4, damping = 0.85, minTermLen = 2)
+      .select(col("term"), col("rank_score"))
+      .orderBy(col("rank_score").desc, col("term"))
+
+  private def textrankSql: String = {
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (SELECT e.dst AS term,
+         |  floor(((1.0::DOUBLE - 0.85::DOUBLE) + 0.85::DOUBLE *
+         |    sum(e.ratio * $prev.s)) * 1e6 + 0.5) / 1e6 AS s
+         |  FROM e JOIN $prev ON $prev.term = e.src GROUP BY e.dst)"""
+    val iters = (1 to 4).map(i => step(s"s${i - 1}", s"s$i")).mkString(",\n")
+    raw"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+       |                t -> len(t) >= 2) AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |p1 AS (SELECT unnest(list_transform(range(1, len(toks)),
+       |    i -> [toks[i], toks[i + 1]])) AS pr FROM d WHERE len(toks) >= 2),
+       |p2 AS (SELECT unnest(list_transform(range(1, len(toks) - 1),
+       |    i -> [toks[i], toks[i + 2]])) AS pr FROM d WHERE len(toks) >= 3),
+       |p AS (SELECT pr[1] AS x, pr[2] AS y
+       |  FROM (SELECT pr FROM p1 UNION ALL SELECT pr FROM p2)
+       |  WHERE pr[1] <> pr[2]),
+       |e0 AS (SELECT least(x, y) AS a, greatest(x, y) AS b,
+       |    count(*)::DOUBLE AS w FROM p GROUP BY 1, 2),
+       |dir AS (SELECT a AS src, b AS dst, w FROM e0
+       |  UNION ALL SELECT b, a, w FROM e0),
+       |ow AS (SELECT src, sum(w) AS out_w FROM dir GROUP BY 1),
+       |e AS (SELECT dir.src, dir.dst, dir.w / ow.out_w AS ratio
+       |  FROM dir JOIN ow ON dir.src = ow.src),
+       |s0 AS (SELECT DISTINCT src AS term, (1.0)::DOUBLE AS s FROM dir),
+       |$iters,
+       |r AS (SELECT term, s, row_number() OVER (ORDER BY s DESC, term) AS rn
+       |  FROM s4)
+       |SELECT term, s AS rank_score FROM r WHERE rn <= 25
+       |ORDER BY rank_score DESC, term""".stripMargin
+  }
+
   /** Corpus-wide repeated-span removal probe: [[graft.ext.Dedup
     * .dropRepeatedSpans]] (C4 recipe) at 8-token blocks over the full
     * documents table. DuckDB replays the block split, the global
@@ -5280,6 +5328,7 @@ object SparkEntry {
     "q_bm25_topk_docs" -> bm25TopkDocs,
     "q_tfidf_topk_docs" -> tfidfTopkDocs,
     "q_prf_topk_docs" -> prfTopkDocs,
+    "q_textrank_docs" -> textrankDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
     "q_cluster_keep_embeddings" -> clusterKeepEmbeddings,
@@ -5542,6 +5591,7 @@ object SparkEntry {
     "q_rrf_hybrid_docs" -> rrfHybridSql,
     "q_collocations_docs" -> collocationsSql,
     "q_prf_topk_docs" -> prfTopkSql,
+    "q_textrank_docs" -> textrankSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,
     "q_asof_join_events" -> asofJoinSql,
