@@ -1490,6 +1490,30 @@ object SparkEntry {
        |WHERE doc_id < 250 AND doc_id NOT IN (SELECT v FROM losers)
        |ORDER BY doc_id""".stripMargin
 
+  /** Soft-dedup repetition weights ([[graft.ext.Dedup.repetitionWeights]],
+    * alpha = 0.5) on the SAME bounded exact-Jaccard pair graph as the
+    * other cluster oracles: weight = (1/cluster_size)^0.5, singletons at
+    * 1. DuckDB replays components (recursive CTE), the singleton
+    * fallback label, the size aggregate, and the canonized power. */
+  private def softDedupWeightsDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 250)
+    val pairs = jaccardPairsDocs(s, dir).select("doc_a", "doc_b")
+    ext.Dedup.repetitionWeights(docs, pairs, alpha = 0.5)
+      .select(col("doc_id"), col("cluster"), col("cluster_size"), col("weight"))
+      .orderBy("doc_id")
+  }
+
+  private def softDedupWeightsSql: String =
+    s"""$componentsCtePrefix,
+       |lab AS (SELECT doc.doc_id, coalesce(c.component, doc.doc_id) AS cluster
+       |  FROM documents doc LEFT JOIN c ON c.v = doc.doc_id
+       |  WHERE doc.doc_id < 250),
+       |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT lab.doc_id, lab.cluster, sz.cluster_size,
+       |  floor(pow(1.0::DOUBLE / sz.cluster_size, 0.5::DOUBLE) * 1e6 + 0.5) / 1e6
+       |    AS weight
+       |FROM lab JOIN sz USING (cluster) ORDER BY doc_id""".stripMargin
+
   /** SQL-surface probe: the codegen expressions (CosineSimilarity,
     * DotProduct) resolved through SQL TEXT via the GraftExtensions
     * function registry — `GraftExtensions.register` on the driver's own
@@ -3882,6 +3906,52 @@ object SparkEntry {
        |ORDER BY rank_score DESC, term""".stripMargin
   }
 
+  /** Nearest-centroid (Rocchio) self-classification over the labeled
+    * embeddings table ([[graft.ext.NearestCentroid]]): fit one mean
+    * vector per label, assign every vector by 1e-6-canonicalized cosine
+    * with ties to the smaller label. The oracle recomputes every
+    * centroid cell (avg per (label, pos)), rebuilds the centroid lists,
+    * and replays the scored cross product + argmax rank rule. */
+  private def nearestCentroidEmbeddings(s: SparkSession, dir: String): DataFrame =
+    ext.NearestCentroid.classify(Tables.embeddings(s, dir),
+        ext.NearestCentroid.labelCentroids(Tables.embeddings(s, dir)))
+      .select(col("vec_id"), col("label"), col("predicted"), col("cos"))
+      .orderBy("vec_id")
+
+  private def nearestCentroidSqlCore: String =
+    raw"""WITH v AS (SELECT vec_id, label::BIGINT AS label,
+       |    embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |x AS (SELECT label, g.i AS i, emb[g.i] AS val FROM v,
+       |    LATERAL unnest(range(1, len(emb) + 1)) AS g(i)
+       |  WHERE label IS NOT NULL),
+       |c AS (SELECT label AS clabel, list(m ORDER BY i) AS cvec FROM (
+       |    SELECT label, i, avg(val) AS m FROM x GROUP BY 1, 2) GROUP BY 1),
+       |s AS (SELECT v.vec_id, v.label, c.clabel,
+       |    floor(list_cosine_similarity(v.emb, c.cvec) * 1e6 + 0.5) / 1e6 AS cos
+       |  FROM v CROSS JOIN c),
+       |p AS (SELECT vec_id, label, clabel AS predicted, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+       |  FROM s WHERE cos IS NOT NULL AND NOT isnan(cos))""".stripMargin
+
+  private def nearestCentroidSql: String =
+    raw"""$nearestCentroidSqlCore
+       |SELECT vec_id, label, predicted, cos FROM p WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
+  /** Confusion matrix of the same self-classification — the pipeline's
+    * label-quality read-out (label, predicted, n). */
+  private def centroidConfusionEmbeddings(s: SparkSession, dir: String): DataFrame =
+    ext.NearestCentroid.confusionMatrix(Tables.embeddings(s, dir))
+      .select(col("label"), col("predicted"), col("n"))
+      .orderBy("label", "predicted")
+
+  private def centroidConfusionSql: String =
+    raw"""$nearestCentroidSqlCore
+       |SELECT label, predicted, count(*) AS n FROM p
+       |WHERE rn = 1 AND label IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin
+
   /** Corpus-wide repeated-span removal probe: [[graft.ext.Dedup
     * .dropRepeatedSpans]] (C4 recipe) at 8-token blocks over the full
     * documents table. DuckDB replays the block split, the global
@@ -5329,6 +5399,9 @@ object SparkEntry {
     "q_tfidf_topk_docs" -> tfidfTopkDocs,
     "q_prf_topk_docs" -> prfTopkDocs,
     "q_textrank_docs" -> textrankDocs,
+    "q_nearest_centroid_embeddings" -> nearestCentroidEmbeddings,
+    "q_centroid_confusion_embeddings" -> centroidConfusionEmbeddings,
+    "q_soft_dedup_weights_docs" -> softDedupWeightsDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
     "q_cluster_keep_embeddings" -> clusterKeepEmbeddings,
@@ -5592,6 +5665,9 @@ object SparkEntry {
     "q_collocations_docs" -> collocationsSql,
     "q_prf_topk_docs" -> prfTopkSql,
     "q_textrank_docs" -> textrankSql,
+    "q_nearest_centroid_embeddings" -> nearestCentroidSql,
+    "q_centroid_confusion_embeddings" -> centroidConfusionSql,
+    "q_soft_dedup_weights_docs" -> softDedupWeightsSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,
     "q_asof_join_events" -> asofJoinSql,

@@ -81,7 +81,11 @@ class PlanLintSpec extends SparkSpec {
     "q_collocations_docs",
     // PRF: three 1-row corpus-stats broadcasts (one per scoring pass)
     // — the q_kmv class; every data-bearing join is term- or doc-keyed
-    "q_prf_topk_docs")
+    "q_prf_topk_docs",
+    // nearest-centroid classification: corpus × broadcast(label-count
+    // centroid table) — the bruteForceTopK shape; the argmax is a
+    // vec-keyed aggregate that collapses the expansion map-side
+    "q_nearest_centroid_embeddings", "q_centroid_confusion_embeddings")
   private val globalWindowOk = Set("q_rrf_hybrid_docs",
     // cumulative walks over the model-sized bucket table / the
     // distinct-length table — never over data rows
