@@ -598,6 +598,40 @@ object Dedup {
       .select(col("id").as(idCol))
   }
 
+  /** Soft deduplication — duplicate-aware repetition weights instead of
+    * hard drops (the SlimPajama/SoftDeDup observation: duplication is a
+    * SIGNAL to down-weight, not always a row to delete; a sampler fed
+    * these weights sees each duplicate cluster with bounded total mass
+    * rather than mass ∝ copies). Cluster the near-dup `pairs` by
+    * connected components; every doc gets
+    *
+    *   weight = (1 / cluster_size)^alpha,  1e-6-canonicalized
+    *
+    * (alpha = 1: each cluster totals one doc's mass; alpha = 0: plain
+    * counts; between: sub-linear duplicate discounting). Docs absent
+    * from the pair graph are singletons at weight 1. Output
+    * (idCol, cluster, cluster_size, weight) — feed the weight column to
+    * [[Sampling.weightedSample]]/[[Sampling.weightedKeep]].
+    *
+    * Spark shape: components are graph-sized ([[connectedComponents]]);
+    * the size aggregate and the join back are cluster-keyed and
+    * map-combinable — a megacluster (the classic boilerplate blob)
+    * skews only the probe side, the AQE skew-join case. Nothing here
+    * is corpus×corpus. */
+  def repetitionWeights(docs: DataFrame, pairs: DataFrame, alpha: Double = 1.0,
+      idCol: String = "doc_id"): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    val comp = connectedComponents(pairs)
+    val labeled = docs.select(col(idCol).cast("long").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+    val sizes = labeled.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster")
+      .select(col("id").as(idCol), col("cluster"), col("cluster_size"),
+        (floor(pow(lit(1.0) / col("cluster_size"), lit(alpha)) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("weight"))
+  }
+
   /** Distinct string-shingle set of a text column — the raw-string twin of
     * the hashed verify-stage sets (Jaccard over either is identical because
     * shingle→hash is injective modulo negligible 64-bit collisions). */

@@ -595,4 +595,23 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(keptTied == Set(11L), s"kept $keptTied")
   }
+
+  test("repetitionWeights: 1/size^alpha per cluster, singletons at 1") {
+    val docs = (1L to 5L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val w = Dedup.repetitionWeights(docs, pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("cluster_size"),
+          r.getAs[Double]("weight"))).toMap
+    // {1,2,3} one cluster labeled by its min member; 4, 5 singletons
+    assert(Seq(1L, 2L, 3L).forall(i => w(i) == (1L, 3L, 0.333333)), s"got $w")
+    assert(w(4L) == (4L, 1L, 1.0) && w(5L) == (5L, 1L, 1.0), s"got $w")
+    // alpha = 0.5: 1/sqrt(3) canonized; alpha = 0: everything at 1
+    val h = Dedup.repetitionWeights(docs, pairs, alpha = 0.5)
+      .filter($"doc_id" === 1L).collect()(0).getAs[Double]("weight")
+    assert(math.abs(h - 0.57735) < 1e-5, s"got $h")
+    val z = Dedup.repetitionWeights(docs, pairs, alpha = 0.0)
+      .select("weight").as[Double].collect()
+    assert(z.forall(_ == 1.0))
+  }
 }
