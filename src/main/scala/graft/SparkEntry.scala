@@ -2300,7 +2300,10 @@ object SparkEntry {
     ext.IrEval.evalRanking(run, qrels, k = 10, docCol = "vec_id")
   }
 
-  private def irEvalSql: String = {
+  /** The per-query IR-metric CTE chain, parameterized by the anchor cut
+    * (queries = vec_id < `maxQ`), ending in CTE `pqm` — shared by the
+    * q_ir_eval oracle (maxQ = 3) and the bootstrap-CI oracle (maxQ = 64). */
+  private def irEvalSqlCore(maxQ: Int): String = {
     val disc = ext.IrEval.discounts(10)
     val ideal = ext.IrEval.idealDcg(10)
     val discVals = disc.zipWithIndex
@@ -2308,7 +2311,7 @@ object SparkEntry {
     val idcgVals = ideal.zipWithIndex
       .map { case (v, i) => s"(${i + 1}, ($v)::DOUBLE)" }.mkString(", ")
     raw"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qemb, label AS qlabel
-       |  FROM embeddings WHERE vec_id < 3),
+       |  FROM embeddings WHERE vec_id < $maxQ),
        |s AS (SELECT q.query_id, e.vec_id,
        |  list_cosine_similarity(e.embedding::DOUBLE[], q.qemb) AS cos
        |  FROM embeddings e CROSS JOIN q),
@@ -2323,15 +2326,66 @@ object SparkEntry {
        |idcg AS (SELECT * FROM (VALUES $idcgVals) AS t(n, v)),
        |hits AS (SELECT run.query_id, run.rank FROM run JOIN qr USING (query_id, vec_id)),
        |pq AS (SELECT h.query_id, min(h.rank) AS first_rel, count(*) AS n_hits,
-       |  sum(disc.d) AS dcg FROM hits h JOIN disc ON disc.rank = h.rank GROUP BY 1)
-       |SELECT nrel.query_id, nrel.n_rel,
+       |  sum(disc.d) AS dcg FROM hits h JOIN disc ON disc.rank = h.rank GROUP BY 1),
+       |pqm AS (SELECT nrel.query_id, nrel.n_rel,
        |  coalesce(pq.n_hits, 0) AS n_hits_at_k,
        |  floor(coalesce((1.0)::DOUBLE / pq.first_rel, (0.0)::DOUBLE) * 1e6 + 0.5) / 1e6 AS mrr_at_k,
        |  floor((coalesce(pq.n_hits, 0)::DOUBLE / nrel.n_rel) * 1e6 + 0.5) / 1e6 AS recall_at_k,
        |  floor((coalesce(pq.dcg, (0.0)::DOUBLE) / idcg.v) * 1e6 + 0.5) / 1e6 AS ndcg_at_k
        |FROM nrel LEFT JOIN pq USING (query_id)
-       |JOIN idcg ON idcg.n = least(nrel.n_rel, 10)
-       |ORDER BY nrel.query_id""".stripMargin
+       |JOIN idcg ON idcg.n = least(nrel.n_rel, 10))""".stripMargin
+  }
+
+  private def irEvalSql: String =
+    s"""${irEvalSqlCore(3)}
+       |SELECT query_id, n_rel, n_hits_at_k, mrr_at_k, recall_at_k, ndcg_at_k
+       |FROM pqm ORDER BY query_id""".stripMargin
+
+  /** Bootstrap CI for the eval-set mean nDCG@10
+    * ([[graft.ext.IrEval.bootstrapCiMean]]): the 64-anchor IR eval's
+    * per-query ndcg, resampled B = 200 times through the replayable
+    * Knuth draw mix, symmetric 95% percentile bounds. The oracle replays
+    * the widened eval (same CTE core as q_ir_eval at maxQ = 64), every
+    * draw, every canonized resample mean, and both order-statistic
+    * ranks, which are computed by the SAME Scala arithmetic that the
+    * engine uses and embedded as literals. */
+  private val bootstrapB = 200
+  private val bootstrapLevel = 0.95
+
+  private def bootstrapCiEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val run = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb")), k = 10)
+    val anchors = emb.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val qrels = anchors.join(emb.select(col("vec_id"), col("label")),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val perQ = ext.IrEval.evalRanking(run, qrels, k = 10, docCol = "vec_id")
+    ext.IrEval.bootstrapCiMean(perQ, "ndcg_at_k",
+      b = bootstrapB, level = bootstrapLevel)
+  }
+
+  private def bootstrapCiSql: String = {
+    val loRank = math.floor(bootstrapB * (1.0 - bootstrapLevel) / 2.0).toInt + 1
+    val hiRank = bootstrapB - loRank + 1
+    s"""${irEvalSqlCore(64)},
+       |iv AS (SELECT ndcg_at_k AS m,
+       |  row_number() OVER (ORDER BY query_id) - 1 AS idx FROM pqm),
+       |nq AS (SELECT count(*) AS n FROM iv),
+       |dr AS (SELECT g.b,
+       |    ((g.b + 1) * 2654435761 + (iv.idx + 1) * 40503) % 4294967296 % nq.n AS pick
+       |  FROM (SELECT unnest(range(0, $bootstrapB)) AS b) g
+       |  CROSS JOIN iv CROSS JOIN nq),
+       |bm AS (SELECT dr.b, floor(avg(iv.m) * 1e6 + 0.5) / 1e6 AS bm
+       |  FROM dr JOIN iv ON iv.idx = dr.pick GROUP BY 1),
+       |rk AS (SELECT bm, b, row_number() OVER (ORDER BY bm, b) AS rk FROM bm),
+       |pt AS (SELECT floor(avg(m) * 1e6 + 0.5) / 1e6 AS mean,
+       |  count(*) AS n_queries FROM iv)
+       |SELECT pt.mean, lo.bm AS ci_lower, hi.bm AS ci_upper, pt.n_queries,
+       |  ${bootstrapB}::BIGINT AS n_resamples
+       |FROM pt, (SELECT bm FROM rk WHERE rk = $loRank) lo,
+       |  (SELECT bm FROM rk WHERE rk = $hiRank) hi""".stripMargin
   }
 
   /** Training-triplet assembly ([[graft.ext.Negatives.triplets]]): each
@@ -5402,6 +5456,7 @@ object SparkEntry {
     "q_nearest_centroid_embeddings" -> nearestCentroidEmbeddings,
     "q_centroid_confusion_embeddings" -> centroidConfusionEmbeddings,
     "q_soft_dedup_weights_docs" -> softDedupWeightsDocs,
+    "q_bootstrap_ci_embeddings" -> bootstrapCiEmbeddings,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
     "q_cluster_keep_embeddings" -> clusterKeepEmbeddings,
@@ -5668,6 +5723,7 @@ object SparkEntry {
     "q_nearest_centroid_embeddings" -> nearestCentroidSql,
     "q_centroid_confusion_embeddings" -> centroidConfusionSql,
     "q_soft_dedup_weights_docs" -> softDedupWeightsSql,
+    "q_bootstrap_ci_embeddings" -> bootstrapCiSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,
     "q_asof_join_events" -> asofJoinSql,

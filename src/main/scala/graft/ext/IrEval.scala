@@ -79,4 +79,63 @@ object IrEval {
           .as("ndcg_at_k"))
       .orderBy("query_id")
   }
+
+  /** Deterministic bootstrap confidence interval for the MEAN of a
+    * per-query metric (the standard way to put error bars on an eval-set
+    * average — Efron & Tibshirani 1993; per-query resampling as in
+    * Smucker et al. 2007's significance-testing guidance for IR): `b`
+    * resamples of the Q queries with replacement, each resample's mean
+    * 1e-6-canonized, CI = the symmetric (rank-based) percentile cut of
+    * the resample means at `level`.
+    *
+    * Replayability contract (no RNG): draw (resample bi, slot i) maps to
+    * query index via the pure-integer Knuth mix
+    *
+    *   pick = ((bi+1)·2654435761 + (i+1)·40503) mod 2³² mod Q
+    *
+    * — the same multiplicative-hash family the split/shuffle oracles
+    * replay — so both engines draw IDENTICAL resamples. The CI bounds
+    * are order statistics of the (canonized mean, bi)-ranked resamples:
+    * lower = rank ⌊B·(1−level)/2⌋ + 1, upper = the mirrored rank.
+    *
+    * Scale shape: everything here is eval-set-sized (Q queries × B
+    * resamples), never corpus-sized — the global windows and 1-row
+    * count broadcast are the model-sized class the plan lint whitelists.
+    * Output one row: (mean, ci_lower, ci_upper, n_queries, n_resamples). */
+  def bootstrapCiMean(perQuery: DataFrame, valueCol: String, b: Int = 200,
+      level: Double = 0.95, queryIdCol: String = "query_id"): DataFrame = {
+    require(b >= 1, s"b must be >= 1, got $b")
+    require(level > 0 && level < 1, s"level must be in (0,1), got $level")
+    val spark = perQuery.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val vals = perQuery
+      .select(col(queryIdCol).cast("long").as("qid"),
+        col(valueCol).cast("double").as("m"))
+      .filter(col("m").isNotNull)
+    val idx = vals
+      .withColumn("idx", row_number().over(Window.orderBy(col("qid"))) - 1)
+    val nDf = vals.agg(count(lit(1)).as("nq"))
+    val draws = idx.select(col("idx").as("i"))
+      .crossJoin(spark.range(b).select(col("id").as("bi")))
+      .crossJoin(broadcast(nDf))
+      .select(col("bi"),
+        ((((col("bi") + 1) * lit(2654435761L)) + ((col("i") + 1) * lit(40503L)))
+          % lit(4294967296L) % col("nq")).as("pick"))
+    val means = draws
+      .join(idx.select(col("idx").as("pick"), col("m")), "pick")
+      .groupBy("bi").agg(r6(avg("m")).as("bm"))
+    val ranked = means
+      .withColumn("rk", row_number().over(Window.orderBy(col("bm"), col("bi"))))
+    val loRank = math.floor(b * (1.0 - level) / 2.0).toInt + 1
+    val hiRank = b - loRank + 1
+    vals.agg(r6(avg("m")).as("mean"), count(lit(1)).as("n_queries"))
+      .crossJoin(broadcast(ranked.filter(col("rk") === loRank)
+        .select(col("bm").as("ci_lower"))))
+      .crossJoin(broadcast(ranked.filter(col("rk") === hiRank)
+        .select(col("bm").as("ci_upper"))))
+      .select(col("mean"), col("ci_lower"), col("ci_upper"),
+        col("n_queries"), lit(b.toLong).as("n_resamples"))
+  }
 }

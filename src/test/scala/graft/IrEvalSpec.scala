@@ -59,4 +59,37 @@ class IrEvalSpec extends SparkSpec {
   test("validation raises on non-positive k") {
     intercept[IllegalArgumentException](IrEval.evalRanking(run, qrels, k = 0))
   }
+
+  test("bootstrapCiMean: constant metric collapses the CI onto the mean") {
+    val pq = Seq((1L, 0.5), (2L, 0.5), (3L, 0.5)).toDF("query_id", "ndcg")
+    val r = IrEval.bootstrapCiMean(pq, "ndcg", b = 50).collect()(0)
+    assert(r.getAs[Double]("mean") == 0.5 &&
+      r.getAs[Double]("ci_lower") == 0.5 && r.getAs[Double]("ci_upper") == 0.5)
+    assert(r.getAs[Long]("n_queries") == 3L && r.getAs[Long]("n_resamples") == 50L)
+  }
+
+  test("bootstrapCiMean: deterministic, ordered, bounded by the value range") {
+    val pq = Seq((1L, 0.0), (2L, 0.2), (3L, 0.9), (4L, 1.0), (5L, 0.4))
+      .toDF("query_id", "m")
+    val a = IrEval.bootstrapCiMean(pq, "m", b = 100).collect()(0)
+    val b2 = IrEval.bootstrapCiMean(pq, "m", b = 100).collect()(0)
+    assert(a == b2, s"non-deterministic: $a vs $b2")
+    val (lo, hi) = (a.getAs[Double]("ci_lower"), a.getAs[Double]("ci_upper"))
+    assert(lo <= hi && lo >= 0.0 && hi <= 1.0, s"got $a")
+  }
+
+  test("bootstrapCiMean: b = 1 degenerates to the single resample mean; null metrics drop") {
+    val pq = Seq((1L, Some(0.8)), (2L, None)).toDF("query_id", "m")
+    val r = IrEval.bootstrapCiMean(pq, "m", b = 1).collect()(0)
+    // one query survives; every pick hits it
+    assert(r.getAs[Long]("n_queries") == 1L)
+    assert(r.getAs[Double]("mean") == 0.8 &&
+      r.getAs[Double]("ci_lower") == 0.8 && r.getAs[Double]("ci_upper") == 0.8)
+  }
+
+  test("bootstrapCiMean validation") {
+    val pq = Seq((1L, 0.5)).toDF("query_id", "m")
+    intercept[IllegalArgumentException](IrEval.bootstrapCiMean(pq, "m", b = 0))
+    intercept[IllegalArgumentException](IrEval.bootstrapCiMean(pq, "m", level = 1.0))
+  }
 }

@@ -85,13 +85,20 @@ class PlanLintSpec extends SparkSpec {
     // nearest-centroid classification: corpus × broadcast(label-count
     // centroid table) — the bruteForceTopK shape; the argmax is a
     // vec-keyed aggregate that collapses the expansion map-side
-    "q_nearest_centroid_embeddings", "q_centroid_confusion_embeddings")
+    "q_nearest_centroid_embeddings", "q_centroid_confusion_embeddings",
+    // bootstrap CI: the run side is the bruteForceTopK shape (corpus ×
+    // broadcast(64 query rows)); the resample grid and CI bounds are
+    // eval-set/B-sized crossJoins of 1-row or ≤B-row broadcasts
+    "q_bootstrap_ci_embeddings")
   private val globalWindowOk = Set("q_rrf_hybrid_docs",
     // cumulative walks over the model-sized bucket table / the
     // distinct-length table — never over data rows
     "q_hdr_quantiles_docs",
     // zipf rank window runs over the ≤ topN-row TakeOrdered cut
-    "q_zipf_docs")
+    "q_zipf_docs",
+    // bootstrap CI: the query-index window runs over the 64-row eval
+    // set, the order-statistic rank window over the 200 resample means
+    "q_bootstrap_ci_embeddings")
 
   test("no unlisted cartesian / nested-loop / unpartitioned-window in any driver query plan") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists())
