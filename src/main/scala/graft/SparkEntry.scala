@@ -1514,6 +1514,24 @@ object SparkEntry {
        |    AS weight
        |FROM lab JOIN sz USING (cluster) ORDER BY doc_id""".stripMargin
 
+  /** Distributed global ordinal ([[graft.ext.Sampling.globalOrdinal]]):
+    * curriculum rank of every document by (n_chars, doc_id) computed via
+    * the two-phase bucket + offset mechanism — the oracle checks the
+    * SEMANTICS directly with a plain `row_number() OVER (ORDER BY ...)`,
+    * which any order-consistent bucketing must reproduce exactly (a
+    * stronger check than replaying the mechanism). */
+  private def globalOrdinalDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Sampling.globalOrdinal(Tables.documents(s, dir), "n_chars", "doc_id",
+        nBuckets = 64)
+      .select(col("doc_id"), col("n_chars"), col("ordinal"))
+      .orderBy("doc_id")
+
+  private def globalOrdinalSql: String =
+    """SELECT doc_id, n_chars,
+      |  row_number() OVER (ORDER BY n_chars, doc_id) AS ordinal
+      |FROM documents WHERE n_chars IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
   /** SQL-surface probe: the codegen expressions (CosineSimilarity,
     * DotProduct) resolved through SQL TEXT via the GraftExtensions
     * function registry — `GraftExtensions.register` on the driver's own
@@ -5457,6 +5475,7 @@ object SparkEntry {
     "q_centroid_confusion_embeddings" -> centroidConfusionEmbeddings,
     "q_soft_dedup_weights_docs" -> softDedupWeightsDocs,
     "q_bootstrap_ci_embeddings" -> bootstrapCiEmbeddings,
+    "q_global_ordinal_docs" -> globalOrdinalDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
     "q_cluster_keep_embeddings" -> clusterKeepEmbeddings,
@@ -5724,6 +5743,7 @@ object SparkEntry {
     "q_centroid_confusion_embeddings" -> centroidConfusionSql,
     "q_soft_dedup_weights_docs" -> softDedupWeightsSql,
     "q_bootstrap_ci_embeddings" -> bootstrapCiSql,
+    "q_global_ordinal_docs" -> globalOrdinalSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,
     "q_asof_join_events" -> asofJoinSql,

@@ -312,4 +312,59 @@ object Sampling {
       deterministicSample(df, idCol, w).withColumn(mixSourceCol, lit(tag))
     }.reduce(_.unionByName(_))
   }
+
+  /** Distributed global ordinal — `row_number() OVER (ORDER BY score,
+    * id)` semantics WITHOUT the single-partition window (the global
+    * WindowExec that moves the whole corpus into one task — the first
+    * plan shape the lint forbids). This is curriculum ordering: rank the
+    * corpus by a difficulty/quality score and train in ordinal order.
+    *
+    * Two-phase TeraSort-style ranking:
+    *   1. each row maps to one of `nBuckets` ORDER-CONSISTENT coarse
+    *      buckets (affine in score between the corpus min/max — a 1-row
+    *      broadcast; equal scores always share a bucket, so bucket
+    *      boundaries can never split a tie);
+    *   2. per-bucket counts roll into exclusive cumulative offsets (a
+    *      window over the nBuckets-row count table — model-sized), and
+    *      the final ordinal is offset + row_number within the bucket
+    *      (partitioned window, parallel across buckets).
+    *
+    * The bucket function's float arithmetic never needs cross-engine
+    * agreement: ANY order-consistent bucketing yields the same ordinal,
+    * so the oracle checks the SEMANTICS (a plain global row_number)
+    * rather than replaying the mechanism — a stronger verification than
+    * a replay twin.
+    *
+    * Contracts: `idCol` must be unique (it is the tiebreak); null scores
+    * are dropped (no position in the order); a corpus whose scores are
+    * ALL equal degenerates to one bucket — pick a higher-resolution
+    * score if that is a real risk. Skew bound: a bucket holds at most
+    * the rows of `1/nBuckets`-th of the score RANGE; heavy ties
+    * concentrate — the id tiebreak inside row_number keeps the within-
+    * bucket sort deterministic regardless. */
+  def globalOrdinal(df: DataFrame, scoreCol: String, idCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(scoreCol).isNotNull)
+      .withColumn("__s", col(scoreCol).cast("double"))
+    val bounds = base.agg(min("__s").as("__mn"), max("__s").as("__mx"))
+    val bucketed = base.crossJoin(broadcast(bounds))
+      .withColumn("__bucket",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(
+            greatest(floor((col("__s") - col("__mn"))
+              / (col("__mx") - col("__mn")) * lit(nBuckets)).cast("long"), lit(0L)),
+            lit(nBuckets - 1L))))
+      .drop("__mn", "__mx")
+    val offsets = bucketed.groupBy("__bucket").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum("__c").over(Window.orderBy("__bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__off"))
+    bucketed.join(broadcast(offsets), "__bucket")
+      .withColumn("ordinal", col("__off") + row_number().over(
+        Window.partitionBy("__bucket").orderBy(col("__s"), col(idCol))))
+      .drop("__s", "__bucket", "__off")
+  }
 }

@@ -89,7 +89,10 @@ class PlanLintSpec extends SparkSpec {
     // bootstrap CI: the run side is the bruteForceTopK shape (corpus ×
     // broadcast(64 query rows)); the resample grid and CI bounds are
     // eval-set/B-sized crossJoins of 1-row or ≤B-row broadcasts
-    "q_bootstrap_ci_embeddings")
+    "q_bootstrap_ci_embeddings",
+    // global ordinal: the 1-row (min,max) bounds broadcast — the whole
+    // point of the operator is AVOIDING the corpus-sized global window
+    "q_global_ordinal_docs")
   private val globalWindowOk = Set("q_rrf_hybrid_docs",
     // cumulative walks over the model-sized bucket table / the
     // distinct-length table — never over data rows
@@ -98,7 +101,10 @@ class PlanLintSpec extends SparkSpec {
     "q_zipf_docs",
     // bootstrap CI: the query-index window runs over the 64-row eval
     // set, the order-statistic rank window over the 200 resample means
-    "q_bootstrap_ci_embeddings")
+    "q_bootstrap_ci_embeddings",
+    // global ordinal: the offset window runs over the ≤nBuckets-row
+    // count table; the data window is bucket-partitioned
+    "q_global_ordinal_docs")
 
   test("no unlisted cartesian / nested-loop / unpartitioned-window in any driver query plan") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists())

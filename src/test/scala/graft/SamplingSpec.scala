@@ -252,4 +252,34 @@ class SamplingSpec extends SparkSpec {
       assert(streamed.size == 25)
     } finally graft.core.Fs.rmTree(tmp)
   }
+
+  test("globalOrdinal equals the single-window global row_number, ties broken by id") {
+    val df = Seq((1L, 5.0), (2L, 1.0), (3L, 5.0), (4L, 0.5), (5L, 3.0),
+      (6L, 1.0), (7L, 9.0)).toDF("id", "score")
+    // expected rank by (score asc, id asc)
+    val expected = Map(4L -> 1L, 2L -> 2L, 6L -> 3L, 5L -> 4L,
+      1L -> 5L, 3L -> 6L, 7L -> 7L)
+    for (nb <- Seq(1, 4, 1000)) {
+      val got = Sampling.globalOrdinal(df, "score", "id", nBuckets = nb)
+        .select($"id", $"ordinal").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"nBuckets=$nb: got $got")
+    }
+  }
+
+  test("globalOrdinal: constant scores fall into one bucket, id breaks all ties") {
+    val df = (1L to 10L).map(i => (i, 7.0)).toDF("id", "score")
+    val got = Sampling.globalOrdinal(df, "score", "id")
+      .select($"id", $"ordinal").as[(Long, Long)].collect().toMap
+    assert(got == (1L to 10L).map(i => i -> i).toMap, s"got $got")
+  }
+
+  test("globalOrdinal drops null scores and validates nBuckets") {
+    val df = Seq((1L, Some(2.0)), (2L, None), (3L, Some(1.0)))
+      .toDF("id", "score")
+    val got = Sampling.globalOrdinal(df, "score", "id")
+      .select($"id", $"ordinal").as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 1L, 1L -> 2L), s"got $got")
+    intercept[IllegalArgumentException](
+      Sampling.globalOrdinal(df, "score", "id", nBuckets = 0))
+  }
 }
