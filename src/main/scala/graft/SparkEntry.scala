@@ -1532,6 +1532,39 @@ object SparkEntry {
       |FROM documents WHERE n_chars IS NOT NULL
       |ORDER BY doc_id""".stripMargin
 
+  /** Content-defined chunking ([[graft.ext.Packing.contentDefinedChunks]],
+    * 4-token grams, divisor 64): rolling-hash boundaries over the full
+    * documents table. DuckDB replays the token positions, every
+    * Karp–Rabin gram hash, every boundary decision, the exclusive
+    * prefix-sum chunk ids, and the in-order reassembly. */
+  private def cdcChunksDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Packing.contentDefinedChunks(Tables.documents(s, dir),
+        gramTokens = 4, divisor = 64)
+      .select(col("doc_id"), col("chunk_id"), col("start_pos"),
+        col("n_tokens"), col("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  private def cdcChunksSql: String =
+    raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |t AS (SELECT doc_id, g.i - 1 AS pos, toks[g.i] AS tok,
+       |    CASE WHEN g.i >= 4 THEN array_to_string(toks[g.i - 3:g.i], ' ') END AS gram
+       |  FROM d, LATERAL unnest(range(1, len(toks) + 1)) AS g(i)),
+       |b AS (SELECT doc_id, pos, tok,
+       |    CASE WHEN gram IS NOT NULL AND
+       |      list_reduce(list_prepend(0::BIGINT,
+       |        list_transform(generate_series(1, length(gram)),
+       |          j -> ascii(substring(gram, j, 1))::BIGINT)),
+       |        (h, c) -> (h * 257 + c) % 1000000007) % 64 = 0
+       |    THEN 1 ELSE 0 END AS f FROM t),
+       |c AS (SELECT doc_id, pos, tok,
+       |    coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS chunk_id
+       |  FROM b)
+       |SELECT doc_id, chunk_id, min(pos)::BIGINT AS start_pos,
+       |  count(*) AS n_tokens, string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+       |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin
+
   /** SQL-surface probe: the codegen expressions (CosineSimilarity,
     * DotProduct) resolved through SQL TEXT via the GraftExtensions
     * function registry — `GraftExtensions.register` on the driver's own
@@ -5476,6 +5509,7 @@ object SparkEntry {
     "q_soft_dedup_weights_docs" -> softDedupWeightsDocs,
     "q_bootstrap_ci_embeddings" -> bootstrapCiEmbeddings,
     "q_global_ordinal_docs" -> globalOrdinalDocs,
+    "q_cdc_chunks_docs" -> cdcChunksDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
     "q_cluster_keep_embeddings" -> clusterKeepEmbeddings,
@@ -5744,6 +5778,7 @@ object SparkEntry {
     "q_soft_dedup_weights_docs" -> softDedupWeightsSql,
     "q_bootstrap_ci_embeddings" -> bootstrapCiSql,
     "q_global_ordinal_docs" -> globalOrdinalSql,
+    "q_cdc_chunks_docs" -> cdcChunksSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,
     "q_asof_join_events" -> asofJoinSql,

@@ -78,4 +78,57 @@ object Packing {
     packed.groupBy(keys: _*)
       .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("sum_tokens"))
   }
+
+  /** Content-defined chunking (the rolling-hash boundary rule of rsync /
+    * LBFS, Muthitacharoen 2001, applied at token granularity): a chunk
+    * boundary falls AFTER token i whenever the Karp–Rabin hash of the
+    * `gramTokens`-token gram ENDING at i is ≡ 0 (mod `divisor`) — so
+    * boundaries are a function of LOCAL content only, and an insertion
+    * near a doc's head re-synchronizes after ~gramTokens tokens instead
+    * of shifting every downstream boundary the way fixed-width chunking
+    * ([[chunkByTokenBudget]]) does. That stability is the point for a
+    * dedup pipeline: near-identical docs produce near-identical chunk
+    * SETS, so chunk-level exact-hash dedup catches shared content.
+    * Expected chunk length ≈ `divisor` tokens (geometric).
+    *
+    * Spark shape: one (doc, pos)-windowed pass assembles each position's
+    * trailing gram from an array of lags (the TextRank/window-dedup
+    * pattern — no self-join), the chunk id is an exclusive prefix sum of
+    * boundary flags over the same window, and reassembly is a (doc,
+    * chunk)-keyed aggregate bounded by the doc's own length. The hash is
+    * [[TextStats.rollingHash]] — plain BIGINT mul/mod, replayable in
+    * ANSI SQL (q_cdc_chunks_docs replays every boundary decision).
+    *
+    * No min/max chunk-size clamps (classic CDC adds them): the clamp
+    * decision is inherently sequential along the doc and would forfeit
+    * the pure-window shape; compose with [[chunkByTokenBudget]] to cap
+    * oversized chunks. Docs shorter than `gramTokens` form one chunk;
+    * null text yields no rows. Output (idCol, chunk_id, start_pos,
+    * n_tokens, chunk_text); concatenating a doc's chunks in chunk order
+    * reproduces its token stream exactly (lossless partition). */
+  def contentDefinedChunks(docs: DataFrame, gramTokens: Int = 4,
+      divisor: Int = 64, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(gramTokens >= 1, s"gramTokens must be >= 1, got $gramTokens")
+    require(divisor >= 1, s"divisor must be >= 1, got $divisor")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val gram = array_join(
+      array((gramTokens - 1 to 1 by -1).map(j => lag(col("tok"), j).over(w))
+        :+ col("tok"): _*), " ")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("__b",
+        when(col("pos") >= gramTokens - 1 &&
+          pmod(TextStats.rollingHash(gram), lit(divisor.toLong)) === 0, 1L)
+          .otherwise(0L))
+      .withColumn("chunk_id", coalesce(
+        sum("__b").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(min("pos").cast("long").as("start_pos"),
+        count(lit(1)).as("n_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("chunk_text"))
+  }
 }

@@ -59,4 +59,59 @@ class PackingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Packing.packByTokenBudget(docs, "toks", "doc_id", 0, None))
   }
+
+  // independent Karp-Rabin fold, same family as TextStats.rollingHash
+  private def kr(s: String): Long =
+    s.foldLeft(0L)((h, c) => (h * 257 + c.toInt) % 1000000007L)
+
+  test("contentDefinedChunks: boundaries match an independent hash fold; lossless") {
+    val k = 2; val div = 4
+    val toks = (1 to 30).map(i => s"w$i")
+    val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    // expected: boundary after pos i when kr(gram ending at i) % div == 0
+    val bounds = (k - 1 until toks.length)
+      .filter(i => kr(toks.slice(i - k + 1, i + 1).mkString(" ")) % div == 0)
+    assert(bounds.nonEmpty && bounds.length < toks.length, s"fixture dull: $bounds")
+    val expChunks = {
+      val cuts = (-1 +: bounds) :+ (toks.length - 1)
+      cuts.sliding(2).filter(p => p(1) > p(0))
+        .map(p => toks.slice(p(0) + 1, p(1) + 1).mkString(" ")).toSeq
+    }
+    val got = Packing.contentDefinedChunks(docs, gramTokens = k, divisor = div)
+      .orderBy("chunk_id")
+      .select("chunk_text").as[String].collect().toSeq
+    assert(got == expChunks, s"got $got want $expChunks")
+    // lossless partition: chunks in order reassemble the token stream
+    assert(got.mkString(" ") == toks.mkString(" "))
+  }
+
+  test("contentDefinedChunks: head insertion re-synchronizes (CDC stability)") {
+    val k = 2; val div = 4
+    val toks = (1 to 40).map(i => s"w$i")
+    val docs = Seq(
+      (1L, toks.mkString(" ")),
+      (2L, ("zzz" +: toks).mkString(" "))).toDF("doc_id", "text")
+    val byDoc = Packing.contentDefinedChunks(docs, gramTokens = k, divisor = div)
+      .select("doc_id", "chunk_text").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).toSet }
+    // every chunk of the original after its first boundary reappears
+    // verbatim in the shifted doc — fixed-width chunking shares none
+    val a = Packing.contentDefinedChunks(docs.filter($"doc_id" === 1L),
+      gramTokens = k, divisor = div).orderBy("chunk_id")
+      .select("chunk_text").as[String].collect().toSeq
+    assert(a.drop(1).toSet.subsetOf(byDoc(2L)), s"resync failed: $a vs ${byDoc(2L)}")
+  }
+
+  test("contentDefinedChunks: short docs are one chunk, null text none, validation") {
+    val docs = Seq((1L, "solo"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Packing.contentDefinedChunks(docs, gramTokens = 4, divisor = 8)
+      .collect()
+    assert(out.length == 1 && out(0).getAs[String]("chunk_text") == "solo" &&
+      out(0).getAs[Long]("n_tokens") == 1L && out(0).getAs[Long]("start_pos") == 0L)
+    intercept[IllegalArgumentException](
+      Packing.contentDefinedChunks(docs, gramTokens = 0, divisor = 8))
+    intercept[IllegalArgumentException](
+      Packing.contentDefinedChunks(docs, gramTokens = 2, divisor = 0))
+  }
 }
