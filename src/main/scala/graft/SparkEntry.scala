@@ -1532,6 +1532,58 @@ object SparkEntry {
       |FROM documents WHERE n_chars IS NOT NULL
       |ORDER BY doc_id""".stripMargin
 
+  /** Label propagation ([[graft.ext.LabelProp.propagate]]): every 5th
+    * doc under 250 is a seed labeled with its `lang`; 3 synchronous
+    * rounds spread labels through the SAME bounded exact-Jaccard pair
+    * graph as the cluster oracles, with the canonized jaccard as edge
+    * weight. DuckDB replays the graph, every canonized vote sum, the
+    * (weight desc, label asc) argmax, and the seed clamp, iteration by
+    * iteration. */
+  private def labelPropDocs(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.documents(s, dir).filter(col("doc_id") < 250)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0, col("lang")).as("label"))
+    ext.LabelProp.propagate(seeds, jaccardPairsDocs(s, dir), iters = 3,
+        wCol = Some("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  private def labelPropSql: String = {
+    def step(i: Int): String = {
+      val (prev, v, b, cur) = (s"l${i - 1}", s"v$i", s"b$i", s"l$i")
+      s"""$v AS (SELECT e.dst, $prev.lbl,
+         |  floor(sum(e.w) * 1e6 + 0.5) / 1e6 AS ws
+         |  FROM e JOIN $prev ON $prev.v = e.dst_src GROUP BY 1, 2),
+         |$b AS (SELECT dst AS v, lbl FROM (SELECT dst, lbl,
+         |    row_number() OVER (PARTITION BY dst ORDER BY ws DESC, lbl) AS rn
+         |  FROM $v) WHERE rn = 1),
+         |$cur AS (SELECT * FROM l0 UNION ALL
+         |  SELECT * FROM $b WHERE v NOT IN (SELECT v FROM l0))"""
+    }
+    val iters = (1 to 3).map(step).mkString(",\n")
+    raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE doc_id < 250),
+       |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+       |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(toks[i:i+2], ' ')))
+       |  ELSE [array_to_string(toks, ' ')] END AS sh FROM d),
+       |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+       |    floor((len(list_intersect(a.sh, b.sh))::DOUBLE
+       |      / len(list_distinct(list_concat(a.sh, b.sh)))) * 1e6 + 0.5) / 1e6 AS w
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02),
+       |e AS (SELECT da AS dst_src, db AS dst, w FROM p
+       |  UNION ALL SELECT db, da, w FROM p),
+       |l0 AS (SELECT doc_id AS v, lang AS lbl FROM documents
+       |  WHERE doc_id < 250 AND doc_id % 5 = 0 AND lang IS NOT NULL),
+       |$iters
+       |SELECT l3.v AS doc_id, l3.lbl AS label,
+       |  CASE WHEN l3.v IN (SELECT v FROM l0) THEN 'seed'
+       |    ELSE 'propagated' END AS origin
+       |FROM l3 ORDER BY doc_id""".stripMargin
+  }
+
   /** Content-defined chunking ([[graft.ext.Packing.contentDefinedChunks]],
     * 4-token grams, divisor 64): rolling-hash boundaries over the full
     * documents table. DuckDB replays the token positions, every
@@ -5510,6 +5562,7 @@ object SparkEntry {
     "q_bootstrap_ci_embeddings" -> bootstrapCiEmbeddings,
     "q_global_ordinal_docs" -> globalOrdinalDocs,
     "q_cdc_chunks_docs" -> cdcChunksDocs,
+    "q_label_prop_docs" -> labelPropDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
     "q_cluster_keep_embeddings" -> clusterKeepEmbeddings,
@@ -5779,6 +5832,7 @@ object SparkEntry {
     "q_bootstrap_ci_embeddings" -> bootstrapCiSql,
     "q_global_ordinal_docs" -> globalOrdinalSql,
     "q_cdc_chunks_docs" -> cdcChunksSql,
+    "q_label_prop_docs" -> labelPropSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,
     "q_asof_join_events" -> asofJoinSql,

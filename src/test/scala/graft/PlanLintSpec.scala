@@ -92,7 +92,11 @@ class PlanLintSpec extends SparkSpec {
     "q_bootstrap_ci_embeddings",
     // global ordinal: the 1-row (min,max) bounds broadcast — the whole
     // point of the operator is AVOIDING the corpus-sized global window
-    "q_global_ordinal_docs")
+    "q_global_ordinal_docs",
+    // label propagation: the pair GENERATOR is the bounded exact-Jaccard
+    // probe (the q_jaccard_pairs_docs shape, ≤250 rows a side); the LP
+    // iterations themselves are keyed joins + aggregates
+    "q_label_prop_docs")
   private val globalWindowOk = Set("q_rrf_hybrid_docs",
     // cumulative walks over the model-sized bucket table / the
     // distinct-length table — never over data rows
