@@ -1600,15 +1600,18 @@ object SparkEntry {
     raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
        |  FROM documents WHERE text IS NOT NULL),
        |t AS (SELECT doc_id, g.i - 1 AS pos, toks[g.i] AS tok,
-       |    CASE WHEN g.i >= 4 THEN array_to_string(toks[g.i - 3:g.i], ' ') END AS gram
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(generate_series(1, length(toks[g.i])),
+       |        j -> ascii(substring(toks[g.i], j, 1))::BIGINT)),
+       |      (h, c) -> (h * 257 + c) % 1000000007) AS th
        |  FROM d, LATERAL unnest(range(1, len(toks) + 1)) AS g(i)),
        |b AS (SELECT doc_id, pos, tok,
-       |    CASE WHEN gram IS NOT NULL AND
-       |      list_reduce(list_prepend(0::BIGINT,
-       |        list_transform(generate_series(1, length(gram)),
-       |          j -> ascii(substring(gram, j, 1))::BIGINT)),
-       |        (h, c) -> (h * 257 + c) % 1000000007) % 64 = 0
-       |    THEN 1 ELSE 0 END AS f FROM t),
+       |    CASE WHEN pos >= 3 AND
+       |      ((((((lag(th, 3) OVER w) * 257 + (lag(th, 2) OVER w)) % 1000000007)
+       |        * 257 + (lag(th, 1) OVER w)) % 1000000007)
+       |        * 257 + th) % 1000000007 % 64 = 0
+       |    THEN 1 ELSE 0 END AS f
+       |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
        |c AS (SELECT doc_id, pos, tok,
        |    coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS chunk_id

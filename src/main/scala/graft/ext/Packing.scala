@@ -91,13 +91,17 @@ object Packing {
     * SETS, so chunk-level exact-hash dedup catches shared content.
     * Expected chunk length ≈ `divisor` tokens (geometric).
     *
-    * Spark shape: one (doc, pos)-windowed pass assembles each position's
-    * trailing gram from an array of lags (the TextRank/window-dedup
-    * pattern — no self-join), the chunk id is an exclusive prefix sum of
-    * boundary flags over the same window, and reassembly is a (doc,
-    * chunk)-keyed aggregate bounded by the doc's own length. The hash is
-    * [[TextStats.rollingHash]] — plain BIGINT mul/mod, replayable in
-    * ANSI SQL (q_cdc_chunks_docs replays every boundary decision).
+    * Spark shape: one (doc, pos)-windowed pass; each token is char-level
+    * Karp–Rabin-hashed ONCE ([[TextStats.rollingHash]]) and the gram
+    * hash is an O(1) BIGINT fold over the `gramTokens` trailing token
+    * hashes from lag columns (h ← (h·257 + tokHash) mod 1e9+7) — NOT a
+    * per-position re-scan of the gram string, which costs Θ(gram chars)
+    * per position and measured 5× the wall at 10× sf0.1 (ProbeGraph,
+    * ARCHITECTURE.md round-9 ledger). The chunk id is an exclusive
+    * prefix sum of boundary flags over the same window; reassembly is a
+    * (doc, chunk)-keyed aggregate bounded by the doc's own length. All
+    * arithmetic is plain BIGINT mul/mod, replayable in ANSI SQL
+    * (q_cdc_chunks_docs replays every boundary decision).
     *
     * No min/max chunk-size clamps (classic CDC adds them): the clamp
     * decision is inherently sequential along the doc and would forfeit
@@ -113,15 +117,17 @@ object Packing {
     require(divisor >= 1, s"divisor must be >= 1, got $divisor")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val gram = array_join(
-      array((gramTokens - 1 to 1 by -1).map(j => lag(col("tok"), j).over(w))
-        :+ col("tok"): _*), " ")
+    val tokHashes = (gramTokens - 1 to 1 by -1)
+      .map(j => lag(col("__th"), j).over(w)) :+ col("__th")
+    val gramHash = tokHashes.reduceLeft((acc, c) =>
+      (acc * lit(257L) + c) % lit(1000000007L))
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("__th", TextStats.rollingHash(col("tok")))
       .withColumn("__b",
         when(col("pos") >= gramTokens - 1 &&
-          pmod(TextStats.rollingHash(gram), lit(divisor.toLong)) === 0, 1L)
+          pmod(gramHash, lit(divisor.toLong)) === 0, 1L)
           .otherwise(0L))
       .withColumn("chunk_id", coalesce(
         sum("__b").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -60,9 +60,12 @@ class PackingSpec extends SparkSpec {
       Packing.packByTokenBudget(docs, "toks", "doc_id", 0, None))
   }
 
-  // independent Karp-Rabin fold, same family as TextStats.rollingHash
+  // independent Karp-Rabin fold, same family as TextStats.rollingHash,
+  // composed over the gram's member-token hashes as the operator does
   private def kr(s: String): Long =
     s.foldLeft(0L)((h, c) => (h * 257 + c.toInt) % 1000000007L)
+  private def gramHash(toks: Seq[String]): Long =
+    toks.map(kr).reduceLeft((a, b) => (a * 257 + b) % 1000000007L)
 
   test("contentDefinedChunks: boundaries match an independent hash fold; lossless") {
     val k = 2; val div = 4
@@ -70,7 +73,7 @@ class PackingSpec extends SparkSpec {
     val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
     // expected: boundary after pos i when kr(gram ending at i) % div == 0
     val bounds = (k - 1 until toks.length)
-      .filter(i => kr(toks.slice(i - k + 1, i + 1).mkString(" ")) % div == 0)
+      .filter(i => gramHash(toks.slice(i - k + 1, i + 1)) % div == 0)
     assert(bounds.nonEmpty && bounds.length < toks.length, s"fixture dull: $bounds")
     val expChunks = {
       val cuts = (-1 +: bounds) :+ (toks.length - 1)
