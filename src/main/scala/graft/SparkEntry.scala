@@ -1584,6 +1584,26 @@ object SparkEntry {
        |FROM l3 ORDER BY doc_id""".stripMargin
   }
 
+  /** Exact distributed quantiles ([[graft.ext.Sampling.exactQuantiles]]):
+    * type-1 empirical quantiles of n_chars via the two-phase global
+    * ordinal — the REAL p50/p90/p99, not a sketch estimate. SEMANTIC
+    * oracle: value at rank greatest(1, ceil(q·N)) of a plain global
+    * row_number — both engines multiply the identical IEEE doubles. */
+  private def exactQuantilesDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Sampling.exactQuantiles(Tables.documents(s, dir), "n_chars",
+        Seq(0.1, 0.25, 0.5, 0.9, 0.99), "doc_id")
+
+  private def exactQuantilesSql: String =
+    """WITH o AS (SELECT n_chars::DOUBLE AS value,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) AS ordinal
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |n AS (SELECT count(*) AS n FROM documents WHERE n_chars IS NOT NULL),
+      |q AS (SELECT unnest([0.1::DOUBLE, 0.25::DOUBLE, 0.5::DOUBLE,
+      |  0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+      |SELECT q.q, o.value FROM q CROSS JOIN n
+      |JOIN o ON o.ordinal = greatest(1, ceil(q.q * n.n)::BIGINT)
+      |ORDER BY q""".stripMargin
+
   /** Content-defined chunking ([[graft.ext.Packing.contentDefinedChunks]],
     * 4-token grams, divisor 64): rolling-hash boundaries over the full
     * documents table. DuckDB replays the token positions, every
@@ -5566,6 +5586,7 @@ object SparkEntry {
     "q_global_ordinal_docs" -> globalOrdinalDocs,
     "q_cdc_chunks_docs" -> cdcChunksDocs,
     "q_label_prop_docs" -> labelPropDocs,
+    "q_exact_quantiles_docs" -> exactQuantilesDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
     "q_cluster_keep_embeddings" -> clusterKeepEmbeddings,
@@ -5836,6 +5857,7 @@ object SparkEntry {
     "q_global_ordinal_docs" -> globalOrdinalSql,
     "q_cdc_chunks_docs" -> cdcChunksSql,
     "q_label_prop_docs" -> labelPropSql,
+    "q_exact_quantiles_docs" -> exactQuantilesSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,
     "q_asof_join_events" -> asofJoinSql,

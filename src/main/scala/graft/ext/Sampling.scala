@@ -367,4 +367,30 @@ object Sampling {
         Window.partitionBy("__bucket").orderBy(col("__s"), col(idCol))))
       .drop("__s", "__bucket", "__off")
   }
+
+  /** EXACT corpus quantiles at scale, composed from [[globalOrdinal]]:
+    * quantile `q` = the value whose global (score, id)-rank is
+    * max(1, ⌈q·N⌉) — the lower empirical quantile (type-1 /
+    * `quantile_disc`), so the answer is always an actual data value and
+    * the rank arithmetic is integer-exact on both engines. This is what
+    * the HDR/KMV sketches trade away; when a pipeline gate needs the
+    * REAL p99 (token-length caps, outlier fences), this is the
+    * distributed shape that produces it: the ordinal pass plus one
+    * broadcast join against the |qs|-row rank table. Output (q, value),
+    * one row per requested quantile. */
+  def exactQuantiles(df: DataFrame, scoreCol: String, qs: Seq[Double],
+      idCol: String, nBuckets: Int = 1024): DataFrame = {
+    require(qs.nonEmpty, "qs must be non-empty")
+    require(qs.forall(q => q > 0 && q <= 1), s"quantiles must be in (0,1], got $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ord = globalOrdinal(df, scoreCol, idCol, nBuckets)
+      .select(col("ordinal"), col(scoreCol).cast("double").as("value"))
+    val n = df.filter(col(scoreCol).isNotNull).agg(count(lit(1)).as("n"))
+    val ranks = qs.toDF("q").crossJoin(broadcast(n))
+      .select(col("q"), greatest(lit(1L), ceil(col("q") * col("n"))).as("ordinal"))
+    ord.join(broadcast(ranks), "ordinal")
+      .select(col("q"), col("value"))
+      .orderBy("q")
+  }
 }

@@ -96,7 +96,10 @@ class PlanLintSpec extends SparkSpec {
     // label propagation: the pair GENERATOR is the bounded exact-Jaccard
     // probe (the q_jaccard_pairs_docs shape, ≤250 rows a side); the LP
     // iterations themselves are keyed joins + aggregates
-    "q_label_prop_docs")
+    "q_label_prop_docs",
+    // exact quantiles: the globalOrdinal bounds broadcast (1 row) plus
+    // the |qs|-row rank-table broadcast
+    "q_exact_quantiles_docs")
   private val globalWindowOk = Set("q_rrf_hybrid_docs",
     // cumulative walks over the model-sized bucket table / the
     // distinct-length table — never over data rows
@@ -108,7 +111,9 @@ class PlanLintSpec extends SparkSpec {
     "q_bootstrap_ci_embeddings",
     // global ordinal: the offset window runs over the ≤nBuckets-row
     // count table; the data window is bucket-partitioned
-    "q_global_ordinal_docs")
+    "q_global_ordinal_docs",
+    // exact quantiles ride the same globalOrdinal offset window
+    "q_exact_quantiles_docs")
 
   test("no unlisted cartesian / nested-loop / unpartitioned-window in any driver query plan") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists())

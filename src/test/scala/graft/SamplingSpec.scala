@@ -273,6 +273,19 @@ class SamplingSpec extends SparkSpec {
     assert(got == (1L to 10L).map(i => i -> i).toMap, s"got $got")
   }
 
+  test("exactQuantiles: type-1 empirical quantiles, hand-checked") {
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val got = Sampling.exactQuantiles(df, "v", Seq(0.01, 0.25, 0.5, 0.99, 1.0), "id")
+      .as[(Double, Double)].collect().toMap
+    // rank = ceil(q*100): 1, 25, 50, 99, 100
+    assert(got == Map(0.01 -> 1.0, 0.25 -> 25.0, 0.5 -> 50.0,
+      0.99 -> 99.0, 1.0 -> 100.0), s"got $got")
+    intercept[IllegalArgumentException](
+      Sampling.exactQuantiles(df, "v", Seq(0.0), "id"))
+    intercept[IllegalArgumentException](
+      Sampling.exactQuantiles(df, "v", Nil, "id"))
+  }
+
   test("globalOrdinal drops null scores and validates nBuckets") {
     val df = Seq((1L, Some(2.0)), (2L, None), (3L, Some(1.0)))
       .toDF("id", "score")
