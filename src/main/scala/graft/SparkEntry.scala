@@ -1584,6 +1584,48 @@ object SparkEntry {
        |FROM l3 ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus drift ([[graft.ext.TextStats.jsDivergenceByTerm]]): top-50
+    * Jensen–Shannon movers between the even- and odd-doc_id halves of
+    * the documents table (k = 0.5 smoothing over the joint vocabulary).
+    * Per-term contributions are 1e-6-canonized BEFORE any ordering, so
+    * the cross-engine ln ulp noise is gone by ranking time; the oracle
+    * replays both token counts, the smoothed p/q/m arithmetic in
+    * operation order, and the (js desc, term) cut. */
+  private def corpusDriftDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    ext.TextStats.jsDivergenceByTerm(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      .orderBy(col("js_term").desc, col("term"))
+      .limit(50)
+  }
+
+  private def corpusDriftSql: String =
+    raw"""WITH ca AS (SELECT term, count(*) AS cnt_a FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+       |    FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0)
+       |  WHERE term <> '' GROUP BY 1),
+       |cb AS (SELECT term, count(*) AS cnt_b FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+       |    FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1)
+       |  WHERE term <> '' GROUP BY 1),
+       |j AS (SELECT term, coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+       |  FROM ca FULL OUTER JOIN cb USING (term)),
+       |t AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb, count(*) AS v FROM j),
+       |s AS (SELECT term, cnt_a, cnt_b,
+       |    (cnt_a + 0.5::DOUBLE) / (t.na + 0.5::DOUBLE * t.v) AS p,
+       |    (cnt_b + 0.5::DOUBLE) / (t.nb + 0.5::DOUBLE * t.v) AS q
+       |  FROM j CROSS JOIN t),
+       |c AS (SELECT term, cnt_a, cnt_b,
+       |    floor((0.5::DOUBLE * p * ln(p / ((p + q) / 2.0::DOUBLE))
+       |      + 0.5::DOUBLE * q * ln(q / ((p + q) / 2.0::DOUBLE))) * 1e6 + 0.5) / 1e6
+       |      AS js_term
+       |  FROM s),
+       |r AS (SELECT term, cnt_a, cnt_b, js_term,
+       |    row_number() OVER (ORDER BY js_term DESC, term) AS rn FROM c)
+       |SELECT term, cnt_a, cnt_b, js_term FROM r WHERE rn <= 50
+       |ORDER BY js_term DESC, term""".stripMargin
+
   /** Exact distributed quantiles ([[graft.ext.Sampling.exactQuantiles]]):
     * type-1 empirical quantiles of n_chars via the two-phase global
     * ordinal — the REAL p50/p90/p99, not a sketch estimate. SEMANTIC
@@ -5587,6 +5629,7 @@ object SparkEntry {
     "q_cdc_chunks_docs" -> cdcChunksDocs,
     "q_label_prop_docs" -> labelPropDocs,
     "q_exact_quantiles_docs" -> exactQuantilesDocs,
+    "q_corpus_drift_docs" -> corpusDriftDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
     "q_cluster_keep_embeddings" -> clusterKeepEmbeddings,
@@ -5858,6 +5901,7 @@ object SparkEntry {
     "q_cdc_chunks_docs" -> cdcChunksSql,
     "q_label_prop_docs" -> labelPropSql,
     "q_exact_quantiles_docs" -> exactQuantilesSql,
+    "q_corpus_drift_docs" -> corpusDriftSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,
     "q_asof_join_events" -> asofJoinSql,

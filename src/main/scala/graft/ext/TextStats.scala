@@ -1214,4 +1214,56 @@ object TextStats {
         .reduce(_ || _))
     docs.filter(!coalesce(hit, lit(false)))
   }
+
+  // ---- corpus drift -----------------------------------------------------
+
+  /** Per-term Jensen–Shannon contributions between the unigram
+    * distributions of two corpora — the distribution-drift monitor a
+    * mixture pipeline runs when a new crawl snapshot or source lands
+    * (did the token distribution move, and WHICH terms moved it?).
+    *
+    * Over the JOINT vocabulary with add-`smoothK` smoothing (so neither
+    * side is ever zero): p = (c_a + k)/(N_a + k·V), q likewise, m =
+    * (p+q)/2, and the row's JS contribution is
+    *
+    *   0.5·p·ln(p/m) + 0.5·q·ln(q/m),   1e-6-canonized per term
+    *
+    * (JS = Σ contributions ∈ [0, ln 2]; symmetric, bounded — the reason
+    * it beats raw KL for monitoring). Per-term canonization makes the
+    * cross-engine `ln` ulp noise vanish BEFORE the sum, so the total is
+    * a sum of bit-identical terms on both engines (the IrEval literal-
+    * table lesson, applied where a literal table is impossible because
+    * the vocabulary is data).
+    *
+    * Spark shape: one map-combinable token count per corpus, a
+    * term-keyed full-outer join, scalar total/vocab frames broadcast as
+    * 1-row builds — everything vocabulary-sized after the scans.
+    * Output: (term, cnt_a, cnt_b, js_term), the Σ and top-movers cuts
+    * are the caller's (see q_corpus_drift_docs). */
+  def jsDivergenceByTerm(corpusA: DataFrame, corpusB: DataFrame,
+      smoothK: Double = 0.5, textCol: String = "text"): DataFrame = {
+    require(smoothK > 0, s"smoothK must be positive, got $smoothK")
+    def counts(c: DataFrame, name: String) = c
+      .filter(col(textCol).isNotNull)
+      .select(explode(Dedup.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as(name))
+    val ca = counts(corpusA, "cnt_a")
+    val cb = counts(corpusB, "cnt_b")
+    val joint = ca.join(cb, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joint.agg(sum("cnt_a").as("na"), sum("cnt_b").as("nb"),
+      count(lit(1)).as("v"))
+    val k = lit(smoothK)
+    joint.crossJoin(broadcast(totals))
+      .withColumn("p", (col("cnt_a") + k) / (col("na") + k * col("v")))
+      .withColumn("q", (col("cnt_b") + k) / (col("nb") + k * col("v")))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .select(col("term"), col("cnt_a"), col("cnt_b"),
+        (floor((lit(0.5) * col("p") * log(col("p") / col("m"))
+          + lit(0.5) * col("q") * log(col("q") / col("m"))) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("js_term"))
+  }
 }

@@ -99,7 +99,10 @@ class PlanLintSpec extends SparkSpec {
     "q_label_prop_docs",
     // exact quantiles: the globalOrdinal bounds broadcast (1 row) plus
     // the |qs|-row rank-table broadcast
-    "q_exact_quantiles_docs")
+    "q_exact_quantiles_docs",
+    // corpus drift: the 1-row (Na, Nb, V) totals broadcast into the
+    // vocabulary-sized joint frame — the q_kmv class
+    "q_corpus_drift_docs")
   private val globalWindowOk = Set("q_rrf_hybrid_docs",
     // cumulative walks over the model-sized bucket table / the
     // distinct-length table — never over data rows

@@ -1168,4 +1168,38 @@ class TextExtSpec extends SparkSpec {
       5L -> "tail", 6L -> "tail", 7L -> "tail",
       10L -> "head", 11L -> "middle", 12L -> "tail"), s"got $out")
   }
+
+  test("jsDivergenceByTerm: hand-computed contributions; identical corpora score 0") {
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val b = Seq((1L, "x y y")).toDF("doc_id", "text")
+    val out = TextStats.jsDivergenceByTerm(a, b)
+      .collect().map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b"),
+          r.getAs[Double]("js_term"))).toMap
+    // V=2, Na=Nb=3, k=0.5: p_x=2.5/4, q_x=1.5/4, m=0.5
+    val p = 0.625; val q = 0.375
+    val exp = math.floor((0.5 * p * math.log(p / 0.5)
+      + 0.5 * q * math.log(q / 0.5)) * 1e6 + 0.5) / 1e6
+    assert(out("x")._1 == 2L && out("x")._2 == 1L, s"got $out")
+    assert(math.abs(out("x")._3 - exp) < 1e-9, s"got $out want $exp")
+    assert(math.abs(out("y")._3 - exp) < 1e-9, "symmetric term must match")
+    val same = TextStats.jsDivergenceByTerm(a, a)
+      .agg(org.apache.spark.sql.functions.sum("js_term")).head().getDouble(0)
+    assert(same == 0.0, s"identical corpora must diverge 0, got $same")
+  }
+
+  test("jsDivergenceByTerm: disjoint vocabularies diverge strongly; absent terms count 0") {
+    val a = Seq((1L, "aa bb aa bb aa bb aa bb")).toDF("doc_id", "text")
+    val b = Seq((1L, "cc dd cc dd cc dd cc dd")).toDF("doc_id", "text")
+    val rows = TextStats.jsDivergenceByTerm(a, b).collect()
+    val total = rows.map(_.getAs[Double]("js_term")).sum
+    // smoothing caps disjoint JS below ln2: V=4, N=8, k=0.5 gives
+    // p_present=0.45, p_absent=0.05 -> JS ~ 0.368
+    assert(total > 0.3, s"disjoint corpora should diverge strongly, got $total")
+    val byTerm = rows.map(r => r.getAs[String]("term") ->
+      (r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b"))).toMap
+    assert(byTerm("aa") == (4L, 0L) && byTerm("cc") == (0L, 4L), s"got $byTerm")
+    intercept[IllegalArgumentException](
+      TextStats.jsDivergenceByTerm(a, b, smoothK = 0.0))
+  }
 }
