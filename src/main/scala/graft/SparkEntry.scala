@@ -1601,13 +1601,16 @@ object SparkEntry {
   }
 
   private def corpusDriftSql: String =
+    driftSqlFor("doc_id % 2 = 0", "doc_id % 2 = 1", 50)
+
+  private def driftSqlFor(whereA: String, whereB: String, limit: Int): String =
     raw"""WITH ca AS (SELECT term, count(*) AS cnt_a FROM (
        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-       |    FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0)
+       |    FROM documents WHERE text IS NOT NULL AND $whereA)
        |  WHERE term <> '' GROUP BY 1),
        |cb AS (SELECT term, count(*) AS cnt_b FROM (
        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-       |    FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1)
+       |    FROM documents WHERE text IS NOT NULL AND $whereB)
        |  WHERE term <> '' GROUP BY 1),
        |j AS (SELECT term, coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
        |  FROM ca FULL OUTER JOIN cb USING (term)),
@@ -1623,8 +1626,51 @@ object SparkEntry {
        |  FROM s),
        |r AS (SELECT term, cnt_a, cnt_b, js_term,
        |    row_number() OVER (ORDER BY js_term DESC, term) AS rn FROM c)
-       |SELECT term, cnt_a, cnt_b, js_term FROM r WHERE rn <= 50
+       |SELECT term, cnt_a, cnt_b, js_term FROM r WHERE rn <= $limit
        |ORDER BY js_term DESC, term""".stripMargin
+
+  /** Streaming drift: the even docs under 300 fold into term-count store
+    * A through THREE uneven micro-batches of the PRODUCTION
+    * [[graft.streaming.StreamOps.termCountUpdateBatch]], the odd docs
+    * into store B in one batch; the read-out is
+    * [[graft.ext.TextStats.jsDivergenceFromCounts]] over the two
+    * persisted stores, top-20 movers. HARD-oracled via the merge law —
+    * counts ADD, so the streamed stores equal the one-shot counts and
+    * DuckDB replays the whole thing with the same drift SQL as
+    * q_corpus_drift_docs on the sliced corpora. */
+  private def driftStreamDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"))
+    val even = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odd = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val tmp = java.nio.file.Files.createTempDirectory("drift_q")
+    try {
+      Seq(even.filter(col("doc_id") < 80),
+        even.filter(col("doc_id") >= 80 && col("doc_id") < 90),
+        even.filter(col("doc_id") >= 90))
+        .foreach(b => streaming.StreamOps.termCountUpdateBatch(b, "text", s"$tmp/a"))
+      streaming.StreamOps.termCountUpdateBatch(odd, "text", s"$tmp/b")
+      val out = ext.TextStats.jsDivergenceFromCounts(
+          s.read.parquet(s"$tmp/a"), s.read.parquet(s"$tmp/b"))
+        .orderBy(col("js_term").desc, col("term"))
+        .limit(20)
+        .collect().toSeq
+      s.createDataFrame(java.util.Arrays.asList(out: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt_a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cnt_b",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("js_term",
+            org.apache.spark.sql.types.DoubleType))))
+    } finally core.Fs.rmTree(tmp)
+  }
+
+  private def driftStreamSql: String =
+    driftSqlFor("doc_id % 2 = 0 AND doc_id < 300",
+      "doc_id % 2 = 1 AND doc_id < 300", 20)
 
   /** Exact distributed quantiles ([[graft.ext.Sampling.exactQuantiles]]):
     * type-1 empirical quantiles of n_chars via the two-phase global
@@ -5630,6 +5676,7 @@ object SparkEntry {
     "q_label_prop_docs" -> labelPropDocs,
     "q_exact_quantiles_docs" -> exactQuantilesDocs,
     "q_corpus_drift_docs" -> corpusDriftDocs,
+    "q_drift_stream_docs" -> driftStreamDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
     "q_cluster_keep_embeddings" -> clusterKeepEmbeddings,
@@ -5902,6 +5949,7 @@ object SparkEntry {
     "q_label_prop_docs" -> labelPropSql,
     "q_exact_quantiles_docs" -> exactQuantilesSql,
     "q_corpus_drift_docs" -> corpusDriftSql,
+    "q_drift_stream_docs" -> driftStreamSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,
     "q_asof_join_events" -> asofJoinSql,

@@ -1241,15 +1241,28 @@ object TextStats {
     * Output: (term, cnt_a, cnt_b, js_term), the Σ and top-movers cuts
     * are the caller's (see q_corpus_drift_docs). */
   def jsDivergenceByTerm(corpusA: DataFrame, corpusB: DataFrame,
-      smoothK: Double = 0.5, textCol: String = "text"): DataFrame = {
-    require(smoothK > 0, s"smoothK must be positive, got $smoothK")
-    def counts(c: DataFrame, name: String) = c
-      .filter(col(textCol).isNotNull)
+      smoothK: Double = 0.5, textCol: String = "text"): DataFrame =
+    jsDivergenceFromCounts(termCounts(corpusA, textCol),
+      termCounts(corpusB, textCol), smoothK)
+
+  /** Unigram term counts of a corpus — (term, cnt), empty terms dropped.
+    * One map-combinable aggregate; also the frame the streaming
+    * term-count store persists ([[graft.streaming.StreamOps
+    * .termCountUpdateBatch]]), so a drift read-out can run against live
+    * stores without rescanning either corpus. */
+  def termCounts(corpus: DataFrame, textCol: String = "text"): DataFrame =
+    corpus.filter(col(textCol).isNotNull)
       .select(explode(Dedup.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
-      .groupBy("term").agg(count(lit(1)).as(name))
-    val ca = counts(corpusA, "cnt_a")
-    val cb = counts(corpusB, "cnt_b")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+  /** [[jsDivergenceByTerm]] over precomputed (term, cnt) frames — the
+    * form that reads persisted count stores directly. */
+  def jsDivergenceFromCounts(countsA: DataFrame, countsB: DataFrame,
+      smoothK: Double = 0.5): DataFrame = {
+    require(smoothK > 0, s"smoothK must be positive, got $smoothK")
+    val ca = countsA.select(col("term"), col("cnt").cast("long").as("cnt_a"))
+    val cb = countsB.select(col("term"), col("cnt").cast("long").as("cnt_b"))
     val joint = ca.join(cb, Seq("term"), "full_outer")
       .select(col("term"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),

@@ -553,6 +553,52 @@ object StreamOps {
       storeDir)
   }
 
+  /** Fold one micro-batch of documents into a persistent EXACT unigram
+    * term-count store — the live input of the corpus-drift monitor
+    * ([[graft.ext.TextStats.jsDivergenceFromCounts]] between two stores,
+    * or a store and a frozen reference). Correct by the simplest merge
+    * law there is — counts ADD — so any batch decomposition of a corpus
+    * yields the identical store (q_drift_stream_docs oracles this
+    * end-to-end through the drift read-out).
+    *
+    * Store size = live vocabulary (not corpus) rows; the collect-and-
+    * rewrite single-writer layout matches the other sketch stores and is
+    * right up to dictionary-scale vocabularies (the [[graft.ext.Bpe]]
+    * 2M-entry gate class). A web-scale open vocabulary should switch to
+    * a partitioned upsert (the banded near-dedup store layout) —
+    * documented trade, not a silent cap. */
+  def termCountUpdateBatch(batch: DataFrame, textCol: String,
+      storeDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val fresh = graft.ext.TextStats.termCounts(batch, textCol)
+    val merged =
+      if (new java.io.File(storeDir).exists())
+        spark.read.parquet(storeDir)
+          .select(col("term"), col("cnt").cast("long").as("cnt"))
+          .join(fresh.withColumnRenamed("cnt", "cnt_new"), Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("cnt"), lit(0L)) + coalesce(col("cnt_new"), lit(0L)))
+              .as("cnt"))
+      else fresh
+    replaceStore(merged.select(col("term"), col("cnt").cast("long").as("cnt")),
+      storeDir)
+  }
+
+  /** readStream → foreachBatch wiring for the term-count store. */
+  def termCountStream(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      storeDir: String,
+      textCol: String = "text"): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) { termCountUpdateBatch(batch.toDF(), textCol, storeDir); () }
+      }
+      .start()
+  }
+
   /** readStream → foreachBatch wiring for the CMS store: each arriving
     * parquet file's documents fold into `storeDir`. */
   def cmsStream(

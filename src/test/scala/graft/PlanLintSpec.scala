@@ -102,7 +102,9 @@ class PlanLintSpec extends SparkSpec {
     "q_exact_quantiles_docs",
     // corpus drift: the 1-row (Na, Nb, V) totals broadcast into the
     // vocabulary-sized joint frame — the q_kmv class
-    "q_corpus_drift_docs")
+    "q_corpus_drift_docs",
+    // streaming drift read-out: same shape over the persisted stores
+    "q_drift_stream_docs")
   private val globalWindowOk = Set("q_rrf_hybrid_docs",
     // cumulative walks over the model-sized bucket table / the
     // distinct-length table — never over data rows

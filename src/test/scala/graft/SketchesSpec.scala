@@ -240,6 +240,24 @@ class SketchesSpec extends SparkSpec {
         docs.select(($"doc_id" * 104729L).as("v")), "v", 8)
         .as[(Long, Int)].collect().toSet
       assert(rs == ro, "overlapping-batch HLL store must equal the one-shot registers")
+      // term-count store: counts ADD, so any decomposition is the exact
+      // one-shot count table
+      Seq(docs.filter($"doc_id" < 40), docs.filter($"doc_id" >= 40 && $"doc_id" < 41),
+        docs.filter($"doc_id" >= 41))
+        .foreach(b => StreamOps.termCountUpdateBatch(b, "text", s"$tmp/tc"))
+      val ts = spark.read.parquet(s"$tmp/tc").as[(String, Long)].collect().toSet
+      val to = graft.ext.TextStats.termCounts(docs).as[(String, Long)].collect().toSet
+      assert(ts == to, "streamed term counts must equal the one-shot counts exactly")
+      // and the drift read-out over two stores equals the corpus form
+      StreamOps.termCountUpdateBatch(docs.filter($"doc_id" % 2 === 0), "text", s"$tmp/tcA")
+      StreamOps.termCountUpdateBatch(docs.filter($"doc_id" % 2 === 1), "text", s"$tmp/tcB")
+      val viaStores = graft.ext.TextStats.jsDivergenceFromCounts(
+          spark.read.parquet(s"$tmp/tcA"), spark.read.parquet(s"$tmp/tcB"))
+        .as[(String, Long, Long, Double)].collect().toSet
+      val direct = graft.ext.TextStats.jsDivergenceByTerm(
+          docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1))
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(viaStores == direct, "drift over stores must equal drift over corpora")
     } finally {
       graft.core.Fs.rmTree(tmp)
     }
