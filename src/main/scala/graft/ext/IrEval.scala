@@ -130,11 +130,14 @@ object IrEval {
       .withColumn("rk", row_number().over(Window.orderBy(col("bm"), col("bi"))))
     val loRank = math.floor(b * (1.0 - level) / 2.0).toInt + 1
     val hiRank = b - loRank + 1
+    // both order statistics from ONE scan of the ranked frame (a second
+    // filter would re-run the rank window)
+    val bounds = ranked
+      .filter(col("rk") === loRank || col("rk") === hiRank)
+      .agg(min(when(col("rk") === loRank, col("bm"))).as("ci_lower"),
+        min(when(col("rk") === hiRank, col("bm"))).as("ci_upper"))
     vals.agg(r6(avg("m")).as("mean"), count(lit(1)).as("n_queries"))
-      .crossJoin(broadcast(ranked.filter(col("rk") === loRank)
-        .select(col("bm").as("ci_lower"))))
-      .crossJoin(broadcast(ranked.filter(col("rk") === hiRank)
-        .select(col("bm").as("ci_upper"))))
+      .crossJoin(broadcast(bounds))
       .select(col("mean"), col("ci_lower"), col("ci_upper"),
         col("n_queries"), lit(b.toLong).as("n_resamples"))
   }
