@@ -3760,7 +3760,10 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  private def qualityClassifierSql: String =
+  /** The replayed 2-iteration logistic-GD training + full-corpus scoring
+    * CTE chain, ending at `sc` (doc_id, raw margin) with `lbl` in scope —
+    * shared by the classifier, calibration, and kappa oracles. */
+  private def classifierSqlCore: String =
     raw"""WITH lbl AS (SELECT doc_id, (lang = 'en')::INT AS y FROM documents),
        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
        |tk AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
@@ -3787,11 +3790,82 @@ object SparkEntry {
        |    floor((w1.wv - 0.5 * coalesce(g2.gs, 0.0) / n.n) * 1e6 + 0.5) / 1e6 AS wv
        |  FROM w1 LEFT JOIN g2 USING (bucket) CROSS JOIN n),
        |sc AS (SELECT f.doc_id, sum(f.cnt * w2.wv) AS margin
-       |  FROM f JOIN w2 USING (bucket) GROUP BY 1)
+       |  FROM f JOIN w2 USING (bucket) GROUP BY 1)""".stripMargin
+
+  private def qualityClassifierSql: String =
+    s"""$classifierSqlCore
        |SELECT doc_id, floor(margin * 1e6 + 0.5) / 1e6 AS margin,
        |  floor((1.0 / (1.0 + exp(-margin))) * 1e6 + 0.5) / 1e6 AS prob,
        |  margin > 0 AS pred_en
        |FROM sc WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+
+  /** Calibration bins of the quality classifier
+    * ([[graft.ext.Classifier.calibrationBins]], 10 equal-width bins over
+    * the 1e-6-canonized probability): the reliability diagram a filter
+    * threshold depends on. The oracle replays training + scoring via the
+    * shared core, then the canonized-prob binning and both bin means. */
+  private def calibrationDocs(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(s, dir)
+    val model = ext.Classifier.trainLogistic(
+      all.withColumn("y", (col("lang") === "en").cast("int")), "y",
+      dim = 64, iters = 2, lr = 0.5)
+    ext.Classifier.calibrationBins(
+        ext.Classifier.scoreDocs(all, model),
+        all.select(col("doc_id"), (col("lang") === "en").cast("int").as("y")),
+        nBins = 10)
+      .orderBy("bin")
+  }
+
+  private def calibrationSql: String =
+    s"""$classifierSqlCore,
+       |pr AS (SELECT sc.doc_id,
+       |    floor((1.0 / (1.0 + exp(-sc.margin))) * 1e6 + 0.5) / 1e6 AS p,
+       |    lbl.y::DOUBLE AS y
+       |  FROM sc JOIN lbl USING (doc_id)),
+       |bn AS (SELECT least(floor(p * 10)::BIGINT, 9) AS bin, p, y FROM pr)
+       |SELECT bin, count(*) AS n,
+       |  floor(avg(p) * 1e6 + 0.5) / 1e6 AS confidence,
+       |  floor(avg(y) * 1e6 + 0.5) / 1e6 AS accuracy
+       |FROM bn GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** Model-vs-truth Cohen's kappa ([[graft.ext.Classifier
+    * .agreementKappa]]): the classifier's en/other prediction against
+    * the actual language label, chance-corrected — the QA number a
+    * labeling pipeline tracks per model revision. Oracle replays the
+    * shared training core, the raw-margin sign predictions, both
+    * marginals, and the canonized po/pe/kappa arithmetic. */
+  private def kappaDocs(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(s, dir)
+    val model = ext.Classifier.trainLogistic(
+      all.withColumn("y", (col("lang") === "en").cast("int")), "y",
+      dim = 64, iters = 2, lr = 0.5)
+    val pred = ext.Classifier.scoreDocs(all, model)
+      .select(col("doc_id"),
+        when(col("margin") > 0, lit("en")).otherwise(lit("other")).as("label"))
+    val truth = all.select(col("doc_id"),
+      when(col("lang") === "en", lit("en")).otherwise(lit("other")).as("label"))
+    ext.Classifier.agreementKappa(pred, truth)
+  }
+
+  private def kappaSql: String =
+    s"""$classifierSqlCore,
+       |pair AS (SELECT sc.doc_id,
+       |    CASE WHEN sc.margin > 0 THEN 'en' ELSE 'other' END AS la,
+       |    CASE WHEN doc.lang = 'en' THEN 'en' ELSE 'other' END AS lb
+       |  FROM sc JOIN documents doc USING (doc_id)),
+       |nn AS (SELECT count(*) AS n FROM pair),
+       |po AS (SELECT floor(avg(CASE WHEN la = lb THEN 1.0::DOUBLE
+       |    ELSE 0.0::DOUBLE END) * 1e6 + 0.5) / 1e6 AS po FROM pair),
+       |ma AS (SELECT la AS cat, count(*) AS ca FROM pair GROUP BY 1),
+       |mb AS (SELECT lb AS cat, count(*) AS cb FROM pair GROUP BY 1),
+       |pe AS (SELECT floor(sum(coalesce(ca, 0) * coalesce(cb, 0)
+       |    / (nn.n * nn.n)) * 1e6 + 0.5) / 1e6 AS pe
+       |  FROM ma FULL OUTER JOIN mb USING (cat) CROSS JOIN nn)
+       |SELECT po.po, pe.pe,
+       |  CASE WHEN pe.pe < 1.0 THEN
+       |    floor((po.po - pe.pe) / (1.0::DOUBLE - pe.pe) * 1e6 + 0.5) / 1e6
+       |  END AS kappa, nn.n
+       |FROM po CROSS JOIN pe CROSS JOIN nn""".stripMargin
 
   /** Chunking probe: overlapping token windows (maxTokens=40, overlap=8)
     * over a bounded doc window — DuckDB replays the token split, window
@@ -5677,6 +5751,8 @@ object SparkEntry {
     "q_exact_quantiles_docs" -> exactQuantilesDocs,
     "q_corpus_drift_docs" -> corpusDriftDocs,
     "q_drift_stream_docs" -> driftStreamDocs,
+    "q_calibration_docs" -> calibrationDocs,
+    "q_kappa_docs" -> kappaDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
     "q_cluster_keep_embeddings" -> clusterKeepEmbeddings,
@@ -5950,6 +6026,8 @@ object SparkEntry {
     "q_exact_quantiles_docs" -> exactQuantilesSql,
     "q_corpus_drift_docs" -> corpusDriftSql,
     "q_drift_stream_docs" -> driftStreamSql,
+    "q_calibration_docs" -> calibrationSql,
+    "q_kappa_docs" -> kappaSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,
     "q_asof_join_events" -> asofJoinSql,

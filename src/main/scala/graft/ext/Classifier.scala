@@ -108,4 +108,67 @@ object Classifier {
         .filter(col("prob") >= threshold)
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_semi")
+
+  private def quantC(c: org.apache.spark.sql.Column) =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** Reliability diagram for a scored classifier (Guo et al. 2017's
+    * calibration methodology): probabilities — 1e-6-canonized FIRST so
+    * bin membership is a function both engines reproduce — fall into
+    * `nBins` equal-width bins; each bin reports its size, mean
+    * confidence, and empirical accuracy. |confidence − accuracy| per
+    * bin is what a filter threshold actually means in practice — an
+    * uncalibrated quality model silently shifts the keep rate. One
+    * doc-keyed join + one bin-keyed aggregate; nothing corpus-wide. */
+  def calibrationBins(scored: DataFrame, labels: DataFrame, nBins: Int = 10,
+      idCol: String = "doc_id", probCol: String = "prob",
+      labelCol: String = "y"): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    scored.select(col(idCol).as("doc_id"), quantC(col(probCol)).as("p"))
+      .join(labels.select(col(idCol).as("doc_id"),
+        col(labelCol).cast("double").as("y")), "doc_id")
+      .withColumn("bin",
+        least(floor(col("p") * lit(nBins)).cast("long"), lit(nBins - 1L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        quantC(avg("p")).as("confidence"),
+        quantC(avg("y")).as("accuracy"))
+  }
+
+  /** Expected calibration error from a [[calibrationBins]] frame:
+    * ECE = Σ_b (n_b / N) · |confidence_b − accuracy_b|, canonized. */
+  def expectedCalibrationError(bins: DataFrame): DataFrame =
+    bins.agg(
+      quantC(sum(col("n") * abs(col("confidence") - col("accuracy")))
+        / sum(col("n"))).as("ece"),
+      sum(col("n")).as("n_total"))
+
+  /** Cohen's kappa between two labelings of the same ids (annotator or
+    * model-vs-truth agreement, corrected for chance): κ = (p_o − p_e) /
+    * (1 − p_e) with p_o the observed agreement and p_e the product-of-
+    * marginals chance agreement over the joint category set. Both rates
+    * are 1e-6-canonized before the κ division so the arithmetic is
+    * engine-reproducible; κ is null when p_e = 1 (both sides constant
+    * and identical — agreement is vacuous, 0/0). One id-keyed join +
+    * category-keyed aggregates; categories are model-sized. */
+  def agreementKappa(a: DataFrame, b: DataFrame,
+      idCol: String = "doc_id", labelCol: String = "label"): DataFrame = {
+    val pair = a.select(col(idCol).as("doc_id"), col(labelCol).as("la"))
+      .join(b.select(col(idCol).as("doc_id"), col(labelCol).as("lb")), "doc_id")
+      .filter(col("la").isNotNull && col("lb").isNotNull)
+    val n = pair.agg(count(lit(1)).as("n"))
+    val po = pair.agg(quantC(avg(when(col("la") === col("lb"), 1.0)
+      .otherwise(0.0))).as("po"))
+    val ma = pair.groupBy(col("la").as("cat")).agg(count(lit(1)).as("ca"))
+    val mb = pair.groupBy(col("lb").as("cat")).agg(count(lit(1)).as("cb"))
+    val pe = ma.join(mb, Seq("cat"), "full_outer")
+      .crossJoin(broadcast(n.select(col("n").as("nn"))))
+      .agg(quantC(sum(coalesce(col("ca"), lit(0L)) * coalesce(col("cb"), lit(0L))
+        / (col("nn") * col("nn")))).as("pe"))
+    po.crossJoin(broadcast(pe)).crossJoin(broadcast(n))
+      .select(col("po"), col("pe"),
+        when(col("pe") < 1.0,
+          quantC((col("po") - col("pe")) / (lit(1.0) - col("pe")))).as("kappa"),
+        col("n"))
+  }
 }

@@ -54,4 +54,42 @@ class ClassifierSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).sorted
     assert(kept.sameElements(Array(0L, 1L, 2L, 3L, 4L)), s"got ${kept.toSeq}")
   }
+
+  test("calibrationBins: hand-checked bins; ECE matches the weighted sum") {
+    val scored = Seq((1L, 0.05), (2L, 0.15), (3L, 0.95), (4L, 0.85), (5L, 1.0))
+      .toDF("doc_id", "prob")
+    val labels = Seq((1L, 0), (2L, 1), (3L, 1), (4L, 1), (5L, 1))
+      .toDF("doc_id", "y")
+    val bins = Classifier.calibrationBins(scored, labels, nBins = 10)
+    val m = bins.collect().map(r => r.getAs[Long]("bin") ->
+      (r.getAs[Long]("n"), r.getAs[Double]("confidence"),
+        r.getAs[Double]("accuracy"))).toMap
+    // prob 1.0 clamps into the last bin; bins 0,1,8,9 populated
+    assert(m(0L) == (1L, 0.05, 0.0) && m(1L) == (1L, 0.15, 1.0), s"got $m")
+    assert(m(8L) == (1L, 0.85, 1.0), s"got $m")
+    assert(m(9L)._1 == 2L && math.abs(m(9L)._2 - 0.975) < 1e-9 &&
+      m(9L)._3 == 1.0, s"got $m")
+    val ece = Classifier.expectedCalibrationError(bins).collect()(0)
+    // sum n*|conf-acc| = 1*0.05 + 1*0.85 + 1*0.15 + 2*0.025 = 1.10 -> /5
+    assert(math.abs(ece.getAs[Double]("ece") - 0.22) < 1e-9, s"got $ece")
+    assert(ece.getAs[Long]("n_total") == 5L)
+    intercept[IllegalArgumentException](
+      Classifier.calibrationBins(scored, labels, nBins = 0))
+  }
+
+  test("agreementKappa: hand-computed kappa; constant-identical labelings are null") {
+    // 10 items: a and b agree on 8; marginals a: 6 x / 4 o, b: 6 x / 4 o
+    val a = (1L to 10L).map(i => (i, if (i <= 6) "x" else "o")).toDF("doc_id", "label")
+    val b = (1L to 10L).map(i =>
+      (i, if (i <= 5 || i == 7) "x" else "o")).toDF("doc_id", "label")
+    val r = Classifier.agreementKappa(a, b).collect()(0)
+    // po = 8/10; pe = 0.6*0.6 + 0.4*0.4 = 0.52; kappa = 0.28/0.48
+    assert(r.getAs[Double]("po") == 0.8 && r.getAs[Double]("pe") == 0.52, s"got $r")
+    assert(math.abs(r.getAs[Double]("kappa") - 0.583333) < 1e-9, s"got $r")
+    assert(r.getAs[Long]("n") == 10L)
+    val const = (1L to 4L).map(i => (i, "same")).toDF("doc_id", "label")
+    val rc = Classifier.agreementKappa(const, const).collect()(0)
+    assert(rc.getAs[Double]("po") == 1.0 && rc.getAs[Double]("pe") == 1.0 &&
+      rc.isNullAt(rc.fieldIndex("kappa")), s"got $rc")
+  }
 }

@@ -104,7 +104,10 @@ class PlanLintSpec extends SparkSpec {
     // vocabulary-sized joint frame — the q_kmv class
     "q_corpus_drift_docs",
     // streaming drift read-out: same shape over the persisted stores
-    "q_drift_stream_docs")
+    "q_drift_stream_docs",
+    // kappa: three 1-row aggregates (po, pe, n) broadcast-combined —
+    // the q_kmv class
+    "q_kappa_docs")
   private val globalWindowOk = Set("q_rrf_hybrid_docs",
     // cumulative walks over the model-sized bucket table / the
     // distinct-length table — never over data rows
