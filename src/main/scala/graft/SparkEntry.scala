@@ -2495,6 +2495,50 @@ object SparkEntry {
         Tables.embeddings(s, dir).filter(col("vec_id") < 3), k = 5, marginBand = Some(0.1))
       .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"), round6("pos_max"))
 
+  /** Epoch-batched hard-negative mining ([[graft.ext.Negatives
+    * .hardNegativesEpochBatch]] — the training-loop shape): mine batch 1
+    * of the epoch-3 shuffle (anchors at shuffle positions 17–32,
+    * batchSize 16) against the full corpus, top-3 negatives each. The
+    * oracle replays the epoch mix-hash chain (the proven
+    * q_epoch_shuffle literals, on vec_id), the global (rank, id)
+    * row_number cut — the SEMANTIC twin of the two-phase globalOrdinal,
+    * the stronger check — and then the full hardNegatives scoring
+    * (cross product, label-mismatch filter, pos_max, rank rule). */
+  private def epochNegativesEmbeddings(s: SparkSession, dir: String): DataFrame =
+    ext.Negatives.hardNegativesEpochBatch(Tables.embeddings(s, dir),
+        batchSize = 16, batchId = 1L, epoch = 3, k = 3)
+      .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"), round6("pos_max"))
+
+  private def epochNegativesSql: String =
+    raw"""WITH f AS (SELECT vec_id,
+       |  ((vec_id % 2147483648) * 1000003 + 3) % 2147483648 AS x FROM embeddings),
+       |h0 AS (SELECT vec_id, ((x % 2147483648) * 2654435761) % 4294967296 AS h FROM f),
+       |s1 AS (SELECT vec_id, xor(h, h >> 16) AS h FROM h0),
+       |m1 AS (SELECT vec_id, ((((h >> 16) * 2246822507) % 65536) * 65536 + (h % 65536) * 2246822507) % 4294967296 AS h FROM s1),
+       |s2 AS (SELECT vec_id, xor(h, h >> 13) AS h FROM m1),
+       |m2 AS (SELECT vec_id, ((((h >> 16) * 3266489909) % 65536) * 65536 + (h % 65536) * 3266489909) % 4294967296 AS h FROM s2),
+       |hx AS (SELECT vec_id, xor(h, h >> 16) AS h FROM m2),
+       |ord AS (SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) AS ordinal FROM hx),
+       |a AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qemb, e.label AS qlabel
+       |  FROM embeddings e JOIN ord ON ord.vec_id = e.vec_id
+       |  WHERE ord.ordinal > 16 AND ord.ordinal <= 32),
+       |s AS (SELECT a.query_id, a.qlabel, e.vec_id, e.label,
+       |  list_cosine_similarity(e.embedding::DOUBLE[], a.qemb) AS cos
+       |  FROM embeddings e CROSS JOIN a
+       |  WHERE e.vec_id IS NOT NULL),
+       |pm AS (SELECT query_id, max(cos) AS pos_max FROM s
+       |  WHERE cos IS NOT NULL AND NOT isnan(cos)
+       |    AND label IS NOT NULL AND label = qlabel AND vec_id <> query_id
+       |  GROUP BY 1),
+       |n AS (SELECT s.query_id, s.vec_id, s.cos, pm.pos_max,
+       |  row_number() OVER (PARTITION BY s.query_id ORDER BY s.cos DESC, s.vec_id) AS rank
+       |  FROM s LEFT JOIN pm ON pm.query_id = s.query_id
+       |  WHERE s.cos IS NOT NULL AND NOT isnan(s.cos)
+       |    AND s.label IS NOT NULL AND s.label <> s.qlabel)
+       |SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos,
+       |  floor(pos_max * 1e6 + 0.5) / 1e6 AS pos_max
+       |FROM n WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** Retrieval-evaluation harness ([[graft.ext.IrEval.evalRanking]],
     * trec_eval conventions): the brute-force cosine run for the 3
     * anchors scored at k=10 against label-derived binary qrels (same
@@ -3742,6 +3786,39 @@ object SparkEntry {
        |       WHEN r * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket
        |FROM rk ORDER BY doc_id""".stripMargin
 
+  /** Memoized en-vs-other quality model per (session, dir) — the bpeMemo
+    * discipline for the classifier family: q_quality_classifier_docs,
+    * q_calibration_docs, and q_kappa_docs are three READ-OUTS of the SAME
+    * trained model (real pipelines pay training once per model revision,
+    * then score/calibrate/QA against it), so they share one
+    * [[graft.ext.Classifier.trainLogistic]] call instead of each paying
+    * the 2-iteration GD (~6 driver round-trips) independently.
+    * Memoization cannot change any result: the trainer is deterministic
+    * (quantized full-batch GD — same (corpus, dim, iters, lr) ⇒ the same
+    * 64 doubles bit-exactly), which is precisely what the three oracles'
+    * shared replayed-training CTE already asserts. Eviction: the session
+    * key is WEAK (a closed session's models go with it); per-dir entries
+    * live as long as the session — a LogisticModel is dim doubles, so
+    * even a pathological many-dir caller holds kilobytes, not frames
+    * (nothing to unpersist, unlike panelMemo). Staleness contract matches
+    * bpeMemo: same path + changed contents ⇒ stale model, re-create the
+    * session (documented there). */
+  private val classifierMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, ext.LogisticModel]]
+  private def qualityModelFor(s: SparkSession, dir: String): ext.LogisticModel =
+    classifierMemo.synchronized {
+      var byDir = classifierMemo.get(s)
+      if (byDir == null) {
+        byDir = scala.collection.mutable.Map.empty[String, ext.LogisticModel]
+        classifierMemo.put(s, byDir)
+      }
+      byDir.getOrElseUpdate(dir,
+        ext.Classifier.trainLogistic(
+          Tables.documents(s, dir)
+            .withColumn("y", (col("lang") === "en").cast("int")), "y",
+          dim = 64, iters = 2, lr = 0.5))
+    }
+
   /** Model-based quality filter (CCNet §4.4 / DataComp / FineWeb-Edu
     * practice): [[graft.ext.Classifier]] — logistic regression on
     * KR-hashed token counts, trained by TWO quantized full-batch GD
@@ -3751,9 +3828,7 @@ object SparkEntry {
     * itself is hash-pinned, not just the inference. */
   private def qualityClassifierDocs(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.documents(s, dir)
-    val model = ext.Classifier.trainLogistic(
-      all.withColumn("y", (col("lang") === "en").cast("int")), "y",
-      dim = 64, iters = 2, lr = 0.5)
+    val model = qualityModelFor(s, dir)
     ext.Classifier.scoreDocs(all.filter(col("doc_id") < 50), model)
       .select(col("doc_id"), round6("margin"), round6("prob"),
         (col("margin") > 0).as("pred_en"))
@@ -3806,9 +3881,7 @@ object SparkEntry {
     * shared core, then the canonized-prob binning and both bin means. */
   private def calibrationDocs(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.documents(s, dir)
-    val model = ext.Classifier.trainLogistic(
-      all.withColumn("y", (col("lang") === "en").cast("int")), "y",
-      dim = 64, iters = 2, lr = 0.5)
+    val model = qualityModelFor(s, dir)
     ext.Classifier.calibrationBins(
         ext.Classifier.scoreDocs(all, model),
         all.select(col("doc_id"), (col("lang") === "en").cast("int").as("y")),
@@ -3836,9 +3909,7 @@ object SparkEntry {
     * marginals, and the canonized po/pe/kappa arithmetic. */
   private def kappaDocs(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.documents(s, dir)
-    val model = ext.Classifier.trainLogistic(
-      all.withColumn("y", (col("lang") === "en").cast("int")), "y",
-      dim = 64, iters = 2, lr = 0.5)
+    val model = qualityModelFor(s, dir)
     val pred = ext.Classifier.scoreDocs(all, model)
       .select(col("doc_id"),
         when(col("margin") > 0, lit("en")).otherwise(lit("other")).as("label"))
@@ -4198,6 +4269,30 @@ object SparkEntry {
        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc)
        |SELECT doc_id, n_terms_hit, score FROM r WHERE rn <= 25
        |ORDER BY score DESC, doc_id""".stripMargin
+  }
+
+  /** PRF answered from the STANDING BM25 postings index
+    * ([[graft.ext.Search.prfTopKFromPostings]] over a session-memoized
+    * [[graft.ext.Search.bm25Postings]] frame) — the amortized twin of
+    * q_prf_topk_docs: identical parameters, identical results (it shares
+    * that query's three-pass oracle), but all three PRF passes probe the
+    * cached index instead of re-scanning the corpus — the measured
+    * standing-postings regime (ProbeSearch: ~13× warm vs rebuild). The
+    * postings and 1-row stats frames ride the panel memo, so within a
+    * session the index builds once and every retrieval query after that
+    * is probe-priced — the 100 TB usage pattern (index once, query
+    * thousands of times). */
+  private def prfPostingsDocs(s: SparkSession, dir: String): DataFrame = {
+    val postings = memoPanel(s, dir, "bm25_postings") {
+      ext.Search.bm25Postings(Tables.documents(s, dir))
+    }
+    val stats = memoPanel(s, dir, "bm25_stats") {
+      ext.Search.bm25StatsFromPostings(postings)
+    }
+    ext.Search.prfTopKFromPostings(postings, stats, bm25Terms, k = 25,
+        fbDocs = 10, fbTerms = 5, beta = 0.5)
+      .select(col("doc_id"), col("n_terms_hit"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
   }
 
   /** TextRank corpus keywords: [[graft.ext.TextRank.topKeywords]] —
@@ -5712,6 +5807,7 @@ object SparkEntry {
     "q_similarity_topk_ivf" -> similarityTopkIvf,
     "q_hard_negatives_embeddings" -> hardNegativesEmbeddings,
     "q_semihard_negatives_embeddings" -> semihardNegativesEmbeddings,
+    "q_epoch_negatives_embeddings" -> epochNegativesEmbeddings,
     "q_triplets_embeddings" -> tripletsEmbeddings,
     "q_ir_eval_embeddings" -> irEvalEmbeddings,
     "q_embedding_norms" -> embeddingNormsEmbeddings,
@@ -5740,6 +5836,7 @@ object SparkEntry {
     "q_bm25_topk_docs" -> bm25TopkDocs,
     "q_tfidf_topk_docs" -> tfidfTopkDocs,
     "q_prf_topk_docs" -> prfTopkDocs,
+    "q_prf_postings_docs" -> prfPostingsDocs,
     "q_textrank_docs" -> textrankDocs,
     "q_nearest_centroid_embeddings" -> nearestCentroidEmbeddings,
     "q_centroid_confusion_embeddings" -> centroidConfusionEmbeddings,
@@ -5975,6 +6072,7 @@ object SparkEntry {
     "q_mmr_rerank_embeddings" -> mmrRerankSql,
     "q_hard_negatives_embeddings" -> hardNegativesSql(None),
     "q_semihard_negatives_embeddings" -> hardNegativesSql(Some(0.1)),
+    "q_epoch_negatives_embeddings" -> epochNegativesSql,
     "q_triplets_embeddings" -> tripletsSql,
     "q_ir_eval_embeddings" -> irEvalSql,
     "q_weighted_bins_lineitem" -> weightedBinsSql,
@@ -6015,6 +6113,7 @@ object SparkEntry {
     "q_rrf_hybrid_docs" -> rrfHybridSql,
     "q_collocations_docs" -> collocationsSql,
     "q_prf_topk_docs" -> prfTopkSql,
+    "q_prf_postings_docs" -> prfTopkSql,
     "q_textrank_docs" -> textrankSql,
     "q_nearest_centroid_embeddings" -> nearestCentroidSql,
     "q_centroid_confusion_embeddings" -> centroidConfusionSql,

@@ -163,6 +163,59 @@ object Negatives {
       .orderBy("query_id", "rank")
   }
 
+  /** The anchor set a trainer's epoch-batch `batchId` consumes: corpus
+    * rows whose position in the deterministic epoch shuffle
+    * ([[Sampling.epochShuffleRank]], (rank, id) order) falls in
+    * `(batchId·batchSize, (batchId+1)·batchSize]`. The global position
+    * comes from [[Sampling.globalOrdinal]] (two-phase rank — no
+    * corpus-sized single-partition window; the rank is < 2^32 so its
+    * double cast is exact), so the cut is scale-safe and REPRODUCIBLE:
+    * the same (corpus, epoch, batchSize, batchId) names the same anchors
+    * on every run, retry, and cluster — which is what lets mining align
+    * with the training loop instead of running corpus-wide. Batches
+    * partition the corpus: disjoint, covering, `batchSize` rows each
+    * (the last one short). */
+  def epochAnchorBatch(
+      corpus: DataFrame,
+      batchSize: Int,
+      batchId: Long,
+      epoch: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val ranked = Sampling.epochShuffle(corpus, idCol, epoch)
+    Sampling.globalOrdinal(ranked, "shuffle_rank", idCol)
+      .filter(col("ordinal") > batchId * batchSize.toLong &&
+        col("ordinal") <= (batchId + 1) * batchSize.toLong)
+      .drop("shuffle_rank", "ordinal")
+  }
+
+  /** Per-epoch-batch hard-negative mining — the training-loop shape the
+    * celled miner's ledger prescribes: instead of paying the corpus-wide
+    * nprobe·N^1.5 cell join for anchors a trainer won't consume this
+    * step, mine exactly ONE training batch's anchors per call through
+    * the broadcast path ([[hardNegatives]] — the measured ~1.2 s/batch
+    * regime at 100k vectors, ProbeNegatives). An epoch is N/batchSize
+    * such calls, each aligned with the step that consumes it, so mining
+    * cost scales with data CONSUMED rather than data HELD; reach for
+    * [[hardNegativesCelled]] only when all anchors are genuinely needed
+    * at once. Semantics per batch are exactly [[hardNegatives]] over
+    * [[epochAnchorBatch]]'s anchors (same output schema, same tie
+    * rules, same margin-band option). */
+  def hardNegativesEpochBatch(
+      corpus: DataFrame,
+      batchSize: Int,
+      batchId: Long,
+      epoch: Int,
+      k: Int,
+      marginBand: Option[Double] = None,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame =
+    hardNegatives(corpus,
+      epochAnchorBatch(corpus, batchSize, batchId, epoch, idCol),
+      k, marginBand, idCol, embCol, labelCol)
+
   /** Corpus-wide hard-negative mining: EVERY corpus row is an anchor, and
     * the candidate generator is the IVF cell equijoin instead of a
     * broadcast scan — anchors explode to their `nprobe` nearest cells,
@@ -171,7 +224,11 @@ object Negatives {
     * outside the probed cells is missed); recall vs the brute path is
     * spec-measured. No margin band here: the semi-hard floor needs the
     * hardest POSITIVE, which cell pruning cannot bound — mine semi-hard
-    * batches with [[hardNegatives]] on a bounded anchor set instead. */
+    * batches with [[hardNegatives]] on a bounded anchor set instead.
+    * Per-cell work is superlinear in N (nprobe·N^1.5 at nlist ∝ √N);
+    * when anchors are consumed batch-by-batch in a training loop, prefer
+    * [[hardNegativesEpochBatch]], whose cost scales with batches
+    * consumed. */
   def hardNegativesCelled(
       corpus: DataFrame,
       k: Int,

@@ -344,4 +344,137 @@ object Search {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  // ---- standing BM25 postings ----------------------------------------------
+
+  /** BM25 posting list over the corpus: one row per (doc, term) with the
+    * term frequency and the document length riding along —
+    * `(idCol, term, tf, dl)`. This is the standing-index half of the
+    * BM25/PRF family: build it ONCE (one map-combinable groupBy over the
+    * token stream — the same single shuffle every inverted-index build
+    * pays), persist or cache it (bucket by `term` for query-time
+    * partition pruning, the [[tfidfPostings]] advice), and every
+    * subsequent retrieval — [[bm25ScoresWeightedFromPostings]],
+    * [[prfTopKFromPostings]] — becomes a term-keyed index probe instead
+    * of a corpus scan.
+    *
+    * Empty-string terms are KEPT (an all-whitespace text splits to one
+    * "" token): they carry that doc's existence and length, so corpus
+    * statistics recovered by [[bm25StatsFromPostings]] are exact —
+    * n_docs = distinct docs in the postings, dl = any row's dl. Query
+    * paths never rank on "" (the PRF candidate filter excludes it, and
+    * no real query term is empty). Null text produces no postings, the
+    * corpus-scan contract. */
+  def bm25Postings(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    toks
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+  }
+
+  /** The 1-row (n_docs, avgdl) corpus-stats frame recovered from a
+    * [[bm25Postings]] frame — bit-identical to the stats the corpus-scan
+    * scorers compute (dl is constant per doc and every non-null-text doc
+    * has ≥ 1 posting, so the doc-keyed rollup reproduces the document
+    * list exactly; sums of longs are exact, so avgdl is the same IEEE
+    * double). One map-combinable aggregate over the postings; persist it
+    * next to the index to skip even that. */
+  def bm25StatsFromPostings(postings: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    postings.groupBy(col(idCol)).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")) / count(lit(1))).as("avgdl"))
+
+  /** [[bm25ScoresWeighted]] answered from a standing [[bm25Postings]]
+    * index: identical arithmetic and identical results, but the only
+    * corpus-shaped input is the postings frame filtered by the broadcast
+    * (term, q_w) join — for a q-term query that is the q posting lists,
+    * not the token stream (partition-pruned further when the index is
+    * bucketed by term). `stats` is the [[bm25StatsFromPostings]] 1-row
+    * frame (pass it in so repeated queries don't re-aggregate it). */
+  def bm25ScoresWeightedFromPostings(postings: DataFrame, stats: DataFrame,
+      termWeights: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, 0 <= b <= 1; got k1=$k1 b=$b")
+    val hits = postings
+      .join(broadcast(termWeights.select(col("term"), col("q_w"))), "term")
+    // postings are distinct per (doc, term), so df(t) = row count per term
+    val dft = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    hits.join(broadcast(dft), "term")
+      .join(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("q_w") * (col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("w")).as("score"))
+  }
+
+  /** [[prfTopK]] answered from a standing [[bm25Postings]] index — the
+    * amortization the PRF scaladoc promises: all three of PRF's passes
+    * are index probes here, none a corpus scan.
+    *
+    *   1. first-pass BM25 rank — the original terms' posting lists
+    *      (term-keyed probe) scored with q_w = 1 (IEEE-exact: 1.0·x ≡ x,
+    *      so the rank is bit-identical to the unweighted first pass);
+    *   2. candidate selection — the feedback docs' posting rows
+    *      (broadcast semi on ≤ fbDocs ids) ARE the candidate vocabulary
+    *      with r(t) = row count (postings are distinct per (doc, term) by
+    *      construction — the corpus-scan path pays a distinct to get
+    *      there), and candidate df is one more term-keyed probe;
+    *   3. final weighted re-rank — the ≤ |q| + fbTerms expanded terms'
+    *      posting lists through [[bm25ScoresWeightedFromPostings]].
+    *
+    * Results are identical to [[prfTopK]] over the same corpus (same
+    * offer-weight canon, same expansion cut, same rank rule — the driver
+    * query shares the corpus-scan oracle). Measured at sf0.01: the
+    * corpus-scan PRF pays ~3 full scans; against a cached index this
+    * path answers in the standing-postings regime (~1 s warm, the
+    * ProbeSearch 13× number) — break-even after a handful of queries,
+    * exactly the [[tfidfPostings]] trade. */
+  def prfTopKFromPostings(postings: DataFrame, stats: DataFrame,
+      queryTerms: Seq[String], k: Int,
+      fbDocs: Int = 10, fbTerms: Int = 5, beta: Double = 0.5,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(fbDocs > 0, s"fbDocs must be positive, got $fbDocs")
+    require(fbTerms >= 0, s"fbTerms must be >= 0, got $fbTerms")
+    require(beta >= 0, s"beta must be >= 0, got $beta")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val origWeights = queryTerms.distinct.toDF("term").withColumn("q_w", lit(1.0))
+    val fb = bm25ScoresWeightedFromPostings(postings, stats, origWeights, k1, b, idCol)
+      .withColumn("score", floor(col("score") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(fbDocs)
+      .select(col(idCol))
+    // r(t): feedback docs containing t — postings rows are already
+    // distinct per (doc, term)
+    val rt = postings.join(broadcast(fb), idCol)
+      .groupBy(col("term")).agg(count(lit(1)).as("r"))
+      .filter(!col("term").isInCollection(queryTerms.distinct) && col("term") =!= "")
+    val cdf = postings
+      .join(broadcast(rt.select(col("term"))), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val expansion = rt.join(cdf, "term")
+      .join(broadcast(stats.select(col("n_docs"))))
+      .withColumn("ow", col("r") *
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("ow", floor(col("ow") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .orderBy(col("ow").desc, col("term").asc)
+      .limit(fbTerms)
+      .select(col("term"), lit(beta).as("q_w"))
+    val weights = origWeights.unionByName(expansion)
+    bm25ScoresWeightedFromPostings(postings, stats, weights, k1, b, idCol)
+      .withColumn("score", floor(col("score") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -564,9 +564,10 @@ object StreamOps {
     * Store size = live vocabulary (not corpus) rows; the collect-and-
     * rewrite single-writer layout matches the other sketch stores and is
     * right up to dictionary-scale vocabularies (the [[graft.ext.Bpe]]
-    * 2M-entry gate class). A web-scale open vocabulary should switch to
-    * a partitioned upsert (the banded near-dedup store layout) —
-    * documented trade, not a silent cap. */
+    * 2M-entry gate class). A web-scale open vocabulary switches to
+    * [[termCountUpsertBatch]] — the hash-partitioned upsert layout with
+    * no driver materialization (same additive merge law, spec-pinned
+    * equal). */
   def termCountUpdateBatch(batch: DataFrame, textCol: String,
       storeDir: String): DataFrame = {
     val spark = batch.sparkSession
@@ -584,17 +585,97 @@ object StreamOps {
       storeDir)
   }
 
-  /** readStream → foreachBatch wiring for the term-count store. */
+  /** Hash-PARTITIONED upsert layout for the term-count store — the
+    * open-web-vocabulary form the default [[termCountUpdateBatch]]
+    * scaladoc promises. The store is parquet partitioned by
+    * `pb = pmod(xxhash64(term), numBuckets)`; one batch:
+    *
+    *   1. counts its own terms (batch-vocabulary-sized) and derives the
+    *      touched bucket set (a ≤ numBuckets-int collect — the banded
+    *      near-dedup store's model-sized partition-listing move);
+    *   2. reads the store PRUNED to touched buckets (partition pruning
+    *      on the `pb` directory column — a trickle batch reads only the
+    *      shards it lands in) and full-outer merges counts per term —
+    *      exact by the additive merge law, same as the default layout;
+    *   3. rewrites ONLY the touched buckets via dynamic partition
+    *      overwrite, repartitioned on `pb` first so each touched bucket
+    *      gets exactly one file per upsert.
+    *
+    * Unlike the default layout nothing ever lands on the driver: the
+    * merge is a distributed bucket-co-partitioned join and the write is
+    * a distributed partitioned commit, so the store can hold a vocabulary
+    * orders of magnitude past driver memory. The merged frame is pinned
+    * ([[graft.core.Ckpt.pin]]) before the overwrite — the standard
+    * read-while-overwriting-self break, distributed where
+    * [[replaceStore]]'s collect is driver-bound. Single-writer contract
+    * and the non-atomic commit window match the other stores (back with
+    * an atomic-replace table format on a real cluster). `numBuckets` is a
+    * LAYOUT constant: fix it at store creation and reuse it for every
+    * upsert (the bucket of a term must never move between batches).
+    *
+    * Returns nothing — read the store back with [[readTermCountStore]]
+    * (the (term, cnt) shape every count consumer takes, e.g.
+    * [[graft.ext.TextStats.jsDivergenceFromCounts]]). */
+  def termCountUpsertBatch(batch: DataFrame, textCol: String,
+      storeDir: String, numBuckets: Int = 32): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val spark = batch.sparkSession
+    val bucket = (t: org.apache.spark.sql.Column) =>
+      pmod(xxhash64(t), lit(numBuckets.toLong)).cast("int")
+    val fresh = graft.ext.TextStats.termCounts(batch, textCol)
+      .withColumn("pb", bucket(col("term")))
+    if (fresh.isEmpty) return
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(storePath)) fresh
+      else {
+        val touched = fresh.select("pb").distinct()
+          .collect().map(_.getInt(0)).map(Integer.valueOf)
+        val existing = spark.read.parquet(storeDir)
+          .filter(col("pb").isin(touched: _*))
+          .select(col("term"), col("cnt").cast("long").as("cnt"))
+        existing.join(fresh.select(col("term"), col("cnt").as("cnt_new")),
+            Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("cnt"), lit(0L)) + coalesce(col("cnt_new"), lit(0L)))
+              .as("cnt"))
+          .withColumn("pb", bucket(col("term")))
+      }
+    graft.core.Ckpt.pin(merged)
+      .repartition(col("pb"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pb").parquet(storeDir)
+  }
+
+  /** Read a [[termCountUpsertBatch]] store back to the (term, cnt) frame
+    * every count consumer takes (the partition column stays behind). */
+  def readTermCountStore(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir)
+      .select(col("term"), col("cnt").cast("long").as("cnt"))
+
+  /** readStream → foreachBatch wiring for the term-count store.
+    * `partitionedStore = true` selects the [[termCountUpsertBatch]]
+    * hash-partitioned layout (open vocabularies; read back with
+    * [[readTermCountStore]]); the default is the single-file
+    * [[termCountUpdateBatch]] layout (dictionary-scale vocabularies). */
   def termCountStream(
       spark: SparkSession,
       sourceDir: String,
       schema: StructType,
       storeDir: String,
-      textCol: String = "text"): StreamingQuery = {
+      textCol: String = "text",
+      partitionedStore: Boolean = false,
+      numBuckets: Int = 32): StreamingQuery = {
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) { termCountUpdateBatch(batch.toDF(), textCol, storeDir); () }
+        if (!batch.isEmpty) {
+          if (partitionedStore)
+            termCountUpsertBatch(batch.toDF(), textCol, storeDir, numBuckets)
+          else { termCountUpdateBatch(batch.toDF(), textCol, storeDir); () }
+        }
       }
       .start()
   }

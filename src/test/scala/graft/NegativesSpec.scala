@@ -112,4 +112,40 @@ class NegativesSpec extends SparkSpec {
     // below this should fail loudly
     assert(recall >= 0.4, s"celled recall vs brute fell to $recall")
   }
+
+  test("epoch anchor batches partition the corpus deterministically") {
+    val bs = 2
+    val nBatches = 3 // 6 rows / batchSize 2
+    val batches = (0 until nBatches).map(b =>
+      Negatives.epochAnchorBatch(corpus, bs, b.toLong, epoch = 7)
+        .select("vec_id").collect().map(_.getLong(0)).toSet)
+    // disjoint, covering, each exactly batchSize
+    assert(batches.map(_.size).sum == 6 && batches.reduce(_ ++ _).size == 6)
+    batches.foreach(b => assert(b.size == bs))
+    // deterministic across re-evaluation
+    val again = Negatives.epochAnchorBatch(corpus, bs, 1L, epoch = 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(again == batches(1))
+    // batch membership follows the epoch-shuffle order exactly
+    val order = graft.ext.Sampling.epochShuffle(corpus.select("vec_id"), "vec_id", 7)
+      .orderBy("shuffle_rank", "vec_id").collect().map(_.getLong(0)).toSeq
+    assert(batches(0) == order.slice(0, 2).toSet &&
+      batches(1) == order.slice(2, 4).toSet && batches(2) == order.slice(4, 6).toSet)
+    // a different epoch permutes (on 6 rows the 32-bit mix makes an
+    // identical 3-way split astronomically unlikely; pinned here so a
+    // mix-chain regression that freezes the permutation fails loudly)
+    val other = (0 until nBatches).map(b =>
+      Negatives.epochAnchorBatch(corpus, bs, b.toLong, epoch = 8)
+        .select("vec_id").collect().map(_.getLong(0)).toSet)
+    assert(other != batches, "epoch 8 must not reproduce epoch 7's batches")
+  }
+
+  test("epoch-batch mining equals broadcast mining over the same anchor set") {
+    val anchors = Negatives.epochAnchorBatch(corpus, 2, 1L, epoch = 7)
+    val direct = Negatives.hardNegatives(corpus, anchors, k = 2)
+      .collect().map(_.toString).toSeq
+    val viaEpoch = Negatives.hardNegativesEpochBatch(corpus, 2, 1L, epoch = 7, k = 2)
+      .collect().map(_.toString).toSeq
+    assert(viaEpoch == direct)
+  }
 }

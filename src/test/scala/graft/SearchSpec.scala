@@ -202,4 +202,48 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Search.prfTopK(prfCorpus, Seq("apple"), k = 1, beta = -0.1))
   }
+
+  // ---- standing BM25 postings -----------------------------------------
+
+  test("bm25 postings recover exact corpus stats, whitespace-only doc included") {
+    val df = Seq((1L, "table merge"), (2L, null.asInstanceOf[String]), (3L, "   "))
+      .toDF("doc_id", "text")
+    val p = Search.bm25Postings(df)
+    // null doc absent; whitespace doc carries one "" posting with dl=1
+    assert(p.filter($"doc_id" === 2L).count() == 0)
+    assert(p.filter($"doc_id" === 3L && $"term" === "").count() == 1)
+    val st = Search.bm25StatsFromPostings(p).collect()(0)
+    assert(st.getAs[Long]("n_docs") == 2L)
+    assert(st.getAs[Double]("avgdl") == 3.0 / 2.0) // dl 2 and 1, exact
+  }
+
+  test("weighted bm25 from postings is bit-identical to the corpus-scan scorer") {
+    val weights = Seq(("table", 1.0), ("merge", 0.5)).toDF("term", "q_w")
+    val postings = Search.bm25Postings(corpus)
+    val stats = Search.bm25StatsFromPostings(postings)
+    val scan = Search.bm25ScoresWeighted(corpus, weights)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val idx = Search.bm25ScoresWeightedFromPostings(postings, stats, weights)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(scan.toSeq == idx.toSeq, s"scan=${scan.toSeq} idx=${idx.toSeq}")
+  }
+
+  test("prf from standing postings equals the corpus-scan prf, all three passes") {
+    val postings = Search.bm25Postings(prfCorpus)
+    val stats = Search.bm25StatsFromPostings(postings)
+    val scan = Search.prfTopK(prfCorpus, Seq("apple"), k = 5,
+        fbDocs = 2, fbTerms = 2, beta = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val idx = Search.prfTopKFromPostings(postings, stats, Seq("apple"), k = 5,
+        fbDocs = 2, fbTerms = 2, beta = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(scan.toSeq == idx.toSeq, s"scan=${scan.toSeq} idx=${idx.toSeq}")
+    // fbTerms = 0 degenerate form agrees too (pure first-pass rank)
+    val scan0 = Search.prfTopK(prfCorpus, Seq("apple"), k = 3, fbDocs = 2, fbTerms = 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val idx0 = Search.prfTopKFromPostings(postings, stats, Seq("apple"), k = 3,
+        fbDocs = 2, fbTerms = 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(scan0 == idx0)
+  }
 }

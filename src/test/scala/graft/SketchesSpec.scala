@@ -248,6 +248,30 @@ class SketchesSpec extends SparkSpec {
       val ts = spark.read.parquet(s"$tmp/tc").as[(String, Long)].collect().toSet
       val to = graft.ext.TextStats.termCounts(docs).as[(String, Long)].collect().toSet
       assert(ts == to, "streamed term counts must equal the one-shot counts exactly")
+      // partitioned-upsert layout: same merge law, bit-exact vs BOTH the
+      // one-shot counts and the default layout; only touched buckets are
+      // rewritten (untouched partition dirs must survive later batches)
+      Seq(docs.filter($"doc_id" < 40), docs.filter($"doc_id" >= 40 && $"doc_id" < 41),
+        docs.filter($"doc_id" >= 41))
+        .foreach(b => StreamOps.termCountUpsertBatch(b, "text", s"$tmp/tcp", numBuckets = 8))
+      val tp = StreamOps.readTermCountStore(spark, s"$tmp/tcp")
+        .as[(String, Long)].collect().toSet
+      assert(tp == to, "partitioned-upsert store must equal the one-shot counts exactly")
+      // a one-term trickle batch touches exactly one bucket and leaves
+      // every other term's count untouched
+      StreamOps.termCountUpsertBatch(
+        Seq((9999L, "tok0")).toDF("doc_id", "text"), "text", s"$tmp/tcp", numBuckets = 8)
+      val tp2 = StreamOps.readTermCountStore(spark, s"$tmp/tcp")
+        .as[(String, Long)].collect().toMap
+      val toM = to.toMap
+      assert(tp2("tok0") == toM("tok0") + 1L)
+      assert((tp2 - "tok0") == (toM - "tok0"),
+        "trickle upsert must not disturb any other term")
+      // an empty batch is a no-op (no partitions rewritten)
+      StreamOps.termCountUpsertBatch(
+        Seq((10000L, "   ")).toDF("doc_id", "text"), "text", s"$tmp/tcp", numBuckets = 8)
+      assert(StreamOps.readTermCountStore(spark, s"$tmp/tcp")
+        .as[(String, Long)].collect().toMap == tp2)
       // and the drift read-out over two stores equals the corpus form
       StreamOps.termCountUpdateBatch(docs.filter($"doc_id" % 2 === 0), "text", s"$tmp/tcA")
       StreamOps.termCountUpdateBatch(docs.filter($"doc_id" % 2 === 1), "text", s"$tmp/tcB")
