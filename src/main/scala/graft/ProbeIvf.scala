@@ -132,6 +132,51 @@ object ProbeIvf {
       println(f"hard nprobe=$np%2d: recall@10 $r%.3f, search $sec%.2f s")
       approx.unpersist()
     }
+
+    // ---- round-10: persisted-index add-batch cost + recall drift ----------
+    // Grow the index with vectors from centers the quantizer never saw
+    // (center = id % 100; trained on centers 0-79, batches add 80-99 —
+    // a genuine distribution shift), then compare the stale-centroid
+    // grown index against a full retrain+rebuild for queries drawn from
+    // the NEW distribution. Two honest numbers: seconds per add vs per
+    // rebuild, and the recall the staleness costs.
+    println("---- add-batch: index growth under distribution shift ----")
+    val tmpIdx = java.nio.file.Files.createTempDirectory("ivf_addprobe").toString
+    val oldCorp = hard.filter(col("vec_id") % 100 < 80).cache(); oldCorp.count()
+    val newCorp = hard.filter(col("vec_id") % 100 >= 80).cache(); newCorp.count()
+    val oldCents = time("train on old distribution (40k rows)") {
+      Similarity.trainIvfCentroids(oldCorp, nlist = nlist, iters = 3, sampleMod = 5L)
+    }
+    time("index create (40k rows)") {
+      Similarity.ivfIndexCreate(oldCorp, oldCents, s"$tmpIdx/grown")
+    }
+    Seq(0, 1).foreach { b =>
+      time(s"add batch $b (5k new-distribution rows)") {
+        Similarity.ivfIndexAddBatch(
+          newCorp.filter(col("vec_id") % 2 === b), oldCents, s"$tmpIdx/grown")
+      }
+    }
+    val nq = hard.filter(col("vec_id") >= 80 && col("vec_id") < 90)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb")).cache()
+    nq.count()
+    val unionBrute = Similarity.bruteForceTopK(hard, nq, 10).cache(); unionBrute.count()
+    def recallOf(approx: DataFrame): Double =
+      Similarity.withRecallAtK(approx, unionBrute)
+        .select("query_id", "recall_at_k").distinct()
+        .agg(avg("recall_at_k")).head().getDouble(0)
+    val grownRecall = recallOf(Similarity.ivfTopKPreAssigned(
+      spark.read.parquet(s"$tmpIdx/grown"), nq, 10, oldCents, nprobe))
+    val freshCents = time("full retrain (50k rows)") {
+      Similarity.trainIvfCentroids(hard, nlist = nlist, iters = 3, sampleMod = 5L)
+    }
+    time("full rebuild (50k rows)") {
+      Similarity.ivfIndexCreate(hard, freshCents, s"$tmpIdx/rebuilt")
+    }
+    val rebuiltRecall = recallOf(Similarity.ivfTopKPreAssigned(
+      spark.read.parquet(s"$tmpIdx/rebuilt"), nq, 10, freshCents, nprobe))
+    println(f"new-distribution recall@10: grown (stale centroids) $grownRecall%.3f" +
+      f" vs retrained rebuild $rebuiltRecall%.3f")
+    graft.core.Fs.rmTree(tmpIdx)
     spark.stop()
   }
 }

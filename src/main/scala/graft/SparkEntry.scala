@@ -3153,8 +3153,7 @@ object SparkEntry {
       Option(idxFile.getParentFile.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("graft_ivf_idx_") && f.getName != idxFile.getName)
         .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
-      Similarity.assignCells(Tables.embeddings(s, dir), ivfIndexCents)
-        .write.mode("overwrite").partitionBy("cell").parquet(idx)
+      Similarity.ivfIndexCreate(Tables.embeddings(s, dir), ivfIndexCents, idx)
     }
     Similarity.ivfTopKPreAssigned(s.read.parquet(idx), similarityQueries(s, dir),
         k = 5, ivfIndexCents, nprobe = 4)

@@ -302,6 +302,52 @@ object Similarity {
       .withColumn("cell", cellAssign(col("emb")))
   }
 
+  /** Materialize a cell-partitioned IVF index on disk: [[assignCells]]
+    * under `cents`, repartitioned on `cell` so each cell directory gets
+    * exactly one file per build (the banded-store file-fragmentation
+    * lesson), written `partitionBy("cell")`. Search it with
+    * [[ivfTopKPreAssigned]] over `spark.read.parquet(indexDir)` — the
+    * probed-cell equijoin prunes to ~nprobe/nlist of the files. */
+  def ivfIndexCreate(
+      embeddings: DataFrame,
+      cents: Array[Array[Double]],
+      indexDir: String,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit =
+    assignCells(embeddings, cents, idCol, embCol)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+
+  /** Incrementally ADD a batch of vectors to a persisted IVF index —
+    * the update story every other standing structure here already has
+    * (near-dup store, term-count store, postings): assign the batch to
+    * the EXISTING centroids (one map-side pass over the BATCH only — the
+    * corpus is never read) and append cell-partitioned, one file per
+    * touched cell per batch. Search results over the grown index are
+    * bit-identical to a from-scratch [[ivfIndexCreate]] over the union
+    * corpus UNDER THE SAME CENTROIDS (assignment is a pure function of
+    * (embedding, centroids); spec-pinned).
+    *
+    * The trade is quantizer STALENESS, not correctness: centroids stop
+    * reflecting the data once the added distribution drifts, so cells
+    * imbalance and recall@k vs brute decays — ProbeIvf's add-batch mode
+    * measures both (cost per add vs rebuild, recall drift vs retrain).
+    * Periodic retrain-and-rebuild is the compaction analogue: cheap
+    * appends between rebuilds, a rebuild when the measured recall (or
+    * cell-population skew) crosses the caller's floor. Appends also
+    * accumulate one file per touched cell per batch — fold a rebuild in
+    * before file listing dominates (same bound as the banded store's
+    * compactEvery). */
+  def ivfIndexAddBatch(
+      batch: DataFrame,
+      cents: Array[Array[Double]],
+      indexDir: String,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit =
+    assignCells(batch, cents, idCol, embCol)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(indexDir)
+
   /** Search a PRE-ASSIGNED cell frame (the [[assignCells]] schema:
     * vec_id, emb, cell) — the amortized form of [[ivfTopK]]: no
     * assignment pass over the corpus; when the frame is read from

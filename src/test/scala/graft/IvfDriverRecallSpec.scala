@@ -52,4 +52,36 @@ class IvfDriverRecallSpec extends SparkSpec {
     assert(recalls.nonEmpty && recalls.sum / recalls.length >= 0.5,
       s"trained mean recall < 0.5: ${recalls.toSeq}")
   }
+
+  test("incremental add-batch index equals a from-scratch build under the same centroids") {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Similarity.integerPlanes(64, 16)
+    val a = emb.filter(col("vec_id") % 3 =!= 2)
+    val b = emb.filter(col("vec_id") % 3 === 2)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_add").toString
+    try {
+      // grown index: create from A, add B in two uneven batches
+      Similarity.ivfIndexCreate(a, cents, s"$tmp/grown")
+      Similarity.ivfIndexAddBatch(b.filter(col("vec_id") < 100), cents, s"$tmp/grown")
+      Similarity.ivfIndexAddBatch(b.filter(col("vec_id") >= 100), cents, s"$tmp/grown")
+      // one-shot index over the union corpus, same centroids
+      Similarity.ivfIndexCreate(emb, cents, s"$tmp/oneshot")
+      val g = spark.read.parquet(s"$tmp/grown")
+        .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val o = spark.read.parquet(s"$tmp/oneshot")
+        .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(g == o, "grown index must hold the identical (vec_id, cell) assignments")
+      // and the search over the grown index is row-identical
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+      val sg = Similarity.ivfTopKPreAssigned(
+          spark.read.parquet(s"$tmp/grown"), q, 5, cents, nprobe = 4)
+        .collect().map(_.toString).toSeq
+      val so = Similarity.ivfTopKPreAssigned(
+          spark.read.parquet(s"$tmp/oneshot"), q, 5, cents, nprobe = 4)
+        .collect().map(_.toString).toSeq
+      assert(sg == so, "search over grown vs one-shot index must agree exactly")
+    } finally graft.core.Fs.rmTree(tmp)
+  }
 }
