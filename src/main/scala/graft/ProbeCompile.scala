@@ -10,13 +10,21 @@ import org.apache.spark.sql.SparkSession
   * per-call cost that amortizes to zero at 100 TB — and should not be
   * "optimized" by touching its data path.
   *
-  * Measurement caveat that shaped the columns: re-collecting the SAME
+  * Measurement caveat that shaped the columns: re-running the SAME
   * DataFrame reuses shuffle map outputs (only post-shuffle stages
   * re-run), so the repeat column is a final-stage lower bound, NOT the
   * execution cost. The honest full-execution figure is
   * `fresh − build − plan` (a fresh DataFrame creates new exchanges —
   * no shuffle reuse — while codegen stays cached for identical
   * source), reported as `exec`.
+  *
+  * The timed ACTION is the bench's noop write, NOT `.collect()` —
+  * round-10 lesson (ProbeWbAttrib): for queries with corpus-sized
+  * OUTPUT (q_weighted_bins_lineitem emits per-row bins, ≈ 560k rows at
+  * sf0.1) a collect pays seconds of driver-side row materialization
+  * the bench never measures, which made two rounds of attribution
+  * tables read ~2× the clean bench on exactly that query. Attribution
+  * must time the same action the number it explains times.
   *
   * Usage: `runMain graft.ProbeCompile q_name [q_name2 ...]`, or
   * `runMain graft.ProbeCompile all` for the whole suite (the committed
@@ -40,6 +48,8 @@ object ProbeCompile {
     def nanos(run: => Unit): Double = {
       val t0 = System.nanoTime(); run; (System.nanoTime() - t0) / 1e9
     }
+    def act(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
     println(f"${"query"}%-32s ${"build"}%6s ${"plan"}%6s ${"laststg"}%7s ${"fresh"}%6s ${"exec"}%6s  verdict")
     args.foreach { name =>
@@ -48,9 +58,9 @@ object ProbeCompile {
       val tBuild = nanos { fn(spark, sfDir) }
       val df = fn(spark, sfDir)
       val tPlan = nanos { df.queryExecution.executedPlan }
-      df.collect() // pin this plan's codegen + shuffle outputs
-      val tLast = (1 to 3).map(_ => nanos { df.collect() }).min
-      val tFresh = (1 to 2).map(_ => nanos { fn(spark, sfDir).collect() }).min
+      act(df) // pin this plan's codegen + shuffle outputs
+      val tLast = (1 to 3).map(_ => nanos { act(df) }).min
+      val tFresh = (1 to 2).map(_ => nanos { act(fn(spark, sfDir)) }).min
       val tExec = math.max(0.0, tFresh - tBuild - tPlan)
       val verdict =
         if (tExec < 0.35 * tFresh) "COMPILE/BUILD-bound (amortizes at scale)"

@@ -139,38 +139,52 @@ object ProbeIvf {
     // a genuine distribution shift), then compare the stale-centroid
     // grown index against a full retrain+rebuild for queries drawn from
     // the NEW distribution. Two honest numbers: seconds per add vs per
-    // rebuild, and the recall the staleness costs.
-    println("---- add-batch: index growth under distribution shift ----")
+    // rebuild, and the recall the staleness costs. The corpus is the
+    // hard mixture ×10 (500k rows): at 50k the rebuild is so cheap the
+    // append cannot win — its floor is one parquet file per touched cell
+    // (≈ nlist files/batch, the banded-store file-fan-out bound) while
+    // the rebuild scales with N — so the crossover only shows at the
+    // scale the API exists for.
+    println("---- add-batch: index growth under distribution shift (500k rows) ----")
     val tmpIdx = java.nio.file.Files.createTempDirectory("ivf_addprobe").toString
-    val oldCorp = hard.filter(col("vec_id") % 100 < 80).cache(); oldCorp.count()
-    val newCorp = hard.filter(col("vec_id") % 100 >= 80).cache(); newCorp.count()
-    val oldCents = time("train on old distribution (40k rows)") {
-      Similarity.trainIvfCentroids(oldCorp, nlist = nlist, iters = 3, sampleMod = 5L)
+    val bigHard = (0 until 10).map { c =>
+      hard.select((col("vec_id") + lit(c * 50000L)).as("vec_id"),
+        transform(col("embedding"), v => v + lit(c * 1e-3)).as("embedding"))
+    }.reduce(_ union _).repartition(32).cache()
+    println(s"add-batch corpus: ${bigHard.count()} vectors")
+    val oldCorp = bigHard.filter(col("vec_id") % 100 < 80).cache(); oldCorp.count()
+    val newCorp = bigHard.filter(col("vec_id") % 100 >= 80).cache(); newCorp.count()
+    val oldCents = time("train on old distribution (400k rows)") {
+      Similarity.trainIvfCentroids(oldCorp, nlist = nlist, iters = 3, sampleMod = 37L)
     }
-    time("index create (40k rows)") {
+    time("index create (400k rows)") {
       Similarity.ivfIndexCreate(oldCorp, oldCents, s"$tmpIdx/grown")
     }
-    Seq(0, 1).foreach { b =>
-      time(s"add batch $b (5k new-distribution rows)") {
+    (0 until 4).foreach { b =>
+      time(s"add batch $b (~12.5k new-distribution rows)") {
         Similarity.ivfIndexAddBatch(
-          newCorp.filter(col("vec_id") % 2 === b), oldCents, s"$tmpIdx/grown")
+          newCorp.filter(col("vec_id") % 8 === b), oldCents, s"$tmpIdx/grown")
       }
     }
-    val nq = hard.filter(col("vec_id") >= 80 && col("vec_id") < 90)
+    time("add remaining new rows (~50k, one batch)") {
+      Similarity.ivfIndexAddBatch(
+        newCorp.filter(col("vec_id") % 8 >= 4), oldCents, s"$tmpIdx/grown")
+    }
+    val nq = bigHard.filter(col("vec_id") >= 80 && col("vec_id") < 90)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb")).cache()
     nq.count()
-    val unionBrute = Similarity.bruteForceTopK(hard, nq, 10).cache(); unionBrute.count()
+    val unionBrute = Similarity.bruteForceTopK(bigHard, nq, 10).cache(); unionBrute.count()
     def recallOf(approx: DataFrame): Double =
       Similarity.withRecallAtK(approx, unionBrute)
         .select("query_id", "recall_at_k").distinct()
         .agg(avg("recall_at_k")).head().getDouble(0)
     val grownRecall = recallOf(Similarity.ivfTopKPreAssigned(
       spark.read.parquet(s"$tmpIdx/grown"), nq, 10, oldCents, nprobe))
-    val freshCents = time("full retrain (50k rows)") {
-      Similarity.trainIvfCentroids(hard, nlist = nlist, iters = 3, sampleMod = 5L)
+    val freshCents = time("full retrain (500k rows)") {
+      Similarity.trainIvfCentroids(bigHard, nlist = nlist, iters = 3, sampleMod = 37L)
     }
-    time("full rebuild (50k rows)") {
-      Similarity.ivfIndexCreate(hard, freshCents, s"$tmpIdx/rebuilt")
+    time("full rebuild (500k rows)") {
+      Similarity.ivfIndexCreate(bigHard, freshCents, s"$tmpIdx/rebuilt")
     }
     val rebuiltRecall = recallOf(Similarity.ivfTopKPreAssigned(
       spark.read.parquet(s"$tmpIdx/rebuilt"), nq, 10, freshCents, nprobe))
