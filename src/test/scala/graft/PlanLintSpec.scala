@@ -107,7 +107,15 @@ class PlanLintSpec extends SparkSpec {
     "q_drift_stream_docs",
     // kappa: three 1-row aggregates (po, pe, n) broadcast-combined —
     // the q_kmv class
-    "q_kappa_docs")
+    "q_kappa_docs",
+    // epoch-batched mining: the scoring stage is the bruteForceTopK
+    // shape (corpus × broadcast(16 batch anchors)); the batch cut rides
+    // globalOrdinal's 1-row bounds broadcast (round 10)
+    "q_epoch_negatives_embeddings",
+    // postings-backed PRF: the 1-row corpus-stats broadcast feeds each
+    // of the three scoring passes — the q_kmv class, exactly the
+    // q_prf_topk_docs entry's shape over the standing index (round 10)
+    "q_prf_postings_docs")
   private val globalWindowOk = Set("q_rrf_hybrid_docs",
     // cumulative walks over the model-sized bucket table / the
     // distinct-length table — never over data rows
@@ -121,7 +129,11 @@ class PlanLintSpec extends SparkSpec {
     // count table; the data window is bucket-partitioned
     "q_global_ordinal_docs",
     // exact quantiles ride the same globalOrdinal offset window
-    "q_exact_quantiles_docs")
+    "q_exact_quantiles_docs",
+    // epoch-batched mining's batch cut rides the same globalOrdinal
+    // offset window (≤nBuckets rows; the data window stays
+    // bucket-partitioned) — round 10
+    "q_epoch_negatives_embeddings")
 
   test("no unlisted cartesian / nested-loop / unpartitioned-window in any driver query plan") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists())
@@ -177,6 +189,11 @@ class PlanLintSpec extends SparkSpec {
     // register is computed from) is exactly what the KMV input-column-
     // filter fix eliminated (ARCHITECTURE.md, round 7)
     ("q_epoch_shuffle_docs", "pmod(doc_id, 2147483648L)"),
+    // epoch-batched mining: the same epoch-keyed mixHash chain on the
+    // anchor id (globalOrdinal's pushed isnotnull + bucket arithmetic
+    // restate it) — O(1) integer arithmetic on a read column; the
+    // expensive work (cosine scoring) is downstream and not duplicated
+    ("q_epoch_negatives_embeddings", "pmod(vec_id, 2147483648L)"),
     // DSIR's Gumbel key: the same epoch-keyed mixHash chain (sort key +
     // output column inline it) — O(1) integer arithmetic on the id, the
     // expensive per-gram work is aggregated before this projection
