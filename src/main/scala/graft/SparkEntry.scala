@@ -3937,6 +3937,112 @@ object SparkEntry {
        |  END AS kappa, nn.n
        |FROM po CROSS JOIN pe CROSS JOIN nn""".stripMargin
 
+  /** Per-class precision / recall / F1 of the quality classifier
+    * ([[graft.ext.Classifier.perClassMetrics]]) — the per-class read-out
+    * completing the classifier-QA family (confusion counts → κ →
+    * calibration → per-class P/R/F1). Shares the memoized model and the
+    * replayed-training oracle core; the oracle then rebuilds the joint
+    * class set, tp / predicted / support marginals, and the
+    * null-guarded canonized divisions. */
+  private def classMetricsDocs(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(s, dir)
+    val model = qualityModelFor(s, dir)
+    val pred = ext.Classifier.scoreDocs(all, model)
+      .select(col("doc_id"),
+        when(col("margin") > 0, lit("en")).otherwise(lit("other")).as("label"))
+    val truth = all.select(col("doc_id"),
+      when(col("lang") === "en", lit("en")).otherwise(lit("other")).as("label"))
+    ext.Classifier.perClassMetrics(pred, truth)
+  }
+
+  private def classMetricsSql: String =
+    s"""$classifierSqlCore,
+       |pair AS (SELECT sc.doc_id,
+       |    CASE WHEN sc.margin > 0 THEN 'en' ELSE 'other' END AS pl,
+       |    CASE WHEN doc.lang = 'en' THEN 'en' ELSE 'other' END AS tl
+       |  FROM sc JOIN documents doc USING (doc_id)),
+       |cls AS (SELECT pl AS cls FROM pair UNION SELECT tl FROM pair),
+       |tp AS (SELECT pl AS cls, count(*) AS tp FROM pair WHERE pl = tl GROUP BY 1),
+       |pn AS (SELECT pl AS cls, count(*) AS n_pred FROM pair GROUP BY 1),
+       |tn AS (SELECT tl AS cls, count(*) AS support FROM pair GROUP BY 1),
+       |m AS (SELECT cls.cls, coalesce(support, 0) AS support,
+       |    coalesce(n_pred, 0) AS n_pred, coalesce(tp.tp, 0) AS tp
+       |  FROM cls LEFT JOIN tn USING (cls) LEFT JOIN pn USING (cls)
+       |  LEFT JOIN tp USING (cls)),
+       |p2 AS (SELECT cls, support, n_pred, tp,
+       |  CASE WHEN n_pred > 0 THEN floor(tp / n_pred * 1e6 + 0.5) / 1e6 END AS precision,
+       |  CASE WHEN support > 0 THEN floor(tp / support * 1e6 + 0.5) / 1e6 END AS recall
+       |  FROM m)
+       |SELECT cls, support, n_pred, tp, precision, recall,
+       |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+       |      AND precision + recall > 0
+       |    THEN floor(2.0 * precision * recall / (precision + recall) * 1e6 + 0.5) / 1e6
+       |  END AS f1
+       |FROM p2 ORDER BY cls""".stripMargin
+
+  /** Three deterministic synthetic annotators over the documents table
+    * (the multi-annotator fixture both annotation queries share): a1
+    * votes the en/other truth, a2 flips every 7th doc, a3 force-votes
+    * 'en' on every 11th — replayable arithmetic on doc_id, so the
+    * oracle regenerates the identical vote table. */
+  private def annotatorVotes(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("lang") === "en", lit("en")).otherwise(lit("other")).as("t"))
+    val flip = when(col("t") === "en", lit("other")).otherwise(lit("en"))
+    base.select(col("doc_id"), lit("a1").as("annotator"), col("t").as("label"))
+      .unionByName(base.select(col("doc_id"), lit("a2").as("annotator"),
+        when(col("doc_id") % 7 === 0, flip).otherwise(col("t")).as("label")))
+      .unionByName(base.select(col("doc_id"), lit("a3").as("annotator"),
+        when(col("doc_id") % 11 === 0, lit("en")).otherwise(col("t")).as("label")))
+  }
+
+  private val annotatorVotesSqlCte =
+    """t0 AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS t
+      |  FROM documents),
+      |v AS (SELECT doc_id, 'a1' AS annotator, t AS label FROM t0
+      |  UNION ALL SELECT doc_id, 'a2',
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN (CASE WHEN t = 'en' THEN 'other' ELSE 'en' END) ELSE t END FROM t0
+      |  UNION ALL SELECT doc_id, 'a3',
+      |    CASE WHEN doc_id % 11 = 0 THEN 'en' ELSE t END FROM t0),
+      |c AS (SELECT doc_id, label, count(*) AS n_votes FROM v GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, count(*) AS n_total FROM v GROUP BY 1),
+      |w AS (SELECT doc_id, label, n_votes,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY n_votes DESC, label) AS rn
+      |  FROM c),
+      |mv AS (SELECT w.doc_id, w.label, w.n_votes, tot.n_total
+      |  FROM w JOIN tot USING (doc_id) WHERE rn = 1)""".stripMargin
+
+  /** Majority-vote consensus over the synthetic annotators
+    * ([[graft.ext.Annotations.majorityVote]]): winning label, vote
+    * counts, and the canonized confidence fraction per doc. The oracle
+    * replays the vote construction, the (n_votes desc, label) argmax,
+    * and the fraction canon. */
+  private def majorityVoteDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Annotations.majorityVote(annotatorVotes(s, dir))
+      .orderBy("doc_id")
+
+  private def majorityVoteSql: String =
+    s"""WITH $annotatorVotesSqlCte
+       |SELECT doc_id, label, n_votes, n_total,
+       |  floor(n_votes / n_total * 1e6 + 0.5) / 1e6 AS vote_frac
+       |FROM mv ORDER BY doc_id""".stripMargin
+
+  /** Per-annotator agreement with the majority consensus
+    * ([[graft.ext.Annotations.annotatorQuality]]) — the labeling-ops
+    * monitoring number: a2 should read ≈ 1 − 1/7 − the 7∧11 overlap
+    * correction, a3 ≈ 1 − (share of non-en 11th docs), a1 highest. */
+  private def annotatorQualityDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Annotations.annotatorQuality(
+      annotatorVotes(s, dir), ext.Annotations.majorityVote(annotatorVotes(s, dir)))
+
+  private def annotatorQualitySql: String =
+    s"""WITH $annotatorVotesSqlCte
+       |SELECT v.annotator, count(*) AS n_votes,
+       |  floor(avg(CASE WHEN v.label = mv.label THEN 1.0 ELSE 0.0 END) * 1e6 + 0.5)
+       |    / 1e6 AS agreement
+       |FROM v JOIN mv USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Chunking probe: overlapping token windows (maxTokens=40, overlap=8)
     * over a bounded doc window — DuckDB replays the token split, window
     * starts, the no-new-tokens trailing-window rule, the chunk text
@@ -5849,6 +5955,9 @@ object SparkEntry {
     "q_drift_stream_docs" -> driftStreamDocs,
     "q_calibration_docs" -> calibrationDocs,
     "q_kappa_docs" -> kappaDocs,
+    "q_class_metrics_docs" -> classMetricsDocs,
+    "q_majority_vote_docs" -> majorityVoteDocs,
+    "q_annotator_quality_docs" -> annotatorQualityDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
     "q_cluster_keep_embeddings" -> clusterKeepEmbeddings,
@@ -6126,6 +6235,9 @@ object SparkEntry {
     "q_drift_stream_docs" -> driftStreamSql,
     "q_calibration_docs" -> calibrationSql,
     "q_kappa_docs" -> kappaSql,
+    "q_class_metrics_docs" -> classMetricsSql,
+    "q_majority_vote_docs" -> majorityVoteSql,
+    "q_annotator_quality_docs" -> annotatorQualitySql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,
     "q_asof_join_events" -> asofJoinSql,

@@ -171,4 +171,50 @@ object Classifier {
           quantC((col("po") - col("pe")) / (lit(1.0) - col("pe")))).as("kappa"),
         col("n"))
   }
+
+  /** Per-class precision / recall / F1 (+ support) between a predicted
+    * and a true labeling of the same ids — the per-class read-out the
+    * confusion matrix summarizes and κ chance-corrects, completing the
+    * classifier-QA family. One id-keyed inner join (ids absent from
+    * either side are unscoreable, same contract as [[agreementKappa]]),
+    * then everything is class-keyed and class-count-sized: tp per class,
+    * predicted-count and true-count marginals, and the joint class set
+    * from both sides (a class someone predicted but never occurs — or
+    * vice versa — still gets a row). precision is null when the class
+    * was never predicted (0/0), recall null when it has no support, F1
+    * null when p + r = 0 or either factor is null; all three are
+    * 1e-6-canonized AFTER the division (the division inputs are exact
+    * longs, so canonizing once at the end is engine-reproducible).
+    * Output: (cls, support, n_pred, tp, precision, recall, f1), ordered
+    * by cls. */
+  def perClassMetrics(pred: DataFrame, truth: DataFrame,
+      idCol: String = "doc_id", labelCol: String = "label"): DataFrame = {
+    val pair = pred.select(col(idCol).as("doc_id"), col(labelCol).as("pl"))
+      .join(truth.select(col(idCol).as("doc_id"), col(labelCol).as("tl")), "doc_id")
+      .filter(col("pl").isNotNull && col("tl").isNotNull)
+    val classes = pair.select(col("pl").as("cls"))
+      .union(pair.select(col("tl"))).distinct()
+    val tp = pair.filter(col("pl") === col("tl"))
+      .groupBy(col("pl").as("cls")).agg(count(lit(1)).as("tp"))
+    val predN = pair.groupBy(col("pl").as("cls")).agg(count(lit(1)).as("n_pred"))
+    val truthN = pair.groupBy(col("tl").as("cls")).agg(count(lit(1)).as("support"))
+    classes
+      .join(truthN, Seq("cls"), "left")
+      .join(predN, Seq("cls"), "left")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision",
+        when(col("n_pred") > 0, quantC(col("tp") / col("n_pred"))))
+      .withColumn("recall",
+        when(col("support") > 0, quantC(col("tp") / col("support"))))
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull &&
+          col("precision") + col("recall") > 0,
+          quantC(lit(2.0) * col("precision") * col("recall")
+            / (col("precision") + col("recall")))))
+      .orderBy("cls")
+  }
 }

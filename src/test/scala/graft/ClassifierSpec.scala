@@ -92,4 +92,29 @@ class ClassifierSpec extends SparkSpec {
     assert(rc.getAs[Double]("po") == 1.0 && rc.getAs[Double]("pe") == 1.0 &&
       rc.isNullAt(rc.fieldIndex("kappa")), s"got $rc")
   }
+
+  test("perClassMetrics: hand-computed P/R/F1 incl. predicted-only and no-support classes") {
+    val pred = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"),
+      (6L, "a"), (7L, "d")).toDF("doc_id", "label")
+    val truth = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "c"), (5L, "c"),
+      (6L, "c"), (7L, "a")).toDF("doc_id", "label")
+    val rows = Classifier.perClassMetrics(pred, truth).collect().map { r =>
+      r.getAs[String]("cls") -> (r.getAs[Long]("support"), r.getAs[Long]("n_pred"),
+        r.getAs[Long]("tp"),
+        Option(r.getAs[java.lang.Double]("precision")).map(_.doubleValue),
+        Option(r.getAs[java.lang.Double]("recall")).map(_.doubleValue),
+        Option(r.getAs[java.lang.Double]("f1")).map(_.doubleValue))
+    }.toMap
+    // a: tp 1, pred 3, support 2 -> p .333333, r .5, f1 .4 (canonized)
+    assert(rows("a") == (2L, 3L, 1L, Some(0.333333), Some(0.5), Some(0.4)), s"got $rows")
+    assert(rows("b") == (2L, 2L, 1L, Some(0.5), Some(0.5), Some(0.5)))
+    // c: tp 1, pred 1, support 3 -> p 1.0, r .333333, f1 .5 (canonized)
+    assert(rows("c") == (3L, 1L, 1L, Some(1.0), Some(0.333333), Some(0.5)))
+    // d: predicted once, never true -> p 0, recall/f1 null
+    assert(rows("d") == (0L, 1L, 0L, Some(0.0), None, None))
+    // class ordering is lexicographic
+    val order = Classifier.perClassMetrics(pred, truth)
+      .collect().map(_.getAs[String]("cls")).toSeq
+    assert(order == Seq("a", "b", "c", "d"))
+  }
 }
