@@ -4043,6 +4043,66 @@ object SparkEntry {
        |    / 1e6 AS agreement
        |FROM v JOIN mv USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Sentence-level BLEU-2 over consecutive-doc pairs
+    * ([[graft.ext.Bleu.bleu2]], Papineni 2002): doc i as candidate
+    * against doc i+1 as reference — a deterministic pairing both
+    * engines rebuild with one self-join. The oracle replays tokenize
+    * (empty tokens dropped), unigram and lead-bigram clipped counts,
+    * both canonized precisions, the brevity penalty (exp ulps absorbed
+    * by the 1e-6 canon — the bm25 ln precedent), and the final
+    * bp·√(p1·p2) computed from the canonized factors. */
+  private def bleuPairsDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val pairs = d.select(col("doc_id").as("pair_id"), col("text").as("candidate"))
+      .join(d.select((col("doc_id") - 1).as("pair_id"), col("text").as("reference")),
+        "pair_id")
+    ext.Bleu.bleu2(pairs).orderBy("pair_id")
+  }
+
+  private def bleuPairsSql: String =
+    raw"""WITH pr AS (SELECT d1.doc_id AS pair_id, d1.text AS cand, d2.text AS ref
+       |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+       |  WHERE d1.text IS NOT NULL AND d2.text IS NOT NULL),
+       |ctk AS (SELECT pair_id,
+       |  list_filter(string_split_regex(lower(trim(cand)), '\s+'), x -> x <> '') AS toks
+       |  FROM pr),
+       |rtk AS (SELECT pair_id,
+       |  list_filter(string_split_regex(lower(trim(ref)), '\s+'), x -> x <> '') AS toks
+       |  FROM pr),
+       |cu AS (SELECT pair_id, g, count(*) AS cnt
+       |  FROM (SELECT pair_id, unnest(toks) AS g FROM ctk) GROUP BY 1, 2),
+       |ru AS (SELECT pair_id, g, count(*) AS cnt
+       |  FROM (SELECT pair_id, unnest(toks) AS g FROM rtk) GROUP BY 1, 2),
+       |cb AS (SELECT pair_id, g, count(*) AS cnt FROM (
+       |    SELECT pair_id, unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i + 1])) AS g
+       |    FROM ctk WHERE len(toks) >= 2) GROUP BY 1, 2),
+       |rb AS (SELECT pair_id, g, count(*) AS cnt FROM (
+       |    SELECT pair_id, unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i + 1])) AS g
+       |    FROM rtk WHERE len(toks) >= 2) GROUP BY 1, 2),
+       |q1 AS (SELECT cu.pair_id,
+       |    floor(sum(least(cu.cnt, coalesce(ru.cnt, 0))) / sum(cu.cnt) * 1e6 + 0.5)
+       |      / 1e6 AS p1
+       |  FROM cu LEFT JOIN ru ON ru.pair_id = cu.pair_id AND ru.g = cu.g GROUP BY 1),
+       |q2 AS (SELECT cb.pair_id,
+       |    floor(sum(least(cb.cnt, coalesce(rb.cnt, 0))) / sum(cb.cnt) * 1e6 + 0.5)
+       |      / 1e6 AS p2
+       |  FROM cb LEFT JOIN rb ON rb.pair_id = cb.pair_id AND rb.g = cb.g GROUP BY 1),
+       |lens AS (SELECT pr.pair_id, len(ctk.toks)::BIGINT AS c_len,
+       |    len(rtk.toks)::BIGINT AS r_len
+       |  FROM pr JOIN ctk USING (pair_id) JOIN rtk USING (pair_id)),
+       |b0 AS (SELECT lens.pair_id, lens.c_len, lens.r_len, q1.p1, q2.p2,
+       |    CASE WHEN lens.c_len = 0 THEN NULL
+       |         WHEN lens.c_len >= lens.r_len THEN (1.0)::DOUBLE
+       |         ELSE floor(exp(1.0 - lens.r_len / lens.c_len) * 1e6 + 0.5) / 1e6
+       |    END AS bp
+       |  FROM lens LEFT JOIN q1 USING (pair_id) LEFT JOIN q2 USING (pair_id))
+       |SELECT pair_id, c_len, r_len, p1, p2, bp,
+       |  CASE WHEN p1 IS NOT NULL AND p2 IS NOT NULL AND bp IS NOT NULL
+       |    THEN floor(bp * sqrt(p1 * p2) * 1e6 + 0.5) / 1e6 END AS bleu
+       |FROM b0 ORDER BY pair_id""".stripMargin
+
   /** Chunking probe: overlapping token windows (maxTokens=40, overlap=8)
     * over a bounded doc window — DuckDB replays the token split, window
     * starts, the no-new-tokens trailing-window rule, the chunk text
@@ -5958,6 +6018,7 @@ object SparkEntry {
     "q_class_metrics_docs" -> classMetricsDocs,
     "q_majority_vote_docs" -> majorityVoteDocs,
     "q_annotator_quality_docs" -> annotatorQualityDocs,
+    "q_bleu_pairs_docs" -> bleuPairsDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
     "q_cluster_keep_embeddings" -> clusterKeepEmbeddings,
@@ -6238,6 +6299,7 @@ object SparkEntry {
     "q_class_metrics_docs" -> classMetricsSql,
     "q_majority_vote_docs" -> majorityVoteSql,
     "q_annotator_quality_docs" -> annotatorQualitySql,
+    "q_bleu_pairs_docs" -> bleuPairsSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,
     "q_asof_join_events" -> asofJoinSql,
