@@ -433,11 +433,15 @@ object Search {
     *
     * Results are identical to [[prfTopK]] over the same corpus (same
     * offer-weight canon, same expansion cut, same rank rule — the driver
-    * query shares the corpus-scan oracle). Measured at sf0.01: the
-    * corpus-scan PRF pays ~3 full scans; against a cached index this
-    * path answers in the standing-postings regime (~1 s warm, the
-    * ProbeSearch 13× number) — break-even after a handful of queries,
-    * exactly the [[tfidfPostings]] trade. */
+    * query shares the corpus-scan oracle). Measured (sf0.1, local[32],
+    * back-to-back BenchOne steady states): 2.3 s vs the corpus-scan
+    * PRF's 3.4 s (~1.5×, build amortized) — smaller than the tfidf
+    * single-probe 13× because PRF's candidate passes carry RUNTIME term
+    * sets (no plan-time pushdown) and r(t) is doc-keyed, so two of the
+    * four index passes still scan all postings; the first pass's
+    * plan-time term filter does prune (term-sorted row groups). At
+    * cluster scale the index additionally skips re-tokenization and
+    * scan bytes the local page cache hides. */
   def prfTopKFromPostings(postings: DataFrame, stats: DataFrame,
       queryTerms: Seq[String], k: Int,
       fbDocs: Int = 10, fbTerms: Int = 5, beta: Double = 0.5,
@@ -450,7 +454,12 @@ object Search {
     val spark = postings.sparkSession
     import spark.implicits._
     val origWeights = queryTerms.distinct.toDF("term").withColumn("q_w", lit(1.0))
-    val fb = bm25ScoresWeightedFromPostings(postings, stats, origWeights, k1, b, idCol)
+    // the first pass's terms are known at plan time: the literal filter
+    // reaches the parquet scan (row-group pruning on a term-sorted
+    // index), and it cannot change the result — the weight join keeps
+    // exactly these terms anyway
+    val qPostings = postings.where(col("term").isInCollection(queryTerms.distinct))
+    val fb = bm25ScoresWeightedFromPostings(qPostings, stats, origWeights, k1, b, idCol)
       .withColumn("score", floor(col("score") * lit(1e6) + lit(0.5)) / lit(1e6))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(fbDocs)
