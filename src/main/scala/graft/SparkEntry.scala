@@ -4043,6 +4043,40 @@ object SparkEntry {
        |    / 1e6 AS agreement
        |FROM v JOIN mv USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Accuracy-weighted vote over the synthetic annotators
+    * ([[graft.ext.Annotations.weightedVote]], Nitzan–Paroush log-odds
+    * weights from [[graft.ext.Annotations.annotatorQuality]]'s
+    * agreement rates): the one-half-EM-step upgrade of majority vote.
+    * The oracle replays the whole chain — votes, majority consensus,
+    * agreement rates, clamped log-odds weights (ln ulps absorbed by the
+    * 1e-6 canon, the bm25 precedent), canonized per-(doc, label) score
+    * sums, and the (score desc, label) argmax. */
+  private def weightedVoteDocs(s: SparkSession, dir: String): DataFrame = {
+    val votes = annotatorVotes(s, dir)
+    val quality = ext.Annotations.annotatorQuality(
+      votes, ext.Annotations.majorityVote(votes))
+    ext.Annotations.weightedVote(votes, quality).orderBy("doc_id")
+  }
+
+  private def weightedVoteSql: String =
+    s"""WITH $annotatorVotesSqlCte,
+       |aq AS (SELECT v.annotator,
+       |    floor(avg(CASE WHEN v.label = mv.label THEN 1.0 ELSE 0.0 END) * 1e6 + 0.5)
+       |      / 1e6 AS agreement
+       |  FROM v JOIN mv USING (doc_id) GROUP BY 1),
+       |wt AS (SELECT annotator,
+       |    floor(ln(least(greatest(agreement, 0.01), 0.99)
+       |      / (1.0 - least(greatest(agreement, 0.01), 0.99))) * 1e6 + 0.5) / 1e6 AS w
+       |  FROM aq),
+       |sc AS (SELECT v.doc_id, v.label,
+       |    floor(sum(wt.w) * 1e6 + 0.5) / 1e6 AS score, count(*) AS n_votes
+       |  FROM v JOIN wt USING (annotator) GROUP BY 1, 2),
+       |r AS (SELECT doc_id, label, score, n_votes,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+       |  FROM sc)
+       |SELECT doc_id, label, score, n_votes FROM r WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   /** Sentence-level BLEU-2 over consecutive-doc pairs
     * ([[graft.ext.Bleu.bleu2]], Papineni 2002): doc i as candidate
     * against doc i+1 as reference — a deterministic pairing both
@@ -6040,6 +6074,7 @@ object SparkEntry {
     "q_class_metrics_docs" -> classMetricsDocs,
     "q_majority_vote_docs" -> majorityVoteDocs,
     "q_annotator_quality_docs" -> annotatorQualityDocs,
+    "q_weighted_vote_docs" -> weightedVoteDocs,
     "q_bleu_pairs_docs" -> bleuPairsDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
@@ -6321,6 +6356,7 @@ object SparkEntry {
     "q_class_metrics_docs" -> classMetricsSql,
     "q_majority_vote_docs" -> majorityVoteSql,
     "q_annotator_quality_docs" -> annotatorQualitySql,
+    "q_weighted_vote_docs" -> weightedVoteSql,
     "q_bleu_pairs_docs" -> bleuPairsSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,

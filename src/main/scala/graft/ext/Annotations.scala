@@ -59,6 +59,44 @@ object Annotations {
         quantC(col("n_votes") / col("n_total")).as("vote_frac"))
   }
 
+  /** Accuracy-weighted vote — the one-half-EM-step upgrade of
+    * [[majorityVote]] (Dawid & Skene's first iteration collapsed to a
+    * scalar reliability; the log-odds weights are the Nitzan–Paroush
+    * 1982 optimal-committee rule): each annotator's vote counts
+    * w_a = ln(α_a / (1 − α_a)), with α_a the annotator's agreement rate
+    * against a prior consensus ([[annotatorQuality]]'s output, or a gold
+    * frame). A reliable annotator outvotes several mediocre ones; a
+    * worse-than-chance annotator (α < 0.5) gets a NEGATIVE weight — its
+    * vote counts against its own label, exactly what the optimal rule
+    * prescribes. α is clamped to [0.01, 0.99] before the log-odds so a
+    * perfect-agreement annotator cannot produce an infinite weight
+    * (clamp documented, not silent: the weight saturates at ±ln 99).
+    *
+    * Determinism: weights are 1e-6-canonized BEFORE the per-(item,
+    * label) sum and the summed score is canonized again before the
+    * argmax ((score desc, label asc) tie rule), so both engines replay
+    * identical decisions — the classifier-trainer lockstep convention.
+    * Same keyed-aggregate scale shape as [[majorityVote]]; the quality
+    * frame is annotator-count-sized and broadcasts. Output:
+    * (idCol, label, score, n_votes). */
+  def weightedVote(votes: DataFrame, quality: DataFrame,
+      idCol: String = "doc_id",
+      annotatorCol: String = "annotator",
+      labelCol: String = "label"): DataFrame = {
+    val alpha = least(greatest(col("agreement").cast("double"), lit(0.01)), lit(0.99))
+    val w = quality.select(col(annotatorCol),
+      quantC(log(alpha / (lit(1.0) - alpha))).as("w"))
+    val v = votes.filter(col(labelCol).isNotNull)
+      .select(col(idCol), col(annotatorCol), col(labelCol).as("label"))
+      .join(broadcast(w), annotatorCol)
+    v.groupBy(col(idCol), col("label"))
+      .agg(quantC(sum(col("w"))).as("score"), count(lit(1)).as("n_votes"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("score").desc, col("label").asc)))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("label"), col("score"), col("n_votes"))
+  }
+
   /** Per-annotator quality against a consensus labeling (e.g.
     * [[majorityVote]]'s output, or a gold frame): vote count and the
     * canonized agreement rate. Items without a consensus row score

@@ -36,6 +36,36 @@ class AnnotationsSpec extends SparkSpec {
     assert(q("z") == (2L, 0.5), s"got $q")       // null vote dropped from n
   }
 
+  test("weightedVote: reliable annotator outvotes two mediocre ones; negative weights flip") {
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def lo(a: Double) = r6(math.log(a / (1.0 - a)))
+    // expert (0.9) vs two coin-flippers (0.55): on item 1 the expert's
+    // "a" must beat the two agreeing "b" votes (2.197 > 2*0.201)
+    val votes = Seq(
+      (1L, "e", "a"), (1L, "m1", "b"), (1L, "m2", "b"),
+      (2L, "e", "a"), (2L, "m1", "a"), (2L, "m2", "b")
+    ).toDF("doc_id", "annotator", "label")
+    val quality = Seq(("e", 3L, 0.9), ("m1", 3L, 0.55), ("m2", 3L, 0.55))
+      .toDF("annotator", "n_votes", "agreement")
+    val out = Annotations.weightedVote(votes, quality).collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[String]("label"),
+        r.getAs[Double]("score"), r.getAs[Long]("n_votes"))).toMap
+    assert(out(1L) == ("a", lo(0.9), 1L), s"got $out")
+    assert(out(2L) == ("a", r6(lo(0.9) + lo(0.55)), 2L), s"got $out")
+    // worse-than-chance annotator: negative weight counts AGAINST its label
+    val adv = Seq((1L, "x", "a"), (1L, "y", "b")).toDF("doc_id", "annotator", "label")
+    val advQ = Seq(("x", 2L, 0.8), ("y", 2L, 0.2)).toDF("annotator", "n_votes", "agreement")
+    val o2 = Annotations.weightedVote(adv, advQ).collect().map(r =>
+      (r.getAs[String]("label"), r.getAs[Double]("score")))
+    // y's b-vote scores ln(.2/.8) < 0, so a wins even 1-vs-1
+    assert(o2.toSeq == Seq(("a", lo(0.8))), s"got ${o2.toSeq}")
+    // clamp: a perfect annotator gets ln(0.99/0.01), not infinity
+    val perfQ = Seq(("x", 2L, 1.0), ("y", 2L, 0.2)).toDF("annotator", "n_votes", "agreement")
+    val o3 = Annotations.weightedVote(adv, perfQ).collect()
+      .map(_.getAs[Double]("score")).toSeq
+    assert(o3 == Seq(lo(0.99)), s"got $o3")
+  }
+
   test("majority vote is deterministic under re-evaluation and input order") {
     val shuffled = votes.orderBy(org.apache.spark.sql.functions.rand(7))
     val a = Annotations.majorityVote(votes).orderBy("doc_id")
