@@ -114,6 +114,18 @@ object Bench {
     }
     val gcTimed = gcMillis() - gc1
     val loadEnd = loadAvg()
+    // Round-10 verdict #1 (three rounds of degraded official artifacts):
+    // encode the quiet-run discipline in the artifact itself. A run is
+    // stamped degraded when the machine was busy at the start of the
+    // timed window (1-min load > 2 on the driver box — an idle box under
+    // our own warm pass sits well below that at the *start* of timing,
+    // since load is sampled before the first timed pass), when timed-pass
+    // GC exceeded 5% of timed wall, or when the per-pass totals disagree
+    // by more than 25% (external interference mid-window; a steady box
+    // repeats within a few percent). The stamp doesn't refuse — the
+    // driver still gets a number — but a degraded artifact says so in
+    // the same JSON line the judge reads, so the honest context can
+    // never again live only in a side file.
     // Diagnostics on stderr so stdout stays parseable JSON lines only.
     val passTotals = allPasses.map(p => f"${p.map(_._2).sum}%.1f").mkString("/")
     System.err.println(
@@ -133,7 +145,19 @@ object Bench {
     // artifact, a variance-class reading (per-query ≥2× vs prior round in
     // unchanged code) can be checked against load/GC/pass-spread without
     // a separate forensics session.
+    val timedWallSec = allPasses.map(_.map(_._2).sum).sum
+    val passSpreads = allPasses.map(_.map(_._2).sum)
+    val spreadBad = passes > 1 && passSpreads.max > passSpreads.min * 1.25
+    val degraded = loadStart.headOption.exists(_ > 2.0) ||
+      (timedWallSec > 0 && gcTimed > 0.05 * timedWallSec * 1000.0) ||
+      spreadBad
+    if (degraded) System.err.println(
+      f"[bench] DEGRADED RUN: load_start=${loadStart.headOption.getOrElse(-1.0)}%.2f " +
+      f"gc_timed_pct=${if (timedWallSec > 0) gcTimed / (timedWallSec * 10.0) else 0.0}%.1f " +
+      f"pass_spread=${if (passSpreads.min > 0) passSpreads.max / passSpreads.min else 0.0}%.2f " +
+      "— rerun on a quiet box before treating this as the round number")
     val machine =
+      s""""degraded":$degraded,""" +
       s""""load_avg":{"start":${arr(loadStart)},"end":${arr(loadEnd)}},""" +
       s""""gc_ms":{"warm":$gcWarm,"timed":$gcTimed},""" +
       s""""pass_totals":${arr(allPasses.map(_.map(_._2).sum))}"""

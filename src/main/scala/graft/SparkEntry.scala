@@ -3123,10 +3123,19 @@ object SparkEntry {
     * by the quantizer's content, so editing `ivfIndexCents` (nlist, plane
     * formula) can never serve assignments from the old quantizer — a
     * stale index must miss, not silently serve wrong cells. */
+  /** 128-bit content key for keyed on-disk index dirs, as 32 hex chars.
+    * Replaces the earlier math.abs(String.hashCode) scheme (round-10
+    * advice): abs(Int.MinValue) stays negative, and 32-bit collisions
+    * between corpus identities could alias two index dirs — MD5 makes
+    * aliasing practically impossible and needs no abs. */
+  private def indexKeyHash(key: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   private def ivfIndexDir(dir: String): String = {
     val f = new java.io.File(s"$dir/embeddings.parquet")
     val qz = ivfIndexCents.flatten.foldLeft(17L)((a, v) => a * 31 + java.lang.Double.doubleToLongBits(v))
-    val key = math.abs((dir + ":" + f.length + ":" + f.lastModified + ":" + qz).hashCode)
+    val key = indexKeyHash(dir + ":" + f.length + ":" + f.lastModified + ":" + qz)
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_$key"
   }
 
@@ -3804,19 +3813,35 @@ object SparkEntry {
     * session (documented there). */
   private val classifierMemo =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, ext.LogisticModel]]
-  private def qualityModelFor(s: SparkSession, dir: String): ext.LogisticModel =
-    classifierMemo.synchronized {
-      var byDir = classifierMemo.get(s)
-      if (byDir == null) {
-        byDir = scala.collection.mutable.Map.empty[String, ext.LogisticModel]
-        classifierMemo.put(s, byDir)
-      }
-      byDir.getOrElseUpdate(dir,
-        ext.Classifier.trainLogistic(
-          Tables.documents(s, dir)
-            .withColumn("y", (col("lang") === "en").cast("int")), "y",
-          dim = 64, iters = 2, lr = 0.5))
+  private def qualityModelFor(s: SparkSession, dir: String): ext.LogisticModel = {
+    // Keyed on the documents file's identity (length + mtime), the
+    // bm25IndexDir/ivfIndexDir discipline — the driver regenerates
+    // testdata under the same path between rounds, and a same-session
+    // regeneration must miss, not serve a stale model (round-10 advice;
+    // the plain-dir key was weaker than the sibling caches').
+    val f = new java.io.File(s"$dir/documents.parquet")
+    val key = dir + ":" + f.length + ":" + f.lastModified
+    def lookup(): Option[ext.LogisticModel] = classifierMemo.synchronized {
+      Option(classifierMemo.get(s)).flatMap(_.get(key))
     }
+    lookup().getOrElse {
+      // Train OUTSIDE the lock (Spark jobs under a global monitor would
+      // serialize unrelated sessions); double-checked put — a concurrent
+      // duplicate train is deterministic, so last-write-wins is safe.
+      val model = ext.Classifier.trainLogistic(
+        Tables.documents(s, dir)
+          .withColumn("y", (col("lang") === "en").cast("int")), "y",
+        dim = 64, iters = 2, lr = 0.5)
+      classifierMemo.synchronized {
+        var byDir = classifierMemo.get(s)
+        if (byDir == null) {
+          byDir = scala.collection.mutable.Map.empty[String, ext.LogisticModel]
+          classifierMemo.put(s, byDir)
+        }
+        byDir.getOrElseUpdate(key, model)
+      }
+    }
+  }
 
   /** Model-based quality filter (CCNet §4.4 / DataComp / FineWeb-Edu
     * practice): [[graft.ext.Classifier]] — logistic regression on
@@ -4076,6 +4101,61 @@ object SparkEntry {
        |  FROM sc)
        |SELECT doc_id, label, score, n_votes FROM r WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
+
+  /** Full Dawid–Skene EM over the synthetic annotators
+    * ([[graft.ext.Annotations.dawidSkene]], 2 rounds, λ = 0.01): the
+    * completion of the weighted-vote half-step — per-annotator confusion
+    * matrices + class priors + per-item posteriors. The oracle unrolls
+    * BOTH EM rounds in SQL: the vote-proportion init (majorityVote's
+    * proportions), each round's canonized priors, confusion numerators
+    * over the full annotator × l × m grid, Laplace-smoothed canonized
+    * confusion cells, the log-space vote likelihood, and the canonized
+    * per-item normalization — the Classifier-trainer unrolled-iteration
+    * recipe applied to EM (exp/ln ulps absorbed by the per-stage 1e-6
+    * canon, the bm25 precedent). Output: the full posterior grid. */
+  private def dawidSkeneDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Annotations.dawidSkene(annotatorVotes(s, dir), rounds = 2, smoothing = 0.01)
+      .orderBy("doc_id", "label")
+
+  private def dawidSkeneSql: String = {
+    def round(prev: String, r: Int): String =
+      s"""pr$r AS (SELECT label, floor(sum(t) / (SELECT i FROM ni) * 1e6 + 0.5) / 1e6 AS p
+         |  FROM $prev GROUP BY 1),
+         |num$r AS (SELECT v.annotator, tp.label AS l, v.label AS m,
+         |    floor(sum(tp.t) * 1e6 + 0.5) / 1e6 AS s
+         |  FROM v JOIN $prev tp ON v.doc_id = tp.doc_id GROUP BY 1, 2, 3),
+         |g$r AS (SELECT ann.annotator, l.label AS l, m.label AS m,
+         |    coalesce(num$r.s, 0) AS s
+         |  FROM ann CROSS JOIN lab l CROSS JOIN lab m
+         |  LEFT JOIN num$r ON num$r.annotator = ann.annotator
+         |    AND num$r.l = l.label AND num$r.m = m.label),
+         |pi$r AS (SELECT annotator, l, m,
+         |    floor((s + 0.01) / (sum(s) OVER (PARTITION BY annotator, l)
+         |      + 0.01 * (SELECT nlbl FROM nli)) * 1e6 + 0.5) / 1e6 AS pi
+         |  FROM g$r),
+         |e$r AS (SELECT v.doc_id, pi.l AS label, sum(ln(pi.pi)) AS s_ln
+         |  FROM v JOIN pi$r pi ON pi.annotator = v.annotator AND pi.m = v.label
+         |  GROUP BY 1, 2),
+         |u$r AS (SELECT e.doc_id, e.label, pr.p * exp(e.s_ln) AS u
+         |  FROM e$r e JOIN pr$r pr USING (label)),
+         |ds$r AS (SELECT doc_id, label,
+         |    floor(u / sum(u) OVER (PARTITION BY doc_id) * 1e6 + 0.5) / 1e6 AS t
+         |  FROM u$r)""".stripMargin
+    s"""WITH $annotatorVotesSqlCte,
+       |lab AS (SELECT DISTINCT label FROM v),
+       |ni AS (SELECT count(*)::DOUBLE AS i FROM tot),
+       |nli AS (SELECT count(*)::DOUBLE AS nlbl FROM lab),
+       |ann AS (SELECT DISTINCT annotator FROM v),
+       |dcnt AS (SELECT doc_id, label, count(*) AS cn FROM v GROUP BY 1, 2),
+       |ds0 AS (SELECT tot.doc_id, lab.label,
+       |    floor(coalesce(dcnt.cn, 0) / tot.n_total * 1e6 + 0.5) / 1e6 AS t
+       |  FROM tot CROSS JOIN lab
+       |  LEFT JOIN dcnt ON dcnt.doc_id = tot.doc_id AND dcnt.label = lab.label),
+       |${round("ds0", 1)},
+       |${round("ds1", 2)}
+       |SELECT doc_id, label, t AS posterior FROM ds2
+       |ORDER BY doc_id, label""".stripMargin
+  }
 
   /** Sentence-level BLEU-2 over consecutive-doc pairs
     * ([[graft.ext.Bleu.bleu2]], Papineni 2002): doc i as candidate
@@ -4477,7 +4557,7 @@ object SparkEntry {
     * rather than silently serving old postings. */
   private def bm25IndexDir(dir: String): String = {
     val f = new java.io.File(s"$dir/documents.parquet")
-    val key = math.abs((dir + ":" + f.length + ":" + f.lastModified + ":bm25v1").hashCode)
+    val key = indexKeyHash(dir + ":" + f.length + ":" + f.lastModified + ":bm25v1")
     s"${System.getProperty("java.io.tmpdir")}/graft_bm25_idx_$key"
   }
 
@@ -6075,6 +6155,7 @@ object SparkEntry {
     "q_majority_vote_docs" -> majorityVoteDocs,
     "q_annotator_quality_docs" -> annotatorQualityDocs,
     "q_weighted_vote_docs" -> weightedVoteDocs,
+    "q_dawid_skene_docs" -> dawidSkeneDocs,
     "q_bleu_pairs_docs" -> bleuPairsDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
@@ -6357,6 +6438,7 @@ object SparkEntry {
     "q_majority_vote_docs" -> majorityVoteSql,
     "q_annotator_quality_docs" -> annotatorQualitySql,
     "q_weighted_vote_docs" -> weightedVoteSql,
+    "q_dawid_skene_docs" -> dawidSkeneSql,
     "q_bleu_pairs_docs" -> bleuPairsSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,

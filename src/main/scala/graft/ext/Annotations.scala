@@ -77,7 +77,14 @@ object Annotations {
     * argmax ((score desc, label asc) tie rule), so both engines replay
     * identical decisions — the classifier-trainer lockstep convention.
     * Same keyed-aggregate scale shape as [[majorityVote]]; the quality
-    * frame is annotator-count-sized and broadcasts. Output:
+    * frame is annotator-count-sized and broadcasts.
+    *
+    * Annotators ABSENT from `quality` vote with weight 0 (left join +
+    * coalesce): α = 0.5 — no information about reliability — gives
+    * exactly w = ln(0.5/0.5) = 0 under the log-odds rule, so an unknown
+    * annotator neither helps nor hurts any label, while its votes still
+    * count in n_votes (round-10 advice: the earlier inner join silently
+    * dropped them and understated participation). Output:
     * (idCol, label, score, n_votes). */
   def weightedVote(votes: DataFrame, quality: DataFrame,
       idCol: String = "doc_id",
@@ -88,7 +95,8 @@ object Annotations {
       quantC(log(alpha / (lit(1.0) - alpha))).as("w"))
     val v = votes.filter(col(labelCol).isNotNull)
       .select(col(idCol), col(annotatorCol), col(labelCol).as("label"))
-      .join(broadcast(w), annotatorCol)
+      .join(broadcast(w), Seq(annotatorCol), "left")
+      .withColumn("w", coalesce(col("w"), lit(0.0)))
     v.groupBy(col(idCol), col("label"))
       .agg(quantC(sum(col("w"))).as("score"), count(lit(1)).as("n_votes"))
       .withColumn("rn", row_number().over(
@@ -96,6 +104,121 @@ object Annotations {
       .filter(col("rn") === 1)
       .select(col(idCol), col("label"), col("score"), col("n_votes"))
   }
+
+  /** Full Dawid–Skene EM (Dawid & Skene 1979, "Maximum Likelihood
+    * Estimation of Observer Error-Rates Using the EM Algorithm") — the
+    * completion of the [[weightedVote]] half-step: instead of one scalar
+    * reliability per annotator, EM fits a per-annotator CONFUSION MATRIX
+    * π_a(l, m) = P(annotator a says m | true label l) plus class priors
+    * p_l, and infers a posterior over the true label per item.
+    *
+    *   - init (round 0): T(i, l) = observed vote proportion n(i,l)/n(i)
+    *     — the paper's §3 starting point; its hard argmax IS
+    *     [[majorityVote]]'s winner (same (count desc, label asc) order,
+    *     spec-pinned);
+    *   - M-step: p_l = Σ_i T(i,l) / I, and π_a(l,m) =
+    *     (Σ_{votes(i,a,m)} T(i,l) + λ) / (Σ_{m'} Σ_{votes(i,a,m')}
+    *     T(i,l) + λ·|L|) with Laplace smoothing λ = `smoothing` so every
+    *     cell stays strictly positive (an unsmoothed zero would wipe a
+    *     label's posterior on one stray vote and break the log-space
+    *     E-step);
+    *   - E-step: T(i,l) ∝ p_l · exp(Σ_{votes (a,m) on i} ln π_a(l,m)),
+    *     normalized per item.
+    *
+    * Determinism (the classifier-trainer lockstep convention): T, p and
+    * π are 1e-6-canonized after every stage, per round, so both engines
+    * replay bit-identical state — exp/ln last-ulp drift is absorbed by
+    * the canon exactly as in the BM25/calibration oracles, and the
+    * driver query unrolls every round in SQL.
+    *
+    * Scale shape: per round, ONE item-keyed join of the vote stream with
+    * the posterior frame plus keyed aggregates; π (annotators × |L|²) and
+    * p (|L|) are model-sized and broadcast; T (items × |L|) is
+    * corpus-sized but never leaves the cluster — each round's frame is
+    * [[graft.core.Ckpt.pin]]ned to cut the unrolled-plan lineage (the
+    * [[LabelProp.propagate]] pattern). Null labels are abstentions
+    * (dropped); items with no non-null votes produce no posterior rows.
+    *
+    * Output: the full posterior grid (idCol, label, posterior) — one row
+    * per item per CANDIDATE label (every label the corpus ever saw, not
+    * just the item's voted ones). Cut to a consensus with
+    * [[dawidSkeneConsensus]]. */
+  def dawidSkene(votes: DataFrame, rounds: Int = 2, smoothing: Double = 0.01,
+      idCol: String = "doc_id",
+      annotatorCol: String = "annotator",
+      labelCol: String = "label"): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    require(smoothing > 0, s"smoothing must be > 0, got $smoothing")
+    val v = votes.filter(col(labelCol).isNotNull)
+      .select(col(idCol), col(annotatorCol).as("annotator"),
+        col(labelCol).as("m"))
+    val labels = v.select(col("m").as("label")).distinct()
+    val nLabels = labels.agg(count(lit(1)).cast("double").as("n_labels"))
+    val totals = v.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val counts = v.groupBy(col(idCol), col("m").as("label"))
+      .agg(count(lit(1)).as("c"))
+    // full item × label grid — posteriors must cover labels the item
+    // never received (priors + confusions can move mass onto them)
+    val init = totals.crossJoin(broadcast(labels))
+      .join(counts, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        quantC(coalesce(col("c"), lit(0L)) / col("n")).as("t"))
+    var t = graft.core.Ckpt.pin(init)
+    val nItems = totals.agg(count(lit(1)).cast("double").as("n_items"))
+    for (_ <- 1 to rounds) {
+      // M-step: class priors from the posterior mass
+      val priors = t.groupBy(col("label"))
+        .agg(sum(col("t")).as("s"))
+        .crossJoin(broadcast(nItems))
+        .select(col("label"), quantC(col("s") / col("n_items")).as("p"))
+      // M-step: confusion numerators — votes carry their item's posterior
+      // for EVERY candidate true label l; canonized before the row-sum so
+      // the denominator adds exact 1e-6-grid values
+      val num = v.join(t.select(col(idCol), col("label").as("l"), col("t")), idCol)
+        .groupBy(col("annotator"), col("l"), col("m"))
+        .agg(quantC(sum(col("t"))).as("s"))
+      val annotators = v.select(col("annotator")).distinct()
+      val grid = annotators
+        .crossJoin(broadcast(labels.select(col("label").as("l"))))
+        .crossJoin(broadcast(labels.select(col("label").as("m"))))
+        .join(num, Seq("annotator", "l", "m"), "left")
+        .select(col("annotator"), col("l"), col("m"),
+          coalesce(col("s"), lit(0.0)).as("s"))
+      val conf = grid
+        .withColumn("den", sum(col("s")).over(
+          Window.partitionBy(col("annotator"), col("l"))))
+        .crossJoin(broadcast(nLabels))
+        .select(col("annotator"), col("l"), col("m"),
+          quantC((col("s") + lit(smoothing)) /
+            (col("den") + lit(smoothing) * col("n_labels"))).as("pi"))
+      // E-step: per (item, candidate label) log-likelihood of the item's
+      // votes, plus the prior, normalized per item
+      val scored = v
+        .join(broadcast(conf), Seq("annotator", "m"))
+        .groupBy(col(idCol), col("l").as("label"))
+        .agg(sum(log(col("pi"))).as("s_ln"))
+        .join(broadcast(priors), "label")
+        .select(col(idCol), col("label"), (col("p") * exp(col("s_ln"))).as("u"))
+      t = graft.core.Ckpt.pin(scored
+        .withColumn("z", sum(col("u")).over(Window.partitionBy(col(idCol))))
+        .select(col(idCol), col("label"), quantC(col("u") / col("z")).as("t")))
+    }
+    t.select(col(idCol), col("label"), col("t").as("posterior"))
+  }
+
+  /** The consensus cut of [[dawidSkene]]: the argmax label per item with
+    * its posterior, (posterior desc, label asc) tie rule — the
+    * [[majorityVote]] output shape for EM-grade aggregation. */
+  def dawidSkeneConsensus(votes: DataFrame, rounds: Int = 2,
+      smoothing: Double = 0.01,
+      idCol: String = "doc_id",
+      annotatorCol: String = "annotator",
+      labelCol: String = "label"): DataFrame =
+    dawidSkene(votes, rounds, smoothing, idCol, annotatorCol, labelCol)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("posterior").desc, col("label").asc)))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("label"), col("posterior"))
 
   /** Per-annotator quality against a consensus labeling (e.g.
     * [[majorityVote]]'s output, or a gold frame): vote count and the

@@ -183,7 +183,12 @@ object Negatives {
       idCol: String = "vec_id"): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
-    val ranked = Sampling.epochShuffle(corpus, idCol, epoch)
+    // rank column only — NOT Sampling.epochShuffle, whose corpus-wide
+    // orderBy is redundant here (globalOrdinal re-orders by (rank, id)
+    // itself) and would otherwise lean on Catalyst's EliminateSorts to
+    // avoid a wasted range-exchange sort (round-10 advice).
+    val ranked = corpus.withColumn("shuffle_rank",
+      Sampling.epochShuffleRank(col(idCol), epoch))
     Sampling.globalOrdinal(ranked, "shuffle_rank", idCol)
       .filter(col("ordinal") > batchId * batchSize.toLong &&
         col("ordinal") <= (batchId + 1) * batchSize.toLong)

@@ -610,8 +610,15 @@ object StreamOps {
     * [[replaceStore]]'s collect is driver-bound. Single-writer contract
     * and the non-atomic commit window match the other stores (back with
     * an atomic-replace table format on a real cluster). `numBuckets` is a
-    * LAYOUT constant: fix it at store creation and reuse it for every
-    * upsert (the bucket of a term must never move between batches).
+    * LAYOUT constant (the bucket of a term must never move between
+    * batches), so the store ENFORCES it: creation writes the value to a
+    * `_graft_buckets` marker inside the store (underscore-prefixed, so
+    * parquet reads ignore it), and every subsequent upsert validates the
+    * caller's value against the marker and FAILS FAST on mismatch —
+    * a mismatched upsert would silently prune the wrong buckets and
+    * leave duplicate term rows with split counts (round-10 advice:
+    * the contract was documentation-only). A pre-marker store (created
+    * before this guard existed) upserts unvalidated, documented.
     *
     * Returns nothing — read the store back with [[readTermCountStore]]
     * (the (term, cnt) shape every count consumer takes, e.g.
@@ -627,9 +634,20 @@ object StreamOps {
     if (fresh.isEmpty) return
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
     val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(storeDir, "_graft_buckets")
     val merged =
       if (!fs.exists(storePath)) fresh
       else {
+        if (fs.exists(marker)) {
+          val in = fs.open(marker)
+          val stored =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+            finally in.close()
+          require(stored == numBuckets,
+            s"term-count store $storeDir was created with numBuckets=$stored; " +
+            s"upsert called with $numBuckets — the bucket of a term must never " +
+            "move between batches (pass the creation-time value)")
+        }
         val touched = fresh.select("pb").distinct()
           .collect().map(_.getInt(0)).map(Integer.valueOf)
         val existing = spark.read.parquet(storeDir)
@@ -647,6 +665,11 @@ object StreamOps {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pb").parquet(storeDir)
+    // (re)write the layout marker AFTER the data commit: a first write
+    // that dies mid-commit leaves no marker claiming a layout that never
+    // landed; rewriting on every upsert self-heals pre-marker stores.
+    val out = fs.create(marker, true)
+    try out.write(s"$numBuckets\n".getBytes("UTF-8")) finally out.close()
   }
 
   /** Read a [[termCountUpsertBatch]] store back to the (term, cnt) frame

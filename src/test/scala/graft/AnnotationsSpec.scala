@@ -66,6 +66,68 @@ class AnnotationsSpec extends SparkSpec {
     assert(o3 == Seq(lo(0.99)), s"got $o3")
   }
 
+  // Dawid–Skene fixture: 4 items × 3 annotators × labels {x, y};
+  // annotator 'a' disagrees with the b/c pair on items 1 and 2.
+  // Expected values computed by an INDEPENDENT plain-python mirror of the
+  // paper's EM with the library's 1e-6 canon at every stage (λ = 0.01).
+  private def dsVotes = Seq(
+    (1L, "a", "x"), (1L, "b", "x"), (1L, "c", "y"),
+    (2L, "a", "x"), (2L, "b", "y"), (2L, "c", "y"),
+    (3L, "a", "y"), (3L, "b", "y"), (3L, "c", "y"),
+    (4L, "a", "x"), (4L, "b", "x"), (4L, "c", "x")
+  ).toDF("doc_id", "annotator", "label")
+
+  test("dawidSkene: two EM rounds match the hand-computed fixture exactly") {
+    val t = Annotations.dawidSkene(dsVotes, rounds = 2, smoothing = 0.01)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("label")) ->
+        r.getAs[Double]("posterior")).toMap
+    val expected = Map(
+      (1L, "x") -> 0.910403, (1L, "y") -> 0.089597,
+      (2L, "x") -> 0.089597, (2L, "y") -> 0.910403,
+      (3L, "x") -> 0.00054,  (3L, "y") -> 0.99946,
+      (4L, "x") -> 0.99946,  (4L, "y") -> 0.00054)
+    assert(t == expected, s"got $t")
+  }
+
+  test("dawidSkene: round 0 is the majority-vote proportion init (argmax == majorityVote)") {
+    val t0 = Annotations.dawidSkene(dsVotes, rounds = 0)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("label")) ->
+        r.getAs[Double]("posterior")).toMap
+    assert(t0((1L, "x")) == 0.666667 && t0((2L, "y")) == 0.666667 &&
+      t0((3L, "y")) == 1.0 && t0((3L, "x")) == 0.0, s"got $t0")
+    // hard argmax of the init == majorityVote's winner, incl. its tie rule
+    val cons = Annotations.dawidSkeneConsensus(dsVotes, rounds = 0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("label")).toMap
+    val mv = Annotations.majorityVote(dsVotes)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("label")).toMap
+    assert(cons == mv, s"ds=$cons mv=$mv")
+  }
+
+  test("dawidSkene: EM sharpens the confident items and demotes the lone dissenter") {
+    val t = Annotations.dawidSkene(dsVotes, rounds = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("label")) ->
+        r.getAs[Double]("posterior")).toMap
+    // unanimous items end up sharper than their 1.0-vs-0.0 init would
+    // survive smoothing alone, and the 2-1 items sharpen past 2/3
+    assert(t((4L, "x")) > 0.99 && t((1L, "x")) > 0.9, s"got $t")
+    // abstentions drop; a null-vote item keeps its other votes
+    val withNull = dsVotes.unionByName(
+      Seq((1L, "d", Option.empty[String])).toDF("doc_id", "annotator", "label"))
+    val t2 = Annotations.dawidSkene(withNull, rounds = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("label")) ->
+        r.getAs[Double]("posterior")).toMap
+    assert(t2 == t, s"null vote changed posteriors: $t2 vs $t")
+  }
+
+  test("dawidSkene is deterministic under input order (canonized lockstep)") {
+    val shuffled = dsVotes.orderBy(org.apache.spark.sql.functions.rand(11))
+    val a = Annotations.dawidSkene(dsVotes, rounds = 2)
+      .orderBy("doc_id", "label").collect().map(_.toString).toSeq
+    val b = Annotations.dawidSkene(shuffled, rounds = 2)
+      .orderBy("doc_id", "label").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("majority vote is deterministic under re-evaluation and input order") {
     val shuffled = votes.orderBy(org.apache.spark.sql.functions.rand(7))
     val a = Annotations.majorityVote(votes).orderBy("doc_id")
