@@ -4102,6 +4102,72 @@ object SparkEntry {
        |SELECT doc_id, label, score, n_votes FROM r WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
 
+  /** ROUGE-L over consecutive-doc pairs ([[graft.ext.Rouge.rougeL]],
+    * Lin 2004) — the LCS recall-side complement of q_bleu_pairs_docs,
+    * on a bounded window (doc_id < 120) with both sides truncated to
+    * their first 40 tokens so the oracle's quadratic DP stays cheap.
+    * The Spark kernel runs the classic two-row LCS DP per pair
+    * (integer-exact, parallel across pairs); DuckDB replays the SAME DP
+    * as an anti-diagonal recursive CTE over token lists — each
+    * iteration advances one anti-diagonal, carrying the previous
+    * diagonal, so cell (i, j) reads only the two carried lists — then
+    * both engines derive canonized R/P/F from the shared integer LCS.
+    * Truncation slices the raw whitespace split on BOTH engines before
+    * scoring, so the fixture is ROUGE-L of the truncated texts
+    * exactly. */
+  private def rougePairsDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 120)
+      .select(col("doc_id"),
+        array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 40), " ")
+          .as("t40"))
+    val pairs = d.select(col("doc_id").as("pair_id"), col("t40").as("candidate"))
+      .join(d.select((col("doc_id") - 1).as("pair_id"), col("t40").as("reference")),
+        "pair_id")
+    ext.Rouge.rougeL(pairs).orderBy("pair_id")
+  }
+
+  private def rougePairsSql: String =
+    raw"""WITH RECURSIVE pr AS (
+       |  SELECT d1.doc_id AS pair_id,
+       |    list_filter(string_split_regex(lower(trim(d1.text)), '\s+'),
+       |      x -> x <> '')[1:40] AS ct,
+       |    list_filter(string_split_regex(lower(trim(d2.text)), '\s+'),
+       |      x -> x <> '')[1:40] AS rt
+       |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+       |  WHERE d1.doc_id < 120 AND d2.doc_id < 120
+       |    AND d1.text IS NOT NULL AND d2.text IS NOT NULL),
+       |sz AS (SELECT pair_id, ct, rt, len(ct) AS n, len(rt) AS m FROM pr),
+       |dp(pair_id, n, m, ct, rt, s, d1, d2) AS (
+       |  SELECT pair_id, n, m, ct, rt, 1,
+       |    list_transform(range(1, n + 1), x -> 0::BIGINT),
+       |    list_transform(range(1, n + 1), x -> 0::BIGINT)
+       |  FROM sz WHERE n >= 1 AND m >= 1
+       |  UNION ALL
+       |  SELECT pair_id, n, m, ct, rt, s + 1,
+       |    list_transform(range(1, n + 1), i ->
+       |      CASE WHEN s + 1 - i BETWEEN 1 AND m THEN
+       |        greatest(coalesce(d1[i-1], 0), coalesce(d1[i], 0),
+       |          coalesce(d2[i-1], 0) +
+       |            (CASE WHEN ct[i] = rt[s + 1 - i] THEN 1 ELSE 0 END))
+       |      ELSE 0::BIGINT END),
+       |    d1
+       |  FROM dp WHERE s < n + m),
+       |lc AS (SELECT pair_id, d1[n] AS lcs FROM dp WHERE s = n + m),
+       |res AS (SELECT sz.pair_id, sz.n::BIGINT AS c_len, sz.m::BIGINT AS r_len,
+       |    coalesce(lc.lcs, 0)::BIGINT AS lcs_len
+       |  FROM sz LEFT JOIN lc USING (pair_id)),
+       |sc AS (SELECT pair_id, c_len, r_len, lcs_len,
+       |    CASE WHEN r_len > 0 THEN floor(lcs_len / r_len * 1e6 + 0.5) / 1e6 END AS rouge_r,
+       |    CASE WHEN c_len > 0 THEN floor(lcs_len / c_len * 1e6 + 0.5) / 1e6 END AS rouge_p
+       |  FROM res)
+       |SELECT pair_id, c_len, r_len, lcs_len, rouge_r, rouge_p,
+       |  CASE WHEN rouge_r IS NOT NULL AND rouge_p IS NOT NULL THEN
+       |    CASE WHEN rouge_r + rouge_p > 0
+       |      THEN floor(2.0 * rouge_p * rouge_r / (rouge_p + rouge_r) * 1e6 + 0.5) / 1e6
+       |      ELSE 0.0 END
+       |  END AS rouge_f
+       |FROM sc ORDER BY pair_id""".stripMargin
+
   /** Full Dawid–Skene EM over the synthetic annotators
     * ([[graft.ext.Annotations.dawidSkene]], 2 rounds, λ = 0.01): the
     * completion of the weighted-vote half-step — per-annotator confusion
@@ -6156,6 +6222,7 @@ object SparkEntry {
     "q_annotator_quality_docs" -> annotatorQualityDocs,
     "q_weighted_vote_docs" -> weightedVoteDocs,
     "q_dawid_skene_docs" -> dawidSkeneDocs,
+    "q_rouge_pairs_docs" -> rougePairsDocs,
     "q_bleu_pairs_docs" -> bleuPairsDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
@@ -6439,6 +6506,7 @@ object SparkEntry {
     "q_annotator_quality_docs" -> annotatorQualitySql,
     "q_weighted_vote_docs" -> weightedVoteSql,
     "q_dawid_skene_docs" -> dawidSkeneSql,
+    "q_rouge_pairs_docs" -> rougePairsSql,
     "q_bleu_pairs_docs" -> bleuPairsSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,

@@ -377,6 +377,37 @@ object Search {
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
   }
 
+  /** Append one batch of NEW documents to a persisted [[bm25Postings]]
+    * index — the incremental-maintenance path real pipelines need (the
+    * term-count store's upsert story applied to postings; round-10
+    * verdict task 3). Postings are additive per (doc, term) and a new
+    * doc's rows are DISJOINT from every existing row (its `tf` and `dl`
+    * are functions of its own text alone), so the upsert is a pure
+    * partitioned APPEND — no read-merge-rewrite, no driver state, cost ∝
+    * batch size and independent of index size. The batch is written in
+    * the standing layout (hash-clustered then term-sorted files, the
+    * q_prf_postings build shape) so plan-time term filters keep pruning
+    * by parquet row-group min/max within every file, old and new.
+    *
+    * Corpus stats are RECOVERED, not stored: [[bm25StatsFromPostings]]
+    * over the appended store sees the union of doc rollups and returns
+    * exactly the stats a one-shot build of the full corpus would
+    * (spec-pinned batched ≡ one-shot, bit-exact rows).
+    *
+    * Contract: batch doc ids must be NEW to the store — re-sending a doc
+    * id duplicates its postings and double-counts it in df/stats (dedup
+    * upstream; the store cannot check without a read). Single-writer,
+    * like every store here. Trickle appends accumulate small files:
+    * compact by rewriting `postingsDir` with the same repartition+sort
+    * when file counts grow (the banded-store compaction advice). */
+  def addDocsToPostings(newDocs: DataFrame, postingsDir: String,
+      partitions: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    bm25Postings(newDocs, idCol, textCol)
+      .repartition(partitions, col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("append").parquet(postingsDir)
+
   /** The 1-row (n_docs, avgdl) corpus-stats frame recovered from a
     * [[bm25Postings]] frame — bit-identical to the stats the corpus-scan
     * scorers compute (dl is constant per doc and every non-null-text doc

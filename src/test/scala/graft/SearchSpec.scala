@@ -246,4 +246,35 @@ class SearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(scan0 == idx0)
   }
+
+  test("addDocsToPostings: batched appends equal the one-shot build bit-exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("postings_upsert")
+    try {
+      val dir = s"$tmp/postings"
+      // three disjoint batches, including a null-text and a whitespace doc
+      val all = prfCorpus.unionByName(
+        Seq((100L, null.asInstanceOf[String]), (101L, "   ")).toDF("doc_id", "text"))
+      Search.addDocsToPostings(all.filter($"doc_id" < 3), dir)
+      Search.addDocsToPostings(all.filter($"doc_id" >= 3 && $"doc_id" < 100), dir)
+      Search.addDocsToPostings(all.filter($"doc_id" >= 100), dir)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+          r.getAs[Long]("tf"), r.getAs[Long]("dl"))).sorted.toSeq
+      val appended = spark.read.parquet(dir)
+      assert(rows(appended) == rows(Search.bm25Postings(all)))
+      // recovered stats equal the one-shot build's (bit-exact doubles)
+      val stA = Search.bm25StatsFromPostings(appended).collect()(0)
+      val stO = Search.bm25StatsFromPostings(Search.bm25Postings(all)).collect()(0)
+      assert(stA.getAs[Long]("n_docs") == stO.getAs[Long]("n_docs"))
+      assert(stA.getAs[Double]("avgdl") == stO.getAs[Double]("avgdl"))
+      // a PRF query over the appended store answers like the one-shot scan
+      val scan = Search.prfTopK(all, Seq("apple"), k = 5, fbDocs = 2, fbTerms = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val idx = Search.prfTopKFromPostings(appended,
+          Search.bm25StatsFromPostings(appended), Seq("apple"), k = 5,
+          fbDocs = 2, fbTerms = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(scan == idx, s"scan=$scan idx=$idx")
+    } finally graft.core.Fs.rmTree(tmp)
+  }
 }
