@@ -4851,9 +4851,20 @@ object SparkEntry {
     * foreachBatch body): batch 1 admits doc_id < 50 (near-dedup'd within
     * the batch), batch 2 re-sends every doc < 100 under shifted ids —
     * every re-sent text whose original was admitted must be dropped by
-    * the signature STORE, not by within-batch comparison. Rows-only by
-    * contract (xxhash64 simhash has no SQL twin; the vote arithmetic is
-    * oracled via q_simhash_replay_docs): emits the admitted ids. */
+    * the signature STORE, not by within-batch comparison.
+    *
+    * HARD-ORACLED since round 11 (previously rows-only): the batch body
+    * takes the REPLAYABLE SimHash ([[graft.ext.Dedup.simhashReplayable]],
+    * the q_simhash_replay_docs arithmetic) through the production
+    * structural path — within-batch band candidates + Hamming verify +
+    * connected components + min-id winners, then the store's band
+    * equijoin (both EXACT at radius 3 by the band pigeonhole, so DuckDB
+    * replays them as all-pairs Hamming), first-arrival wins, null-text
+    * pass-through. The oracle recomputes every vote bit, both batches'
+    * pair graphs, both component closures, and the store check; the
+    * xxhash64 production signature differs ONLY in the per-token hash
+    * (same aggregator, same bands — the q_minhash_replay_docs
+    * precedent). Emits the admitted ids. */
   private def nearDedupStreamDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -4861,15 +4872,77 @@ object SparkEntry {
     val sink = s"$tmp/sink"; val state = s"$tmp/state"
     try {
       streaming.StreamOps.processNearDedupBatch(
-        docs.filter(col("doc_id") < 50), sink, state, "doc_id", "text", 3)
+        docs.filter(col("doc_id") < 50), sink, state, "doc_id", "text", 3,
+        signatureFn = ext.Dedup.simhashReplayable(_, _, _))
       streaming.StreamOps.processNearDedupBatch(
         docs.select((col("doc_id") + 1000L).as("doc_id"), col("text")),
-        sink, state, "doc_id", "text", 3)
+        sink, state, "doc_id", "text", 3,
+        signatureFn = ext.Dedup.simhashReplayable(_, _, _))
       import s.implicits._
       s.read.parquet(sink).select("doc_id").as[Long].collect().sorted.toSeq
         .toDF("admitted_id")
     } finally core.Fs.rmTree(tmp)
   }
+
+  /** DuckDB replay of the two-batch streaming near-dedup admission:
+    * replayable SimHash bits (the q_simhash_replay_docs vote CTEs) →
+    * all-pairs Hamming (exact ≡ the band-candidate path at radius 3) →
+    * per-batch components via recursive closure → min-id winners →
+    * batch-2 store check against batch-1's admitted signatures
+    * (including the identical-text self-match at Hamming 0). */
+  private def nearDedupStreamSql: String =
+    raw"""WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+       |tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+       |  FROM d WHERE text IS NOT NULL),
+       |kr AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(t)),
+       |      c -> ascii(substring(t, c, 1))::BIGINT)),
+       |    (h, c) -> (h * 257 + c) % 1000000007) AS k FROM tok),
+       |votes AS (SELECT doc_id, j,
+       |    sum(CASE WHEN (k * ((2654435761 * (j + 1)) % 1000000007)) % 1000000007
+       |      > 500000003 THEN 1 ELSE -1 END) AS v
+       |  FROM kr, (SELECT unnest(range(64)) AS j) GROUP BY 1, 2),
+       |bits AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes),
+       |ham AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS h
+       |  FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |p1 AS (SELECT doc_a, doc_b FROM ham
+       |  WHERE doc_a < 50 AND doc_b < 50 AND h <= 3),
+       |e1 AS (SELECT doc_a AS a, doc_b AS b FROM p1
+       |  UNION SELECT doc_b, doc_a FROM p1),
+       |n1 AS (SELECT DISTINCT a AS v FROM e1),
+       |r1(v, r) AS (SELECT v, v FROM n1
+       |  UNION SELECT e1.a, r1.r FROM e1 JOIN r1 ON r1.v = e1.b),
+       |c1 AS (SELECT v, min(r) AS comp FROM r1 GROUP BY v),
+       |lose1 AS (SELECT v FROM c1 WHERE v <> comp),
+       |adm1 AS (SELECT doc_id FROM d WHERE doc_id < 50
+       |  AND doc_id NOT IN (SELECT v FROM lose1)),
+       |st1 AS (SELECT DISTINCT doc_id FROM bits
+       |  WHERE doc_id < 50 AND doc_id NOT IN (SELECT v FROM lose1)),
+       |p2 AS (SELECT doc_a, doc_b FROM ham WHERE h <= 3),
+       |e2 AS (SELECT doc_a AS a, doc_b AS b FROM p2
+       |  UNION SELECT doc_b, doc_a FROM p2),
+       |n2 AS (SELECT DISTINCT a AS v FROM e2),
+       |r2(v, r) AS (SELECT v, v FROM n2
+       |  UNION SELECT e2.a, r2.r FROM e2 JOIN r2 ON r2.v = e2.b),
+       |c2 AS (SELECT v, min(r) AS comp FROM r2 GROUP BY v),
+       |lose2 AS (SELECT v FROM c2 WHERE v <> comp),
+       |sig2 AS (SELECT DISTINCT doc_id FROM bits),
+       |surv2 AS (SELECT doc_id FROM sig2
+       |  WHERE doc_id NOT IN (SELECT v FROM lose2)),
+       |near2 AS (SELECT s.doc_id FROM surv2 s JOIN st1 t ON s.doc_id = t.doc_id
+       |  UNION
+       |  SELECT s.doc_id FROM surv2 s JOIN st1 t ON t.doc_id <> s.doc_id
+       |    JOIN ham ON ham.doc_a = least(s.doc_id, t.doc_id)
+       |      AND ham.doc_b = greatest(s.doc_id, t.doc_id) AND ham.h <= 3),
+       |adm2 AS (SELECT doc_id FROM d
+       |  WHERE doc_id NOT IN (SELECT v FROM lose2)
+       |    AND doc_id NOT IN (SELECT doc_id FROM near2))
+       |SELECT admitted_id FROM (
+       |  SELECT doc_id::BIGINT AS admitted_id FROM adm1
+       |  UNION ALL SELECT (doc_id + 1000)::BIGINT FROM adm2)
+       |ORDER BY admitted_id""".stripMargin
 
   // ---- cardinality sketches -----------------------------------------------
 
@@ -6592,6 +6665,7 @@ object SparkEntry {
     "q_unigram_seed_docs" -> unigramSeedSql,
     "q_unigram_tokenize_docs" -> unigramTokenizeSql,
     "q_unigram_estep_docs" -> unigramEstepSql,
+    "q_neardup_stream_docs" -> nearDedupStreamSql,
     // q_dedup_minhash_docs / q_simhash_docs / q_similarity_topk_lsh /
     // q_fingerprint_docs / q_multimodal_features / q_multimodal_transform:
     // hash-seeded operators —

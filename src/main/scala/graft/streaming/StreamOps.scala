@@ -271,11 +271,21 @@ object StreamOps {
     * band-level layout + group pruning for trickle batches. */
   val StoreBucketGroups = 8
 
+  /** `signatureFn` swaps the SimHash arithmetic while keeping every
+    * structural stage (within-batch dedup, band-bucketed store join,
+    * first-arrival wins, sink/state appends) on the production path:
+    * the default is the xxhash64 [[graft.ext.Dedup.simhash]]; the driver's
+    * oracled replay passes [[graft.ext.Dedup.simhashReplayable]] so the
+    * ENTIRE two-batch admission decision is DuckDB-verified
+    * (q_neardup_stream_docs) — the q_minhash_replay_docs recipe applied
+    * to the streaming store. */
   private[graft] def processNearDedupBatch(
       batch: DataFrame, sinkDir: String, stateDir: String,
       idCol: String, textCol: String, maxHamming: Int,
       bandedStore: Boolean = false, compactEvery: Int = 16,
-      batchId: Long = 0L): Unit = {
+      batchId: Long = 0L,
+      signatureFn: (DataFrame, String, String) => DataFrame =
+        graft.ext.Dedup.simhash(_, _, _)): Unit = {
     import graft.ext.Dedup
     Dedup.requireSimhashRadius(maxHamming)
     val spark = batch.sparkSession
@@ -286,7 +296,7 @@ object StreamOps {
     // same multi-consumer re-execution the LSH signature frame had).
     // State is one (id, long) row per batch doc.
     val sh = graft.core.Ckpt.pin(
-      Dedup.simhash(batch, idCol, textCol)
+      signatureFn(batch, idCol, textCol)
         .select(col("doc_id").cast("long").as("doc_id"), col("simhash")))
     // 1 — within-batch near-dedup (min id per near-dup cluster wins)
     val losers = Dedup.connectedComponents(
