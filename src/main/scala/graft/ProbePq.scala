@@ -270,6 +270,90 @@ object ProbePq {
       println(f"aniso opq m=$am%2d ksub=$ksub: recall@10 $or%.3f, reconstruction MSE $oe%.4f")
       aoapprox.unpersist(); aoenc.unpersist()
     }
+
+    // ---- round-11: codebook staleness under distribution shift ------------
+    // The IVF add-batch protocol (ProbeIvf round 10) applied to the PQ/OPQ
+    // codebooks: train on centers 0-79 of the hard mixture, grow the
+    // corpus with centers 80-99 encoded by the STALE codebooks
+    // (Pq.pqEncode with the old codebook array IS the add-batch API —
+    // codes are per-vector, so appends compose trivially), then compare
+    // new-distribution recall against a full retrain+re-encode. Three
+    // honest numbers per tier: encode-batch seconds vs retrain+re-encode
+    // seconds, and the recall the staleness costs. Corpus = hard mixture
+    // ×10 (500k rows) so the cost crossover shows at the scale the
+    // composes-API exists for.
+    println("---- staleness: stale codebooks vs retrain under shift (500k rows) ----")
+    val bigHard = (0 until 10).map { c =>
+      hard.select((col("vec_id") + lit(c * 50000L)).as("vec_id"),
+        transform(col("embedding"), v => v + lit(c * 1e-3)).as("embedding"))
+    }.reduce(_ union _).repartition(32).cache()
+    println(s"staleness corpus: ${bigHard.count()} vectors")
+    val oldCorp = bigHard.filter(col("vec_id") % 100 < 80).cache(); oldCorp.count()
+    val newCorp = bigHard.filter(col("vec_id") % 100 >= 80).cache(); newCorp.count()
+    val sm = 8 // dim 32, m=8: the tight-budget regime where drift bites
+    val oldCb = time("pq train on old distribution (400k rows)") {
+      Pq.trainPqCodebooks(oldCorp, dim = 32, m = sm, ksub = ksub, iters = 3, sampleMod = 37L)
+    }
+    val oldEnc = Pq.pqEncode(oldCorp, oldCb).cache()
+    time("pq encode old corpus (once)") { oldEnc.count() }
+    val newEnc = Pq.pqEncode(newCorp, oldCb).cache()
+    time("pq encode NEW batch with STALE codebooks (~100k rows)") { newEnc.count() }
+    val grownEnc = oldEnc.unionByName(newEnc)
+    val freshCb = time("pq retrain on full corpus (500k rows)") {
+      Pq.trainPqCodebooks(bigHard, dim = 32, m = sm, ksub = ksub, iters = 3, sampleMod = 37L)
+    }
+    val freshEnc = Pq.pqEncode(bigHard, freshCb).cache()
+    time("pq re-encode full corpus (the rebuild cost)") { freshEnc.count() }
+    // grownEnc's union plan keeps both cached legs alive for the drift
+    // note below; cost numbers above are the deliverable at this size
+    println(f"(500k cost summary: stale-encode a 100k batch vs retrain+re-encode" +
+      " the 500k corpus — see timings above)")
+    oldEnc.unpersist(); newEnc.unpersist(); freshEnc.unpersist()
+    val _ = grownEnc // cost-side only; recall measured on fresh draws below
+
+    // RECALL drift is measured on the 50k FRESH-DRAW mixture, not the
+    // ×10-copy corpus: on copy-constructed corpora every query's top-10
+    // is its own ten near-identical copies, which even badly-stale codes
+    // rank first — the deceptive 1.000/1.000 reading ProbeIvf's round-10
+    // section called out for IVF, and it is STRONGER for PQ because ADC
+    // scans every code (no cell routing to get wrong). The hard mixture's
+    // ~500 fresh draws per center give genuine neighbor ambiguity
+    // (full-train PQ m=8 reads ~0.5 recall there), so staleness has
+    // room to show.
+    println("---- staleness recall on the 50k fresh-draw mixture ----")
+    val oldH = hard.filter(col("vec_id") % 100 < 80).cache(); oldH.count()
+    val newH = hard.filter(col("vec_id") % 100 >= 80).cache(); newH.count()
+    val hOldCb = Pq.trainPqCodebooks(oldH, dim = 32, m = sm, ksub = ksub,
+      iters = 3, sampleMod = 5L)
+    val hGrown = Pq.pqEncode(oldH, hOldCb)
+      .unionByName(Pq.pqEncode(newH, hOldCb)).cache(); hGrown.count()
+    val hFreshCb = Pq.trainPqCodebooks(hard, dim = 32, m = sm, ksub = ksub,
+      iters = 3, sampleMod = 5L)
+    val hFresh = Pq.pqEncode(hard, hFreshCb).cache(); hFresh.count()
+    val nq = hard.filter(col("vec_id") >= 80 && col("vec_id") < 90)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb")).cache()
+    nq.count()
+    val shiftBrute = Similarity.bruteForceTopK(hard, nq, 10).cache(); shiftBrute.count()
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.withRecallAtK(approx, shiftBrute)
+        .select("query_id", "recall_at_k").distinct()
+        .agg(avg("recall_at_k")).head().getDouble(0)
+    val staleR = recallOf(Pq.pqTopK(hGrown, nq, hOldCb, 10))
+    val freshR = recallOf(Pq.pqTopK(hFresh, nq, hFreshCb, 10))
+    println(f"pq  new-distribution recall@10: stale codebooks $staleR%.3f vs retrained $freshR%.3f")
+    hGrown.unpersist(); hFresh.unpersist()
+
+    // OPQ: the rotation is global state with the same staleness exposure
+    val (hOldRot, hOldOcb) = Pq.trainOpq(oldH, dim = 32, m = sm, ksub = ksub,
+      iters = 3, sampleMod = 5L)
+    val oGrown = Pq.opqEncode(oldH, hOldRot, hOldOcb)
+      .unionByName(Pq.opqEncode(newH, hOldRot, hOldOcb)).cache(); oGrown.count()
+    val (hFreshRot, hFreshOcb) = Pq.trainOpq(hard, dim = 32, m = sm, ksub = ksub,
+      iters = 3, sampleMod = 5L)
+    val oFresh = Pq.opqEncode(hard, hFreshRot, hFreshOcb).cache(); oFresh.count()
+    val oStaleR = recallOf(Pq.opqTopK(oGrown, nq, hOldRot, hOldOcb, 10))
+    val oFreshR = recallOf(Pq.opqTopK(oFresh, nq, hFreshRot, hFreshOcb, 10))
+    println(f"opq new-distribution recall@10: stale rot+codebooks $oStaleR%.3f vs retrained $oFreshR%.3f")
     spark.stop()
   }
 }

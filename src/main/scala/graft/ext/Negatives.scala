@@ -199,14 +199,26 @@ object Negatives {
     * celled miner's ledger prescribes: instead of paying the corpus-wide
     * nprobe·N^1.5 cell join for anchors a trainer won't consume this
     * step, mine exactly ONE training batch's anchors per call through
-    * the broadcast path ([[hardNegatives]] — the measured ~1.2 s/batch
-    * regime at 100k vectors, ProbeNegatives). An epoch is N/batchSize
+    * the broadcast path ([[hardNegatives]]). An epoch is N/batchSize
     * such calls, each aligned with the step that consumes it, so mining
-    * cost scales with data CONSUMED rather than data HELD; reach for
-    * [[hardNegativesCelled]] only when all anchors are genuinely needed
-    * at once. Semantics per batch are exactly [[hardNegatives]] over
-    * [[epochAnchorBatch]]'s anchors (same output schema, same tie
-    * rules, same margin-band option). */
+    * cost scales with data CONSUMED rather than data HELD — measured
+    * (ProbeNegatives round-11, 100k vectors, 2048-anchor batches ×
+    * 2 epochs): per-batch cost is FLAT across batches and epochs
+    * (~25–28 s steady after JIT warm), each call one O(N) ordinal rank
+    * + one O(batch·N) broadcast mine.
+    *
+    * Honest crossover: the per-batch mine is brute over the batch, so a
+    * FULL-corpus sweep per epoch totals the same N² the brute path
+    * always cost (~1600 s extrapolated at 100k) — the celled miner's
+    * one-shot nprobe·N·N/nlist covered every anchor in 182 s (~9×
+    * cheaper, at its measured 0.90 recall). This API's win is
+    * consumption ALIGNMENT, not total-epoch throughput: early-stopped
+    * runs, curriculum subsets, and partial epochs that consume fewer
+    * than ~nlist/(nprobe·√N)-fraction of the corpus (≈ 11k of 100k
+    * anchors at the probe's shape) come out ahead, and nothing is mined
+    * for steps that never execute. Semantics per batch are exactly
+    * [[hardNegatives]] over [[epochAnchorBatch]]'s anchors (same output
+    * schema, same tie rules, same margin-band option). */
   def hardNegativesEpochBatch(
       corpus: DataFrame,
       batchSize: Int,

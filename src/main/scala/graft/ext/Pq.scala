@@ -194,7 +194,24 @@ object Pq {
     * codes[j] ∈ [0, ksub). This is the persist-once half of the index —
     * at ksub ≤ 256 the codes column dictionary/bit-packs to ~m bytes per
     * vector in parquet. Vectors shorter than m·dsub throw (ANSI
-    * element_at semantics would anyway); longer tails are ignored. */
+    * element_at semantics would anyway); longer tails are ignored.
+    *
+    * ADD-BATCH: this call with RETAINED codebooks IS the incremental
+    * index-growth API — codes are per-vector, so encoding a new batch
+    * and appending its rows composes trivially (no read-merge-rewrite;
+    * the [[graft.ext.Similarity.ivfIndexAddBatch]] story without even
+    * the cell-file bookkeeping). The cost is codebook STALENESS:
+    * measured under the ProbePq round-11 distribution-shift protocol
+    * (trained on 80% of mixture centers, corpus grown 20% with unseen
+    * centers, fresh-draw corpus so copy artifacts can't mask drift),
+    * new-distribution recall@10 reads 0.47 stale vs 0.50 retrained for
+    * PQ and 0.46 vs 0.49 for OPQ — a ~3-point decay per 20%
+    * unseen-distribution growth (milder than IVF's 6: ADC scans every
+    * code, so staleness only distorts scores, never routes a candidate
+    * out of reach). Budget a retrain+re-encode when accumulated
+    * unseen-distribution growth costs more recall than the rebuild is
+    * worth — at 500k×32-d, stale-encoding a 100k batch costs ~2.3 s vs
+    * ~10.4 s retrain+re-encode. */
   def pqEncode(
       embeddings: DataFrame,
       codebooks: Array[Array[Array[Double]]],
@@ -546,7 +563,12 @@ object Pq {
   }
 
   /** Encode a corpus against an OPQ model: rotate, then [[pqEncode]].
-    * Persist-once like the plain PQ index. */
+    * Persist-once like the plain PQ index. Add-batch with a retained
+    * (rotation, codebooks) pair composes exactly like [[pqEncode]]'s —
+    * the rotation is global model state with the same staleness
+    * exposure; measured 0.46 stale vs 0.49 retrained recall@10 per 20%
+    * unseen-distribution growth (ProbePq round-11, advice in
+    * [[pqEncode]]'s scaladoc). */
   def opqEncode(
       embeddings: DataFrame,
       rotation: Array[Array[Double]],
