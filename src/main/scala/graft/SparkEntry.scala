@@ -4168,6 +4168,60 @@ object SparkEntry {
        |  END AS rouge_f
        |FROM sc ORDER BY pair_id""".stripMargin
 
+  /** ROUGE-2 over the SAME consecutive-doc pairs as q_bleu_pairs_docs
+    * ([[graft.ext.Rouge.rougeN]], n = 2): clipped bigram RECALL — the
+    * same gram frames as BLEU with the reference-side denominator. The
+    * oracle replays tokenization, both bigram count frames, the
+    * full-outer clip (reference-only grams count into r_ngrams), and
+    * the canonized R/P/F. */
+  private def rouge2PairsDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val pairs = d.select(col("doc_id").as("pair_id"), col("text").as("candidate"))
+      .join(d.select((col("doc_id") - 1).as("pair_id"), col("text").as("reference")),
+        "pair_id")
+    ext.Rouge.rougeN(pairs, n = 2).orderBy("pair_id")
+  }
+
+  private def rouge2PairsSql: String =
+    raw"""WITH pr AS (SELECT d1.doc_id AS pair_id, d1.text AS cand, d2.text AS ref
+       |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+       |  WHERE d1.text IS NOT NULL AND d2.text IS NOT NULL),
+       |ctk AS (SELECT pair_id,
+       |  list_filter(string_split_regex(lower(trim(cand)), '\s+'), x -> x <> '') AS toks
+       |  FROM pr),
+       |rtk AS (SELECT pair_id,
+       |  list_filter(string_split_regex(lower(trim(ref)), '\s+'), x -> x <> '') AS toks
+       |  FROM pr),
+       |cb AS (SELECT pair_id, g, count(*) AS cnt FROM (
+       |    SELECT pair_id, unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i + 1])) AS g
+       |    FROM ctk WHERE len(toks) >= 2) GROUP BY 1, 2),
+       |rb AS (SELECT pair_id, g, count(*) AS cnt FROM (
+       |    SELECT pair_id, unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i + 1])) AS g
+       |    FROM rtk WHERE len(toks) >= 2) GROUP BY 1, 2),
+       |j AS (SELECT coalesce(cb.pair_id, rb.pair_id) AS pair_id,
+       |    sum(least(coalesce(cb.cnt, 0), coalesce(rb.cnt, 0))) AS hit,
+       |    sum(coalesce(cb.cnt, 0)) AS c_ngrams,
+       |    sum(coalesce(rb.cnt, 0)) AS r_ngrams
+       |  FROM cb FULL OUTER JOIN rb ON rb.pair_id = cb.pair_id AND rb.g = cb.g
+       |  GROUP BY 1),
+       |res AS (SELECT pr.pair_id, coalesce(j.c_ngrams, 0)::BIGINT AS c_ngrams,
+       |    coalesce(j.r_ngrams, 0)::BIGINT AS r_ngrams,
+       |    coalesce(j.hit, 0)::BIGINT AS hit
+       |  FROM pr LEFT JOIN j USING (pair_id)),
+       |sc AS (SELECT pair_id, c_ngrams, r_ngrams, hit,
+       |    CASE WHEN r_ngrams > 0 THEN floor(hit / r_ngrams * 1e6 + 0.5) / 1e6 END AS rouge_r,
+       |    CASE WHEN c_ngrams > 0 THEN floor(hit / c_ngrams * 1e6 + 0.5) / 1e6 END AS rouge_p
+       |  FROM res)
+       |SELECT pair_id, c_ngrams, r_ngrams, hit, rouge_r, rouge_p,
+       |  CASE WHEN rouge_r IS NOT NULL AND rouge_p IS NOT NULL THEN
+       |    CASE WHEN rouge_r + rouge_p > 0
+       |      THEN floor(2.0 * rouge_p * rouge_r / (rouge_p + rouge_r) * 1e6 + 0.5) / 1e6
+       |      ELSE 0.0 END
+       |  END AS rouge_f
+       |FROM sc ORDER BY pair_id""".stripMargin
+
   /** Full Dawid–Skene EM over the synthetic annotators
     * ([[graft.ext.Annotations.dawidSkene]], 2 rounds, λ = 0.01): the
     * completion of the weighted-vote half-step — per-annotator confusion
@@ -4183,7 +4237,30 @@ object SparkEntry {
     ext.Annotations.dawidSkene(annotatorVotes(s, dir), rounds = 2, smoothing = 0.01)
       .orderBy("doc_id", "label")
 
-  private def dawidSkeneSql: String = {
+  /** The fitted-model half: the FINAL M-step's confusion matrices
+    * ([[graft.ext.Annotations.dawidSkeneModel]]) — the same unrolled
+    * chain as q_dawid_skene_docs, read out at pi2 instead of ds2, so
+    * the per-annotator error structure (which no scalar agreement rate
+    * expresses) is hash-verified each round. */
+  private def dawidSkeneConfDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Annotations.dawidSkeneModel(annotatorVotes(s, dir), rounds = 2, smoothing = 0.01)
+      .orderBy("annotator", "true_label", "vote_label")
+
+  private def dawidSkeneConfSql: String =
+    dawidSkeneCtes +
+      """
+        |SELECT annotator, l AS true_label, m AS vote_label, pi FROM pi2
+        |ORDER BY annotator, true_label, vote_label""".stripMargin
+
+  private def dawidSkeneSql: String =
+    dawidSkeneCtes +
+      """
+        |SELECT doc_id, label, t AS posterior FROM ds2
+        |ORDER BY doc_id, label""".stripMargin
+
+  /** Shared unrolled-EM CTE chain for the Dawid–Skene pair of oracles:
+    * init ds0 → (pr1, num1, g1, pi1, e1, u1, ds1) → (… pi2 … ds2). */
+  private def dawidSkeneCtes: String = {
     def round(prev: String, r: Int): String =
       s"""pr$r AS (SELECT label, floor(sum(t) / (SELECT i FROM ni) * 1e6 + 0.5) / 1e6 AS p
          |  FROM $prev GROUP BY 1),
@@ -4218,9 +4295,7 @@ object SparkEntry {
        |  FROM tot CROSS JOIN lab
        |  LEFT JOIN dcnt ON dcnt.doc_id = tot.doc_id AND dcnt.label = lab.label),
        |${round("ds0", 1)},
-       |${round("ds1", 2)}
-       |SELECT doc_id, label, t AS posterior FROM ds2
-       |ORDER BY doc_id, label""".stripMargin
+       |${round("ds1", 2)}""".stripMargin
   }
 
   /** Sentence-level BLEU-2 over consecutive-doc pairs
@@ -6295,7 +6370,9 @@ object SparkEntry {
     "q_annotator_quality_docs" -> annotatorQualityDocs,
     "q_weighted_vote_docs" -> weightedVoteDocs,
     "q_dawid_skene_docs" -> dawidSkeneDocs,
+    "q_dawid_skene_conf_docs" -> dawidSkeneConfDocs,
     "q_rouge_pairs_docs" -> rougePairsDocs,
+    "q_rouge2_pairs_docs" -> rouge2PairsDocs,
     "q_bleu_pairs_docs" -> bleuPairsDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
@@ -6579,7 +6656,9 @@ object SparkEntry {
     "q_annotator_quality_docs" -> annotatorQualitySql,
     "q_weighted_vote_docs" -> weightedVoteSql,
     "q_dawid_skene_docs" -> dawidSkeneSql,
+    "q_dawid_skene_conf_docs" -> dawidSkeneConfSql,
     "q_rouge_pairs_docs" -> rougePairsSql,
+    "q_rouge2_pairs_docs" -> rouge2PairsSql,
     "q_bleu_pairs_docs" -> bleuPairsSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,

@@ -146,7 +146,31 @@ object Annotations {
   def dawidSkene(votes: DataFrame, rounds: Int = 2, smoothing: Double = 0.01,
       idCol: String = "doc_id",
       annotatorCol: String = "annotator",
+      labelCol: String = "label"): DataFrame =
+    dawidSkeneCore(votes, rounds, smoothing, idCol, annotatorCol, labelCol)._1
+      .select(col(idCol), col("label"), col("t").as("posterior"))
+
+  /** The fitted model half of [[dawidSkene]]: the per-annotator
+    * confusion matrices from the FINAL M-step — π_a(l, m) = P(annotator
+    * a votes m | true label l), Laplace-smoothed and canonized exactly
+    * as the E-step consumed them. This is the labeling-ops monitoring
+    * read-out EM buys over scalar agreement: it separates "annotator b
+    * collapses x into y" from "annotator b is uniformly noisy", which no
+    * single α can express. Output: (annotatorCol, true_label,
+    * vote_label, pi); rows cover the full annotator × |L|² grid.
+    * Requires rounds ≥ 1 (round 0 has no M-step). */
+  def dawidSkeneModel(votes: DataFrame, rounds: Int = 2, smoothing: Double = 0.01,
+      idCol: String = "doc_id",
+      annotatorCol: String = "annotator",
       labelCol: String = "label"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 for the model read-out, got $rounds")
+    dawidSkeneCore(votes, rounds, smoothing, idCol, annotatorCol, labelCol)._2
+      .select(col("annotator").as(annotatorCol), col("l").as("true_label"),
+        col("m").as("vote_label"), col("pi"))
+  }
+
+  private def dawidSkeneCore(votes: DataFrame, rounds: Int, smoothing: Double,
+      idCol: String, annotatorCol: String, labelCol: String): (DataFrame, DataFrame) = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     require(smoothing > 0, s"smoothing must be > 0, got $smoothing")
     val v = votes.filter(col(labelCol).isNotNull)
@@ -164,6 +188,7 @@ object Annotations {
       .select(col(idCol), col("label"),
         quantC(coalesce(col("c"), lit(0L)) / col("n")).as("t"))
     var t = graft.core.Ckpt.pin(init)
+    var lastConf: DataFrame = null
     val nItems = totals.agg(count(lit(1)).cast("double").as("n_items"))
     for (_ <- 1 to rounds) {
       // M-step: class priors from the posterior mass
@@ -191,6 +216,7 @@ object Annotations {
         .select(col("annotator"), col("l"), col("m"),
           quantC((col("s") + lit(smoothing)) /
             (col("den") + lit(smoothing) * col("n_labels"))).as("pi"))
+      lastConf = conf
       // E-step: per (item, candidate label) log-likelihood of the item's
       // votes, plus the prior, normalized per item
       val scored = v
@@ -203,7 +229,7 @@ object Annotations {
         .withColumn("z", sum(col("u")).over(Window.partitionBy(col(idCol))))
         .select(col(idCol), col("label"), quantC(col("u") / col("z")).as("t")))
     }
-    t.select(col(idCol), col("label"), col("t").as("posterior"))
+    (t, lastConf)
   }
 
   /** The consensus cut of [[dawidSkene]]: the argmax label per item with

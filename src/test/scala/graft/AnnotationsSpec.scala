@@ -119,6 +119,22 @@ class AnnotationsSpec extends SparkSpec {
     assert(t2 == t, s"null vote changed posteriors: $t2 vs $t")
   }
 
+  test("dawidSkeneModel: round-1 confusion matrices match the python mirror") {
+    val pi = Annotations.dawidSkeneModel(dsVotes, rounds = 1)
+      .collect().map(r => (r.getAs[String]("annotator"), r.getAs[String]("true_label"),
+        r.getAs[String]("vote_label")) -> r.getAs[Double]("pi")).toMap
+    assert(pi.size == 12) // 3 annotators x 2x2 full grid
+    val expected = Map(
+      ("a", "x", "x") -> 0.99505, ("a", "x", "y") -> 0.00495,
+      ("a", "y", "x") -> 0.5, ("a", "y", "y") -> 0.5,
+      ("b", "x", "x") -> 0.830033, ("b", "x", "y") -> 0.169967,
+      ("b", "y", "x") -> 0.169967, ("b", "y", "y") -> 0.830033,
+      ("c", "x", "x") -> 0.5, ("c", "x", "y") -> 0.5,
+      ("c", "y", "x") -> 0.00495, ("c", "y", "y") -> 0.99505)
+    assert(pi == expected, s"got $pi")
+    intercept[IllegalArgumentException](Annotations.dawidSkeneModel(dsVotes, rounds = 0))
+  }
+
   test("dawidSkene is deterministic under input order (canonized lockstep)") {
     val shuffled = dsVotes.orderBy(org.apache.spark.sql.functions.rand(11))
     val a = Annotations.dawidSkene(dsVotes, rounds = 2)

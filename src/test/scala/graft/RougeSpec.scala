@@ -54,6 +54,44 @@ class RougeSpec extends SparkSpec {
     assert(l("c b a", "a b c") == 1)     // reversal: only one survives
   }
 
+  test("rougeN: hand-computed clipped recall at n=1 and n=2") {
+    val out1 = Rouge.rougeN(pairs, n = 1).collect().map(r =>
+      r.getAs[Long]("pair_id") -> ((r.getAs[Long]("c_ngrams"),
+        r.getAs[Long]("r_ngrams"), r.getAs[Long]("hit"),
+        Option(r.getAs[java.lang.Double]("rouge_r")),
+        Option(r.getAs[java.lang.Double]("rouge_p"))))).toMap
+    // pair 1: clip the:1, cat:1, on:1, mat:1 -> hit 4 of 6/6
+    assert(out1(1L) == ((6L, 6L, 4L, Some(0.666667), Some(0.666667))), s"got ${out1(1L)}")
+    assert(out1(2L) == ((4L, 3L, 0L, Some(0.0), Some(0.0))), s"got ${out1(2L)}")
+    // empty candidate: c_ngrams 0 -> P null, R = 0
+    assert(out1(5L) == ((0L, 2L, 0L, Some(0.0), None)), s"got ${out1(5L)}")
+    val out2 = Rouge.rougeN(pairs, n = 2).collect().map(r =>
+      r.getAs[Long]("pair_id") -> ((r.getAs[Long]("c_ngrams"),
+        r.getAs[Long]("r_ngrams"), r.getAs[Long]("hit"),
+        Option(r.getAs[java.lang.Double]("rouge_f"))))).toMap
+    // pair 1 bigrams: only "the cat" matches -> 1 of 5/5, F = 0.2
+    assert(out2(1L) == ((5L, 5L, 1L, Some(0.2))), s"got ${out2(1L)}")
+    // identical 2-token texts: one bigram each, full match
+    assert(out2(3L) == ((1L, 1L, 1L, Some(1.0))), s"got ${out2(3L)}")
+  }
+
+  test("rougeN: multiplicity clipping and asymmetric R vs P") {
+    val p = Seq((1L, "a a a", "a a")).toDF("pair_id", "candidate", "reference")
+    val r = Rouge.rougeN(p, n = 1).collect()(0)
+    // clip min(3, 2) = 2: R = 2/2 = 1, P = 2/3, F = 0.8
+    assert(r.getAs[Long]("hit") == 2L)
+    assert(r.getAs[Double]("rouge_r") == 1.0)
+    assert(r.getAs[Double]("rouge_p") == 0.666667)
+    assert(r.getAs[Double]("rouge_f") == 0.8)
+    // a 1-token candidate has no bigrams: P and F null, R = 0
+    val short = Seq((1L, "a", "a b c")).toDF("pair_id", "candidate", "reference")
+    val s = Rouge.rougeN(short, n = 2).collect()(0)
+    assert(s.getAs[Long]("c_ngrams") == 0L && s.getAs[Long]("r_ngrams") == 2L)
+    assert(Option(s.getAs[java.lang.Double]("rouge_p")).isEmpty)
+    assert(s.getAs[Double]("rouge_r") == 0.0)
+    intercept[IllegalArgumentException](Rouge.rougeN(short, n = 5))
+  }
+
   test("rougeL is deterministic under input order") {
     val shuffled = pairs.orderBy(org.apache.spark.sql.functions.rand(13))
     val a = Rouge.rougeL(pairs).orderBy("pair_id").collect().map(_.toString).toSeq
