@@ -169,6 +169,23 @@ object Annotations {
         col("m").as("vote_label"), col("pi"))
   }
 
+  /** One EM fit, both outputs: ([[dawidSkene]]'s posterior grid,
+    * [[dawidSkeneModel]]'s confusion grid) sharing the SAME pinned
+    * per-round state — a caller persisting both (the standing-model
+    * deployment shape: fit once per labeling batch, read many) pays the
+    * EM once instead of twice. Requires rounds ≥ 1 (the model needs an
+    * M-step). */
+  def dawidSkeneFit(votes: DataFrame, rounds: Int = 2, smoothing: Double = 0.01,
+      idCol: String = "doc_id",
+      annotatorCol: String = "annotator",
+      labelCol: String = "label"): (DataFrame, DataFrame) = {
+    require(rounds >= 1, s"rounds must be >= 1 for the fit pair, got $rounds")
+    val (t, conf) = dawidSkeneCore(votes, rounds, smoothing, idCol, annotatorCol, labelCol)
+    (t.select(col(idCol), col("label"), col("t").as("posterior")),
+      conf.select(col("annotator").as(annotatorCol), col("l").as("true_label"),
+        col("m").as("vote_label"), col("pi")))
+  }
+
   private def dawidSkeneCore(votes: DataFrame, rounds: Int, smoothing: Double,
       idCol: String, annotatorCol: String, labelCol: String): (DataFrame, DataFrame) = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")

@@ -398,8 +398,8 @@ object Search {
     * id duplicates its postings and double-counts it in df/stats (dedup
     * upstream; the store cannot check without a read). Single-writer,
     * like every store here. Trickle appends accumulate small files:
-    * compact by rewriting `postingsDir` with the same repartition+sort
-    * when file counts grow (the banded-store compaction advice). */
+    * [[compactPostings]] rewrites the store in the same layout when file
+    * counts grow. */
   def addDocsToPostings(newDocs: DataFrame, postingsDir: String,
       partitions: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): Unit =
@@ -407,6 +407,31 @@ object Search {
       .repartition(partitions, col("term"))
       .sortWithinPartitions("term")
       .write.mode("append").parquet(postingsDir)
+
+  /** Rewrite an [[addDocsToPostings]] store to `partitions` files in the
+    * standing layout (hash-clustered, term-sorted) — run when trickle
+    * appends have fanned the store into enough small files that listing
+    * or row-group pruning degrades. Content-preserving by construction
+    * (a pure repartition+sort of the same rows); write-to-temp + swap
+    * like the banded near-dup store's compaction, single-writer contract
+    * (back with an atomic-replace table format on a real cluster). Also
+    * re-establishes WHOLE-STORE term clustering: after many appends each
+    * file spans its own batch's term range, so a term probe touches one
+    * row group per FILE — compaction restores one file per term hash
+    * bucket. */
+  def compactPostings(spark: org.apache.spark.sql.SparkSession,
+      postingsDir: String, partitions: Int = 8): Unit = {
+    val path = new org.apache.hadoop.fs.Path(postingsDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(postingsDir + "__compacting")
+    spark.read.parquet(postingsDir)
+      .repartition(partitions, col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+  }
 
   /** The 1-row (n_docs, avgdl) corpus-stats frame recovered from a
     * [[bm25Postings]] frame — bit-identical to the stats the corpus-scan

@@ -275,6 +275,19 @@ class SearchSpec extends SparkSpec {
           fbDocs = 2, fbTerms = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       assert(scan == idx, s"scan=$scan idx=$idx")
+      // compaction: fewer files, identical rows, identical query answers
+      val filesBefore = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+      Search.compactPostings(spark, dir, partitions = 2)
+      val filesAfter = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+      assert(filesAfter <= 2 && filesAfter < filesBefore,
+        s"expected <= 2 files after compaction, had $filesBefore -> $filesAfter")
+      val compacted = spark.read.parquet(dir)
+      assert(rows(compacted) == rows(Search.bm25Postings(all)))
+      val idx2 = Search.prfTopKFromPostings(compacted,
+          Search.bm25StatsFromPostings(compacted), Seq("apple"), k = 5,
+          fbDocs = 2, fbTerms = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(idx2 == scan, s"compacted=$idx2 scan=$scan")
     } finally graft.core.Fs.rmTree(tmp)
   }
 }
