@@ -4168,6 +4168,34 @@ object SparkEntry {
        |  END AS rouge_f
        |FROM sc ORDER BY pair_id""".stripMargin
 
+  /** Fleiss' kappa over the synthetic annotator pool
+    * ([[graft.ext.Annotations.fleissKappa]]): the multi-rater
+    * chance-corrected agreement, next to the pairwise Cohen's kappa
+    * (q_kappa_docs). The oracle replays the vote table, per-item
+    * agreement ratios (exact-integer divisions), the canonized P̄,
+    * pooled label shares, canonized P_e, and κ from the canonized
+    * factors. */
+  private def fleissKappaDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Annotations.fleissKappa(annotatorVotes(s, dir))
+
+  private def fleissKappaSql: String =
+    s"""WITH $annotatorVotesSqlCte,
+       |nij AS (SELECT doc_id, label, count(*) AS nij FROM v GROUP BY 1, 2),
+       |it AS (SELECT doc_id, sum(nij) AS ni, sum(nij * (nij - 1)) AS agree
+       |  FROM nij GROUP BY 1),
+       |ke AS (SELECT doc_id, ni, agree / (ni * (ni - 1)) AS p_i
+       |  FROM it WHERE ni >= 2),
+       |pb AS (SELECT count(*)::BIGINT AS n_items, CAST(sum(ni) AS BIGINT) AS n_votes,
+       |    floor(avg(p_i) * 1e6 + 0.5) / 1e6 AS p_bar FROM ke),
+       |pjs AS (SELECT nij.label, CAST(sum(nij.nij) AS BIGINT) AS nj
+       |  FROM nij JOIN ke USING (doc_id) GROUP BY 1),
+       |pe AS (SELECT floor(sum((nj / (SELECT n_votes FROM pb)) *
+       |    (nj / (SELECT n_votes FROM pb))) * 1e6 + 0.5) / 1e6 AS p_e FROM pjs)
+       |SELECT n_items, n_votes, p_bar, p_e,
+       |  CASE WHEN p_e < 1.0
+       |    THEN floor((p_bar - p_e) / (1.0 - p_e) * 1e6 + 0.5) / 1e6 END AS kappa
+       |FROM pb, pe""".stripMargin
+
   /** ROUGE-2 over the SAME consecutive-doc pairs as q_bleu_pairs_docs
     * ([[graft.ext.Rouge.rougeN]], n = 2): clipped bigram RECALL — the
     * same gram frames as BLEU with the reference-side denominator. The
@@ -6401,6 +6429,7 @@ object SparkEntry {
     "q_weighted_vote_docs" -> weightedVoteDocs,
     "q_dawid_skene_docs" -> dawidSkeneDocs,
     "q_dawid_skene_conf_docs" -> dawidSkeneConfDocs,
+    "q_fleiss_kappa_docs" -> fleissKappaDocs,
     "q_rouge_pairs_docs" -> rougePairsDocs,
     "q_rouge2_pairs_docs" -> rouge2PairsDocs,
     "q_bleu_pairs_docs" -> bleuPairsDocs,
@@ -6687,6 +6716,7 @@ object SparkEntry {
     "q_weighted_vote_docs" -> weightedVoteSql,
     "q_dawid_skene_docs" -> dawidSkeneSql,
     "q_dawid_skene_conf_docs" -> dawidSkeneConfSql,
+    "q_fleiss_kappa_docs" -> fleissKappaSql,
     "q_rouge_pairs_docs" -> rougePairsSql,
     "q_rouge2_pairs_docs" -> rouge2PairsSql,
     "q_bleu_pairs_docs" -> bleuPairsSql,

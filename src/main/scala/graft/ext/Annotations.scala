@@ -263,6 +263,57 @@ object Annotations {
       .filter(col("rn") === 1)
       .select(col(idCol), col("label"), col("posterior"))
 
+  /** Fleiss' kappa (Fleiss 1971, "Measuring nominal scale agreement
+    * among many raters") — chance-corrected agreement for the WHOLE
+    * annotator pool, the multi-rater complement of the pairwise Cohen's
+    * kappa ([[Classifier.agreementKappa]]): the labeling-ops number that
+    * says whether a task's guidelines produce consistent labels at all,
+    * before any per-annotator diagnosis.
+    *
+    * Variable-rater generalization (items may have different vote
+    * counts): per item P_i = Σ_j n_ij(n_ij − 1) / (n_i(n_i − 1)) over
+    * items with n_i ≥ 2 votes (a 1-vote item has no agreement to
+    * measure and is dropped — documented, not silent: n_items counts
+    * kept items only); P̄ = mean P_i; chance P_e = Σ_j p_j² with p_j the
+    * pooled label share over kept items; κ = (P̄ − P_e)/(1 − P_e).
+    * Null labels are abstentions (dropped before counting).
+    *
+    * Determinism: P_i is a ratio of exact integers (engine-identical
+    * IEEE division); P̄, p_j, P_e and κ are 1e-6-canonized, κ computed
+    * FROM the canonized factors. Degenerate pool (every vote one label):
+    * P_e = 1 makes κ 0/0 — emitted as null, the "undefined, not
+    * perfect" convention. Scale shape: two keyed aggregates ((item,
+    * label) counts → item rollup) and label-count-sized frames; nothing
+    * corpus² anywhere. Output: one row (n_items, n_votes, p_bar, p_e,
+    * kappa). */
+  def fleissKappa(votes: DataFrame,
+      idCol: String = "doc_id",
+      annotatorCol: String = "annotator",
+      labelCol: String = "label"): DataFrame = {
+    val v = votes.filter(col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol).as("label"))
+    val nij = v.groupBy(col(idCol), col("label")).agg(count(lit(1)).as("nij"))
+    val items = nij.groupBy(col(idCol))
+      .agg(sum(col("nij")).as("ni"),
+        sum(col("nij") * (col("nij") - lit(1L))).as("agree"))
+      .filter(col("ni") >= 2)
+      .select(col(idCol), col("ni"),
+        (col("agree") / (col("ni") * (col("ni") - lit(1L)))).as("p_i"))
+    val pbar = items.agg(
+      count(lit(1)).as("n_items"), sum(col("ni")).as("n_votes"),
+      quantC(avg(col("p_i"))).as("p_bar"))
+    val pj = nij.join(items.select(col(idCol)), idCol)
+      .groupBy(col("label")).agg(sum(col("nij")).as("nj"))
+      .crossJoin(broadcast(pbar.select(col("n_votes").as("nv"))))
+      .select((col("nj") / col("nv")).as("p_j"))
+    val pe = pj.agg(quantC(sum(col("p_j") * col("p_j"))).as("p_e"))
+    pbar.crossJoin(broadcast(pe))
+      .select(col("n_items"), col("n_votes"), col("p_bar"), col("p_e"),
+        when(col("p_e") < 1.0,
+          quantC((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e"))))
+          .as("kappa"))
+  }
+
   /** Per-annotator quality against a consensus labeling (e.g.
     * [[majorityVote]]'s output, or a gold frame): vote count and the
     * canonized agreement rate. Items without a consensus row score

@@ -144,6 +144,36 @@ class AnnotationsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("fleissKappa: hand-computed multi-rater agreement") {
+    // P_i: 1/3, 1, 1, 1/3 -> p_bar 0.666667; p_x = p_y = 0.5 -> p_e 0.5
+    // kappa = (0.666667 - 0.5)/0.5 = 0.333334
+    val v = Seq(
+      (1L, "a", "x"), (1L, "b", "x"), (1L, "c", "y"),
+      (2L, "a", "x"), (2L, "b", "x"), (2L, "c", "x"),
+      (3L, "a", "y"), (3L, "b", "y"), (3L, "c", "y"),
+      (4L, "a", "x"), (4L, "b", "y"), (4L, "c", "y")
+    ).toDF("doc_id", "annotator", "label")
+    val r = Annotations.fleissKappa(v).collect()(0)
+    assert(r.getAs[Long]("n_items") == 4L && r.getAs[Long]("n_votes") == 12L)
+    assert(r.getAs[Double]("p_bar") == 0.666667 && r.getAs[Double]("p_e") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.333334, s"got $r")
+    // single-vote items drop from the pool entirely
+    val withSingle = v.unionByName(Seq((5L, "a", "x")).toDF("doc_id", "annotator", "label"))
+    val r2 = Annotations.fleissKappa(withSingle).collect()(0)
+    assert(r2.getAs[Long]("n_items") == 4L && r2.getAs[Long]("n_votes") == 12L)
+    assert(r2.getAs[Double]("kappa") == 0.333334)
+    // perfect non-degenerate agreement: kappa exactly 1
+    val perfect = Seq((1L, "a", "x"), (1L, "b", "x"), (2L, "a", "y"), (2L, "b", "y"))
+      .toDF("doc_id", "annotator", "label")
+    assert(Annotations.fleissKappa(perfect).collect()(0).getAs[Double]("kappa") == 1.0)
+    // degenerate pool (one label everywhere): p_e = 1 -> kappa null
+    val degen = Seq((1L, "a", "x"), (1L, "b", "x"), (2L, "a", "x"), (2L, "b", "x"))
+      .toDF("doc_id", "annotator", "label")
+    val rd = Annotations.fleissKappa(degen).collect()(0)
+    assert(rd.getAs[Double]("p_e") == 1.0 &&
+      Option(rd.getAs[java.lang.Double]("kappa")).isEmpty)
+  }
+
   test("majority vote is deterministic under re-evaluation and input order") {
     val shuffled = votes.orderBy(org.apache.spark.sql.functions.rand(7))
     val a = Annotations.majorityVote(votes).orderBy("doc_id")
