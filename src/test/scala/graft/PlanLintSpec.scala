@@ -115,7 +115,11 @@ class PlanLintSpec extends SparkSpec {
     // postings-backed PRF: the 1-row corpus-stats broadcast feeds each
     // of the three scoring passes — the q_kmv class, exactly the
     // q_prf_topk_docs entry's shape over the standing index (round 10)
-    "q_prf_postings_docs")
+    "q_prf_postings_docs",
+    // Fleiss' kappa: two 1-row broadcasts (the (n_items, n_votes, p_bar)
+    // rollup into the label-count-sized share frame, and the 1-row P_e
+    // into the final row) — the q_kappa_docs class (round 11)
+    "q_fleiss_kappa_docs")
   private val globalWindowOk = Set("q_rrf_hybrid_docs",
     // cumulative walks over the model-sized bucket table / the
     // distinct-length table — never over data rows
