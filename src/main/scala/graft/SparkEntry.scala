@@ -4277,7 +4277,7 @@ object SparkEntry {
     * model scalars — must survive Bench's storage reset). */
   private def dsIndexDir(dir: String): String = {
     val f = new java.io.File(s"$dir/documents.parquet")
-    val key = indexKeyHash(dir + ":" + f.length + ":" + f.lastModified + ":ds_v1_r2_s0.01")
+    val key = indexKeyHash(dir + ":" + f.length + ":" + f.lastModified + ":ds_v2_r2_s0.01")
     s"${System.getProperty("java.io.tmpdir")}/graft_ds_idx_$key"
   }
 
@@ -4337,7 +4337,8 @@ object SparkEntry {
          |e$r AS (SELECT v.doc_id, pi.l AS label, sum(ln(pi.pi)) AS s_ln
          |  FROM v JOIN pi$r pi ON pi.annotator = v.annotator AND pi.m = v.label
          |  GROUP BY 1, 2),
-         |u$r AS (SELECT e.doc_id, e.label, pr.p * exp(e.s_ln) AS u
+         |u$r AS (SELECT e.doc_id, e.label,
+         |    pr.p * exp(e.s_ln - max(e.s_ln) OVER (PARTITION BY e.doc_id)) AS u
          |  FROM e$r e JOIN pr$r pr USING (label)),
          |ds$r AS (SELECT doc_id, label,
          |    floor(u / sum(u) OVER (PARTITION BY doc_id) * 1e6 + 0.5) / 1e6 AS t

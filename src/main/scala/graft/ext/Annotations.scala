@@ -123,7 +123,12 @@ object Annotations {
     *     label's posterior on one stray vote and break the log-space
     *     E-step);
     *   - E-step: T(i,l) ∝ p_l · exp(Σ_{votes (a,m) on i} ln π_a(l,m)),
-    *     normalized per item.
+    *     normalized per item, with a log-sum-exp shift: the vote
+    *     log-likelihood sum grows with vote count (≈ −1,040 for 1,500
+    *     coin-flip votes, past exp's underflow floor), so the per-item
+    *     max is subtracted before exp — shift-invariant under the
+    *     normalization, and the one guard that keeps viral-item
+    *     posteriors finite.
     *
     * Determinism (the classifier-trainer lockstep convention): T, p and
     * π are 1e-6-canonized after every stage, per round, so both engines
@@ -235,13 +240,23 @@ object Annotations {
             (col("den") + lit(smoothing) * col("n_labels"))).as("pi"))
       lastConf = conf
       // E-step: per (item, candidate label) log-likelihood of the item's
-      // votes, plus the prior, normalized per item
+      // votes, plus the prior, normalized per item. s_ln is a SUM of
+      // ln π over the item's votes, so it scales with vote count — a
+      // viral item (~1,500 coin-flip votes ⇒ s_ln ≈ −1,040) underflows
+      // exp(s_ln) to 0 for EVERY label, making z = 0 and the posterior
+      // 0/0. Log-sum-exp: shift by the per-item max of s_ln before exp
+      // (one window max); the normalized ratio is shift-invariant, so
+      // the canon and the oracle replay (which mirrors the same shift)
+      // are unaffected. The max is finite whenever the item has any
+      // vote (π is smoothed strictly positive).
       val scored = v
         .join(broadcast(conf), Seq("annotator", "m"))
         .groupBy(col(idCol), col("l").as("label"))
         .agg(sum(log(col("pi"))).as("s_ln"))
         .join(broadcast(priors), "label")
-        .select(col(idCol), col("label"), (col("p") * exp(col("s_ln"))).as("u"))
+        .withColumn("mx", max(col("s_ln")).over(Window.partitionBy(col(idCol))))
+        .select(col(idCol), col("label"),
+          (col("p") * exp(col("s_ln") - col("mx"))).as("u"))
       t = graft.core.Ckpt.pin(scored
         .withColumn("z", sum(col("u")).over(Window.partitionBy(col(idCol))))
         .select(col(idCol), col("label"), quantC(col("u") / col("z")).as("t")))

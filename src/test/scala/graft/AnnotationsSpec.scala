@@ -144,6 +144,25 @@ class AnnotationsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("dawidSkene: viral item (2,500 votes) keeps finite normalized posteriors") {
+    // pre-fix regression: s_ln sums ln π over an item's votes, so 2,500
+    // votes at π ≈ 0.5–0.6 gave s_ln ≈ −1,400, exp underflowed to 0 for
+    // EVERY label, z = 0, posterior 0/0 (NaN). The per-item log-sum-exp
+    // shift keeps the posterior finite at any vote count.
+    val viral = (0 until 2500).map(i =>
+      (1L, s"a${i % 50}", if (i % 5 < 3) "x" else "y")) ++
+      Seq((2L, "a0", "y"), (2L, "a1", "y"), (3L, "a2", "x"))
+    val votes = viral.toDF("doc_id", "annotator", "label")
+    val t = Annotations.dawidSkene(votes, rounds = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("label")) ->
+        r.getAs[Double]("posterior")).toMap
+    t.foreach { case (k, p) =>
+      assert(!p.isNaN && p >= 0.0 && p <= 1.0, s"non-finite posterior at $k: $t") }
+    val z1 = t((1L, "x")) + t((1L, "y"))
+    assert(math.abs(z1 - 1.0) < 2e-6, s"viral item not normalized: $t")
+    assert(t((1L, "x")) > 0.5, s"60/40 x-majority should win item 1: $t")
+  }
+
   test("fleissKappa: hand-computed multi-rater agreement") {
     // P_i: 1/3, 1, 1, 1/3 -> p_bar 0.666667; p_x = p_y = 0.5 -> p_e 0.5
     // kappa = (0.666667 - 0.5)/0.5 = 0.333334
