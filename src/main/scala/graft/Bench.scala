@@ -27,6 +27,26 @@ object Bench {
     Thread.sleep(200) // let ContextCleaner drain its reference queue
   }
 
+  /** One ambient-slow canary run: a fixed-cost, data-independent,
+    * single-partition xxhash64 fold (allocation-light, codegen'd) whose
+    * quiet steady-state cost is pinned by ProbeCanary (ARCHITECTURE.md).
+    * Timed as min-of-3 immediately before and after the timed passes:
+    * the round-11 official bench's run 3 was ~15% uniformly slow with
+    * internally-consistent passes, so load/GC/pass-spread all read
+    * "clean" — a calibration job against a pinned budget is the only
+    * stamp that catches that regime. The % keeps the ANSI-mode long sum
+    * inside range (|sum| ≤ 1e14). */
+  private[graft] def canarySec(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    val t0 = System.nanoTime()
+    spark.range(0L, 100000000L, 1L, 1)
+      .select(sum(xxhash64(col("id")) % 1000000L)).collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private[graft] def canaryMinOf3(spark: SparkSession): Double =
+    (1 to 3).map(_ => canarySec(spark)).min
+
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -88,6 +108,8 @@ object Bench {
     val gcWarm = gcMillis() - gc0
     // Round-6 fix: the warm pass must not leak storage into the timed pass.
     resetStorage(spark)
+    canarySec(spark) // codegen + JIT warm — the budget is steady-state
+    val canaryStart = canaryMinOf3(spark)
     val gc1 = gcMillis()
     // Alphabetical order pins the suite order across rounds (Map iteration
     // order reshuffles whenever a query is added, which made round-over-round
@@ -113,6 +135,7 @@ object Bench {
       name -> allPasses.map(_.toMap.apply(name)).min
     }
     val gcTimed = gcMillis() - gc1
+    val canaryEnd = canaryMinOf3(spark)
     val loadEnd = loadAvg()
     // Round-10 verdict #1 (three rounds of degraded official artifacts):
     // encode the quiet-run discipline in the artifact itself. A run is
@@ -147,17 +170,30 @@ object Bench {
     // a separate forensics session.
     val timedWallSec = allPasses.map(_.map(_._2).sum).sum
     val passSpreads = allPasses.map(_.map(_._2).sum)
-    val spreadBad = passes > 1 && passSpreads.max > passSpreads.min * 1.25
+    // round-11 advice: guard the ratio — a zero pass total (nothing
+    // timed) is its own explicitly-labeled degradation cause, so the
+    // stamp and the printed ratio can never disagree again.
+    val zeroPass = passes > 1 && passSpreads.min <= 0.0
+    val spreadBad = passes > 1 && passSpreads.min > 0.0 &&
+      passSpreads.max > passSpreads.min * 1.25
+    // Ambient-slow canary (round-11 verdict task 2): budget pinned by
+    // ProbeCanary — quiet min-of-3 floor 0.46–0.49 s on this box, a
+    // ≥ ~15% uniformly-slow regime reads ≥ ~0.55 s. Env-overridable so a
+    // recalibration doesn't need a code change.
+    val canaryBudget = sys.env.getOrElse("SPARK_GRAFT_CANARY_BUDGET", "0.55").toDouble
+    val ambientSlow = math.max(canaryStart, canaryEnd) > canaryBudget
     val degraded = loadStart.headOption.exists(_ > 2.0) ||
       (timedWallSec > 0 && gcTimed > 0.05 * timedWallSec * 1000.0) ||
-      spreadBad
+      spreadBad || zeroPass || ambientSlow
     if (degraded) System.err.println(
       f"[bench] DEGRADED RUN: load_start=${loadStart.headOption.getOrElse(-1.0)}%.2f " +
       f"gc_timed_pct=${if (timedWallSec > 0) gcTimed / (timedWallSec * 10.0) else 0.0}%.1f " +
       f"pass_spread=${if (passSpreads.min > 0) passSpreads.max / passSpreads.min else 0.0}%.2f " +
+      f"zero_pass=$zeroPass canary_s=$canaryStart%.3f/$canaryEnd%.3f (budget $canaryBudget%.2f) " +
       "— rerun on a quiet box before treating this as the round number")
     val machine =
-      s""""degraded":$degraded,""" +
+      s""""degraded":$degraded,"ambient_slow":$ambientSlow,""" +
+      s""""canary":{"start":${fmt(canaryStart)},"end":${fmt(canaryEnd)},"budget":${fmt(canaryBudget)}},""" +
       s""""load_avg":{"start":${arr(loadStart)},"end":${arr(loadEnd)}},""" +
       s""""gc_ms":{"warm":$gcWarm,"timed":$gcTimed},""" +
       s""""pass_totals":${arr(allPasses.map(_.map(_._2).sum))}"""

@@ -412,9 +412,16 @@ object Search {
     * standing layout (hash-clustered, term-sorted) — run when trickle
     * appends have fanned the store into enough small files that listing
     * or row-group pruning degrades. Content-preserving by construction
-    * (a pure repartition+sort of the same rows); write-to-temp + swap
-    * like the banded near-dup store's compaction, single-writer contract
-    * (back with an atomic-replace table format on a real cluster). Also
+    * (a pure repartition+sort of the same rows); write-to-temp, rename
+    * the live store ASIDE, rename the temp in, then delete the aside
+    * copy — single-writer contract like the banded near-dup store's
+    * compaction (back with an atomic-replace table format on a real
+    * cluster), but a crash inside the non-atomic window now leaves a
+    * RECOVERABLE layout (`__old` holds the full pre-compaction store)
+    * instead of a deleted canonical path that a later append would
+    * silently recreate with only its own batch (round-11 advice). A
+    * leftover `__old` from a crashed run is deleted on the next
+    * compaction; restore it by hand if the canonical path is gone. Also
     * re-establishes WHOLE-STORE term clustering: after many appends each
     * file spans its own batch's term range, so a term probe touches one
     * row group per FILE — compaction restores one file per term hash
@@ -424,13 +431,22 @@ object Search {
     val path = new org.apache.hadoop.fs.Path(postingsDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(postingsDir + "__compacting")
+    val aside = new org.apache.hadoop.fs.Path(postingsDir + "__old")
     spark.read.parquet(postingsDir)
       .repartition(partitions, col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    if (!fs.rename(tmp, path))
+    // swap: live → aside, tmp → live, drop aside. A crash after the
+    // first rename leaves the full store at __old (recoverable by hand);
+    // delete-first ordering instead lost the canonical path entirely.
+    if (fs.exists(aside)) fs.delete(aside, true)
+    if (!fs.rename(path, aside))
+      throw new java.io.IOException(s"compaction aside failed: $path -> $aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(aside, path) // best-effort restore of the live store
       throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+    }
+    fs.delete(aside, true)
   }
 
   /** The 1-row (n_docs, avgdl) corpus-stats frame recovered from a

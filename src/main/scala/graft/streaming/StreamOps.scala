@@ -645,8 +645,9 @@ object StreamOps {
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
     val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(storeDir, "_graft_buckets")
+    val creating = !fs.exists(storePath)
     val merged =
-      if (!fs.exists(storePath)) fresh
+      if (creating) fresh
       else {
         if (fs.exists(marker)) {
           val in = fs.open(marker)
@@ -675,11 +676,19 @@ object StreamOps {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pb").parquet(storeDir)
-    // (re)write the layout marker AFTER the data commit: a first write
-    // that dies mid-commit leaves no marker claiming a layout that never
-    // landed; rewriting on every upsert self-heals pre-marker stores.
-    val out = fs.create(marker, true)
-    try out.write(s"$numBuckets\n".getBytes("UTF-8")) finally out.close()
+    // Write the layout marker AFTER the data commit (a first write that
+    // dies mid-commit leaves no marker claiming a layout that never
+    // landed) and ONLY when this upsert CREATED the store: stamping an
+    // existing pre-marker store would promote an unvalidated caller
+    // value to authoritative — one wrong-numBuckets upsert would both
+    // corrupt the store and then make the original CORRECT value fail
+    // fast while further wrong-value upserts pass (the guard inverting).
+    // A pre-marker store stays marker-less: its upserts remain
+    // unvalidated (documented above), never falsely certified.
+    if (creating) {
+      val out = fs.create(marker, true)
+      try out.write(s"$numBuckets\n".getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** Read a [[termCountUpsertBatch]] store back to the (term, cnt) frame

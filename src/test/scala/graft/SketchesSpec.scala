@@ -287,6 +287,29 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("termCountUpsertBatch: marker stamps on create only; a mismatched upsert never re-stamps") {
+    import graft.streaming.StreamOps
+    val tmp = java.nio.file.Files.createTempDirectory("tc_marker").toString
+    try {
+      val store = s"$tmp/tcp"
+      def batch(id: Long) = Seq((id, s"tok$id")).toDF("doc_id", "text")
+      StreamOps.termCountUpsertBatch(batch(1L), "text", store, numBuckets = 8)
+      // wrong layout value fails fast against the creation-time marker
+      intercept[IllegalArgumentException](
+        StreamOps.termCountUpsertBatch(batch(2L), "text", store, numBuckets = 4))
+      // the failed call must NOT have re-stamped: the creation value
+      // still passes, and the wrong value still fails (round-11 advice:
+      // the every-upsert rewrite let one bad call invert the guard)
+      StreamOps.termCountUpsertBatch(batch(3L), "text", store, numBuckets = 8)
+      intercept[IllegalArgumentException](
+        StreamOps.termCountUpsertBatch(batch(4L), "text", store, numBuckets = 4))
+      assert(StreamOps.readTermCountStore(spark, store)
+        .as[(String, Long)].collect().toMap == Map("tok1" -> 1L, "tok3" -> 1L))
+    } finally {
+      graft.core.Fs.rmTree(tmp)
+    }
+  }
+
   test("bottomKSample: merge law; two-sketch resemblance equals the direct form") {
     // 3-way uneven split, merged samples == one-shot sample, ordered
     val df = (1L to 5000L).map(i => i * 13 % 4999).toDF("id")
