@@ -1299,9 +1299,64 @@ object SparkEntry {
   private def dedupExactDocs(s: SparkSession, dir: String): DataFrame =
     Dedup.exactDupSummary(Tables.documents(s, dir))
 
+  /** PROMOTED to a hard oracle in round 12 (the q_neardup_stream_docs
+    * signature-injection recipe): the PRODUCTION bulk minhash pipeline —
+    * posexplode token stream, lead-window k-token shingle combine,
+    * short-doc digest, valid-start filter, lshCore banding + bucket
+    * equijoin + exact-Jaccard verify — with Karp–Rabin / polynomial
+    * arithmetic injected through [[graft.ext.Dedup
+    * .minhashNearDuplicatesBulkReplayable]], every stage replayed in
+    * DuckDB below. bands=4 × rowsPerBand=2 exercises the multi-min
+    * polynomial band bucket the 8/8 replay twin does not. The xxhash64
+    * default path shares every line of this code (DedupSpec pins it);
+    * the short-doc digest branch is mirrored in the SQL but fires only
+    * in DedupSpec's fixture — every probe doc here has ≥ 3 tokens. */
   private def dedupMinhashDocs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDuplicates(Tables.documents(s, dir), threshold = 0.3)
+    Dedup.minhashNearDuplicatesBulkReplayable(
+        Tables.documents(s, dir).filter(col("doc_id") < 1000),
+        numHashes = 8, bands = 4, threshold = 0.05)
       .select(col("doc_a"), col("doc_b"), round6("jaccard"))
+
+  private def dedupMinhashSql: String =
+    raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents WHERE doc_id < 1000),
+       |t0 AS (SELECT doc_id, len(toks) AS ntok, toks,
+       |  unnest(range(len(toks))) AS pos FROM d),
+       |t1 AS (SELECT doc_id, ntok, pos,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(toks[pos+1])),
+       |      j -> ascii(substring(toks[pos+1], j, 1))::BIGINT)),
+       |    (h, c) -> (h * 257 + c) % 1000000007) AS h0
+       |  FROM t0),
+       |dg AS (SELECT doc_id, min(h0) AS hmin, max(h0) AS hmax FROM t1 GROUP BY 1),
+       |sh0 AS (SELECT t1.doc_id,
+       |    CASE WHEN ntok >= 3 AND pos <= ntok - 3 THEN
+       |      (((h0 * 1315423911 + lead(h0, 1) OVER w) % 1000000007)
+       |        * 1315423911 + lead(h0, 2) OVER w) % 1000000007
+       |    WHEN ntok < 3 AND pos = 0 THEN
+       |      (((dg.hmin * 1315423911 + dg.hmax) % 1000000007)
+       |        * 1315423911 + ntok) % 1000000007
+       |    END AS sh
+       |  FROM t1 JOIN dg USING (doc_id)
+       |  WINDOW w AS (PARTITION BY t1.doc_id ORDER BY pos)),
+       |sh AS (SELECT doc_id, sh FROM sh0 WHERE sh IS NOT NULL),
+       |mh AS (SELECT doc_id, i, min((sh * (2*i + 3) + (7*i + 1)) % 1000000007) AS m
+       |  FROM sh, (SELECT unnest(range(8)) AS i) GROUP BY 1, 2),
+       |bk AS (SELECT doc_id, i // 2 AS band,
+       |    (max(CASE WHEN i % 2 = 0 THEN m END) * 1315423911
+       |      + max(CASE WHEN i % 2 = 1 THEN m END)) % 1000000007 AS bucket
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.doc_id < b.doc_id),
+       |ks AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM sh GROUP BY 1),
+       |ver AS (SELECT doc_a, doc_b,
+       |  len(list_intersect(x.s, y.s))::DOUBLE
+       |    / len(list_distinct(list_concat(x.s, y.s))) AS j
+       |  FROM cand JOIN ks x ON cand.doc_a = x.doc_id
+       |  JOIN ks y ON cand.doc_b = y.doc_id)
+       |SELECT doc_a, doc_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
+       |FROM ver WHERE j >= 0.05 ORDER BY doc_a, doc_b""".stripMargin
 
   private def simhashDocs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")
@@ -2225,14 +2280,58 @@ object SparkEntry {
       |FROM s JOIN t ON s.lang = t.lang WHERE s.q >= t.thr
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** PROMOTED to a hard oracle in round 12 (signature-injection recipe):
+    * the production winnowing → per-doc digest → lang rollup pipeline
+    * through [[graft.ext.TextStats.docFingerprintsReplayable]] — the
+    * Karp–Rabin fused winnowing kernel (already oracled standalone via
+    * q_fingerprint_rolling_docs) plus the sorted-set polynomial digest
+    * and the per-lang distinct-fingerprint census, all replayed in
+    * DuckDB. The xxhash64 docFingerprints shares docFingerprintCore
+    * (TextExtSpec pins both); short docs are excluded on both sides like
+    * the rolling probe (the whole-doc fallback stays out of the mirrored
+    * arithmetic — spec-covered instead). */
   private def fingerprintDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    TextStats.docFingerprints(docs, "doc_id", "text")
+      .filter(col("doc_id") < 300 &&
+        length(regexp_replace(col("text"), "\\s+", " ")) >= 8)
+    TextStats.docFingerprintsReplayable(docs, "doc_id", "text")
       .join(docs.select("doc_id", "lang"), "doc_id")
       .groupBy("lang")
       .agg(count(lit(1)).as("n"), countDistinct("fingerprint").as("n_distinct_fingerprints"))
       .orderBy("lang")
   }
+
+  private def fingerprintSql: String =
+    raw"""WITH d AS (
+       |  SELECT doc_id, lang, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+       |  FROM documents
+       |  WHERE doc_id < 300 AND length(regexp_replace(text, '\s+', ' ', 'g')) >= 8),
+       |b AS (SELECT doc_id, norm, length(norm) AS n FROM d),
+       |g0 AS (SELECT doc_id, norm, n,
+       |  unnest(generate_series(1, n - 8 + 1)) AS i FROM b),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS ord, n - 8 + 1 AS m,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(generate_series(0, 7),
+       |        j -> ascii(substring(norm, i + j, 1))::BIGINT)),
+       |      (h, c) -> (h * 257 + c) % 1000000007) AS gh
+       |  FROM g0),
+       |wm AS (
+       |  SELECT doc_id, ord, m,
+       |    min(gh) OVER (PARTITION BY doc_id ORDER BY ord
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |  FROM g),
+       |f AS (
+       |  SELECT DISTINCT doc_id, fp FROM wm
+       |  WHERE ord <= greatest(m - 4, 0) OR ord = 0),
+       |dig AS (SELECT doc_id,
+       |    list_reduce(list_prepend(0::BIGINT, list_sort(list(fp))),
+       |      (acc, v) -> (acc * 1315423911 + v) % 1000000007) AS fingerprint
+       |  FROM f GROUP BY 1)
+       |SELECT d.lang, count(*) AS n,
+       |  count(DISTINCT dig.fingerprint) AS n_distinct_fingerprints
+       |FROM dig JOIN d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Hard oracle for the winnowing pipeline: the Karp–Rabin rolling-hash
     * variant over a bounded doc probe, aggregated per doc — count/min/max/
@@ -3096,21 +3195,72 @@ object SparkEntry {
        |SELECT cell, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS proto_cos
        |FROM rk WHERE rank <= 20 ORDER BY cell, rank""".stripMargin
 
-  /** The approximate ANN paths emit recall@k vs the brute-force result on
-    * the same (bounded) query probe, so the driver tracks approximation
-    * quality per round even though the hash-seeded outputs can't be
-    * SQL-oracled. Documented floor at fixture scale: >= 0.8 (asserted in
-    * DedupSpec). */
+  /** PROMOTED to a hard oracle in round 12: the production LSH top-k
+    * pipeline (lshTopKWithPlanes — bucketing, bits+1 multiprobe,
+    * no-distinct candidate equijoin, k-capped TopKAgg) with the PINNED
+    * integer planes of the replay twin, COMPOSED with the recall@k eval
+    * against the exact brute-force top-k — so the driver-tracked
+    * approximation-quality number is itself hash-verified (recall was
+    * the one un-oracled stage left: q_lsh_replay_topk pins the top-k,
+    * q_mrl_topk pins withRecallAtK on exact inputs; this row pins their
+    * production composition). The seeded-Gaussian lshTopK keeps its
+    * ≥ 0.8 recall floor in DedupSpec — plane RNG is the only line of
+    * code this query no longer exercises. */
   private def similarityTopkLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val q = similarityQueries(s, dir)
     Similarity.withRecallAtK(
-        Similarity.lshTopK(emb, q, k = 5),
+        Similarity.lshTopKReplayable(emb, q, k = 5),
         Similarity.bruteForceTopK(emb, q, k = 5))
       .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"),
         round6("recall_at_k"))
       .orderBy("query_id", "rank")
   }
+
+  /** The lshReplaySql pipeline plus the mrlTopkSql recall recipe: exact
+    * full-dim top-5 per query, LEFT-join membership, n_hit / n_exact. */
+  private def similarityTopkLshSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |b AS (SELECT vec_id, j,
+      |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(range(1, 65), i -> emb[i] *
+      |        CAST((2654435761 * (j * 64 + i) + 97) % 1000000007 - 500000003 AS DOUBLE))),
+      |    (acc, x) -> acc + x) > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END AS bit
+      |  FROM e, (SELECT unnest(range(10)) AS j)),
+      |buck AS (SELECT vec_id, sum(bit)::BIGINT AS bucket FROM b GROUP BY 1),
+      |data AS (SELECT e.vec_id, e.emb, buck.bucket FROM e JOIN buck USING (vec_id)),
+      |q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket
+      |  FROM data WHERE vec_id < 3),
+      |probes AS (SELECT query_id, qemb,
+      |    CASE WHEN p = 10 THEN qbucket
+      |         ELSE xor(qbucket, (1::BIGINT << p)) END AS bucket
+      |  FROM q, (SELECT unnest(range(11)) AS p)),
+      |sc AS (SELECT probes.query_id, data.vec_id,
+      |    list_cosine_similarity(data.emb, probes.qemb) AS cos
+      |  FROM probes JOIN data USING (bucket)),
+      |r AS (SELECT query_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM sc WHERE vec_id IS NOT NULL AND cos IS NOT NULL AND NOT isnan(cos)),
+      |tt AS (SELECT * FROM r WHERE rank <= 5),
+      |sf AS (SELECT q.query_id, e2.vec_id,
+      |  list_cosine_similarity(e2.emb, q.qemb) AS cos
+      |  FROM e e2 CROSS JOIN q),
+      |rf AS (SELECT query_id, vec_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM sf WHERE vec_id IS NOT NULL AND cos IS NOT NULL AND NOT isnan(cos)),
+      |ff AS (SELECT query_id, vec_id FROM rf WHERE rank <= 5),
+      |nf AS (SELECT query_id, count(*) AS n FROM ff GROUP BY 1),
+      |rec AS (SELECT t.query_id,
+      |    sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+      |      / max(nf.n) AS recall
+      |  FROM tt t
+      |  LEFT JOIN ff f ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+      |  JOIN nf ON nf.query_id = t.query_id
+      |  GROUP BY t.query_id)
+      |SELECT tt.query_id, tt.rank, tt.vec_id,
+      |  floor(tt.cos * 1e6 + 0.5) / 1e6 AS cos,
+      |  floor(rec.recall * 1e6 + 0.5) / 1e6 AS recall_at_k
+      |FROM tt JOIN rec USING (query_id) ORDER BY query_id, rank""".stripMargin
 
   /** Pinned quantizer for the persisted-index IVF query: the replay-twin
     * integer planes at the production nlist, so the driver-measured path
@@ -6727,8 +6877,10 @@ object SparkEntry {
     "q_range_join_events" -> rangeJoinSql,
     "q_rollup_docs" -> rollupDocsSql,
     "q_sql_functions_embeddings" -> sqlFunctionsSql,
+    "q_dedup_minhash_docs" -> dedupMinhashSql,
     "q_minhash_replay_docs" -> minhashReplaySql,
     "q_lsh_replay_topk" -> lshReplaySql,
+    "q_similarity_topk_lsh" -> similarityTopkLshSql,
     "q_ivf_replay_topk" -> ivfReplaySql,
     "q_pq_replay_topk" -> pqReplaySql,
     "q_opq_replay_topk" -> opqReplaySql,
@@ -6769,6 +6921,7 @@ object SparkEntry {
     "q_langid_docs" -> langidSql,
     "q_outliers_lof_events" -> lofSql,
     "q_fingerprint_rolling_docs" -> fingerprintRollingSql,
+    "q_fingerprint_docs" -> fingerprintSql,
     "q_fingerprint_pairs_docs" -> fingerprintPairsSql,
     "q_salted_join_lineitem" -> saltedJoinSql,
     "q_sample_docs" -> sampleDocsSql,
@@ -6806,13 +6959,14 @@ object SparkEntry {
     "q_unigram_tokenize_docs" -> unigramTokenizeSql,
     "q_unigram_estep_docs" -> unigramEstepSql,
     "q_neardup_stream_docs" -> nearDedupStreamSql,
-    // q_dedup_minhash_docs / q_simhash_docs / q_similarity_topk_lsh /
-    // q_fingerprint_docs / q_multimodal_features / q_multimodal_transform:
-    // hash-seeded operators —
-    // engine-specific by construction, validated by construction-based
-    // ScalaTests (DedupSpec/TextExtSpec) instead; each one's replayable
-    // twin (q_minhash_replay_docs, q_simhash_replay_docs,
-    // q_lsh_replay_topk, q_fingerprint_rolling_docs, q_multimodal_replay)
-    // IS oracled through the same code path.
+    // q_simhash_docs / q_multimodal_features / q_multimodal_transform:
+    // hash-seeded operators — engine-specific by construction, validated
+    // by construction-based ScalaTests (DedupSpec/TextExtSpec) instead;
+    // each one's replayable twin (q_simhash_replay_docs,
+    // q_multimodal_replay) IS oracled through the same code path.
+    // (q_dedup_minhash_docs, q_similarity_topk_lsh and q_fingerprint_docs
+    // were promoted to hard oracles in round 12 via the signature-
+    // injection recipe — replayable arithmetic routed through the
+    // PRODUCTION pipelines.)
   )
 }

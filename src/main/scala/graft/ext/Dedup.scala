@@ -288,14 +288,23 @@ object Dedup {
     * partitioning the signature aggregation needs, so the whole minhash
     * pipeline costs one exchange. Short docs (< k tokens) contribute one
     * whole-doc shingle. Duplicate shingles are kept: `min` is multiset-
-    * insensitive, and the verify stage uses collect_set. */
-  private def shingleHashRows(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    * insensitive, and the verify stage uses collect_set.
+    *
+    * The token hash and the k-ary combiner are INJECTED (the
+    * processNearDedupBatch signature-fn recipe): the defaults are the
+    * xxhash64 hot path; [[minhashNearDuplicatesBulkReplayable]] routes
+    * Karp–Rabin + polynomial arithmetic through this SAME pipeline so an
+    * SQL oracle can replay the posexplode → lead-combine → short-doc
+    * digest → valid-start filter chain bit-for-bit. */
+  private def shingleHashRows(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      tokHash: Column => Column = xxhash64(_),
+      combine: Seq[Column] => Column = cs => xxhash64(cs: _*)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val wdoc = Window.partitionBy("doc_id")
     val toks = docs.select(col(idCol).as("doc_id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-      .withColumn("h0", xxhash64(col("tok")))
+      .withColumn("h0", tokHash(col("tok")))
       .withColumn("ntok", count(lit(1)).over(wdoc))
       // whole-doc digest for short docs: min/max/count of token hashes —
       // deterministic and overflow-free under ANSI (a long sum would throw)
@@ -303,8 +312,8 @@ object Dedup {
       .withColumn("hmax", max(col("h0")).over(wdoc))
     toks
       .withColumn("sh",
-        when(col("ntok") >= k, xxhash64((0 until k).map(j => lead(col("h0"), j).over(w)): _*))
-          .otherwise(xxhash64(col("hmin"), col("hmax"), col("ntok"))))
+        when(col("ntok") >= k, combine((0 until k).map(j => lead(col("h0"), j).over(w))))
+          .otherwise(combine(Seq(col("hmin"), col("hmax"), col("ntok")))))
       .filter((col("ntok") >= k && col("pos") <= col("ntok") - k) ||
         (col("ntok") < k && col("pos") === 0))
       .select("doc_id", "sh")
@@ -377,6 +386,39 @@ object Dedup {
       perm = (sh, i) => (sh * lit(2L * i + 3L) + lit(7L * i + 1L)) % lit(p),
       bandBucket = mins =>
         mins.reduce((acc, m) => (acc * lit(1315423911L) + m) % lit(p)))
+  }
+
+  /** [[minhashNearDuplicates]] with replayable arithmetic routed through
+    * the PRODUCTION bulk pipeline — unlike
+    * [[minhashNearDuplicatesReplayable]] (which replays the string-
+    * shingle-set variant), this one exercises [[shingleHashRows]] itself:
+    * the posexplode token stream, the lead-window k-token combine, the
+    * short-doc min/max/count digest and the valid-start filter, then the
+    * same [[lshCore]]. Karp–Rabin token hashes, a polynomial fold (base
+    * 1315423911 mod 1e9+7 — every product < 2^63 because operands stay
+    * < 1e9+7, ANSI-safe) for BOTH the k-token combine and the band
+    * bucket, and the affine permutations of the set twin. The xxhash64
+    * defaults stay the hot path; this entry exists so the driver can
+    * hash-verify the production shingle pipeline end-to-end each round
+    * (q_dedup_minhash_docs — the round-11 signature-injection promotion
+    * recipe). */
+  def minhashNearDuplicatesBulkReplayable(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val p = 1000000007L
+    val fold = (cs: Seq[Column]) =>
+      cs.reduce((acc, c) => (acc * lit(1315423911L) + c) % lit(p))
+    lshCore(
+      shingleHashRows(docs, idCol, textCol, shingleK,
+        tokHash = TextStats.rollingHash(_), combine = fold),
+      numHashes, bands, threshold,
+      perm = (sh, i) => (sh * lit(2L * i + 3L) + lit(7L * i + 1L)) % lit(p),
+      bandBucket = fold)
   }
 
   /** The shared LSH pipeline: per-(doc, shingle-hash) rows → `numHashes`

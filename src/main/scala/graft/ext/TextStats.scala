@@ -1145,10 +1145,29 @@ object TextStats {
   /** One 64-bit fingerprint per doc from the winnowed set (relational). */
   def docFingerprints(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =
-    fingerprintRows(docs, idCol, textCol, k, w)
-      .groupBy("doc_id")
-      .agg(xxhash64(array_join(transform(array_sort(collect_set(col("fp"))),
-        v => v.cast("string")), ",")).as("fingerprint"))
+    docFingerprintCore(fingerprintRows(docs, idCol, textCol, k, w),
+      fps => xxhash64(array_join(transform(fps, v => v.cast("string")), ",")))
+
+  /** [[docFingerprints]] with replayable arithmetic end to end (the
+    * signature-injection recipe): Karp–Rabin winnowed fingerprints
+    * ([[rollingFingerprintRows]]) collapsed by a polynomial fold over the
+    * SORTED distinct set — seed 0, acc ← (acc·1315423911 + fp) mod 1e9+7,
+    * every operand < 1e9+7 so products stay < 2^63 (ANSI-safe) and an SQL
+    * engine replays the digest bit-for-bit (q_fingerprint_docs). Shares
+    * [[docFingerprintCore]] with the xxhash64 hot path, so the sort +
+    * distinct + collapse structure can never drift between the two. */
+  def docFingerprintsReplayable(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame =
+    docFingerprintCore(rollingFingerprintRows(docs, idCol, textCol, k, w),
+      fps => aggregate(fps, lit(0L),
+        (acc, v) => (acc * lit(1315423911L) + v) % lit(1000000007L)))
+
+  /** Shared collapse for the doc-fingerprint pair: the winnowed distinct
+    * fp set, sorted, folded to one 64-bit value by the injected digest. */
+  private def docFingerprintCore(rows: org.apache.spark.sql.DataFrame,
+      digest: Column => Column): org.apache.spark.sql.DataFrame =
+    rows.groupBy("doc_id")
+      .agg(digest(array_sort(collect_set(col("fp")))).as("fingerprint"))
 
   /** Column form — ONLY for short strings (tests/ad-hoc); see above. */
   def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {

@@ -495,6 +495,33 @@ class DedupSpec extends SparkSpec {
     assert(prod == rep, s"prod $prod vs replayable $rep")
   }
 
+  test("bulk-replayable minhash: production pipeline incl. the short-doc digest branch") {
+    // the driver oracle's probe corpus has no sub-k docs, so the digest
+    // branch (ntok < k -> one whole-doc shingle) is pinned HERE: two
+    // identical 2-token docs must band together in every band and verify
+    // at jaccard 1.0 through the injected Karp-Rabin/polynomial path
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " extra tail"),
+      (3L, "hi there"), (4L, "hi there"),
+      (5L, "unrelated content entirely " * 8))
+      .toDF("doc_id", "text")
+    val rep = Dedup.minhashNearDuplicatesBulkReplayable(docs, numHashes = 8, bands = 4,
+        threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(rep.contains((1L, 2L)), s"planted long pair missing: $rep")
+    assert(rep.get((3L, 4L)).contains(1.0), s"short-doc digest pair missing: $rep")
+    assert(!rep.keys.exists { case (a, b) => Set(a, b).contains(5L) },
+      s"unrelated doc flagged: $rep")
+    // the xxhash64 default routes through the SAME pipeline and agrees
+    val prod = Dedup.minhashNearDuplicates(docs, numHashes = 8, bands = 4,
+        threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(prod == rep, s"prod $prod vs bulk-replayable $rep")
+  }
+
   test("replayable simhash: identical docs distance 0, near docs closer than unrelated") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val docs = Seq(

@@ -558,6 +558,29 @@ class TextExtSpec extends SparkSpec {
     assert(TextStats.docFingerprints(docs, "doc_id", "text").count() == 3)
   }
 
+  test("docFingerprintsReplayable: hand-computed polynomial digest; twins agree on identity") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with no overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    // independent digest: sorted distinct KR fps folded (acc*B + v) % p
+    val fps = TextStats.rollingFingerprintRows(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (id, vs) => id -> vs.map(_._2).distinct.sorted }
+    def fold(vs: Seq[Long]) =
+      vs.foldLeft(0L)((a, v) => (a * 1315423911L + v) % 1000000007L)
+    val got = TextStats.docFingerprintsReplayable(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == fps.map { case (id, vs) => id -> fold(vs) },
+      s"digest mismatch: $got")
+    // identical docs -> identical digest, different docs -> different (both twins)
+    assert(got(1L) == got(2L) && got(1L) != got(3L))
+    val prod = TextStats.docFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prod(1L) == prod(2L) && prod(1L) != prod(3L))
+  }
+
   test("winnowing fingerprints: shared content overlaps, position-robust") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "PREFIX " + a // shifted content
