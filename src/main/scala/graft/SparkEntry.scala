@@ -4328,6 +4328,42 @@ object SparkEntry {
   private def fleissKappaDocs(s: SparkSession, dir: String): DataFrame =
     ext.Annotations.fleissKappa(annotatorVotes(s, dir))
 
+  /** Krippendorff's alpha ([[graft.ext.Annotations.krippendorffAlpha]])
+    * over the synthetic annotators with DETERMINISTIC missingness — a2
+    * abstains on every 5th doc, a3 on every 3rd — the variable-rater
+    * shape alpha exists for (Fleiss assumes a complete panel). Docs
+    * where both abstain (doc_id % 15 = 0) fall to one vote and are
+    * dropped by the n_i ≥ 2 rule, so the oracle also replays the
+    * pairable-item cut. */
+  private def krippendorffDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Annotations.krippendorffAlpha(
+      annotatorVotes(s, dir).filter(
+        !(col("annotator") === "a2" && col("doc_id") % 5 === 0) &&
+        !(col("annotator") === "a3" && col("doc_id") % 3 === 0)))
+
+  private def krippendorffSql: String =
+    s"""WITH $annotatorVotesSqlCte,
+       |vk AS (SELECT doc_id, label FROM v
+       |  WHERE NOT (annotator = 'a2' AND doc_id % 5 = 0)
+       |    AND NOT (annotator = 'a3' AND doc_id % 3 = 0)),
+       |nij2 AS (SELECT doc_id, label, count(*) AS nij FROM vk GROUP BY 1, 2),
+       |it2 AS (SELECT doc_id, sum(nij) AS ni, sum(nij * (nij - 1)) AS agree
+       |  FROM nij2 GROUP BY 1),
+       |ke2 AS (SELECT doc_id, ni, agree / (ni - 1) AS o_diag FROM it2 WHERE ni >= 2),
+       |tt AS (SELECT count(*)::BIGINT AS n_items, CAST(sum(ni) AS BIGINT) AS n_votes,
+       |  floor(sum(o_diag) * 1e6 + 0.5) / 1e6 AS o_cc FROM ke2),
+       |ncs AS (SELECT nij2.label, CAST(sum(nij2.nij) AS BIGINT) AS nc
+       |  FROM nij2 JOIN ke2 USING (doc_id) GROUP BY 1),
+       |ch AS (SELECT CAST(sum(nc * (nc - 1)) AS BIGINT) AS num FROM ncs),
+       |ab AS (SELECT n_items, n_votes,
+       |  floor(o_cc / n_votes * 1e6 + 0.5) / 1e6 AS a_o,
+       |  floor(num / (n_votes * (n_votes - 1)) * 1e6 + 0.5) / 1e6 AS a_e
+       |  FROM tt, ch)
+       |SELECT n_items, n_votes, a_o, a_e,
+       |  CASE WHEN a_e < 1.0
+       |    THEN floor((a_o - a_e) / (1.0 - a_e) * 1e6 + 0.5) / 1e6 END AS alpha
+       |FROM ab""".stripMargin
+
   private def fleissKappaSql: String =
     s"""WITH $annotatorVotesSqlCte,
        |nij AS (SELECT doc_id, label, count(*) AS nij FROM v GROUP BY 1, 2),
@@ -4431,19 +4467,21 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_ds_idx_$key"
   }
 
-  private def dsFit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def dsFit(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val idx = dsIndexDir(dir)
-    if (!new java.io.File(s"$idx/conf/_SUCCESS").exists()) {
+    if (!new java.io.File(s"$idx/trace/_SUCCESS").exists()) {
       val idxFile = new java.io.File(idx)
       Option(idxFile.getParentFile.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("graft_ds_idx_") && f.getName != idxFile.getName)
         .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
-      val (post, conf) = ext.Annotations.dawidSkeneFit(
+      val (post, conf, trace) = ext.Annotations.dawidSkeneFitAll(
         annotatorVotes(s, dir), rounds = 2, smoothing = 0.01)
       post.write.mode("overwrite").parquet(s"$idx/post")
       conf.write.mode("overwrite").parquet(s"$idx/conf")
+      trace.write.mode("overwrite").parquet(s"$idx/trace")
     }
-    (s.read.parquet(s"$idx/post"), s.read.parquet(s"$idx/conf"))
+    (s.read.parquet(s"$idx/post"), s.read.parquet(s"$idx/conf"),
+      s.read.parquet(s"$idx/trace"))
   }
 
   /** The fitted-model half: the FINAL M-step's confusion matrices
@@ -4459,6 +4497,23 @@ object SparkEntry {
       """
         |SELECT annotator, l AS true_label, m AS vote_label, pi FROM pi2
         |ORDER BY annotator, true_label, vote_label""".stripMargin
+
+  /** The EM convergence trace ([[graft.ext.Annotations.dawidSkeneTrace]],
+    * served from the SAME persisted fit as the posterior/confusion
+    * read-outs): per-round data log-likelihood Σ_i (mx_i + ln z_i). The
+    * oracle recomputes each round's llf from the unrolled CTE chain —
+    * EM's monotone-llf guarantee is additionally spec-pinned against an
+    * independent python mirror in AnnotationsSpec. */
+  private def dawidSkeneTraceDocs(s: SparkSession, dir: String): DataFrame =
+    dsFit(s, dir)._3.orderBy("round")
+
+  private def dawidSkeneTraceSql: String =
+    dawidSkeneCtes +
+      """
+        |SELECT round, llf FROM (
+        |  SELECT 1 AS round, llf FROM tr1
+        |  UNION ALL SELECT 2 AS round, llf FROM tr2)
+        |ORDER BY round""".stripMargin
 
   private def dawidSkeneSql: String =
     dawidSkeneCtes +
@@ -4492,7 +4547,11 @@ object SparkEntry {
          |  FROM e$r e JOIN pr$r pr USING (label)),
          |ds$r AS (SELECT doc_id, label,
          |    floor(u / sum(u) OVER (PARTITION BY doc_id) * 1e6 + 0.5) / 1e6 AS t
-         |  FROM u$r)""".stripMargin
+         |  FROM u$r),
+         |zi$r AS (SELECT doc_id, sum(u) AS z FROM u$r GROUP BY 1),
+         |mx$r AS (SELECT doc_id, max(s_ln) AS mx FROM e$r GROUP BY 1),
+         |tr$r AS (SELECT floor(sum(mx + ln(z)) * 1e6 + 0.5) / 1e6 AS llf
+         |  FROM zi$r JOIN mx$r USING (doc_id))""".stripMargin
     s"""WITH $annotatorVotesSqlCte,
        |lab AS (SELECT DISTINCT label FROM v),
        |ni AS (SELECT count(*)::DOUBLE AS i FROM tot),
@@ -6580,7 +6639,9 @@ object SparkEntry {
     "q_weighted_vote_docs" -> weightedVoteDocs,
     "q_dawid_skene_docs" -> dawidSkeneDocs,
     "q_dawid_skene_conf_docs" -> dawidSkeneConfDocs,
+    "q_dawid_skene_trace_docs" -> dawidSkeneTraceDocs,
     "q_fleiss_kappa_docs" -> fleissKappaDocs,
+    "q_krippendorff_docs" -> krippendorffDocs,
     "q_rouge_pairs_docs" -> rougePairsDocs,
     "q_rouge2_pairs_docs" -> rouge2PairsDocs,
     "q_bleu_pairs_docs" -> bleuPairsDocs,
@@ -6867,7 +6928,9 @@ object SparkEntry {
     "q_weighted_vote_docs" -> weightedVoteSql,
     "q_dawid_skene_docs" -> dawidSkeneSql,
     "q_dawid_skene_conf_docs" -> dawidSkeneConfSql,
+    "q_dawid_skene_trace_docs" -> dawidSkeneTraceSql,
     "q_fleiss_kappa_docs" -> fleissKappaSql,
+    "q_krippendorff_docs" -> krippendorffSql,
     "q_rouge_pairs_docs" -> rougePairsSql,
     "q_rouge2_pairs_docs" -> rouge2PairsSql,
     "q_bleu_pairs_docs" -> bleuPairsSql,

@@ -184,15 +184,49 @@ object Annotations {
       idCol: String = "doc_id",
       annotatorCol: String = "annotator",
       labelCol: String = "label"): (DataFrame, DataFrame) = {
-    require(rounds >= 1, s"rounds must be >= 1 for the fit pair, got $rounds")
-    val (t, conf) = dawidSkeneCore(votes, rounds, smoothing, idCol, annotatorCol, labelCol)
+    val (post, conf, _) =
+      dawidSkeneFitAll(votes, rounds, smoothing, idCol, annotatorCol, labelCol)
+    (post, conf)
+  }
+
+  /** [[dawidSkeneFit]] plus the [[dawidSkeneTrace]] read-out from the
+    * SAME pinned per-round state — one EM pays for all three standing
+    * artifacts (posteriors, confusions, convergence trace). */
+  def dawidSkeneFitAll(votes: DataFrame, rounds: Int = 2, smoothing: Double = 0.01,
+      idCol: String = "doc_id",
+      annotatorCol: String = "annotator",
+      labelCol: String = "label"): (DataFrame, DataFrame, DataFrame) = {
+    require(rounds >= 1, s"rounds must be >= 1 for the fit, got $rounds")
+    val (t, conf, trace) =
+      dawidSkeneCore(votes, rounds, smoothing, idCol, annotatorCol, labelCol)
     (t.select(col(idCol), col("label"), col("t").as("posterior")),
       conf.select(col("annotator").as(annotatorCol), col("l").as("true_label"),
-        col("m").as("vote_label"), col("pi")))
+        col("m").as("vote_label"), col("pi")),
+      trace)
+  }
+
+  /** Per-round data log-likelihood of the [[dawidSkene]] EM — the
+    * convergence read-out that lets an operator SEE whether `rounds` was
+    * enough instead of guessing: llf_r = Σ_i ln Σ_l p_l^{(r)}
+    * Π_{votes (a,m) on i} π_a^{(r)}(l, m), evaluated after round r's
+    * M-step in shifted (log-sum-exp) form, Σ_i (mx_i + ln z_i). EM
+    * guarantees llf is monotone non-decreasing in r (spec-pinned on the
+    * fixture against an independent python mirror); a flat tail says the
+    * fit converged, a still-rising tail says raise `rounds`. One keyed
+    * rollup + a 1-row aggregate per round over the round's ALREADY
+    * pinned E-step frame — the trace costs no extra corpus passes.
+    * Output: (round, llf), round ∈ [1, rounds], canonized. */
+  def dawidSkeneTrace(votes: DataFrame, rounds: Int = 2, smoothing: Double = 0.01,
+      idCol: String = "doc_id",
+      annotatorCol: String = "annotator",
+      labelCol: String = "label"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 for the trace, got $rounds")
+    dawidSkeneCore(votes, rounds, smoothing, idCol, annotatorCol, labelCol)._3
   }
 
   private def dawidSkeneCore(votes: DataFrame, rounds: Int, smoothing: Double,
-      idCol: String, annotatorCol: String, labelCol: String): (DataFrame, DataFrame) = {
+      idCol: String, annotatorCol: String, labelCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     require(smoothing > 0, s"smoothing must be > 0, got $smoothing")
     val v = votes.filter(col(labelCol).isNotNull)
@@ -211,8 +245,9 @@ object Annotations {
         quantC(coalesce(col("c"), lit(0L)) / col("n")).as("t"))
     var t = graft.core.Ckpt.pin(init)
     var lastConf: DataFrame = null
+    val llfRows = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val nItems = totals.agg(count(lit(1)).cast("double").as("n_items"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       // M-step: class priors from the posterior mass
       val priors = t.groupBy(col("label"))
         .agg(sum(col("t")).as("s"))
@@ -248,20 +283,36 @@ object Annotations {
       // (one window max); the normalized ratio is shift-invariant, so
       // the canon and the oracle replay (which mirrors the same shift)
       // are unaffected. The max is finite whenever the item has any
-      // vote (π is smoothed strictly positive).
-      val scored = v
+      // vote (π is smoothed strictly positive). The shifted frame is
+      // pinned ONCE per round because it has two consumers — the
+      // posterior normalization and the llf trace read-out — and the
+      // multi-consumer-subtree lesson (lshCore) says never rely on
+      // ReuseExchange to dedupe them.
+      val scored = graft.core.Ckpt.pin(v
         .join(broadcast(conf), Seq("annotator", "m"))
         .groupBy(col(idCol), col("l").as("label"))
         .agg(sum(log(col("pi"))).as("s_ln"))
         .join(broadcast(priors), "label")
         .withColumn("mx", max(col("s_ln")).over(Window.partitionBy(col(idCol))))
-        .select(col(idCol), col("label"),
-          (col("p") * exp(col("s_ln") - col("mx"))).as("u"))
+        .select(col(idCol), col("label"), col("mx"),
+          (col("p") * exp(col("s_ln") - col("mx"))).as("u")))
       t = graft.core.Ckpt.pin(scored
         .withColumn("z", sum(col("u")).over(Window.partitionBy(col(idCol))))
         .select(col(idCol), col("label"), quantC(col("u") / col("z")).as("t")))
+      // data log-likelihood after this round's M-step: Σ_i ln Σ_l p_l
+      // exp(s_ln) = Σ_i (mx_i + ln z_i) in shifted form — one keyed
+      // rollup + a 1-row aggregate over the pinned frame, canonized
+      llfRows += scored.groupBy(col(idCol))
+        .agg(max(col("mx")).as("mx"), sum(col("u")).as("z"))
+        .agg(quantC(sum(col("mx") + log(col("z")))).as("llf"))
+        .select(lit(r).as("round"), col("llf"))
     }
-    (t, lastConf)
+    val trace =
+      if (llfRows.isEmpty)
+        v.sparkSession.emptyDataFrame
+          .select(lit(0).as("round"), lit(0.0).as("llf")).limit(0)
+      else llfRows.reduce(_.unionByName(_))
+    (t, lastConf, trace)
   }
 
   /** The consensus cut of [[dawidSkene]]: the argmax label per item with
@@ -327,6 +378,62 @@ object Annotations {
         when(col("p_e") < 1.0,
           quantC((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e"))))
           .as("kappa"))
+  }
+
+  /** Krippendorff's alpha, nominal metric (Krippendorff 2011, "Computing
+    * Krippendorff's Alpha-Reliability") — chance-corrected agreement for
+    * MISSING-data annotation: annotators see different item subsets (the
+    * real crowdsourcing shape), which Fleiss' complete-panel assumption
+    * never holds for. Completes the agreement family: Cohen's (2 raters,
+    * [[Classifier.agreementKappa]]) → Fleiss' (n raters,
+    * [[fleissKappa]]) → alpha (n raters, any missingness).
+    *
+    * Coincidence-matrix form: per item with n_i ≥ 2 votes (a 1-vote item
+    * carries no pairable information and is dropped — same documented
+    * rule as Fleiss), each ordered vote pair contributes 1/(n_i − 1), so
+    * the diagonal mass is o_cc = Σ_i Σ_c n_ic(n_ic − 1)/(n_i − 1) and the
+    * label marginals reduce to the pooled counts n_c = Σ_i n_ic over kept
+    * items. Then A_o = o_cc / n, A_e = Σ_c n_c(n_c − 1)/(n(n − 1)),
+    * α = (A_o − A_e)/(1 − A_e) — verified against the paper's worked
+    * example (12 units, 4 observers, missing cells: α = 0.743) in
+    * AnnotationsSpec.
+    *
+    * Determinism: per-item ratios are exact-integer divisions; o_cc,
+    * A_o, A_e and α are 1e-6-canonized, α computed FROM the canonized
+    * factors. Degenerate pool (every vote one label): A_e = 1 makes α
+    * 0/0 — emitted as null, the "undefined, not perfect" convention.
+    * Null labels are abstentions (dropped). Scale shape: two keyed
+    * aggregates ((item, label) counts → item rollup) plus a label-sized
+    * marginal — the fleissKappa shape, nothing corpus². Output: one row
+    * (n_items, n_votes, a_o, a_e, alpha). */
+  def krippendorffAlpha(votes: DataFrame,
+      idCol: String = "doc_id",
+      annotatorCol: String = "annotator",
+      labelCol: String = "label"): DataFrame = {
+    val v = votes.filter(col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol).as("label"))
+    val nij = v.groupBy(col(idCol), col("label")).agg(count(lit(1)).as("nij"))
+    val items = nij.groupBy(col(idCol))
+      .agg(sum(col("nij")).as("ni"),
+        sum(col("nij") * (col("nij") - lit(1L))).as("agree"))
+      .filter(col("ni") >= 2)
+      .select(col(idCol), col("ni"),
+        (col("agree") / (col("ni") - lit(1L))).as("o_diag"))
+    val tot = items.agg(count(lit(1)).as("n_items"),
+      sum(col("ni")).as("n_votes"),
+      quantC(sum(col("o_diag"))).as("o_cc"))
+    val chance = nij.join(items.select(col(idCol)), idCol)
+      .groupBy(col("label")).agg(sum(col("nij")).as("nc"))
+      .agg(sum(col("nc") * (col("nc") - lit(1L))).as("num"))
+    tot.crossJoin(broadcast(chance))
+      .select(col("n_items"), col("n_votes"),
+        quantC(col("o_cc") / col("n_votes")).as("a_o"),
+        quantC(col("num") /
+          (col("n_votes") * (col("n_votes") - lit(1L)))).as("a_e"))
+      .select(col("n_items"), col("n_votes"), col("a_o"), col("a_e"),
+        when(col("a_e") < 1.0,
+          quantC((col("a_o") - col("a_e")) / (lit(1.0) - col("a_e"))))
+          .as("alpha"))
   }
 
   /** Per-annotator quality against a consensus labeling (e.g.

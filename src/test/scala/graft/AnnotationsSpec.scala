@@ -144,6 +144,21 @@ class AnnotationsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("dawidSkeneTrace: llf matches the python mirror and is monotone non-decreasing") {
+    // values from the independent canonized-EM mirror (λ = 0.01):
+    // round-1 llf = −5.93557, round-2 llf = −5.75371 — EM's guarantee
+    val tr = Annotations.dawidSkeneTrace(dsVotes, rounds = 2)
+      .orderBy("round").collect()
+      .map(r => r.getAs[Int]("round") -> r.getAs[Double]("llf"))
+    assert(tr.toSeq == Seq(1 -> -5.93557, 2 -> -5.75371), s"got ${tr.toSeq}")
+    assert(tr(1)._2 >= tr(0)._2, "EM llf must be monotone non-decreasing")
+    // the fit-all bundle returns the same trace frame
+    val (_, _, tr2) = Annotations.dawidSkeneFitAll(dsVotes, rounds = 2)
+    assert(tr2.orderBy("round").collect().map(_.getAs[Double]("llf")).toSeq ==
+      tr.map(_._2).toSeq)
+    intercept[IllegalArgumentException](Annotations.dawidSkeneTrace(dsVotes, rounds = 0))
+  }
+
   test("dawidSkene: viral item (2,500 votes) keeps finite normalized posteriors") {
     // pre-fix regression: s_ln sums ln π over an item's votes, so 2,500
     // votes at π ≈ 0.5–0.6 gave s_ln ≈ −1,400, exp underflowed to 0 for
@@ -191,6 +206,37 @@ class AnnotationsSpec extends SparkSpec {
     val rd = Annotations.fleissKappa(degen).collect()(0)
     assert(rd.getAs[Double]("p_e") == 1.0 &&
       Option(rd.getAs[java.lang.Double]("kappa")).isEmpty)
+  }
+
+  test("krippendorffAlpha: the paper's nominal worked example (missing data)") {
+    // Krippendorff 2011 §"A nominal example": 12 units, 4 observers,
+    // missing cells; unit 12 has ONE vote (dropped), n = 40 pairable
+    // values over 11 units, A_o = 0.8, A_e = 86/390, alpha = 0.743
+    val rows = Seq(
+      ("A", Seq(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 3, 5 -> 2, 6 -> 1, 7 -> 4, 8 -> 1, 9 -> 2)),
+      ("B", Seq(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 3, 5 -> 2, 6 -> 2, 7 -> 4, 8 -> 1, 9 -> 2,
+        10 -> 5, 12 -> 3)),
+      ("C", Seq(2 -> 3, 3 -> 3, 4 -> 3, 5 -> 2, 6 -> 3, 7 -> 4, 8 -> 2, 9 -> 2,
+        10 -> 5, 11 -> 1)),
+      ("D", Seq(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 3, 5 -> 2, 6 -> 4, 7 -> 4, 8 -> 1, 9 -> 2,
+        10 -> 5, 11 -> 1))
+    ).flatMap { case (obs, vs) => vs.map { case (u, l) => (u.toLong, obs, l.toString) } }
+      .toDF("doc_id", "annotator", "label")
+    val r = Annotations.krippendorffAlpha(rows).collect()(0)
+    assert(r.getAs[Long]("n_items") == 11L && r.getAs[Long]("n_votes") == 40L)
+    assert(r.getAs[Double]("a_o") == 0.8 && r.getAs[Double]("a_e") == 0.220513, s"got $r")
+    assert(r.getAs[Double]("alpha") == 0.743421, s"got $r")
+    // degenerate pool: one label everywhere -> A_e = 1 -> alpha null
+    val deg = Seq((1L, "a", "x"), (1L, "b", "x"), (2L, "a", "x"), (2L, "b", "x"))
+      .toDF("doc_id", "annotator", "label")
+    val d = Annotations.krippendorffAlpha(deg).collect()(0)
+    assert(d.isNullAt(d.fieldIndex("alpha")) && d.getAs[Double]("a_e") == 1.0)
+    // null labels are abstentions: dropping to one vote drops the item
+    val abst = Seq((1L, "a", Option("x")), (1L, "b", Option.empty[String]),
+      (2L, "a", Option("x")), (2L, "b", Option("y")))
+      .toDF("doc_id", "annotator", "label")
+    val a = Annotations.krippendorffAlpha(abst).collect()(0)
+    assert(a.getAs[Long]("n_items") == 1L && a.getAs[Long]("n_votes") == 2L, s"got $a")
   }
 
   test("majority vote is deterministic under re-evaluation and input order") {
