@@ -79,6 +79,39 @@ object ProbePostings {
     require(fromA == fromR, s"query divergence: $fromA vs $fromR")
     println("query parity: OK")
 
+    // Round-12 section (verdict task 6): the stats-driven maintenance
+    // loop — append until postingsStats recommends compaction, fire
+    // compactPostings, and show the term-probe read cost dropping back
+    // (append fans each term's postings across one file per batch; the
+    // compacted store is one term-clustered file per hash bucket).
+    println("== append -> threshold -> compact -> flat reads ==")
+    def probeRead(label: String): Unit = ProbeUtil.time(label) {
+      ext.Search.prfTopKFromPostings(spark.read.parquet(s"$base/idx"),
+        ext.Search.bm25StatsFromPostings(spark.read.parquet(s"$base/idx")),
+        q, k = 10).collect()
+    }
+    def health(label: String): Boolean = {
+      val st = ext.Search.postingsStats(spark, s"$base/idx").collect()(0)
+      println(f"[$label] n_files=${st.getAs[Long]("n_files")} " +
+        f"total_rows=${st.getAs[Long]("total_rows")} " +
+        f"avg_rows_per_file=${st.getAs[Double]("avg_rows_per_file")}%.0f " +
+        f"compact_recommended=${st.getAs[Boolean]("compact_recommended")}")
+      st.getAs[Boolean]("compact_recommended")
+    }
+    probeRead("term probe before extra appends")
+    var b = nBatches
+    while (!health(s"after ${b} appends")) {
+      val lo = nDocs + b * batchDocs
+      ext.Search.addDocsToPostings(docsFor(lo, lo + batchDocs), s"$base/idx")
+      b += 1
+    }
+    probeRead("term probe at threshold (fragmented)")
+    ProbeUtil.time("compactPostings") {
+      ext.Search.compactPostings(spark, s"$base/idx")
+    }
+    require(!health("after compaction"), "compaction must clear the flag")
+    probeRead("term probe after compaction")
+
     graft.core.Fs.rmTree(base)
     spark.stop()
   }

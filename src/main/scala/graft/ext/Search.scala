@@ -449,6 +449,27 @@ object Search {
     fs.delete(aside, true)
   }
 
+  /** Standing-store health for an [[addDocsToPostings]] store — the
+    * compaction TRIGGER read-out (round-11 verdict task 6): one metadata
+    * row ([[graft.core.StoreStats.parquetStoreStats]] — listing + parquet
+    * footers, no data scan) plus `compact_recommended`, true when the
+    * file count exceeds `compactFileThreshold`. Policy rationale: each
+    * append adds ≤ `partitions` files, a term probe touches one row
+    * group per FILE whose min/max straddles the term, so probe cost
+    * grows linearly in appends until [[compactPostings]] restores one
+    * term-clustered file per hash bucket — recommend compaction at
+    * ~8 appends' worth of files (64 at the default partitions=8).
+    * ProbePostings measures the append→threshold→compact→flat-reads
+    * cycle. */
+  def postingsStats(spark: org.apache.spark.sql.SparkSession, postingsDir: String,
+      compactFileThreshold: Int = 64): DataFrame = {
+    require(compactFileThreshold >= 1,
+      s"compactFileThreshold must be >= 1, got $compactFileThreshold")
+    graft.core.StoreStats.parquetStoreStats(spark, postingsDir)
+      .withColumn("compact_recommended",
+        col("n_files") > compactFileThreshold.toLong)
+  }
+
   /** The 1-row (n_docs, avgdl) corpus-stats frame recovered from a
     * [[bm25Postings]] frame — bit-identical to the stats the corpus-scan
     * scorers compute (dl is constant per doc and every non-null-text doc

@@ -374,19 +374,47 @@ object StreamOps {
   /** Rewrite the banded store to ONE file per (band, bucket-group)
     * partition — the hash repartition routes each group to exactly one
     * task. Bounds file-listing growth between compactions at
-    * `compactEvery × groups-touched` delta files. Write-to-temp + swap;
-    * single-writer (the foreachBatch loop), so the non-atomic swap never
-    * races a reader. */
+    * `compactEvery × groups-touched` delta files. Write-to-temp, rename
+    * the live store aside, rename the temp in, drop the aside copy (the
+    * compactPostings ordering — a crash mid-swap leaves the full
+    * pre-compaction store at `__old` instead of a deleted canonical
+    * path); single-writer (the foreachBatch loop), so the non-atomic
+    * swap never races a reader. */
   private[graft] def compactBandedStore(spark: SparkSession, stateDir: String): Unit = {
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmpPath = new org.apache.hadoop.fs.Path(stateDir + "__compacting")
+    val aside = new org.apache.hadoop.fs.Path(stateDir + "__old")
     spark.read.parquet(stateDir)
       .repartition(col("band"), col("bg"))
       .write.mode("overwrite").partitionBy("band", "bg").parquet(tmpPath.toString)
-    fs.delete(statePath, true)
-    if (!fs.rename(tmpPath, statePath))
+    if (fs.exists(aside)) fs.delete(aside, true)
+    if (!fs.rename(statePath, aside))
+      throw new java.io.IOException(s"compaction aside failed: $statePath -> $aside")
+    if (!fs.rename(tmpPath, statePath)) {
+      fs.rename(aside, statePath) // best-effort restore of the live store
       throw new java.io.IOException(s"compaction swap failed: $tmpPath -> $statePath")
+    }
+    fs.delete(aside, true)
+  }
+
+  /** Standing-store health for the banded near-dup store — the
+    * compaction TRIGGER read-out (the [[graft.ext.Search.postingsStats]]
+    * twin): one metadata row plus `compact_recommended` when the file
+    * count exceeds `compactFileThreshold`. Each batch appends ≤ one file
+    * per touched (band, bucket-group) partition, so between
+    * `compactEvery` firings the listing grows by up to batches ×
+    * groups-touched delta files; candidate lookups list and open every
+    * file of the touched partitions, so read cost tracks file count —
+    * recommend compaction when the listing outgrows a few files per
+    * partition dir (default 64 ≈ 4 per band at the 16-band default). */
+  def nearDupStoreStats(spark: SparkSession, stateDir: String,
+      compactFileThreshold: Int = 64): DataFrame = {
+    require(compactFileThreshold >= 1,
+      s"compactFileThreshold must be >= 1, got $compactFileThreshold")
+    graft.core.StoreStats.parquetStoreStats(spark, stateDir)
+      .withColumn("compact_recommended",
+        col("n_files") > compactFileThreshold.toLong)
   }
 
   /** Streaming variant: parquet-source file stream with a watermark.

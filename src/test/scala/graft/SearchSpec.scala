@@ -277,6 +277,15 @@ class SearchSpec extends SparkSpec {
       assert(scan == idx, s"scan=$scan idx=$idx")
       // compaction: fewer files, identical rows, identical query answers
       val filesBefore = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+      // the trigger read-out: footer-exact metadata, threshold flips the flag
+      val st0 = Search.postingsStats(spark, dir, compactFileThreshold = filesBefore)
+        .collect()(0)
+      assert(st0.getAs[Long]("n_files") == filesBefore.toLong &&
+        st0.getAs[Long]("total_rows") == rows(appended).length.toLong &&
+        !st0.getAs[Boolean]("compact_recommended"), s"got $st0")
+      val st1 = Search.postingsStats(spark, dir, compactFileThreshold = filesBefore - 1)
+        .collect()(0)
+      assert(st1.getAs[Boolean]("compact_recommended"), s"got $st1")
       Search.compactPostings(spark, dir, partitions = 2)
       val filesAfter = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
       assert(filesAfter <= 2 && filesAfter < filesBefore,
@@ -288,6 +297,12 @@ class SearchSpec extends SparkSpec {
           fbDocs = 2, fbTerms = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       assert(idx2 == scan, s"compacted=$idx2 scan=$scan")
+      // compaction restores health: file count drops, rows preserved, flag clears
+      val st2 = Search.postingsStats(spark, dir, compactFileThreshold = filesBefore - 1)
+        .collect()(0)
+      assert(st2.getAs[Long]("n_files") == filesAfter.toLong &&
+        st2.getAs[Long]("total_rows") == st0.getAs[Long]("total_rows") &&
+        !st2.getAs[Boolean]("compact_recommended"), s"got $st2")
     } finally graft.core.Fs.rmTree(tmp)
   }
 }

@@ -175,6 +175,15 @@ class TextExtSpec extends SparkSpec {
     val nParts = spark.read.parquet(stateB).select("band", "bg").distinct().count()
     assert(parquetFiles(stateB) <= nParts + 64,
       s"banded store files ${parquetFiles(stateB)} not bounded (parts=$nParts)")
+    // the compaction-trigger read-out: footer-exact metadata on the
+    // banded layout (partition dirs recursed), flag flips at threshold
+    val st = StreamOps.nearDupStoreStats(spark, stateB).collect()(0)
+    assert(st.getAs[Long]("n_files") == parquetFiles(stateB).toLong &&
+      st.getAs[Long]("total_rows") == spark.read.parquet(stateB).count() &&
+      !st.getAs[Boolean]("compact_recommended"), s"got $st")
+    val stHot = StreamOps.nearDupStoreStats(spark, stateB,
+      compactFileThreshold = 1).collect()(0)
+    assert(stHot.getAs[Boolean]("compact_recommended"), s"got $stHot")
     graft.core.Fs.rmTree(tmp)
   }
 
