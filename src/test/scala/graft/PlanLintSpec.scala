@@ -119,7 +119,10 @@ class PlanLintSpec extends SparkSpec {
     // Fleiss' kappa: two 1-row broadcasts (the (n_items, n_votes, p_bar)
     // rollup into the label-count-sized share frame, and the 1-row P_e
     // into the final row) — the q_kappa_docs class (round 11)
-    "q_fleiss_kappa_docs")
+    "q_fleiss_kappa_docs",
+    // Krippendorff's alpha: the 1-row chance numerator broadcast-combined
+    // into the 1-row totals frame — the q_kappa_docs class (round 12)
+    "q_krippendorff_docs")
   private val globalWindowOk = Set("q_rrf_hybrid_docs",
     // cumulative walks over the model-sized bucket table / the
     // distinct-length table — never over data rows
