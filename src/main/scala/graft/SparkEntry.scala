@@ -4276,6 +4276,80 @@ object SparkEntry {
     ext.Rouge.rougeL(pairs).orderBy("pair_id")
   }
 
+  /** chrF2 over the same consecutive-doc 40-token pairs as the ROUGE
+    * queries ([[graft.ext.ChrF]]) — character n-gram P/R averaged over
+    * orders 1..6, recall-weighted F (β = 2). */
+  private def chrfPairsDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 120)
+      .select(col("doc_id"),
+        array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 40), " ")
+          .as("t40"))
+    val pairs = d.select(col("doc_id").as("pair_id"), col("t40").as("candidate"))
+      .join(d.select((col("doc_id") - 1).as("pair_id"), col("t40").as("reference")),
+        "pair_id")
+    ext.ChrF.chrF(pairs).orderBy("pair_id")
+  }
+
+  /** The chrF oracle replays the kernel stage-for-stage: whitespace
+    * strip, per-order gram counts via character slicing, clipped hits,
+    * canonized per-order ratios, the ascending-order coalesce-to-0 sum
+    * (an exact +0.0 mirrors the kernel's excluded-order adds), and the
+    * β = 2 F computed FROM the canonized means. */
+  private def chrfPairsSql: String = {
+    def pivot(pre: String, src: String) = (1 to 6).map(n =>
+      s"max(CASE WHEN n = $n THEN $src END) AS $pre$n").mkString(", ")
+    def ratios(out: String, num: String, den: String) = (1 to 6).map(n =>
+      s"CASE WHEN coalesce($den$n, 0) > 0 " +
+        s"THEN floor($num$n / $den$n * 1e6 + 0.5) / 1e6 END AS $out$n")
+      .mkString(",\n|    ")
+    def sumOf(p: String) = (1 to 6).map(n => s"coalesce($p$n, 0)").mkString(" + ")
+    def cntOf(p: String) = (1 to 6).map(n => s"($p$n IS NOT NULL)::INT").mkString(" + ")
+    raw"""WITH d AS (SELECT doc_id, array_to_string(
+       |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+       |      x -> x <> '')[1:40], ' ') AS t40
+       |  FROM documents WHERE doc_id < 120 AND text IS NOT NULL),
+       |pr AS (SELECT d1.doc_id AS pair_id,
+       |    regexp_replace(d1.t40, '\s+', '', 'g') AS cs,
+       |    regexp_replace(d2.t40, '\s+', '', 'g') AS rs
+       |  FROM d d1 JOIN d d2 ON d2.doc_id = d1.doc_id + 1),
+       |ns AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n),
+       |cg AS (SELECT pair_id, n, g, count(*) AS cnt FROM (
+       |    SELECT pair_id, n, unnest(list_transform(
+       |      range(1, greatest(length(cs) - n + 1, 0) + 1),
+       |      i -> cs[i:i+n-1])) AS g
+       |    FROM pr, ns) GROUP BY 1, 2, 3),
+       |rg AS (SELECT pair_id, n, g, count(*) AS cnt FROM (
+       |    SELECT pair_id, n, unnest(list_transform(
+       |      range(1, greatest(length(rs) - n + 1, 0) + 1),
+       |      i -> rs[i:i+n-1])) AS g
+       |    FROM pr, ns) GROUP BY 1, 2, 3),
+       |j AS (SELECT pair_id, n,
+       |    sum(least(coalesce(cg.cnt, 0), coalesce(rg.cnt, 0))) AS hit,
+       |    sum(coalesce(cg.cnt, 0)) AS cn, sum(coalesce(rg.cnt, 0)) AS rn
+       |  FROM cg FULL OUTER JOIN rg USING (pair_id, n, g) GROUP BY 1, 2),
+       |po AS (SELECT pair_id, ${pivot("h", "hit")}, ${pivot("c", "cn")},
+       |    ${pivot("r", "rn")}
+       |  FROM j GROUP BY 1),
+       |pv AS (SELECT pr.pair_id, length(cs)::BIGINT AS c_chars,
+       |    length(rs)::BIGINT AS r_chars,
+       |    ${ratios("p", "h", "c")},
+       |    ${ratios("q", "h", "r")}
+       |  FROM pr LEFT JOIN po USING (pair_id)),
+       |f AS (SELECT pair_id, c_chars, r_chars,
+       |    CASE WHEN ${cntOf("p")} > 0 THEN floor((${sumOf("p")})
+       |      / (${cntOf("p")}) * 1e6 + 0.5) / 1e6 END AS chrf_p,
+       |    CASE WHEN ${cntOf("q")} > 0 THEN floor((${sumOf("q")})
+       |      / (${cntOf("q")}) * 1e6 + 0.5) / 1e6 END AS chrf_r
+       |  FROM pv)
+       |SELECT pair_id, c_chars, r_chars, chrf_p, chrf_r,
+       |  CASE WHEN chrf_p IS NOT NULL AND chrf_r IS NOT NULL THEN
+       |    CASE WHEN chrf_p + chrf_r > 0
+       |      THEN floor(5.0 * chrf_p * chrf_r / (4.0 * chrf_p + chrf_r)
+       |        * 1e6 + 0.5) / 1e6
+       |      ELSE 0.0 END END AS chrf
+       |FROM f ORDER BY pair_id""".stripMargin
+  }
+
   private def rougePairsSql: String =
     raw"""WITH RECURSIVE pr AS (
        |  SELECT d1.doc_id AS pair_id,
@@ -4341,6 +4415,29 @@ object SparkEntry {
         !(col("annotator") === "a2" && col("doc_id") % 5 === 0) &&
         !(col("annotator") === "a3" && col("doc_id") % 3 === 0)))
 
+  /** Synthetic 1–5 rating panel with missing data for the INTERVAL
+    * alpha: base rating from the doc's length bucket; a2 over-rates the
+    * %6 docs by one (clipped) and skips every 5th doc, a3 under-rates
+    * the %4 docs and skips every 3rd — so items carry 1–3 votes and the
+    * %15 docs drop as unpairable. All-integer values keep every sum
+    * IEEE-exact for the oracle. */
+  private def ratingVotes(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).filter(col("n_chars").isNotNull)
+      .select(col("doc_id"), (pmod(col("n_chars"), lit(5L)) + lit(1L)).as("r0"))
+    base.select(col("doc_id"), lit("a1").as("annotator"), col("r0").as("value"))
+      .unionByName(base.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), lit("a2").as("annotator"),
+          when(col("doc_id") % 6 === 0, least(col("r0") + lit(1L), lit(5L)))
+            .otherwise(col("r0")).as("value")))
+      .unionByName(base.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), lit("a3").as("annotator"),
+          when(col("doc_id") % 4 === 0, greatest(col("r0") - lit(1L), lit(1L)))
+            .otherwise(col("r0")).as("value")))
+  }
+
+  private def krippendorffIntervalDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Annotations.krippendorffAlphaInterval(ratingVotes(s, dir))
+
   private def krippendorffSql: String =
     s"""WITH $annotatorVotesSqlCte,
        |vk AS (SELECT doc_id, label FROM v
@@ -4363,6 +4460,31 @@ object SparkEntry {
        |  CASE WHEN a_e < 1.0
        |    THEN floor((a_o - a_e) / (1.0 - a_e) * 1e6 + 0.5) / 1e6 END AS alpha
        |FROM ab""".stripMargin
+
+  private def krippendorffIntervalSql: String =
+    raw"""WITH b AS (SELECT doc_id, (n_chars % 5) + 1 AS r0 FROM documents
+       |  WHERE n_chars IS NOT NULL),
+       |v AS (SELECT doc_id, r0 AS value FROM b
+       |  UNION ALL SELECT doc_id,
+       |    CASE WHEN doc_id % 6 = 0 THEN least(r0 + 1, 5) ELSE r0 END
+       |    FROM b WHERE doc_id % 5 <> 0
+       |  UNION ALL SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN greatest(r0 - 1, 1) ELSE r0 END
+       |    FROM b WHERE doc_id % 3 <> 0),
+       |it AS (SELECT doc_id, count(*)::BIGINT AS m, sum(value::DOUBLE) AS s1,
+       |    sum(value::DOUBLE * value) AS s2
+       |  FROM v GROUP BY 1 HAVING count(*) >= 2),
+       |ag AS (SELECT count(*)::BIGINT AS n_items, CAST(sum(m) AS BIGINT) AS n_votes,
+       |  floor(sum((m * s2 - s1 * s1) / (m - 1)) * 1e6 + 0.5) / 1e6 AS do_sum,
+       |  sum(s1) AS bs1, sum(s2) AS bs2 FROM it),
+       |dd AS (SELECT n_items, n_votes,
+       |  floor(2.0 * do_sum / n_votes * 1e6 + 0.5) / 1e6 AS d_o,
+       |  floor(2.0 * (n_votes * bs2 - bs1 * bs1)
+       |    / (n_votes * (n_votes - 1)) * 1e6 + 0.5) / 1e6 AS d_e FROM ag)
+       |SELECT n_items, n_votes, d_o, d_e,
+       |  CASE WHEN d_e > 0
+       |    THEN floor((1.0 - d_o / d_e) * 1e6 + 0.5) / 1e6 END AS alpha
+       |FROM dd""".stripMargin
 
   private def fleissKappaSql: String =
     s"""WITH $annotatorVotesSqlCte,
@@ -6642,8 +6764,10 @@ object SparkEntry {
     "q_dawid_skene_trace_docs" -> dawidSkeneTraceDocs,
     "q_fleiss_kappa_docs" -> fleissKappaDocs,
     "q_krippendorff_docs" -> krippendorffDocs,
+    "q_krippendorff_interval_docs" -> krippendorffIntervalDocs,
     "q_rouge_pairs_docs" -> rougePairsDocs,
     "q_rouge2_pairs_docs" -> rouge2PairsDocs,
+    "q_chrf_pairs_docs" -> chrfPairsDocs,
     "q_bleu_pairs_docs" -> bleuPairsDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
@@ -6931,8 +7055,10 @@ object SparkEntry {
     "q_dawid_skene_trace_docs" -> dawidSkeneTraceSql,
     "q_fleiss_kappa_docs" -> fleissKappaSql,
     "q_krippendorff_docs" -> krippendorffSql,
+    "q_krippendorff_interval_docs" -> krippendorffIntervalSql,
     "q_rouge_pairs_docs" -> rougePairsSql,
     "q_rouge2_pairs_docs" -> rouge2PairsSql,
+    "q_chrf_pairs_docs" -> chrfPairsSql,
     "q_bleu_pairs_docs" -> bleuPairsSql,
     "q_span_dedup_docs" -> spanDedupSql,
     "q_window_dedup_docs" -> windowDedupSql,

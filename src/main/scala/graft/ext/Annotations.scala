@@ -436,6 +436,61 @@ object Annotations {
           .as("alpha"))
   }
 
+  /** Krippendorff's alpha, INTERVAL metric (Krippendorff 2011 §C) —
+    * [[krippendorffAlpha]] for NUMERIC ratings (quality scores 1–5,
+    * harmfulness scales, ordinal rubric grades): disagreement is the
+    * squared difference δ²(v, w) = (v − w)², so "4 vs 5" costs 1 while
+    * "1 vs 5" costs 16, which the nominal metric cannot express. Same
+    * missing-data tolerance (annotators see different item subsets;
+    * 1-vote items are dropped as unpairable).
+    *
+    * Sums-of-squares form (the δ² coincidence sums collapse — no value
+    * matrix is ever materialized): per kept item with m votes, value sum
+    * s1 and square sum s2, the ordered-pair identity
+    * Σ_{a≠b}(v_a − v_b)² = 2(m·s2 − s1²) gives
+    *
+    *   D_o = (2/n) Σ_items (m·s2 − s1²)/(m − 1)
+    *   D_e = 2(n·S2 − S1²) / (n(n − 1))      (pooled S1, S2 over kept votes)
+    *   α   = 1 − D_o/D_e,
+    *
+    * null when D_e = 0 (all kept votes identical — undefined, not
+    * perfect; the nominal A_e = 1 convention). Scale shape: ONE
+    * item-keyed aggregate then ONE 1-row rollup (the pooled S1/S2 are
+    * sums of the per-item sums, so no second pass and no marginal
+    * join — strictly simpler than the nominal plan). Values are cast to
+    * double; for integer-valued ratings every sum is exact in IEEE
+    * doubles regardless of order (the labeling-ops case, and what the
+    * DuckDB oracle relies on — document non-integer scales as
+    * approximate). Per-item (m·s2 − s1²)/(m − 1) divisions are exact for
+    * the small panel sizes of real annotation (m ≤ 3 gives halves); the
+    * summed D_o numerator, D_o, D_e and α are 1e-6-canonized, α computed
+    * FROM the canonized D_o/D_e. Output: one row
+    * (n_items, n_votes, d_o, d_e, alpha). */
+  def krippendorffAlphaInterval(votes: DataFrame,
+      idCol: String = "doc_id",
+      annotatorCol: String = "annotator",
+      valueCol: String = "value"): DataFrame = {
+    val v = votes.filter(col(valueCol).isNotNull)
+      .select(col(idCol), col(valueCol).cast("double").as("v"))
+    val items = v.groupBy(col(idCol))
+      .agg(count(lit(1)).as("m"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+      .filter(col("m") >= 2)
+      .select(col("m"), col("s1"), col("s2"),
+        ((col("m") * col("s2") - col("s1") * col("s1")) / (col("m") - lit(1L)))
+          .as("doi"))
+    items.agg(count(lit(1)).as("n_items"), sum(col("m")).as("n_votes"),
+        quantC(sum(col("doi"))).as("do_sum"),
+        sum(col("s1")).as("bs1"), sum(col("s2")).as("bs2"))
+      .select(col("n_items"), col("n_votes"),
+        quantC(lit(2.0) * col("do_sum") / col("n_votes")).as("d_o"),
+        quantC(lit(2.0) * (col("n_votes") * col("bs2") - col("bs1") * col("bs1"))
+          / (col("n_votes") * (col("n_votes") - lit(1L)))).as("d_e"))
+      .select(col("n_items"), col("n_votes"), col("d_o"), col("d_e"),
+        when(col("d_e") > 0,
+          quantC(lit(1.0) - col("d_o") / col("d_e"))).as("alpha"))
+  }
+
   /** Per-annotator quality against a consensus labeling (e.g.
     * [[majorityVote]]'s output, or a gold frame): vote count and the
     * canonized agreement rate. Items without a consensus row score

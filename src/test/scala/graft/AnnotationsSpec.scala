@@ -239,6 +239,57 @@ class AnnotationsSpec extends SparkSpec {
     assert(a.getAs[Long]("n_items") == 1L && a.getAs[Long]("n_votes") == 2L, s"got $a")
   }
 
+  test("krippendorffAlphaInterval: paper data under the squared-difference metric") {
+    // Same 12-unit / 4-observer data as the nominal test, interval
+    // metric: alpha = 0.849107 (vs nominal 0.743421 — near-misses like
+    // 1-vs-2 cost less than 1-vs-5, raising agreement). Both D_o and
+    // D_e hand-verified against a direct pairwise-sum implementation
+    // of Krippendorff 2011 §C (D_o = 13/30, D_e = 112/39).
+    val rows = Seq(
+      ("A", Seq(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 3, 5 -> 2, 6 -> 1, 7 -> 4, 8 -> 1, 9 -> 2)),
+      ("B", Seq(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 3, 5 -> 2, 6 -> 2, 7 -> 4, 8 -> 1, 9 -> 2,
+        10 -> 5, 12 -> 3)),
+      ("C", Seq(2 -> 3, 3 -> 3, 4 -> 3, 5 -> 2, 6 -> 3, 7 -> 4, 8 -> 2, 9 -> 2,
+        10 -> 5, 11 -> 1)),
+      ("D", Seq(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 3, 5 -> 2, 6 -> 4, 7 -> 4, 8 -> 1, 9 -> 2,
+        10 -> 5, 11 -> 1))
+    ).flatMap { case (obs, vs) => vs.map { case (u, l) => (u.toLong, obs, l) } }
+      .toDF("doc_id", "annotator", "value")
+    val r = Annotations.krippendorffAlphaInterval(rows).collect()(0)
+    assert(r.getAs[Long]("n_items") == 11L && r.getAs[Long]("n_votes") == 40L)
+    assert(r.getAs[Double]("d_o") == 0.433333 && r.getAs[Double]("d_e") == 2.871795,
+      s"got $r")
+    assert(r.getAs[Double]("alpha") == 0.849107, s"got $r")
+  }
+
+  test("krippendorffAlphaInterval: hand example, perfect, degenerate, abstention") {
+    // item1 votes {1,2}, item2 votes {3,3,4}, item3 one vote (dropped):
+    // do_sum = (2*5-9)/1 + (3*34-100)/2 = 2; n = 5, S1 = 13, S2 = 39;
+    // d_o = 4/5, d_e = 2*26/20 = 2.6, alpha = 1 - 0.8/2.6 = 0.692308
+    val rows = Seq((1L, "a", 1), (1L, "b", 2), (2L, "a", 3), (2L, "b", 3),
+      (2L, "c", 4), (3L, "a", 5)).toDF("doc_id", "annotator", "value")
+    val r = Annotations.krippendorffAlphaInterval(rows).collect()(0)
+    assert(r.getAs[Long]("n_items") == 2L && r.getAs[Long]("n_votes") == 5L)
+    assert(r.getAs[Double]("d_o") == 0.8 && r.getAs[Double]("d_e") == 2.6, s"got $r")
+    assert(r.getAs[Double]("alpha") == 0.692308, s"got $r")
+    // perfect agreement across DIFFERENT values: d_o = 0, alpha = 1
+    val perfect = Seq((1L, "a", 2), (1L, "b", 2), (2L, "a", 4), (2L, "b", 4))
+      .toDF("doc_id", "annotator", "value")
+    val p = Annotations.krippendorffAlphaInterval(perfect).collect()(0)
+    assert(p.getAs[Double]("d_o") == 0.0 && p.getAs[Double]("alpha") == 1.0, s"got $p")
+    // degenerate pool (one value everywhere): d_e = 0 -> alpha null
+    val deg = Seq((1L, "a", 3), (1L, "b", 3), (2L, "a", 3), (2L, "b", 3))
+      .toDF("doc_id", "annotator", "value")
+    val d = Annotations.krippendorffAlphaInterval(deg).collect()(0)
+    assert(d.isNullAt(d.fieldIndex("alpha")) && d.getAs[Double]("d_e") == 0.0, s"got $d")
+    // null values are abstentions: dropping to one vote drops the item
+    val abst = Seq((1L, "a", Option(1)), (1L, "b", Option.empty[Int]),
+      (2L, "a", Option(2)), (2L, "b", Option(5)))
+      .toDF("doc_id", "annotator", "value")
+    val a = Annotations.krippendorffAlphaInterval(abst).collect()(0)
+    assert(a.getAs[Long]("n_items") == 1L && a.getAs[Long]("n_votes") == 2L, s"got $a")
+  }
+
   test("majority vote is deterministic under re-evaluation and input order") {
     val shuffled = votes.orderBy(org.apache.spark.sql.functions.rand(7))
     val a = Annotations.majorityVote(votes).orderBy("doc_id")
