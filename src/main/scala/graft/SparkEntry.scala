@@ -254,6 +254,23 @@ object SparkEntry {
       .select(col("group_key"), col("date"), round6("roll_corr"))
       .orderBy("group_key", "date")
 
+  /** W8 — pct_change over the events daily panel ([[graft.ops.Lags.pctChange]]):
+    * the per-series fractional step change, null on series starts and
+    * zero-crossings (doc'd deviation from pandas' ±inf there). */
+  private def pctChangeEvents(s: SparkSession, dir: String): DataFrame = {
+    val melted = Panel.melt(eventsDailyPanel(s, dir), "date", Seq("group_key"), Seq("value"))
+    Lags.pctChange(melted)
+      .select(col("group_key"), col("feature"), col("date"),
+        round6("value"), round6("pct_change"))
+      .orderBy("group_key", "feature", "date")
+  }
+
+  /** S4's distributed data reduction ([[graft.sinks.PlotSink.histogramTable]]):
+    * the 16-bin equal-width histogram of events.value — the exact frame
+    * the PNG histogram sink rasterizes. */
+  private def plotHistogramEvents(s: SparkSession, dir: String): DataFrame =
+    sinks.PlotSink.histogramTable(Tables.events(s, dir), "value", bins = 16)
+
   // ---- F7: linear detrend fit ---------------------------------------------
 
   private def detrendLineitem(s: SparkSession, dir: String): DataFrame = {
@@ -6656,6 +6673,8 @@ object SparkEntry {
     "q_ar1_lineitem" -> ar1Lineitem,
     "q_lagged_corr_lineitem" -> laggedCorrLineitem,
     "q_rolling_corr_lineitem" -> rollingCorrLineitem,
+    "q_pct_change_events" -> pctChangeEvents,
+    "q_plot_histogram_events" -> plotHistogramEvents,
     "q_detrend_lineitem" -> detrendLineitem,
     "q_mutual_info_lineitem" -> mutualInfoLineitem,
     "q_ljungbox_events" -> ljungboxEvents,
@@ -6886,6 +6905,27 @@ object SparkEntry {
          |SELECT group_key, feature, floor((r * r) * 1e6 + 0.5) / 1e6 AS ar1_r2
          |FROM ag WHERE np >= 10 ORDER BY feature, group_key""".stripMargin,
     "q_lagged_corr_lineitem" -> laggedCorrSql,
+    "q_plot_histogram_events" ->
+      """WITH v AS (SELECT value AS v FROM events
+         |  WHERE value IS NOT NULL AND NOT isnan(value)),
+         |b AS (SELECT min(v) AS mn, max(v) AS mx FROM v),
+         |binned AS (SELECT CASE WHEN mx = mn THEN 0
+         |    ELSE least(CAST(floor((v - mn) / (mx - mn) * 16) AS BIGINT), 15)
+         |  END AS bin FROM v, b),
+         |c AS (SELECT bin, count(*)::BIGINT AS n FROM binned GROUP BY 1)
+         |SELECT bin,
+         |  floor((mn + bin * (mx - mn) / 16.0) * 1e6 + 0.5) / 1e6 AS bin_lo,
+         |  floor((mn + (bin + 1) * (mx - mn) / 16.0) * 1e6 + 0.5) / 1e6 AS bin_hi,
+         |  n FROM c, b ORDER BY bin""".stripMargin,
+    "q_pct_change_events" ->
+      s"""WITH panel AS ($evPanelSql),
+         |p AS (SELECT group_key, date, value,
+         |  lag(value) OVER (PARTITION BY group_key ORDER BY date) AS prev FROM panel)
+         |SELECT group_key, 'value' AS feature, date,
+         |  floor(value * 1e6 + 0.5) / 1e6 AS value,
+         |  CASE WHEN prev IS NOT NULL AND prev <> 0
+         |    THEN floor((value / prev - 1.0) * 1e6 + 0.5) / 1e6 END AS pct_change
+         |FROM p ORDER BY group_key, feature, date""".stripMargin,
     "q_rolling_corr_lineitem" ->
       s"""WITH panel AS ($liPanelSql)
          |SELECT group_key, date,

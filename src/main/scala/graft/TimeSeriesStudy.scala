@@ -18,8 +18,10 @@ import graft.ops._
   *
   * Sinks: every analysis returns a DataFrame; `save(df, path)` writes
   * parquet (engine standard) and `saveCsv` mirrors the reference's CSV
-  * output (S2). Plot/HTML sinks (S3/S4) are presentation-layer and out of
-  * engine scope per SURVEY §2.1.
+  * output (S2). The styled-HTML table sink (S3) and the PNG plot sink
+  * (S4) live in [[graft.sinks.HtmlSink]] / [[graft.sinks.PlotSink]] and
+  * are wired through `runAll(publishHtml = , publishPlots = )`, mirroring
+  * the reference's `table=`/`publish_plot=` flags.
   */
 class TimeSeriesStudy(
     df: DataFrame,
@@ -157,7 +159,8 @@ class TimeSeriesStudy(
     * regimes, volatility, outliers) run on `feature` (default: the first
     * feature, like the script's choice). Callers should `.cache()` the
     * input first — every analysis re-reads the panel. */
-  def runAll(resultsDir: String, feature: String = features.head): Map[String, DataFrame] = {
+  def runAll(resultsDir: String, feature: String = features.head,
+      publishHtml: Boolean = false, publishPlots: Boolean = false): Map[String, DataFrame] = {
     val (statRes, statSum) = stationarityTests()
     val base = Map(
       "distribution" -> distributionDiagnostics(),
@@ -175,7 +178,48 @@ class TimeSeriesStudy(
         crossFeatureComparisons().map { case (k, v) => s"cross_$k" -> v }
       else Map.empty[String, DataFrame]
     val all = base ++ cross
-    all.foreach { case (name, result) => saveCsv(result, s"$resultsDir/out_$name") }
+    all.foreach { case (name, result) =>
+      saveCsv(result, s"$resultsDir/out_$name")
+      if (publishHtml) graft.sinks.HtmlSink.saveTable(result, s"$resultsDir/out_$name")
+    }
+    if (publishPlots) publishPngs(resultsDir, all, statRes, statSum)
     all
+  }
+
+  /** The reference's per-analysis figure set (S4), one PNG per panel
+    * instead of its multi-axes figures: skew/kurtosis histograms per
+    * feature (`:164-178`), stationarity dumbbells (`:265-283`) + the
+    * rejection-proportion bars (`:247-258`), the dominant-frequency
+    * scatter (`:418-431`), the AR(1) R² histogram (`:510-521`), and the
+    * outlier-share pie (`:1094-1096`). Every input is an analysis RESULT
+    * table (aggregate-sized); colors follow the reference's palette
+    * picks per figure. */
+  private def publishPngs(dir: String, all: Map[String, DataFrame],
+      statRes: DataFrame, statSum: DataFrame): Unit = {
+    import graft.sinks.PlotSink
+    features.foreach { f =>
+      val d = all("distribution").filter(col("feature") === f)
+      PlotSink.saveHistogram(d, "skew", s"$dir/distribution_skew_$f.png",
+        colorIdx = 1, title = s"Skew: $f")
+      PlotSink.saveHistogram(d, "kurtosis", s"$dir/distribution_kurtosis_$f.png",
+        colorIdx = 2, title = s"Kurtosis: $f")
+      PlotSink.saveDumbbell(statRes.filter(col("feature") === f),
+        "group_key", "adf_p", "kpss_p", s"$dir/stationarity_dumbbell_$f.png",
+        title = s"ADF vs KPSS p: $f")
+      PlotSink.saveHistogram(all("ar1").filter(col("feature") === f),
+        "ar1_r2", s"$dir/ar1_hist_$f.png", colorIdx = 1, title = s"AR(1) R2: $f")
+    }
+    PlotSink.saveGroupedBars(statSum, "feature",
+      "prop_reject_unit_root", "prop_reject_stationarity",
+      s"$dir/stationarity_summary_bars.png", title = "Rejection proportions")
+    PlotSink.saveScatter(all("frequency"), "dom_freq", "dom_power",
+      s"$dir/frequency_scatter.png", title = "Dominant frequency vs power")
+    val o = all("outliers")
+    val shares = o.agg(
+        sum(when(col("n_outliers") > 0, 1).otherwise(0)).as("with_outliers"),
+        sum(when(col("n_outliers") > 0, 0).otherwise(1)).as("without_outliers"))
+      .selectExpr("stack(2, 'with', with_outliers, 'without', without_outliers) AS (slice, v)")
+    PlotSink.savePie(shares, "slice", "v", s"$dir/outlier_share_pie.png",
+      title = "Groups with outliers")
   }
 }

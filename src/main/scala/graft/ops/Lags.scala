@@ -63,6 +63,24 @@ object Lags {
       .filter(col("n") >= minLen)
   }
 
+  /** W8 — pct_change: fractional step change x_t/x_{t−1} − 1 per ordered
+    * series (pandas `Series.pct_change()`, the `x/x.shift(1) − 1` form —
+    * time_series_study.py:836; the reference computes it on an already
+    * dropna'd series, so no pad-fill is involved). Emitted null for the
+    * first element of each series and for a zero/null previous value
+    * (pandas' ±inf there is unrepresentable under the repo's 1e-6 canon;
+    * callers who need the zero-crossing rows still see them with a null
+    * change). One window shuffle on (group, feature), nothing else. */
+  def pctChange(melted: DataFrame): DataFrame = {
+    val w = Window.partitionBy("group_key", "feature").orderBy("date")
+    melted.withColumn("prev", lag(col("value"), 1).over(w))
+      .withColumn("pct_change",
+        when(col("prev").isNotNull && col("prev") =!= 0.0,
+          col("value") / col("prev") - lit(1.0)))
+      .select(col("group_key"), col("feature"), col("date"), col("value"),
+        col("pct_change"))
+  }
+
   /** W3 — AR(1) predictability R² (time_series_study.py:475-523). The
     * reference shifts the raw (NOT dropna'd) series positionally, then
     * finite-masks pairs; R² of simple OLS with intercept = corr². Pairs with

@@ -102,6 +102,21 @@ class LagsSpec extends SparkSpec {
     assert(r.drop(9).forall(row => math.abs(row.getDouble(2) - 1.0) < 1e-9))
   }
 
+  test("pctChange: fractional steps, null on series start and zero prev") {
+    val out = Lags.pctChange(panel(Seq(100.0, 110.0, 99.0, 0.0, 5.0)))
+      .orderBy("date").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("pct_change")))
+    assert(math.abs(out(1).getAs[Double]("pct_change") - 0.1) < 1e-12)
+    assert(math.abs(out(2).getAs[Double]("pct_change") + 0.1) < 1e-12)
+    assert(out(3).getAs[Double]("pct_change") == -1.0)  // 0/99 - 1
+    assert(out(4).isNullAt(out(4).fieldIndex("pct_change")))  // prev = 0
+    // series are independent: a second group restarts at null
+    val two = Lags.pctChange(panel(Seq(1.0, 2.0)).unionByName(
+      panel(Seq(8.0, 4.0), group = "G2"))).orderBy("group_key", "date").collect()
+    assert(two(2).isNullAt(two(2).fieldIndex("pct_change")))
+    assert(two(3).getAs[Double]("pct_change") == -0.5)
+  }
+
   test("lagged cross corr: identical features give avg_corr 1 at lag 0") {
     val df = (0 until 40)
       .map(i => (ts(i), "G1", math.sin(i * 0.7) * 5 + i, math.sin(i * 0.7) * 5 + i))

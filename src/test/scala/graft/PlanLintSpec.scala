@@ -43,6 +43,9 @@ class PlanLintSpec extends SparkSpec {
     "q_vocab_resemblance_docs",
     // zipf fit: 1-row OLS aggregate × 1-row corpus totals
     "q_zipf_docs",
+    // histogram binning: the 1-row min/max bounds aggregate broadcasts
+    // into the binning projection — the globalOrdinal / q_zipf class
+    "q_plot_histogram_events",
     // quantile read: the non-equi rank-vs-cumulative join broadcasts the
     // ≤16·60-row bucket table (and, in the exact exhibit leg, the
     // distinct-value cum table — value-cardinality-sized, bounded by max

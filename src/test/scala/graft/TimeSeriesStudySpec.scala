@@ -40,6 +40,30 @@ class TimeSeriesStudySpec extends SparkSpec {
     }
   }
 
+  test("runAll publication flags: styled HTML per table, the reference PNG set") {
+    val dir = java.nio.file.Files.createTempDirectory("publish").toString
+    val tables = study.runAll(dir, publishHtml = true, publishPlots = true)
+    // S3: one styled HTML per published table, row-for-row with the frame
+    tables.foreach { case (name, df) =>
+      val f = new java.io.File(s"$dir/out_$name.html")
+      assert(f.exists, s"$name HTML missing")
+      val html = new String(java.nio.file.Files.readAllBytes(f.toPath))
+      assert(html.contains("font-weight: 600"), s"$name: style block")
+      assert(html.sliding(8).count(_ == "<tr><td>") == df.count(), s"$name HTML rows")
+    }
+    // S4: the reference figure set, each a decodable canvas-sized PNG
+    val pngs = Seq("stationarity_summary_bars", "frequency_scatter",
+      "outlier_share_pie") ++
+      Seq("feature_1", "feature_2", "feature_3").flatMap(f => Seq(
+        s"distribution_skew_$f", s"distribution_kurtosis_$f",
+        s"stationarity_dumbbell_$f", s"ar1_hist_$f"))
+    pngs.foreach { n =>
+      val img = javax.imageio.ImageIO.read(new java.io.File(s"$dir/$n.png"))
+      assert(img != null && img.getWidth == graft.sinks.PlotSink.W &&
+        img.getHeight == graft.sinks.PlotSink.H, s"$n.png")
+    }
+  }
+
   test("all ten analyses run end to end on the fixture panel") {
     assert(study.distributionDiagnostics().count() == 15)
     val (res, sum) = study.stationarityTests()
