@@ -4455,6 +4455,36 @@ object SparkEntry {
   private def krippendorffIntervalDocs(s: SparkSession, dir: String): DataFrame =
     ext.Annotations.krippendorffAlphaInterval(ratingVotes(s, dir))
 
+  /** pass@k over synthetic per-problem sample pools: problem = doc_id
+    * striped mod 40, "pass" = a deterministic length predicate — enough
+    * c-variation to exercise the estimator's short-circuit and product
+    * branches at every SF. */
+  private def passAtKDocs(s: SparkSession, dir: String): DataFrame =
+    ext.IrEval.passAtK(
+      Tables.documents(s, dir).filter(col("n_chars").isNotNull)
+        .select((col("doc_id") % 40).as("problem_id"),
+          (col("n_chars") % 7 < 2).as("correct")),
+      ks = Seq(1, 5, 10))
+
+  /** Bradley-Terry over source "battles": consecutive docs with
+    * different sources fight, longer text wins (ties to the
+    * lexicographically smaller source) — a deterministic 20-team
+    * arena for the MM fit. */
+  private def sourceBattles(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).filter(col("n_chars").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val l = d.select(col("doc_id").as("k"), col("source").as("a"), col("n_chars").as("na"))
+    val r = d.select((col("doc_id") - 1).as("k"), col("source").as("b"), col("n_chars").as("nb"))
+    l.join(r, "k").filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        when(col("na") > col("nb"), col("a"))
+          .when(col("nb") > col("na"), col("b"))
+          .otherwise(least(col("a"), col("b"))).as("winner"))
+  }
+
+  private def bradleyTerryDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Annotations.bradleyTerry(sourceBattles(s, dir))
+
   private def krippendorffSql: String =
     s"""WITH $annotatorVotesSqlCte,
        |vk AS (SELECT doc_id, label FROM v
@@ -4502,6 +4532,56 @@ object SparkEntry {
        |  CASE WHEN d_e > 0
        |    THEN floor((1.0 - d_o / d_e) * 1e6 + 0.5) / 1e6 END AS alpha
        |FROM dd""".stripMargin
+
+  private def passAtKSql: String =
+    raw"""WITH s AS (SELECT doc_id % 40 AS pid, (n_chars % 7 < 2) AS ok
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |p AS (SELECT pid, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS c
+       |  FROM s GROUP BY 1),
+       |e AS (SELECT ks.k, n, c,
+       |    CASE WHEN n - c < ks.k THEN 1.0
+       |      ELSE floor((1.0 - list_reduce(
+       |        list_prepend(1.0::DOUBLE,
+       |          list_transform(range(0, ks.k), i -> i::DOUBLE)),
+       |        (acc, i) -> acc * (n - c - i) / (n - i))) * 1e6 + 0.5) / 1e6
+       |    END AS pass
+       |  FROM p, (SELECT unnest([1, 5, 10]) AS k) ks WHERE n >= ks.k)
+       |SELECT k, count(*)::BIGINT AS n_problems,
+       |  floor(avg(pass) * 1e6 + 0.5) / 1e6 AS pass_at_k
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def bradleyTerrySql: String = {
+    def round(prev: String, n: Int) =
+      raw"""d$n AS (SELECT dir.i, sum(nij / (ti.theta + tj.theta)) AS den
+         |  FROM dir JOIN $prev ti ON dir.i = ti.i
+         |  JOIN $prev tj ON dir.j = tj.i GROUP BY 1),
+         |r$n AS (SELECT it.i, it.wins / d$n.den AS theta0
+         |  FROM it JOIN d$n USING (i)),
+         |m$n AS (SELECT avg(theta0) AS mu FROM r$n),
+         |t$n AS (SELECT i, floor(theta0 / mu * 1e6 + 0.5) / 1e6 AS theta
+         |  FROM r$n, m$n)""".stripMargin
+    raw"""WITH d AS (SELECT doc_id, source, n_chars FROM documents
+       |  WHERE n_chars IS NOT NULL),
+       |cmp AS (SELECT d1.source AS a, d2.source AS b,
+       |    CASE WHEN d1.n_chars > d2.n_chars THEN d1.source
+       |         WHEN d2.n_chars > d1.n_chars THEN d2.source
+       |         ELSE least(d1.source, d2.source) END AS w
+       |  FROM d d1 JOIN d d2 ON d2.doc_id = d1.doc_id + 1
+       |  WHERE d1.source <> d2.source),
+       |dir AS (SELECT i, j, count(*)::BIGINT AS nij FROM (
+       |    SELECT a AS i, b AS j FROM cmp
+       |    UNION ALL SELECT b AS i, a AS j FROM cmp) GROUP BY 1, 2),
+       |wins AS (SELECT w AS i, count(*)::BIGINT AS wins FROM cmp GROUP BY 1),
+       |g AS (SELECT i, CAST(sum(nij) AS BIGINT) AS n_comps FROM dir GROUP BY 1),
+       |it AS (SELECT g.i, coalesce(w.wins, 0)::BIGINT AS wins, g.n_comps
+       |  FROM g LEFT JOIN wins w USING (i)),
+       |t0 AS (SELECT i, 1.0::DOUBLE AS theta FROM it),
+       |${round("t0", 1)},
+       |${round("t1", 2)}
+       |SELECT it.i AS item, it.wins, it.n_comps, t2.theta
+       |FROM it JOIN t2 USING (i) ORDER BY theta DESC, item""".stripMargin
+  }
 
   private def fleissKappaSql: String =
     s"""WITH $annotatorVotesSqlCte,
@@ -6784,6 +6864,8 @@ object SparkEntry {
     "q_fleiss_kappa_docs" -> fleissKappaDocs,
     "q_krippendorff_docs" -> krippendorffDocs,
     "q_krippendorff_interval_docs" -> krippendorffIntervalDocs,
+    "q_pass_at_k_docs" -> passAtKDocs,
+    "q_bradley_terry_docs" -> bradleyTerryDocs,
     "q_rouge_pairs_docs" -> rougePairsDocs,
     "q_rouge2_pairs_docs" -> rouge2PairsDocs,
     "q_chrf_pairs_docs" -> chrfPairsDocs,
@@ -7096,6 +7178,8 @@ object SparkEntry {
     "q_fleiss_kappa_docs" -> fleissKappaSql,
     "q_krippendorff_docs" -> krippendorffSql,
     "q_krippendorff_interval_docs" -> krippendorffIntervalSql,
+    "q_pass_at_k_docs" -> passAtKSql,
+    "q_bradley_terry_docs" -> bradleyTerrySql,
     "q_rouge_pairs_docs" -> rougePairsSql,
     "q_rouge2_pairs_docs" -> rouge2PairsSql,
     "q_chrf_pairs_docs" -> chrfPairsSql,

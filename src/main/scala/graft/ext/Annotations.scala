@@ -491,6 +491,71 @@ object Annotations {
           quantC(lit(1.0) - col("d_o") / col("d_e"))).as("alpha"))
   }
 
+  /** Bradley–Terry pairwise-preference ranking (Bradley & Terry 1952)
+    * fitted with Hunter's MM algorithm (Hunter 2004, "MM algorithms for
+    * generalized Bradley–Terry models", eq. 1.5) — THE aggregation for
+    * arena-style preference data (RLHF comparisons, side-by-side evals):
+    * P(i beats j) = θ_i/(θ_i + θ_j), and each MM round is the closed
+    * update θ_i ← w_i / Σ_j n_ij/(θ_i + θ_j) (w_i = i's total wins,
+    * n_ij = games between i and j), which monotonically increases the
+    * likelihood from the flat θ = 1 start. `rounds` is fixed and small
+    * (the Dawid–Skene convention — the oracle unrolls the same rounds);
+    * each round renormalizes to mean 1 (the scale is unidentified) and
+    * 1e-6-canonizes θ, and the frame is [[graft.core.Ckpt.pin]]ned to
+    * cut the unrolled-plan lineage.
+    *
+    * Scale shape per round: two item-keyed joins of the directed-pair
+    * frame against the θ table (model-sized — teams/models/policies),
+    * one keyed aggregate, one 1-row mean broadcast. Nothing corpus²;
+    * the comparison corpus itself is touched ONCE up front for the
+    * pair/win counts (map-combinable aggregates).
+    *
+    * Contract: a winner that matches neither side raises per row (the
+    * weightedKeep loud-failure convention); self-pairs and null sides
+    * are dropped; items never compared never enter (no information).
+    * An all-loser's θ goes to 0 and stays there — two all-losers can
+    * never have faced each other (their mutual game had a winner), so
+    * denominators never hit 0/0. Output: (item, wins, n_comps, theta),
+    * strongest first, item as the tiebreak. */
+  def bradleyTerry(comparisons: DataFrame, rounds: Int = 2,
+      aCol: String = "a", bCol: String = "b",
+      winnerCol: String = "winner"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val comp = comparisons
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(winnerCol).isNotNull && col(aCol) =!= col(bCol))
+      .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"),
+        when(col(winnerCol) === col(aCol) || col(winnerCol) === col(bCol),
+          col(winnerCol).cast("string"))
+          .otherwise(raise_error(concat(
+            lit("bradleyTerry: winner matches neither side: "),
+            col(winnerCol).cast("string")))).as("w"))
+    val dir = comp.select(col("a").as("i"), col("b").as("j"))
+      .unionByName(comp.select(col("b").as("i"), col("a").as("j")))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("nij"))
+    val wins = comp.groupBy(col("w").as("i")).agg(count(lit(1)).as("wins"))
+    val items = graft.core.Ckpt.pin(dir
+      .groupBy(col("i")).agg(sum(col("nij")).as("n_comps"))
+      .join(wins, Seq("i"), "left")
+      .select(col("i"), coalesce(col("wins"), lit(0L)).as("wins"), col("n_comps")))
+    var t = graft.core.Ckpt.pin(items.select(col("i"), lit(1.0).as("theta")))
+    (1 to rounds).foreach { _ =>
+      val den = dir
+        .join(t.select(col("i"), col("theta").as("ti")), Seq("i"))
+        .join(t.select(col("i").as("j"), col("theta").as("tj")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(col("nij") / (col("ti") + col("tj"))).as("den"))
+      val raw = items.join(den, Seq("i"))
+        .select(col("i"), (col("wins") / col("den")).as("theta0"))
+      val mu = raw.agg(avg(col("theta0")).as("mu"))
+      t = graft.core.Ckpt.pin(raw.crossJoin(broadcast(mu))
+        .select(col("i"), quantC(col("theta0") / col("mu")).as("theta")))
+    }
+    items.join(t, Seq("i"))
+      .select(col("i").as("item"), col("wins"), col("n_comps"), col("theta"))
+      .orderBy(col("theta").desc, col("item"))
+  }
+
   /** Per-annotator quality against a consensus labeling (e.g.
     * [[majorityVote]]'s output, or a gold frame): vote count and the
     * canonized agreement rate. Items without a consensus row score

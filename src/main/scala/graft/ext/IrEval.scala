@@ -141,4 +141,51 @@ object IrEval {
       .select(col("mean"), col("ci_lower"), col("ci_upper"),
         col("n_queries"), lit(b.toLong).as("n_resamples"))
   }
+
+  /** pass@k (Chen et al. 2021, "Evaluating Large Language Models
+    * Trained on Code" §2.1) — THE code/agentic eval headline number:
+    * with n samples per problem of which c pass, the unbiased
+    * estimator of P(≥1 of k random samples passes) is
+    *
+    *   pass@k = 1 − C(n−c, k)/C(n, k)
+    *          = 1 − Π_{i=0..k−1} (n−c−i)/(n−i),
+    *
+    * averaged over problems. The product form (the paper's numerically
+    * stable recipe) is a k-step fold over `sequence(0, k−1)` — k is a
+    * small literal, and the lambda touches only row scalars, so this is
+    * NOT the derived-array-in-lambda quadratic trap. Problems with
+    * n < k cannot be estimated and are EXCLUDED from that k's mean
+    * (n_problems reports the denominator); n−c < k short-circuits to
+    * exactly 1.0 (fewer than k failures means every k-subset contains
+    * a pass — and the branch keeps the fold's factors non-negative).
+    * Per-problem estimates are 1e-6-canonized before the mean, the
+    * mean canonized again.
+    *
+    * Scale shape: one problem-keyed count aggregate (map-combinable),
+    * a |ks|-way row explode of the problem-sized frame, and a |ks|-row
+    * rollup. Output: (k, n_problems, pass_at_k), ordered by k. */
+  def passAtK(samples: DataFrame, ks: Seq[Int] = Seq(1, 5, 10),
+      problemCol: String = "problem_id",
+      correctCol: String = "correct"): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be positive, got $ks")
+    require(ks.distinct == ks, s"ks must be distinct, got $ks")
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val per = samples
+      .groupBy(col(problemCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(correctCol), 1L).otherwise(0L)).as("c"))
+    per.select(col("n"), col("c"),
+        explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
+      .filter(col("n") >= col("k"))
+      .withColumn("pass",
+        when(col("n") - col("c") < col("k"), lit(1.0))
+          .otherwise(r6(lit(1.0) - aggregate(
+            sequence(lit(0L), col("k") - lit(1L)),
+            lit(1.0),
+            (acc, i) => acc * (col("n") - col("c") - i) / (col("n") - i)))))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_problems"), r6(avg(col("pass"))).as("pass_at_k"))
+      .orderBy("k")
+  }
 }

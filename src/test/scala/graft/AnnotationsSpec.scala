@@ -290,6 +290,35 @@ class AnnotationsSpec extends SparkSpec {
     assert(a.getAs[Long]("n_items") == 1L && a.getAs[Long]("n_votes") == 2L, s"got $a")
   }
 
+  test("bradleyTerry: two hand-computed MM rounds, mean-1 normalization") {
+    // A beats B 2-1; A beats C; C beats B. Round 1 from flat theta:
+    // den_A = 3/2 + 1/2 = 2 -> 1.5; B -> 0.5; C -> 1.0 (mean already 1).
+    // Round 2: den_A = 3/2 + 1/2.5 = 1.9, den_B = 3/2 + 1/1.5,
+    // den_C = 1/2.5 + 1/1.5; normalized thetas pinned from a python
+    // mirror of the same canon steps.
+    val comps = Seq(("A", "B", "A"), ("A", "B", "A"), ("A", "B", "B"),
+      ("A", "C", "A"), ("C", "B", "C")).toDF("a", "b", "winner")
+    val out = Annotations.bradleyTerry(comps).collect()
+      .map(r => (r.getAs[String]("item"), r.getAs[Long]("wins"),
+        r.getAs[Long]("n_comps"), r.getAs[Double]("theta")))
+    assert(out.toSeq == Seq(("A", 3L, 4L, 1.590619), ("C", 1L, 2L, 0.94443),
+      ("B", 1L, 4L, 0.46495)), s"got ${out.toSeq}")
+  }
+
+  test("bradleyTerry: all-loser hits theta 0; bad winner raises; self-pairs drop") {
+    val comps = Seq(("A", "B", "A"), ("A", "C", "A"), ("B", "C", "C"),
+      ("A", "A", "A")).toDF("a", "b", "winner")
+    val out = Annotations.bradleyTerry(comps).collect()
+      .map(r => r.getAs[String]("item") ->
+        ((r.getAs[Long]("wins"), r.getAs[Double]("theta")))).toMap
+    assert(out("B") == ((0L, 0.0)), s"got ${out("B")}")
+    assert(out("A")._1 == 2L && out("A")._2 > out("C")._2, s"got $out")
+    // the self-pair contributed nothing: A has 2 wins from 2 real games
+    val bad = Seq(("A", "B", "Z")).toDF("a", "b", "winner")
+    val e = intercept[Exception](Annotations.bradleyTerry(bad).collect())
+    assert(e.getMessage != null)
+  }
+
   test("majority vote is deterministic under re-evaluation and input order") {
     val shuffled = votes.orderBy(org.apache.spark.sql.functions.rand(7))
     val a = Annotations.majorityVote(votes).orderBy("doc_id")

@@ -92,4 +92,22 @@ class IrEvalSpec extends SparkSpec {
     intercept[IllegalArgumentException](IrEval.bootstrapCiMean(pq, "m", b = 0))
     intercept[IllegalArgumentException](IrEval.bootstrapCiMean(pq, "m", level = 1.0))
   }
+
+  test("passAtK: hand-computed unbiased estimator, short-circuits, n<k exclusion") {
+    // p1: n=5 c=2; p2: n=4 c=0; p3: n=3 c=3; p4: n=2 c=1
+    val samples = (Seq.fill(2)((1L, true)) ++ Seq.fill(3)((1L, false)) ++
+      Seq.fill(4)((2L, false)) ++ Seq.fill(3)((3L, true)) ++
+      Seq((4L, true), (4L, false))).toDF("problem_id", "correct")
+    val out = IrEval.passAtK(samples, ks = Seq(1, 2, 5)).collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("n_problems"), r.getAs[Double]("pass_at_k")))).toMap
+    // k=1: (0.4 + 0 + 1 + 0.5)/4; p3 short-circuits (n-c=0 < 1)
+    assert(out(1L) == ((4L, 0.475)), s"got ${out(1L)}")
+    // k=2: p1 1-(3/5)(2/4)=0.7, p2 0, p3/p4 short-circuit to 1.0
+    assert(out(2L) == ((4L, 0.675)), s"got ${out(2L)}")
+    // k=5: only p1 has n >= 5, and n-c=3 < 5 -> 1.0
+    assert(out(5L) == ((1L, 1.0)), s"got ${out(5L)}")
+    intercept[IllegalArgumentException](IrEval.passAtK(samples, ks = Seq(0)))
+    intercept[IllegalArgumentException](IrEval.passAtK(samples, ks = Seq(2, 2)))
+  }
 }
