@@ -4485,6 +4485,22 @@ object SparkEntry {
   private def bradleyTerryDocs(s: SparkSession, dir: String): DataFrame =
     ext.Annotations.bradleyTerry(sourceBattles(s, dir))
 
+  /** Snapshot delta report ([[graft.ext.SnapshotDiff.diffSummary]]):
+    * "v2" of the documents corpus drops every 17th doc, revises the
+    * text of every 13th, and re-ingests every 19th under a new id —
+    * the per-(lang, status) counts an operator reads before firing the
+    * incremental downstream jobs. */
+  private def snapshotDiffDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+    val cur = base.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [v2]")))
+          .otherwise(col("text")))
+      .unionByName(base.filter(col("doc_id") % 19 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    ext.SnapshotDiff.diffSummary(base, cur, "doc_id", Seq("text"), Seq("lang"))
+  }
+
   private def krippendorffSql: String =
     s"""WITH $annotatorVotesSqlCte,
        |vk AS (SELECT doc_id, label FROM v
@@ -6866,6 +6882,7 @@ object SparkEntry {
     "q_krippendorff_interval_docs" -> krippendorffIntervalDocs,
     "q_pass_at_k_docs" -> passAtKDocs,
     "q_bradley_terry_docs" -> bradleyTerryDocs,
+    "q_snapshot_diff_docs" -> snapshotDiffDocs,
     "q_rouge_pairs_docs" -> rougePairsDocs,
     "q_rouge2_pairs_docs" -> rouge2PairsDocs,
     "q_chrf_pairs_docs" -> chrfPairsDocs,
@@ -7180,6 +7197,26 @@ object SparkEntry {
     "q_krippendorff_interval_docs" -> krippendorffIntervalSql,
     "q_pass_at_k_docs" -> passAtKSql,
     "q_bradley_terry_docs" -> bradleyTerrySql,
+    "q_snapshot_diff_docs" ->
+      raw"""WITH prev AS (SELECT doc_id, text, lang FROM documents),
+         |cur AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN text || ' [v2]' ELSE text END AS text,
+         |    lang
+         |  FROM documents WHERE doc_id % 17 <> 0
+         |  UNION ALL SELECT doc_id + 1000000, text, lang FROM documents
+         |  WHERE doc_id % 19 = 0),
+         |fp AS (SELECT p.doc_id AS pid, c.doc_id AS cid,
+         |    md5(coalesce(p.text, chr(2))) AS fpp,
+         |    md5(coalesce(c.text, chr(2))) AS fpc,
+         |    coalesce(c.lang, p.lang) AS lang
+         |  FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
+         |SELECT lang,
+         |  CASE WHEN pid IS NULL THEN 'added'
+         |       WHEN cid IS NULL THEN 'removed'
+         |       WHEN fpp <> fpc THEN 'changed'
+         |       ELSE 'unchanged' END AS status,
+         |  count(*)::BIGINT AS n_docs
+         |FROM fp GROUP BY 1, 2 ORDER BY lang, status""".stripMargin,
     "q_rouge_pairs_docs" -> rougePairsSql,
     "q_rouge2_pairs_docs" -> rouge2PairsSql,
     "q_chrf_pairs_docs" -> chrfPairsSql,
