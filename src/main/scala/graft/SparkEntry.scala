@@ -4485,6 +4485,19 @@ object SparkEntry {
   private def bradleyTerryDocs(s: SparkSession, dir: String): DataFrame =
     ext.Annotations.bradleyTerry(sourceBattles(s, dir))
 
+  /** ROC AUC of a deterministic quality signal vs a deterministic
+    * label with planted noise ([[graft.ext.Classifier.rocAuc]]): score
+    * = n_chars mod 100 (heavy TIES — the half-credit path), label =
+    * score >= 50 XOR'd with a doc_id stripe, so separation is strong
+    * but imperfect. */
+  private def rocAucDocs(s: SparkSession, dir: String): DataFrame =
+    ext.Classifier.rocAuc(
+      Tables.documents(s, dir).filter(col("n_chars").isNotNull)
+        .select(col("doc_id"),
+          (col("n_chars") % 100).cast("double").as("score"),
+          ((col("n_chars") % 100 >= 50) =!= (col("doc_id") % 7 === 0)).as("y")),
+      "y", "score", "doc_id")
+
   /** Snapshot delta report ([[graft.ext.SnapshotDiff.diffSummary]]):
     * "v2" of the documents corpus drops every 17th doc, revises the
     * text of every 13th, and re-ingests every 19th under a new id —
@@ -6883,6 +6896,7 @@ object SparkEntry {
     "q_pass_at_k_docs" -> passAtKDocs,
     "q_bradley_terry_docs" -> bradleyTerryDocs,
     "q_snapshot_diff_docs" -> snapshotDiffDocs,
+    "q_roc_auc_docs" -> rocAucDocs,
     "q_rouge_pairs_docs" -> rougePairsDocs,
     "q_rouge2_pairs_docs" -> rouge2PairsDocs,
     "q_chrf_pairs_docs" -> chrfPairsDocs,
@@ -7197,6 +7211,22 @@ object SparkEntry {
     "q_krippendorff_interval_docs" -> krippendorffIntervalSql,
     "q_pass_at_k_docs" -> passAtKSql,
     "q_bradley_terry_docs" -> bradleyTerrySql,
+    "q_roc_auc_docs" ->
+      raw"""WITH s AS (SELECT doc_id, (n_chars % 100)::DOUBLE AS sc,
+         |    ((n_chars % 100 >= 50) <> (doc_id % 7 = 0)) AS y
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |r AS (SELECT sc, y, row_number() OVER (ORDER BY sc, doc_id) AS rn FROM s),
+         |t AS (SELECT sc, avg(rn) AS rbar FROM r GROUP BY 1),
+         |a AS (SELECT sum(CASE WHEN y THEN rbar END) AS rsum,
+         |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+         |    sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS n_neg
+         |  FROM r JOIN t USING (sc))
+         |SELECT n_pos, n_neg,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |    THEN floor((rsum - n_pos * (n_pos + 1) / 2.0)
+         |      / (n_pos * n_neg) * 1e6 + 0.5) / 1e6
+         |  END AS auc
+         |FROM a""".stripMargin,
     "q_snapshot_diff_docs" ->
       raw"""WITH prev AS (SELECT doc_id, text, lang FROM documents),
          |cur AS (SELECT doc_id,

@@ -151,6 +151,43 @@ object Classifier {
     * engine-reproducible; κ is null when p_e = 1 (both sides constant
     * and identical — agreement is vacuous, 0/0). One id-keyed join +
     * category-keyed aggregates; categories are model-sized. */
+  /** ROC AUC by the Mann–Whitney rank identity — the ranking-quality
+    * number the per-class P/R/F and calibration read-outs don't give:
+    * AUC = P(score(random positive) > score(random negative)), ties at
+    * half credit, which equals
+    *
+    *   AUC = (Σ_{positives} r̄ − P(P+1)/2) / (P·N)
+    *
+    * with r̄ the TIE-AVERAGED global rank. Distributed shape: ranks come
+    * from [[Sampling.globalOrdinal]] (the TeraSort-style two-phase rank —
+    * no corpus-sized single-partition window anywhere), and the tie
+    * average is one score-keyed aggregate: within a score group the
+    * ordinals are consecutive, so avg(ordinal) IS the average tie rank.
+    * Exactness: average ranks are half-integers and their positive-side
+    * sum is exact in doubles, so the single canonized division is
+    * hash-stable against the oracle (which replays the rank arithmetic
+    * with a plain window — oracle-side cost, not engine-side). Null
+    * scores/labels are dropped; AUC is null when either class is empty.
+    * Output: one row (n_pos, n_neg, auc). */
+  def rocAuc(scored: DataFrame, labelCol: String, scoreCol: String,
+      idCol: String): DataFrame = {
+    val base = scored
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")) &&
+        col(labelCol).isNotNull)
+      .select(col(idCol), col(scoreCol).cast("double").as("__auc_s"),
+        col(labelCol).cast("boolean").as("__y"))
+    val ranked = Sampling.globalOrdinal(base, "__auc_s", idCol)
+    val tieAvg = ranked.groupBy(col("__auc_s")).agg(avg(col("ordinal")).as("rbar"))
+    val agg = ranked.join(tieAvg, Seq("__auc_s"))
+      .agg(sum(when(col("__y"), col("rbar"))).as("rsum"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("n_neg"))
+    agg.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        quantC((col("rsum") - col("n_pos") * (col("n_pos") + lit(1L)) / lit(2.0))
+          / (col("n_pos") * col("n_neg")))).as("auc"))
+  }
+
   def agreementKappa(a: DataFrame, b: DataFrame,
       idCol: String = "doc_id", labelCol: String = "label"): DataFrame = {
     val pair = a.select(col(idCol).as("doc_id"), col(labelCol).as("la"))

@@ -117,4 +117,27 @@ class ClassifierSpec extends SparkSpec {
       .collect().map(_.getAs[String]("cls")).toSeq
     assert(order == Seq("a", "b", "c", "d"))
   }
+
+  test("rocAuc: perfect separation, tie half-credit, reversal, empty class") {
+    import spark.implicits._
+    def auc(rows: Seq[(Long, Double, Boolean)]): Option[Double] = {
+      val r = Classifier.rocAuc(rows.toDF("id", "s", "y"), "y", "s", "id").collect()(0)
+      Option(r.getAs[java.lang.Double]("auc")).map(_.doubleValue)
+    }
+    // positives strictly above negatives
+    assert(auc(Seq((1L, 3.0, true), (2L, 4.0, true),
+      (3L, 1.0, false), (4L, 2.0, false))) == Some(1.0))
+    // tie at score 2: pair credit (0.5 + 1 + 0 + 1)/4 = 0.625
+    assert(auc(Seq((1L, 2.0, true), (2L, 1.0, true),
+      (3L, 2.0, false), (4L, 0.0, false))) == Some(0.625))
+    // reversed scores: 0.0
+    assert(auc(Seq((1L, 1.0, true), (2L, 2.0, false))) == Some(0.0))
+    // single-class input: undefined
+    assert(auc(Seq((1L, 1.0, true), (2L, 2.0, true))) == None)
+    // null score rows are dropped, not counted in either class
+    val withNull = Seq((1L, Option(3.0), true), (2L, Option.empty[Double], true),
+      (3L, Option(1.0), false)).toDF("id", "s", "y")
+    val r = Classifier.rocAuc(withNull, "y", "s", "id").collect()(0)
+    assert(r.getAs[Long]("n_pos") == 1L && r.getAs[Double]("auc") == 1.0)
+  }
 }

@@ -46,6 +46,8 @@ class PlanLintSpec extends SparkSpec {
     // histogram binning: the 1-row min/max bounds aggregate broadcasts
     // into the binning projection — the globalOrdinal / q_zipf class
     "q_plot_histogram_events",
+    // ROC AUC rides globalOrdinal's 1-row bounds broadcast
+    "q_roc_auc_docs",
     // quantile read: the non-equi rank-vs-cumulative join broadcasts the
     // ≤16·60-row bucket table (and, in the exact exhibit leg, the
     // distinct-value cum table — value-cardinality-sized, bounded by max
@@ -143,7 +145,9 @@ class PlanLintSpec extends SparkSpec {
     // epoch-batched mining's batch cut rides the same globalOrdinal
     // offset window (≤nBuckets rows; the data window stays
     // bucket-partitioned) — round 10
-    "q_epoch_negatives_embeddings")
+    "q_epoch_negatives_embeddings",
+    // ROC AUC ranks via globalOrdinal: same ≤nBuckets-row offset window
+    "q_roc_auc_docs")
 
   test("no unlisted cartesian / nested-loop / unpartitioned-window in any driver query plan") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists())
