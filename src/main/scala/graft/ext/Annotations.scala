@@ -504,11 +504,13 @@ object Annotations {
     * 1e-6-canonizes θ, and the frame is [[graft.core.Ckpt.pin]]ned to
     * cut the unrolled-plan lineage.
     *
-    * Scale shape per round: two item-keyed joins of the directed-pair
-    * frame against the θ table (model-sized — teams/models/policies),
-    * one keyed aggregate, one 1-row mean broadcast. Nothing corpus²;
-    * the comparison corpus itself is touched ONCE up front for the
-    * pair/win counts (map-combinable aggregates).
+    * Scale shape per round: two item-keyed joins of the PINNED
+    * directed-pair aggregate against the θ table (model-sized —
+    * teams/models/policies), one keyed aggregate, one 1-row mean
+    * broadcast. Nothing corpus²; the comparison corpus itself is
+    * touched ONCE up front — the directed-pair frame is Ckpt.pinned
+    * before the MM loop, so extra rounds are pair-frame-sized work
+    * (≤ items², usually far less), never corpus re-scans.
     *
     * Contract: a winner that matches neither side raises per row (the
     * weightedKeep loud-failure convention); self-pairs and null sides
@@ -530,9 +532,13 @@ object Annotations {
           .otherwise(raise_error(concat(
             lit("bradleyTerry: winner matches neither side: "),
             col(winnerCol).cast("string")))).as("w"))
-    val dir = comp.select(col("a").as("i"), col("b").as("j"))
-      .unionByName(comp.select(col("b").as("i"), col("a").as("j")))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("nij"))
+    // pin the directed-pair aggregate ONCE: every MM round's denominator
+    // joins against it, and without the pin each round's plan re-derived
+    // it from the raw comparisons (a full corpus re-scan per round)
+    val dir = graft.core.Ckpt.pin(
+      comp.select(col("a").as("i"), col("b").as("j"))
+        .unionByName(comp.select(col("b").as("i"), col("a").as("j")))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("nij")))
     val wins = comp.groupBy(col("w").as("i")).agg(count(lit(1)).as("wins"))
     val items = graft.core.Ckpt.pin(dir
       .groupBy(col("i")).agg(sum(col("nij")).as("n_comps"))

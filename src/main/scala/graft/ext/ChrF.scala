@@ -48,9 +48,12 @@ object ChrF {
 
   private def quantD(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
-  /** Lowercase, strip ALL whitespace, return code points. */
+  /** Lowercase (Locale.ROOT — Spark's `lower()` and DuckDB's `lower()`
+    * are locale-independent, so a Turkish/Azeri default JVM locale must
+    * not fold 'I' to dotless 'ı' here), strip ALL whitespace, return
+    * code points. */
   private[graft] def stripChars(s: String): Array[Int] =
-    s.toLowerCase.replaceAll("\\s+", "").codePoints().toArray
+    s.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", "").codePoints().toArray
 
   /** Per-order (candGrams, refGrams, hit) for n = 1..maxN. */
   private[graft] def orderStats(c: Array[Int], r: Array[Int], maxN: Int)

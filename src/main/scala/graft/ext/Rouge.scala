@@ -59,7 +59,8 @@ object Rouge {
   }
 
   private def tokens(s: String): Array[String] =
-    s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    // Locale.ROOT: match Spark/DuckDB lower() under any default JVM locale
+    s.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
 
   /** ROUGE-N (Lin 2004 §2): clipped n-gram RECALL between paired texts —
     * the recall-side mirror of [[Bleu]]'s clipped n-gram precision,

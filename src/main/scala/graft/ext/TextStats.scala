@@ -901,7 +901,7 @@ object TextStats {
     import spark.implicits._
     // normalize the LIST the same way as the corpus tokens — a published
     // badwords file with entries like "bad!" or " bad" must still match
-    val norm = words.map(_.trim.toLowerCase
+    val norm = words.map(_.trim.toLowerCase(java.util.Locale.ROOT)
       .replaceAll("^[^a-z0-9]+|[^a-z0-9]+$", "")).filter(_.nonEmpty).distinct
     require(norm.nonEmpty, "blocklist is empty after normalization")
     val wl = norm.toDF("__w")
@@ -940,7 +940,7 @@ object TextStats {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val norm = phrases
-      .map(_.trim.toLowerCase.split("\\s+").toSeq
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
         .map(_.replaceAll("^[^a-z0-9]+|[^a-z0-9]+$", "")).filter(_.nonEmpty))
       .filter(_.nonEmpty).map(_.mkString(" ")).distinct
     require(norm.nonEmpty, "blocklist is empty after normalization")
@@ -1225,7 +1225,7 @@ object TextStats {
       blockedDomains: Seq[String],
       textCol: String = "text"): DataFrame = {
     require(blockedDomains.nonEmpty, "empty blocklist: nothing to drop")
-    val blocked = blockedDomains.map(_.toLowerCase)
+    val blocked = blockedDomains.map(_.toLowerCase(java.util.Locale.ROOT))
     val hosts = transform(regexp_extract_all(col(textCol), lit(urlPattern), lit(0)),
       u => domainOfUrl(u))
     val hit = exists(hosts, h =>

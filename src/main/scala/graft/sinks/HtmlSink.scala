@@ -57,7 +57,10 @@ object HtmlSink {
   def saveTable(df: DataFrame, pathNoExt: String, limit: Int = 1000): Unit = {
     val f = new java.io.File(pathNoExt + ".html")
     Option(f.getParentFile).foreach(_.mkdirs())
-    val w = new java.io.FileWriter(f)
-    try w.write(toHtmlTable(df, limit)) finally w.close()
+    // explicit UTF-8: the page declares <meta charset="utf-8">, so the
+    // bytes must be UTF-8 regardless of the JVM's default charset
+    java.nio.file.Files.write(f.toPath,
+      toHtmlTable(df, limit).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
   }
 }

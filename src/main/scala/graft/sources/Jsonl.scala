@@ -29,7 +29,7 @@ object Jsonl {
       mode: String = "PERMISSIVE",
       corruptCol: String = "_corrupt_record"): DataFrame = {
     val allowed = Set("PERMISSIVE", "DROPMALFORMED", "FAILFAST")
-    require(allowed.contains(mode.toUpperCase),
+    require(allowed.contains(mode.toUpperCase(java.util.Locale.ROOT)),
       s"mode must be one of $allowed, got '$mode'")
     val withCorrupt =
       if (mode.equalsIgnoreCase("PERMISSIVE") && !schema.fieldNames.contains(corruptCol))
@@ -37,7 +37,7 @@ object Jsonl {
       else schema
     spark.read
       .schema(withCorrupt)
-      .option("mode", mode.toUpperCase)
+      .option("mode", mode.toUpperCase(java.util.Locale.ROOT))
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
   }
