@@ -1251,13 +1251,117 @@ object SparkEntry {
        |floor((0.5 * (n * ln(2 * pi()) + e_acc)) * 1e6 + 0.5) / 1e6 AS egarch_nll0
        |FROM r ORDER BY feature, group_key""".stripMargin
 
+  /** K11 isolation forest, PROMOTED to a hard oracle in round 13 via the
+    * RNG-injection seam ([[graft.ops.Outliers.iforestDepthsCore]]): the
+    * production tree recursion runs with keyed integer-mix draws instead
+    * of a seeded `Random`, so DuckDB replays the ENTIRE forest — the
+    * cross-tree Fisher–Yates swap chain, every split (node-keyed affine
+    * mix in [min, max)), the leaf path-length adjustments c(m), the
+    * per-point depth average, the -2^(-d/c(ψ)) score, and the
+    * np.percentile contamination offset. The seeded sklearn-parity path
+    * keeps its property specs (PropertySpec) and the facade keeps
+    * running it; THIS query pins the algorithm's structure each round. */
   private def outliersIforestEvents(s: SparkSession, dir: String): DataFrame = {
     val melted = Panel.melt(eventsDailyPanel(s, dir), "date", Seq("group_key"), Seq("value"))
-    Outliers.outlierSummary(melted, "isolation_forest")
+    Outliers.outlierSummary(melted, "isolation_forest_replay")
       .select(col("group_key"), col("feature"), col("method"), col("n"),
         col("n_outliers"), round6("outlier_rate"),
         round6("avg_outlier_score"), round6("max_outlier_score"), round6("min_outlier_score"))
   }
+
+  /** DuckDB mirror of the replayable forest. The swap chain is ONE
+    * recursive CTE threading the pool list across all 4·ψ steps (the
+    * engine's pool carries across trees); trees are a recursive CTE that
+    * expands (node, vals, interval) rows two children at a time — a
+    * point's leaf is the unique leaf whose [lo, hi) interval contains it,
+    * which is exactly the closure recursion's comparison path since 1-D
+    * splits nest. Per-point depth sums fold in tree order (list_reduce)
+    * to mirror the engine's t-ascending accumulation. */
+  private def iforestSql: String =
+    s"""WITH RECURSIVE panel AS ($evPanelSql),
+       |ser AS (SELECT group_key, list(value ORDER BY date, value) AS ys, count(*) AS n
+       |  FROM panel WHERE value IS NOT NULL AND NOT isnan(value)
+       |  GROUP BY 1 HAVING count(*) >= 10),
+       |par AS (SELECT group_key, ys, n, least(16, n) AS psi,
+       |  CAST(ceil(ln(least(16, n)) / ln(2)) AS INTEGER) AS hlim FROM ser),
+       |fy(group_key, step, pool) AS (
+       |  SELECT group_key, 0, ys FROM par
+       |  UNION ALL
+       |  SELECT f.group_key, f.step + 1,
+       |    list_transform(range(1, p.n + 1), i ->
+       |      CASE WHEN i = (f.step % p.psi) + 1 THEN f.pool[CAST(
+       |             (f.step % p.psi) + 1 +
+       |             ((((f.step % p.psi) + 1)::BIGINT * (2*(f.step // p.psi) + 5) + (11*(f.step // p.psi) + 3))
+       |               % 1000000007) % (p.n - (f.step % p.psi)) AS INTEGER)]
+       |           WHEN i = (f.step % p.psi) + 1 +
+       |             CAST(((((f.step % p.psi) + 1)::BIGINT * (2*(f.step // p.psi) + 5) + (11*(f.step // p.psi) + 3))
+       |               % 1000000007) % (p.n - (f.step % p.psi)) AS INTEGER)
+       |             THEN f.pool[(f.step % p.psi) + 1]
+       |           ELSE f.pool[i] END)
+       |  FROM fy f JOIN par p USING (group_key)
+       |  WHERE f.step < 4 * p.psi),
+       |samples AS (
+       |  SELECT f.group_key, (f.step // p.psi) - 1 AS t, f.pool[1:p.psi] AS sample
+       |  FROM fy f JOIN par p USING (group_key)
+       |  WHERE f.step > 0 AND f.step % p.psi = 0),
+       |nodes(group_key, t, id, depth, vals, lo, hi) AS (
+       |  SELECT group_key, t, 1::BIGINT, 0, sample,
+       |    '-infinity'::DOUBLE, 'infinity'::DOUBLE FROM samples
+       |  UNION ALL
+       |  SELECT q.group_key, q.t, u.c.id, q.depth + 1, u.c.vals, u.c.lo, u.c.hi
+       |  FROM (
+       |    SELECT nd.group_key, nd.t, nd.id, nd.depth, nd.vals, nd.lo, nd.hi, p.hlim,
+       |      list_aggregate(nd.vals, 'min') AS mn, list_aggregate(nd.vals, 'max') AS mx,
+       |      list_aggregate(nd.vals, 'min') +
+       |        (((nd.id * (2*nd.t + 3) + (7*nd.t + 1)) % 1000000007) % 1000000000) / 1e9
+       |        * (list_aggregate(nd.vals, 'max') - list_aggregate(nd.vals, 'min')) AS sp
+       |    FROM nodes nd JOIN par p USING (group_key)
+       |    WHERE len(nd.vals) > 1 AND nd.depth < p.hlim
+       |  ) q, UNNEST([
+       |    {'id': 2*q.id,     'vals': list_filter(q.vals, v -> v < q.sp),  'lo': q.lo, 'hi': least(q.hi, q.sp)},
+       |    {'id': 2*q.id + 1, 'vals': list_filter(q.vals, v -> v >= q.sp), 'lo': greatest(q.lo, q.sp), 'hi': q.hi}
+       |  ]) AS u(c)
+       |  WHERE q.mn < q.mx),
+       |leaves AS (
+       |  SELECT nd.group_key, nd.t, nd.lo, nd.hi,
+       |    nd.depth + CASE WHEN len(nd.vals) <= 1 THEN 0.0
+       |      ELSE 2.0 * (ln(len(nd.vals) - 1.0) + 0.5772156649015329)
+       |           - 2.0 * (len(nd.vals) - 1.0) / len(nd.vals) END AS adj
+       |  FROM nodes nd JOIN par p USING (group_key)
+       |  WHERE len(nd.vals) <= 1 OR nd.depth >= p.hlim
+       |     OR list_aggregate(nd.vals, 'min') = list_aggregate(nd.vals, 'max')),
+       |pts AS (SELECT group_key, generate_subscripts(ys, 1) AS rid, unnest(ys) AS v FROM par),
+       |dep AS (
+       |  SELECT p2.group_key, p2.rid, p2.v,
+       |    floor((list_reduce(list_prepend(0.0::DOUBLE, list(l.adj ORDER BY l.t)), (a, b) -> a + b)
+       |      / 4.0) * 1e6 + 0.5) / 1e6 AS dq
+       |  FROM pts p2 JOIN leaves l
+       |    ON p2.group_key = l.group_key AND p2.v >= l.lo AND p2.v < l.hi
+       |  GROUP BY 1, 2, 3),
+       |cfp AS (SELECT group_key, psi,
+       |  2.0 * (ln(psi - 1.0) + 0.5772156649015329) - 2.0 * (psi - 1.0) / psi AS cpsi
+       |  FROM par),
+       |sc AS (
+       |  SELECT d.group_key, d.rid,
+       |    floor((-pow(2.0, -d.dq / c.cpsi)) * 1e6 + 0.5) / 1e6 AS sq
+       |  FROM dep d JOIN cfp c USING (group_key)),
+       |sr AS (SELECT group_key, sq, row_number() OVER (PARTITION BY group_key ORDER BY sq) AS rn,
+       |  count(*) OVER (PARTITION BY group_key) AS n FROM sc),
+       |th AS (SELECT group_key,
+       |  max(CASE WHEN rn = CAST(floor(0.1 * (n - 1)) AS BIGINT) + 1 THEN sq END) AS lo_v,
+       |  max(CASE WHEN rn = least(CAST(floor(0.1 * (n - 1)) AS BIGINT) + 2, n) THEN sq END) AS hi_v,
+       |  max(0.1 * (n - 1) - floor(0.1 * (n - 1))) AS frac FROM sr GROUP BY 1),
+       |t2 AS (SELECT group_key, lo_v + frac * (hi_v - lo_v) AS offs FROM th),
+       |dec AS (SELECT s2.group_key, s2.sq - t2.offs AS d FROM sc s2 JOIN t2 USING (group_key))
+       |SELECT group_key, 'value' AS feature, 'isolation_forest_replay' AS method,
+       |count(*) AS n,
+       |count(CASE WHEN d < 0 THEN 1 END) AS n_outliers,
+       |floor((count(CASE WHEN d < 0 THEN 1 END)::DOUBLE / count(*)) * 1e6 + 0.5) / 1e6 AS outlier_rate,
+       |floor((coalesce(sum(CASE WHEN d < 0 THEN d END)
+       |  / nullif(count(CASE WHEN d < 0 THEN 1 END), 0), 0.0)) * 1e6 + 0.5) / 1e6 AS avg_outlier_score,
+       |floor((max(d)) * 1e6 + 0.5) / 1e6 AS max_outlier_score,
+       |floor((min(d)) * 1e6 + 0.5) / 1e6 AS min_outlier_score
+       |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def outliersLofEvents(s: SparkSession, dir: String): DataFrame = {
     val melted = Panel.melt(eventsDailyPanel(s, dir), "date", Seq("group_key"), Seq("value"))
@@ -3480,10 +3584,12 @@ object SparkEntry {
     * every analysis executes, each result lands as header'd CSV (S2),
     * and one table round-trips back through the CSV source (explicit
     * schema, single-pass) and out-and-back through ORC. Emits a
-    * per-table row-count manifest. Rows-only by contract: every kernel
-    * underneath is oracled by its own query; this row proves the
-    * user-facing wiring (façade → sinks → sources) works outside the
-    * specs. (At sf0.01 the `volatility` count is legitimately 0 — the
+    * per-table row-count manifest, hard-oracled by COMPOSITION
+    * ([[studyFacadeSql]]): every kernel underneath is value-oracled by
+    * its own query, and the manifest counts are pinned to the members'
+    * emission guards over the same panel — so this row proves the
+    * user-facing wiring (façade → sinks → sources) end to end.
+    * (At sf0.01 the `volatility` count is legitimately 0 — the
     * events panel has ~30 days per group, under GARCH's minLen=50
     * short-series guard.) */
   private def studyFacadeEvents(s: SparkSession, dir: String): DataFrame = {
@@ -3514,6 +3620,39 @@ object SparkEntry {
       core.Fs.rmTree(tmp)
     }
   }
+
+  /** Composition oracle for the façade manifest (r12 verdict task 4):
+    * every member analysis is oracled VALUE-level by its own query, so
+    * the façade's row-count manifest is fully determined by the panel's
+    * per-series lengths and each member's documented emission guard —
+    * ar1 needs ≥ 10 finite lag-pairs (n ≥ 11, Lags.ar1 minPairs),
+    * memory n ≥ 12 (Lags.memoryDependence minLen), frequency n ≥ 8,
+    * stationarity/outliers n ≥ 10, regimes n ≥ 20 (rows emit even when
+    * the fit degenerates — the catch emits a null row), volatility
+    * n ≥ 50, distribution any non-empty series, dispersion one row per
+    * panel date, the summary one row per feature with ≥ 1 stationarity
+    * row, and the CSV→ORC round-trip re-counts the memory table. A
+    * guard drifting in EITHER engine breaks this row. */
+  private def studyFacadeSql: String =
+    s"""WITH panel AS ($evPanelSql),
+       |g AS (SELECT group_key, count(*) AS n FROM panel
+       |  WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1)
+       |SELECT 'ar1' AS table_name,
+       |  (SELECT count(*) FROM g WHERE n >= 11) AS n_rows
+       |UNION ALL SELECT 'dispersion', (SELECT count(DISTINCT date) FROM panel)
+       |UNION ALL SELECT 'distribution', (SELECT count(*) FROM g)
+       |UNION ALL SELECT 'frequency', (SELECT count(*) FROM g WHERE n >= 8)
+       |UNION ALL SELECT 'memory', (SELECT count(*) FROM g WHERE n >= 12)
+       |UNION ALL SELECT 'memory_csv_orc_roundtrip',
+       |  (SELECT count(*) FROM g WHERE n >= 12)
+       |UNION ALL SELECT 'outliers', (SELECT count(*) FROM g WHERE n >= 10)
+       |UNION ALL SELECT 'regimes', (SELECT count(*) FROM g WHERE n >= 20)
+       |UNION ALL SELECT 'stationarity', (SELECT count(*) FROM g WHERE n >= 10)
+       |UNION ALL SELECT 'stationarity_summary',
+       |  (SELECT CAST(CASE WHEN EXISTS (SELECT 1 FROM g WHERE n >= 10)
+       |    THEN 1 ELSE 0 END AS BIGINT))
+       |UNION ALL SELECT 'volatility', (SELECT count(*) FROM g WHERE n >= 50)
+       |ORDER BY table_name""".stripMargin
 
   /** Int8 scalar quantization probe: per-vector scale + code stats over a
     * bounded id window — DuckDB replays the whole transform (max|v|/127
@@ -7175,6 +7314,7 @@ object SparkEntry {
     "q_neardup_components_docs" -> neardupComponentsSql,
     "q_neardup_keeping_docs" -> neardupKeepingSql,
     "q_multimodal_replay" -> multimodalReplaySql,
+    "q_study_facade_events" -> studyFacadeSql,
     "q_quantize_embeddings" -> quantizeEmbeddingsSql,
     "q_quantized_topk" -> quantizedTopkSql,
     "q_binary_topk" -> binaryTopkSql,
@@ -7314,6 +7454,7 @@ object SparkEntry {
     "q_quality_threshold_docs" -> qualityThresholdSql,
     "q_langid_docs" -> langidSql,
     "q_outliers_lof_events" -> lofSql,
+    "q_outliers_iforest_events" -> iforestSql,
     "q_fingerprint_rolling_docs" -> fingerprintRollingSql,
     "q_fingerprint_docs" -> fingerprintSql,
     "q_fingerprint_pairs_docs" -> fingerprintPairsSql,

@@ -23,53 +23,84 @@ object Outliers {
     if (n <= 1) 0.0
     else 2.0 * (math.log(n - 1.0) + 0.5772156649015329) - 2.0 * (n - 1.0) / n
 
-  /** Average isolation path length per point over `nTrees` random trees. */
-  private def iforestDepths(x: Array[Double], rng: Random, nTrees: Int, subsample: Int): Array[Double] = {
+  /** Average isolation path length per point over `nTrees` random trees.
+    *
+    * The two random draws are injected (the signature-injection seam that
+    * promoted the minhash/stream-dedup queries to hard oracles):
+    * `pickFn(tree, step, bound)` yields the Fisher–Yates swap offset and
+    * `splitFn(tree, nodeId)` the split fraction in [0, 1), where nodeId is
+    * heap numbering (root 1, children 2i / 2i+1). The production wrapper
+    * below feeds both from one shared `Random` in the exact historical
+    * call order (per tree: psi swap draws, then split draws in left-first
+    * DFS), so seeded outputs are bit-identical to the pre-refactor code;
+    * the replayable wrapper feeds order-free integer mixes that DuckDB
+    * replays node-for-node. */
+  private[graft] def iforestDepthsCore(
+      x: Array[Double], nTrees: Int, subsample: Int,
+      pickFn: (Int, Int, Int) => Int,
+      splitFn: (Int, Long) => Double): Array[Double] = {
     val n = x.length
     val psi = math.min(subsample, n)
     val hlim = math.ceil(math.log(psi.toDouble) / math.log(2.0)).toInt
     val depths = new Array[Double](n)
 
-    // one random tree on a subsample; returns a scorer via recursive closure
-    def buildScore(idx: Array[Int], depth: Int): Double => Double = {
-      if (idx.length <= 1 || depth >= hlim) {
-        val adj = depth + cFactor(idx.length)
-        _ => adj
-      } else {
-        var mn = Double.PositiveInfinity
-        var mx = Double.NegativeInfinity
-        idx.foreach { i => val v = x(i); if (v < mn) mn = v; if (v > mx) mx = v }
-        if (mn == mx) { val adj = depth + cFactor(idx.length); _ => adj }
-        else {
-          val split = mn + rng.nextDouble() * (mx - mn)
-          val left = idx.filter(x(_) < split)
-          val right = idx.filter(x(_) >= split)
-          val ls = buildScore(left, depth + 1)
-          val rs = buildScore(right, depth + 1)
-          v => if (v < split) ls(v) else rs(v)
-        }
-      }
-    }
-
     // subsample WITHOUT replacement (Liu et al. 2008): partial
-    // Fisher-Yates of the index range, first psi entries
+    // Fisher-Yates of the index range, first psi entries; the pool
+    // carries across trees (historical behavior, replayed by the oracle
+    // as one continuous swap chain)
     val idxPool = Array.tabulate(n)(identity)
     var t = 0
     while (t < nTrees) {
+      // one random tree on a subsample; returns a scorer via recursive closure
+      def buildScore(idx: Array[Int], depth: Int, id: Long): Double => Double = {
+        if (idx.length <= 1 || depth >= hlim) {
+          val adj = depth + cFactor(idx.length)
+          _ => adj
+        } else {
+          var mn = Double.PositiveInfinity
+          var mx = Double.NegativeInfinity
+          idx.foreach { i => val v = x(i); if (v < mn) mn = v; if (v > mx) mx = v }
+          if (mn == mx) { val adj = depth + cFactor(idx.length); _ => adj }
+          else {
+            val split = mn + splitFn(t, id) * (mx - mn)
+            val left = idx.filter(x(_) < split)
+            val right = idx.filter(x(_) >= split)
+            val ls = buildScore(left, depth + 1, 2 * id)
+            val rs = buildScore(right, depth + 1, 2 * id + 1)
+            v => if (v < split) ls(v) else rs(v)
+          }
+        }
+      }
       var s = 0
       while (s < psi) {
-        val j = s + rng.nextInt(n - s)
+        val j = s + pickFn(t, s, n - s)
         val tmp = idxPool(s); idxPool(s) = idxPool(j); idxPool(j) = tmp
         s += 1
       }
       val sample = java.util.Arrays.copyOfRange(idxPool, 0, psi)
-      val scorer = buildScore(sample, 0)
+      val scorer = buildScore(sample, 0, 1L)
       var i = 0
       while (i < n) { depths(i) += scorer(x(i)); i += 1 }
       t += 1
     }
     depths.map(_ / nTrees)
   }
+
+  private def iforestDepths(x: Array[Double], rng: Random, nTrees: Int, subsample: Int): Array[Double] =
+    iforestDepthsCore(x, nTrees, subsample,
+      (_, _, bound) => rng.nextInt(bound),
+      (_, _) => rng.nextDouble())
+
+  /** Order-free integer-mix draws for the replayable path: every value is
+    * a pure function of its key, so the oracle can reproduce any draw
+    * without tracking call order. Modular affine mixes in the engine's
+    * minhash convention (mod 1e9+7, fraction over 1e9) — exact in 64-bit
+    * integers on both engines. */
+  private[graft] def replayPick(t: Int, s: Int, bound: Int): Int =
+    ((((s + 1).toLong * (2L * t + 5L) + (11L * t + 3L)) % 1000000007L) % bound).toInt
+
+  private[graft] def replaySplit(t: Int, id: Long): Double =
+    (((id * (2L * t + 3L) + (7L * t + 1L)) % 1000000007L) % 1000000000L) / 1e9
 
   /** (labels ∈ {−1,1}, scores) — higher score = more anomalous is inverted
     * to sklearn's convention where LOWER decision value = more anomalous. */
@@ -84,6 +115,31 @@ object Outliers {
     val depths = iforestDepths(x, new Random(seed), nTrees, psi)
     // score_samples = -2^(-E[h]/c(psi)); decision = score_samples - offset
     val scoreSamples = depths.map(d => -math.pow(2.0, -d / cFactor(psi)))
+    val offset = quantile(scoreSamples, contamination)
+    val decision = scoreSamples.map(_ - offset)
+    (decision.map(d => if (d < 0) -1 else 1), decision)
+  }
+
+  /** Replayable isolation forest: the production tree recursion
+    * ([[iforestDepthsCore]]) driven by the keyed integer-mix draws, with
+    * avg depth and score 1e-6-canonized BEFORE the contamination cut so
+    * the threshold comparison happens between grid values both engines
+    * compute bit-identically (only ln/pow sit outside exact arithmetic,
+    * the accepted BM25-class parity risk). Small default hyperparameters
+    * keep the node count oracle-replayable; the algorithm — partial
+    * Fisher–Yates subsampling, uniform splits in [min, max), path-length
+    * scoring with the c(ψ) normalizer, np.percentile offset — is the
+    * production path, structure-for-structure. */
+  def isolationForestReplayable(
+      x: Array[Double],
+      contamination: Double = 0.1,
+      nTrees: Int = 4,
+      subsample: Int = 16): (Array[Int], Array[Double]) = {
+    val psi = math.min(subsample, x.length)
+    def q6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val depths = iforestDepthsCore(x, nTrees, psi, replayPick, replaySplit).map(q6)
+    val c = cFactor(psi)
+    val scoreSamples = depths.map(d => q6(-math.pow(2.0, -d / c)))
     val offset = quantile(scoreSamples, contamination)
     val decision = scoreSamples.map(_ - offset)
     (decision.map(d => if (d < 0) -1 else 1), decision)
@@ -197,6 +253,8 @@ object Outliers {
           val (labels, scores) = method match {
             case "isolation_forest" =>
               isolationForest(x, contamination, seed = (g + "|" + f).hashCode.toLong ^ 42L)
+            case "isolation_forest_replay" =>
+              isolationForestReplayable(x, contamination)
             case "local_outlier_factor" =>
               localOutlierFactor(x, math.min(20, x.length / 2), contamination)
             case "zscore" => zscore(x)
