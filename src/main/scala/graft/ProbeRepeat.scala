@@ -27,7 +27,7 @@ object ProbeRepeat {
     spark.sparkContext.setLogLevel("WARN")
     val targets = if (args.nonEmpty) args.toSeq else Seq(
       "q_repetition_docs", "q_rolling_corr_lineitem", "q_rollup_docs",
-      "q_regimes_events", "q_rrf_hybrid_docs")
+      "q_regimes_em2_events", "q_rrf_hybrid_docs") // regimes target tracks the r13 query rename
 
     // the driver bench's warm pass, verbatim shape
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>

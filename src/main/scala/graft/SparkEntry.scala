@@ -1113,14 +1113,117 @@ object SparkEntry {
 
   // ---- K9/K10/K11: regime, volatility, outlier kernels (no SQL oracle) ----
 
-  private def regimesEvents(s: SparkSession, dir: String): DataFrame = {
+  /** K9 EM trajectory (round-13 replacement for the no_oracle full-fit
+    * smoke): [[graft.ops.Regimes.emTrace]] — two complete EM rounds
+    * (Hamilton filter → Kim smoother → closed-form M-step) from the
+    * filterCores pinned start, every round's llf and post-M parameters
+    * hard-oracled. Together with q_regimes_core_events (the filter
+    * recursion alone) this pins the ENTIRE iterative machinery of the
+    * production fit; the fit's data-dependent optimum stays pinned by
+    * AdvancedSpec's golden runs, and the facade's `regimes` table keeps
+    * exercising the full regimeDetection surface each round. */
+  private def regimesEm2Events(s: SparkSession, dir: String): DataFrame = {
     val melted = Panel.melt(eventsDailyPanel(s, dir), "date", Seq("group_key"), Seq("value"))
-    Regimes.regimeDetection(melted)
-      .select(col("group_key"), col("feature"),
-        round6("regime_1_prob"), round6("regime_2_prob"),
-        col("regime_switches"), col("regime_switches_true"),
-        round6("log_likelihood"), round6("aic"), round6("bic"),
-        round6("p00"), round6("p11"))
+    Regimes.emTrace(melted, rounds = 2)
+  }
+
+  /** DuckDB mirror of the 2-round EM trajectory: per round, the forward
+    * filter is a recursive CTE over t (single-state f0 with both
+    * predicted components kept), the Kim smoother a second recursive CTE
+    * walking t backwards, and the M-step ordered list_reduce folds so
+    * every sum associates exactly like the engine's loops. Parameters
+    * are 1e-6-canonized at round boundaries on both engines (the
+    * Dawid–Skene lockstep convention). CTEs are MATERIALIZED: without
+    * it DuckDB re-evaluates round 1's whole recursion at every round-2
+    * filter step. */
+  private def regimesEm2Sql: String = {
+    def q6(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
+    def fold(items: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, $items), (a, b) -> a + b)"
+    def dens(pred: String, y: String, mu: String, s2: String, c: String) =
+      s"($pred) * exp(-0.5 * (($y) - $mu) * (($y) - $mu) / $s2) / $c"
+    def sguard(r0: String, r1: String) =
+      s"CASE WHEN ($r0) + ($r1) <= 0 OR isnan(($r0) + ($r1)) THEN 1e-300 ELSE ($r0) + ($r1) END"
+    def roundCtes(r: Int, prev: String): String = {
+      val keep = (1 until r).map(i => s", llf$i").mkString
+      val p = s"""p$r AS MATERIALIZED (SELECT group_key, n, ys, mu0, mu1, s2, p00, p11$keep,
+         |  sqrt(2 * pi() * s2) AS c,
+         |  (1.0 - p11) / (2.0 - p00 - p11) AS pi0 FROM $prev)""".stripMargin
+      val r0a = dens("pi0", "ys[1]", "mu0", "s2", "c")
+      val r1a = dens("1.0 - pi0", "ys[1]", "mu1", "s2", "c")
+      val sa = sguard(r0a, r1a)
+      val pred0 = "f.f0 * p.p00 + (1.0 - f.f0) * (1.0 - p.p11)"
+      val pred1 = "f.f0 * (1.0 - p.p00) + (1.0 - f.f0) * p.p11"
+      val r0b = dens(pred0, "p.ys[f.t + 1]", "p.mu0", "p.s2", "p.c")
+      val r1b = dens(pred1, "p.ys[f.t + 1]", "p.mu1", "p.s2", "p.c")
+      val sb = sguard(r0b, r1b)
+      val fw = s"""fw$r(group_key, t, pred0, pred1, f0, ll) AS (
+         |  SELECT group_key, 1, pi0, 1.0 - pi0, ($r0a) / ($sa), ln($sa) FROM p$r
+         |  UNION ALL
+         |  SELECT f.group_key, f.t + 1, $pred0, $pred1,
+         |    ($r0b) / ($sb), f.ll + ln($sb)
+         |  FROM fw$r f JOIN p$r p USING (group_key) WHERE f.t < p.n)""".stripMargin
+      val h = s"""h$r AS MATERIALIZED (SELECT f.group_key,
+         |  list({'p0': f.pred0, 'p1': f.pred1, 'f0': f.f0} ORDER BY f.t) AS hist,
+         |  max(CASE WHEN f.t = p.n THEN f.ll END) AS ll
+         |  FROM fw$r f JOIN p$r p USING (group_key) GROUP BY 1)""".stripMargin
+      val bw = s"""bw$r(group_key, t, s0, s1) AS (
+         |  SELECT h.group_key, p.n, h.hist[p.n].f0, 1.0 - h.hist[p.n].f0
+         |  FROM h$r h JOIN p$r p USING (group_key)
+         |  UNION ALL
+         |  SELECT b.group_key, b.t - 1,
+         |    h.hist[b.t - 1].f0 *
+         |      ((CASE WHEN h.hist[b.t].p0 > 0 THEN p.p00 * b.s0 / h.hist[b.t].p0 ELSE 0.0 END)
+         |     + (CASE WHEN h.hist[b.t].p1 > 0 THEN (1.0 - p.p00) * b.s1 / h.hist[b.t].p1 ELSE 0.0 END)),
+         |    (1.0 - h.hist[b.t - 1].f0) *
+         |      ((CASE WHEN h.hist[b.t].p0 > 0 THEN (1.0 - p.p11) * b.s0 / h.hist[b.t].p0 ELSE 0.0 END)
+         |     + (CASE WHEN h.hist[b.t].p1 > 0 THEN p.p11 * b.s1 / h.hist[b.t].p1 ELSE 0.0 END))
+         |  FROM bw$r b JOIN h$r h USING (group_key) JOIN p$r p USING (group_key)
+         |  WHERE b.t > 1)""".stripMargin
+      val sm = s"""sm$r AS MATERIALIZED (SELECT group_key,
+         |  list({'s0': s0, 's1': s1} ORDER BY t) AS sms FROM bw$r GROUP BY 1)""".stripMargin
+      val num00 = fold("list_transform(range(1, n), tt -> CASE WHEN hist[tt + 1].p0 > 0 THEN hist[tt].f0 * p00 * sms[tt + 1].s0 / hist[tt + 1].p0 ELSE 0.0 END)")
+      val num11 = fold("list_transform(range(1, n), tt -> CASE WHEN hist[tt + 1].p1 > 0 THEN (1.0 - hist[tt].f0) * p11 * sms[tt + 1].s1 / hist[tt + 1].p1 ELSE 0.0 END)")
+      val den0 = fold("list_transform(range(1, n), tt -> sms[tt].s0)")
+      val den1 = fold("list_transform(range(1, n), tt -> sms[tt].s1)")
+      val mn0 = fold("list_transform(range(1, n + 1), tt -> sms[tt].s0 * ys[tt])")
+      val md0 = fold("list_transform(range(1, n + 1), tt -> sms[tt].s0)")
+      val mn1 = fold("list_transform(range(1, n + 1), tt -> sms[tt].s1 * ys[tt])")
+      val md1 = fold("list_transform(range(1, n + 1), tt -> sms[tt].s1)")
+      val u = s"""u$r AS (SELECT p.group_key, p.n, p.ys, sm.sms$keep, ${q6("h.ll")} AS llf$r,
+         |  CASE WHEN ($den0) > 0 THEN ($num00) / ($den0) ELSE 1.0 END AS np00,
+         |  CASE WHEN ($den1) > 0 THEN ($num11) / ($den1) ELSE 1.0 END AS np11,
+         |  CASE WHEN ($md0) > 0 THEN ($mn0) / ($md0) ELSE p.mu0 END AS nmu0,
+         |  CASE WHEN ($md1) > 0 THEN ($mn1) / ($md1) ELSE p.mu1 END AS nmu1
+         |  FROM p$r p JOIN h$r h USING (group_key) JOIN sm$r sm USING (group_key))""".stripMargin
+      val ssum = fold("list_transform(range(1, n + 1), tt -> sms[tt].s0 * (ys[tt] - nmu0) * (ys[tt] - nmu0) + sms[tt].s1 * (ys[tt] - nmu1) * (ys[tt] - nmu1))")
+      val keep2 = (1 to r).map(i => s", llf$i").mkString
+      val m = s"""m$r AS MATERIALIZED (SELECT group_key, n, ys$keep2,
+         |  ${q6("nmu0")} AS mu0, ${q6("nmu1")} AS mu1,
+         |  ${q6(s"greatest(($ssum) / n, 1e-12)")} AS s2,
+         |  ${q6("np00")} AS p00, ${q6("np11")} AS p11
+         |  FROM u$r)""".stripMargin
+      Seq(p, fw, h, bw, sm, u, m).mkString(",\n")
+    }
+    val rounds = 2
+    val pre = s"""WITH RECURSIVE panel AS ($evPanelSql),
+       |ser AS (SELECT group_key, list(value ORDER BY date, value) AS ys, count(*) AS n
+       |  FROM panel WHERE value IS NOT NULL AND NOT isnan(value)
+       |  GROUP BY 1 HAVING count(*) >= 20),
+       |st0 AS (SELECT group_key, n, ys,
+       |  ${fold("ys")} / n AS mean FROM ser),
+       |st1 AS (SELECT group_key, n, ys, mean,
+       |  ${fold("list_transform(ys, v -> (v - mean) * (v - mean))")} / n AS varp FROM st0),
+       |m0 AS (SELECT group_key, n, ys,
+       |  ${q6("mean - sqrt(varp)")} AS mu0, ${q6("mean + sqrt(varp)")} AS mu1,
+       |  ${q6("varp")} AS s2, 0.9::DOUBLE AS p00, 0.9::DOUBLE AS p11
+       |  FROM st1 WHERE varp > 0)""".stripMargin
+    val ctes = (pre +: (1 to rounds).map(r => roundCtes(r, s"m${r - 1}"))).mkString(",\n")
+    val rows = (1 to rounds).map(r =>
+      s"SELECT group_key, 'value' AS feature, $r AS round, m$r.llf$r AS llf, " +
+        s"m$r.p00, m$r.p11, m$r.mu0 AS mu_1, m$r.mu1 AS mu_2, m$r.s2 AS sigma2 FROM m$r")
+      .mkString(" UNION ALL ")
+    s"$ctes\nSELECT * FROM ($rows) ORDER BY group_key, round"
   }
 
   // ---- K9 hard-oracle probe: Hamilton filter at start parameters ----------
@@ -6950,7 +7053,7 @@ object SparkEntry {
     "q_crossfeature_lineitem" -> crossfeatureLineitem,
     "q_crossfeature_core_lineitem" -> crossfeatureCoreLineitem,
     "q_weighted_bins_lineitem" -> weightedBinsLineitem,
-    "q_regimes_events" -> regimesEvents,
+    "q_regimes_em2_events" -> regimesEm2Events,
     "q_regimes_core_events" -> regimesCoreEvents,
     "q_volatility_lineitem" -> volatilityLineitem,
     "q_volatility_core_lineitem" -> volatilityCoreLineitem,
@@ -7423,6 +7526,7 @@ object SparkEntry {
     "q_simhash_replay_docs" -> simhashReplaySql,
     "q_embedding_neardup_docs" -> embeddingNearDupSql,
     "q_regimes_core_events" -> regimesCoreSql,
+    "q_regimes_em2_events" -> regimesEm2Sql,
     "q_embedding_norms" ->
       """WITH n AS (SELECT vec_id % 10 AS bucket,
         |  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm

@@ -503,6 +503,137 @@ object Regimes {
     (ll, sumF0 / n)
   }
 
+  case class EmTraceRow(
+      group_key: String, feature: String, round: Int,
+      llf: Double, p00: Double, p11: Double,
+      mu_1: Double, mu_2: Double, sigma2: Double)
+
+  /** K9 EM trajectory in replay form (round-13 promotion, the
+    * Dawid–Skene/Bradley–Terry unrolled-rounds recipe): from the SAME
+    * pinned start as [[filterCores]] (μ = mean ∓ sd, σ² = population
+    * variance, p00 = p11 = 0.9), run `rounds` full EM iterations —
+    * forward Hamilton filter, backward Kim smoother, closed-form M-step —
+    * and emit each round's entry-parameter log-likelihood plus its
+    * post-M-step parameters. This pins the E-step/smoother/M-step
+    * STRUCTURE the production [[emFit]] iterates; the full fit's
+    * data-dependent optimum stays pinned by the golden-parity specs.
+    *
+    * Replay conventions (shared with [[hamiltonPass]]): the filtered
+    * state is carried single-component (f1 ≡ 1 − f0), the off-diagonal
+    * transitions are 1 − p00 / 1 − p11, π₀ is the closed form
+    * (1−p11)/(2−p00−p11) rather than the power iteration, and every
+    * parameter is canonized to the 1e-6 grid at round boundaries so the
+    * two engines stay in bit-lockstep round over round (the only
+    * divergence channels left are exp/ln, the accepted BM25-class
+    * risk). */
+  def emTrace(melted: DataFrame, rounds: Int = 2, minLen: Int = 20): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val ss = melted.sparkSession
+    import ss.implicits._
+    melted
+      .filter(Panel.finite(col("value")))
+      .select("group_key", "feature", "date", "value")
+      .as[(String, String, java.sql.Timestamp, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, java.sql.Timestamp, Double)]) =>
+        val (g, f) = key
+        val y = it.toArray.sortBy(r => (r._3.getTime, r._4)).map(_._4)
+        val n = y.length
+        if (n < minLen) Iterator.empty
+        else {
+          val mean = y.sum / n
+          val varp = y.map(v => (v - mean) * (v - mean)).sum / n
+          if (varp <= 0) Iterator.empty
+          else {
+            def q6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+            val sd = math.sqrt(varp)
+            var mu0 = q6(mean - sd)
+            var mu1 = q6(mean + sd)
+            var s2 = q6(varp)
+            var p00 = 0.9
+            var p11 = 0.9
+            val out = Array.newBuilder[EmTraceRow]
+            var r = 1
+            while (r <= rounds) {
+              val c = math.sqrt(2.0 * math.Pi * s2)
+              val pi0 = (1.0 - p11) / (2.0 - p00 - p11)
+              // forward filter (single-state; both predicted components kept
+              // for the smoother/M-step)
+              val p0s = new Array[Double](n)
+              val p1s = new Array[Double](n)
+              val f0s = new Array[Double](n)
+              var ll = 0.0
+              var f0 = 0.0
+              var t = 0
+              while (t < n) {
+                val pred0 = if (t == 0) pi0 else f0 * p00 + (1.0 - f0) * (1.0 - p11)
+                val pred1 = if (t == 0) 1.0 - pi0 else f0 * (1.0 - p00) + (1.0 - f0) * p11
+                val r0 = pred0 * math.exp(-0.5 * (y(t) - mu0) * (y(t) - mu0) / s2) / c
+                val r1 = pred1 * math.exp(-0.5 * (y(t) - mu1) * (y(t) - mu1) / s2) / c
+                var s = r0 + r1
+                if (s <= 0 || s.isNaN) s = 1e-300
+                ll += math.log(s)
+                f0 = r0 / s
+                p0s(t) = pred0; p1s(t) = pred1; f0s(t) = f0
+                t += 1
+              }
+              // Kim smoother
+              val sm0 = new Array[Double](n)
+              val sm1 = new Array[Double](n)
+              sm0(n - 1) = f0s(n - 1)
+              sm1(n - 1) = 1.0 - f0s(n - 1)
+              t = n - 2
+              while (t >= 0) {
+                val a0 = (if (p0s(t + 1) > 0) p00 * sm0(t + 1) / p0s(t + 1) else 0.0) +
+                  (if (p1s(t + 1) > 0) (1.0 - p00) * sm1(t + 1) / p1s(t + 1) else 0.0)
+                sm0(t) = f0s(t) * a0
+                val a1 = (if (p0s(t + 1) > 0) (1.0 - p11) * sm0(t + 1) / p0s(t + 1) else 0.0) +
+                  (if (p1s(t + 1) > 0) p11 * sm1(t + 1) / p1s(t + 1) else 0.0)
+                sm1(t) = (1.0 - f0s(t)) * a1
+                t -= 1
+              }
+              // M-step
+              var num00 = 0.0; var num11 = 0.0; var den0 = 0.0; var den1 = 0.0
+              t = 0
+              while (t < n - 1) {
+                if (p0s(t + 1) > 0) num00 += f0s(t) * p00 * sm0(t + 1) / p0s(t + 1)
+                if (p1s(t + 1) > 0) num11 += (1.0 - f0s(t)) * p11 * sm1(t + 1) / p1s(t + 1)
+                den0 += sm0(t); den1 += sm1(t)
+                t += 1
+              }
+              val nP00 = if (den0 > 0) num00 / den0 else 1.0
+              val nP11 = if (den1 > 0) num11 / den1 else 1.0
+              var mn0 = 0.0; var md0 = 0.0
+              t = 0
+              while (t < n) { mn0 += sm0(t) * y(t); md0 += sm0(t); t += 1 }
+              var mn1 = 0.0; var md1 = 0.0
+              t = 0
+              while (t < n) { mn1 += sm1(t) * y(t); md1 += sm1(t); t += 1 }
+              val nMu0 = if (md0 > 0) mn0 / md0 else mu0
+              val nMu1 = if (md1 > 0) mn1 / md1 else mu1
+              var ssum = 0.0
+              t = 0
+              while (t < n) {
+                // acc + (term0 + term1): associates exactly like the
+                // oracle's per-t fold element
+                ssum += sm0(t) * (y(t) - nMu0) * (y(t) - nMu0) +
+                  sm1(t) * (y(t) - nMu1) * (y(t) - nMu1)
+                t += 1
+              }
+              val nS2 = math.max(ssum / n, 1e-12)
+              p00 = q6(nP00); p11 = q6(nP11)
+              mu0 = q6(nMu0); mu1 = q6(nMu1); s2 = q6(nS2)
+              out += EmTraceRow(g, f, r, q6(ll), p00, p11, mu0, mu1, s2)
+              r += 1
+            }
+            out.result().iterator
+          }
+        }
+      }
+      .toDF()
+      .orderBy("feature", "group_key", "round")
+  }
+
   case class RegimeRow(
       group_key: String, feature: String,
       regime_1_prob: Option[Double], regime_2_prob: Option[Double],
