@@ -4477,17 +4477,38 @@ object SparkEntry {
   /** Per-annotator agreement with the majority consensus
     * ([[graft.ext.Annotations.annotatorQuality]]) — the labeling-ops
     * monitoring number: a2 should read ≈ 1 − 1/7 − the 7∧11 overlap
-    * correction, a3 ≈ 1 − (share of non-en 11th docs), a1 highest. */
-  private def annotatorQualityDocs(s: SparkSession, dir: String): DataFrame =
-    ext.Annotations.annotatorQuality(
-      annotatorVotes(s, dir), ext.Annotations.majorityVote(annotatorVotes(s, dir)))
+    * correction, a3 ≈ 1 − (share of non-en 11th docs), a1 highest —
+    * joined (r13) with the leave-one-out twin
+    * ([[graft.ext.Annotations.annotatorQualityLoo]]), which scores each
+    * vote against the OTHER annotators' majority so the self-vote bias
+    * the plain rate carries is visible side by side (agreement_loo ≤
+    * agreement here, since every self-vote inflates the plain rate). */
+  private def annotatorQualityDocs(s: SparkSession, dir: String): DataFrame = {
+    val votes = annotatorVotes(s, dir)
+    ext.Annotations.annotatorQuality(votes, ext.Annotations.majorityVote(votes))
+      .join(ext.Annotations.annotatorQualityLoo(votes), Seq("annotator"))
+      .orderBy("annotator")
+  }
 
   private def annotatorQualitySql: String =
-    s"""WITH $annotatorVotesSqlCte
-       |SELECT v.annotator, count(*) AS n_votes,
-       |  floor(avg(CASE WHEN v.label = mv.label THEN 1.0 ELSE 0.0 END) * 1e6 + 0.5)
-       |    / 1e6 AS agreement
-       |FROM v JOIN mv USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin
+    s"""WITH $annotatorVotesSqlCte,
+       |cand AS (SELECT v.doc_id, v.annotator, v.label AS vl, c.label AS cl,
+       |    c.n_votes - CASE WHEN c.label = v.label THEN 1 ELSE 0 END AS cp
+       |  FROM v JOIN c USING (doc_id)),
+       |loo AS (SELECT doc_id, annotator, vl, cl AS loo_label FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY doc_id, annotator ORDER BY cp DESC, cl) AS rn
+       |    FROM cand WHERE cp > 0) WHERE rn = 1),
+       |lq AS (SELECT annotator, count(*) AS n_votes_loo,
+       |    floor(avg(CASE WHEN vl = loo_label THEN 1.0 ELSE 0.0 END) * 1e6 + 0.5)
+       |      / 1e6 AS agreement_loo
+       |  FROM loo GROUP BY 1),
+       |q AS (SELECT v.annotator, count(*) AS n_votes,
+       |    floor(avg(CASE WHEN v.label = mv.label THEN 1.0 ELSE 0.0 END) * 1e6 + 0.5)
+       |      / 1e6 AS agreement
+       |  FROM v JOIN mv USING (doc_id) GROUP BY 1)
+       |SELECT q.annotator, q.n_votes, q.agreement, lq.n_votes_loo, lq.agreement_loo
+       |FROM q JOIN lq USING (annotator) ORDER BY 1""".stripMargin
 
   /** Accuracy-weighted vote over the synthetic annotators
     * ([[graft.ext.Annotations.weightedVote]], Nitzan–Paroush log-odds

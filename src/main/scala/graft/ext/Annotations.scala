@@ -569,7 +569,8 @@ object Annotations {
     * [[Classifier.perClassMetrics]]). Note the majority-vote consensus
     * includes each annotator's own vote; with ≥ 3 annotators of
     * comparable volume the self-vote bias is bounded by 1/annotators —
-    * use a gold frame when an unbiased read matters. */
+    * use a gold frame, or [[annotatorQualityLoo]]'s leave-one-out
+    * consensus, when an unbiased read matters. */
   def annotatorQuality(votes: DataFrame, consensus: DataFrame,
       idCol: String = "doc_id",
       annotatorCol: String = "annotator",
@@ -582,6 +583,46 @@ object Annotations {
       .agg(count(lit(1)).as("n_votes"),
         quantC(avg(when(col("vl") === col("cl"), 1.0).otherwise(0.0)))
           .as("agreement"))
+      .orderBy(annotatorCol)
+  }
+
+  /** Leave-one-out annotator quality — the UNBIASED twin of
+    * [[annotatorQuality]] (closing its documented self-vote caveat):
+    * each vote is scored against the majority of the OTHER annotators'
+    * votes on the same item, recomputed per excluded voter with the
+    * same tie rule as [[majorityVote]] (count desc, label asc). Items
+    * where the excluded voter was the only voter have no leave-one-out
+    * consensus and are dropped from that annotator's average (so
+    * `n_votes_loo` ≤ the self-inclusive `n_votes`).
+    *
+    * Scale shape: one per-(item, label) count aggregate, one item-keyed
+    * join of the votes against it (fan-out = labels per item ≤
+    * annotators per item, model-sized), one windowed argmax partitioned
+    * by (item, annotator), one per-annotator aggregate — no self-join
+    * of the corpus. */
+  def annotatorQualityLoo(votes: DataFrame,
+      idCol: String = "doc_id",
+      annotatorCol: String = "annotator",
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = votes.filter(col(labelCol).isNotNull)
+      .select(col(idCol), col(annotatorCol), col(labelCol).as("vl"))
+    val cnt = v.groupBy(col(idCol), col("vl").as("cand"))
+      .agg(count(lit(1)).as("c"))
+    val loo = v.join(cnt, idCol)
+      .withColumn("cp",
+        col("c") - when(col("cand") === col("vl"), 1L).otherwise(0L))
+      .filter(col("cp") > 0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol), col(annotatorCol))
+          .orderBy(col("cp").desc, col("cand").asc)))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(annotatorCol), col("vl"), col("cand").as("loo_label"))
+    loo
+      .groupBy(col(annotatorCol))
+      .agg(count(lit(1)).as("n_votes_loo"),
+        quantC(avg(when(col("vl") === col("loo_label"), 1.0).otherwise(0.0)))
+          .as("agreement_loo"))
       .orderBy(annotatorCol)
   }
 }

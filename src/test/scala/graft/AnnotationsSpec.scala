@@ -36,6 +36,25 @@ class AnnotationsSpec extends SparkSpec {
     assert(q("z") == (2L, 0.5), s"got $q")       // null vote dropped from n
   }
 
+  test("annotatorQualityLoo: self-vote excluded, ties by label, single-voter items dropped") {
+    // item 1 LOO: x,y see the a/b tie -> "a" (label asc); z sees a(2) -> "a"
+    // item 2 LOO: x sees only b -> disagrees; y sees only a -> disagrees
+    // item 3 LOO: everyone sees b(2) -> agree
+    val q = Annotations.annotatorQualityLoo(votes)
+      .collect().map(r => r.getAs[String]("annotator") ->
+        (r.getAs[Long]("n_votes_loo"), r.getAs[Double]("agreement_loo"))).toMap
+    assert(q("x") == (3L, 0.666667), s"got $q")
+    assert(q("y") == (3L, 0.666667), s"got $q")
+    assert(q("z") == (2L, 0.5), s"got $q")
+    // an item with a single voter has no leave-one-out consensus: it must
+    // drop from that annotator's count instead of scoring
+    val plus = votes.union(Seq((4L, "x", Option("a"))).toDF("doc_id", "annotator", "label"))
+    val q2 = Annotations.annotatorQualityLoo(plus)
+      .collect().map(r => r.getAs[String]("annotator") ->
+        r.getAs[Long]("n_votes_loo")).toMap
+    assert(q2("x") == 3L, s"got $q2")
+  }
+
   test("weightedVote: reliable annotator outvotes two mediocre ones; negative weights flip") {
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     def lo(a: Double) = r6(math.log(a / (1.0 - a)))

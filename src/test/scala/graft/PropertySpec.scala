@@ -230,6 +230,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("periodogram at 10-years-of-hourly scale (87,660 points) stays fast and exact") {
+    // the r12 verdict's 100×-time-span scenario: the old O(n²) kernel
+    // would need ~7.6B trig ops here; Bluestein does 3 FFTs of 2^18
+    val n = 87660
+    val rng = new scala.util.Random(17)
+    val period = 24 * 7 // weekly cycle in hourly data
+    val x = Array.tabulate(n)(t =>
+      math.sin(2 * math.Pi * t / period) + 0.3 * rng.nextGaussian())
+    val t0 = System.nanoTime
+    val (f, p) = Periodogram.periodogram(x)
+    val elapsedMs = (System.nanoTime - t0) / 1e6
+    assert(elapsedMs < 5000, s"FFT path took ${elapsedMs} ms at n=$n")
+    var idx = 1
+    for (k <- 2 until p.length) if (p(k) > p(idx)) idx = k
+    assert(math.abs(f(idx) - 1.0 / period) < 1.0 / n + 1e-9,
+      s"dominant ${f(idx)} vs planted ${1.0 / period}")
+    // spot-check bins against the direct DFT arithmetic (O(n) per bin)
+    val mean = x.sum / n
+    val c = x.map(_ - mean)
+    val m = n / 2 + 1
+    for (k <- Seq(1, idx, 12345, m - 1)) {
+      var re = 0.0; var im = 0.0
+      var t = 0
+      while (t < n) {
+        val ang = -2.0 * math.Pi * k * t / n
+        re += c(t) * math.cos(ang); im += c(t) * math.sin(ang); t += 1
+      }
+      var pd = (re * re + im * im) / n
+      if (k != 0 && !(n % 2 == 0 && k == m - 1)) pd *= 2.0
+      assert(math.abs(p(k) - pd) < 1e-7 * math.max(p(idx), 1.0),
+        s"k=$k fft=${p(k)} direct=$pd")
+    }
+  }
+
   test("zscore labels consistent with threshold") {
     forAll(series) { x =>
       whenever(x.distinct.length > 1) {
