@@ -7619,14 +7619,22 @@ object SparkEntry {
     "q_unigram_tokenize_docs" -> unigramTokenizeSql,
     "q_unigram_estep_docs" -> unigramEstepSql,
     "q_neardup_stream_docs" -> nearDedupStreamSql,
-    // q_simhash_docs / q_multimodal_features / q_multimodal_transform:
-    // hash-seeded operators — engine-specific by construction, validated
-    // by construction-based ScalaTests (DedupSpec/TextExtSpec) instead;
-    // each one's replayable twin (q_simhash_replay_docs,
-    // q_multimodal_replay) IS oracled through the same code path.
-    // (q_dedup_minhash_docs, q_similarity_topk_lsh and q_fingerprint_docs
-    // were promoted to hard oracles in round 12 via the signature-
-    // injection recipe — replayable arithmetic routed through the
-    // PRODUCTION pipelines.)
+    // Remaining no_oracle rows (5), all adjudicated:
+    // q_simhash_docs / q_multimodal_features / q_multimodal_transform /
+    // q_multimodal_embedding: hash-seeded or binary-codec operators —
+    // engine-specific by construction, validated by construction-based
+    // ScalaTests (DedupSpec/TextExtSpec) instead; each one's replayable
+    // twin (q_simhash_replay_docs, q_multimodal_replay) IS oracled
+    // through the same code path. q_volatility_lineitem: the K10 MLE
+    // optimum — its NLL recursions are hard-oracled at pinned params
+    // (q_volatility_core_lineitem) and the optimizer is L-BFGS (not
+    // round-unrollable the way EM/MM are); golden data is empty in the
+    // reference (quirk Q4), so synthetic param-recovery specs pin it.
+    // (Promotion history: r12 — q_dedup_minhash_docs,
+    // q_similarity_topk_lsh, q_fingerprint_docs via signature injection;
+    // r13 — q_outliers_iforest_events via keyed-RNG injection,
+    // q_study_facade_events via guard-count composition, and the
+    // q_regimes_events full-fit smoke REPLACED by the hard-oracled
+    // q_regimes_em2_events EM trajectory.)
   )
 }
