@@ -1284,13 +1284,108 @@ object SparkEntry {
        |FROM r ORDER BY group_key""".stripMargin
   }
 
-  private def volatilityLineitem(s: SparkSession, dir: String): DataFrame = {
+  /** K10 gradient trajectory (round-13 replacement for the no_oracle
+    * full-fit smoke): [[graft.ops.Garch.gradTrace]] — the production
+    * analytic (NLL, ∇NLL) evaluated at two pinned chained points, every
+    * component hard-oracled. Together with q_volatility_core_lineitem
+    * (the three NLL recursions) this pins BOTH halves of the machinery
+    * the K10 MLE runs on — the objective and the gradient L-BFGS
+    * consumes; the fit's data-dependent optimum stays pinned by the
+    * synthetic param-recovery specs (golden data is empty in the
+    * reference, quirk Q4) and the facade's `volatility` table keeps
+    * exercising the full volatilityAnalysis surface each round. */
+  private def volatilityGrad2Lineitem(s: SparkSession, dir: String): DataFrame = {
     val melted = Panel.melt(lineitemDailyPanel(s, dir), "date", Seq("group_key"), liFeatures)
-    Garch.volatilityAnalysis(melted)
-      .select(col("group_key"), col("feature"), col("model_type"),
-        round6("log_likelihood"), round6("aic"), round6("bic"),
-        round6("avg_volatility"), round6("vol_std"), round6("vol_skew"),
-        round6("vol_kurt"), round6("persistence"))
+    Garch.gradTrace(melted, rounds = 2)
+  }
+
+  /** DuckDB mirror of the 2-point gradient trajectory: the whole forward
+    * sensitivity recursion (state σ²_t plus ∂σ²_t/∂(μ,ω,α,β), five
+    * accumulators) folds as ONE list_reduce over an 11-field SCALAR
+    * struct — scalar fields accumulate fine in DuckDB 1.0 folds (only
+    * LIST fields don't, the emTrace lesson), with accumulator fields
+    * declared before the state fields they read (the sequential-field-
+    * mutation rule). The EWMA backcast and its μ-sensitivity are ordered
+    * folds; the constraint-map chain rule and the ∞-norm-clipped step
+    * are plain arithmetic over canonized θ. */
+  private def volatilityGrad2Sql: String = {
+    def q6(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
+    def fold(items: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, $items), (a, b) -> a + b)"
+    def roundCtes(r: Int, prev: String): String = {
+      val keep = (1 until r).map(i => s", nll$i, gmu$i, glw$i, gla$i, glb$i").mkString
+      val p = s"""p$r AS MATERIALIZED (SELECT group_key, feature, n, ys$keep,
+         |  th0, th1, th2, th3,
+         |  th0 AS mu, exp(th1) AS omega,
+         |  exp(th2) / (1.0 + exp(th2) + exp(th3)) AS alpha,
+         |  exp(th3) / (1.0 + exp(th2) + exp(th3)) AS beta
+         |  FROM $prev)""".stripMargin
+      val bcw = fold("list_transform(range(least(75, n)), i -> pow(0.94, i))")
+      val bcs = fold("list_transform(range(least(75, n)), i -> pow(0.94, i) * (ys[i + 1] - mu) * (ys[i + 1] - mu))")
+      val bcd = fold("list_transform(range(least(75, n)), i -> pow(0.94, i) * (ys[i + 1] - mu))")
+      val b = s"""b$r AS MATERIALIZED (SELECT *, ($bcs) / ($bcw) AS bc,
+         |  -2.0 * ($bcd) / ($bcw) AS dbc FROM p$r)""".stripMargin
+      val e = "(x.v - mu)"
+      val e2 = s"($e * $e)"
+      val w = s"0.5 * (1.0 / acc.s2 - $e2 / (acc.s2 * acc.s2))"
+      val init = "{'nll': 0.0::DOUBLE, 'g0': 0.0::DOUBLE, 'g1': 0.0::DOUBLE, " +
+        "'g2': 0.0::DOUBLE, 'g3': 0.0::DOUBLE, 'ds0': dbc, " +
+        "'ds1': 0.0::DOUBLE, 'ds2': 0.0::DOUBLE, 'ds3': 0.0::DOUBLE, " +
+        "'s2': bc, 'v': 0.0::DOUBLE}"
+      val elem = "{'nll': 0.0::DOUBLE, 'g0': 0.0::DOUBLE, 'g1': 0.0::DOUBLE, " +
+        "'g2': 0.0::DOUBLE, 'g3': 0.0::DOUBLE, 'ds0': 0.0::DOUBLE, " +
+        "'ds1': 0.0::DOUBLE, 'ds2': 0.0::DOUBLE, 'ds3': 0.0::DOUBLE, " +
+        "'s2': 0.0::DOUBLE, 'v': yv}"
+      val lam = s"""(acc, x) -> {
+         |      'nll': acc.nll + 0.5 * (ln(2 * pi()) + ln(acc.s2) + $e2 / acc.s2),
+         |      'g0': (acc.g0 + ($w) * acc.ds0) - $e / acc.s2,
+         |      'g1': acc.g1 + ($w) * acc.ds1,
+         |      'g2': acc.g2 + ($w) * acc.ds2,
+         |      'g3': acc.g3 + ($w) * acc.ds3,
+         |      'ds0': -2.0 * alpha * $e + beta * acc.ds0,
+         |      'ds1': 1.0 + beta * acc.ds1,
+         |      'ds2': $e2 + beta * acc.ds2,
+         |      'ds3': acc.s2 + beta * acc.ds3,
+         |      's2': omega + alpha * $e2 + beta * acc.s2,
+         |      'v': 0.0::DOUBLE}""".stripMargin
+      val f = s"""f$r AS MATERIALIZED (SELECT *, list_reduce(list_prepend(
+         |  $init, list_transform(ys, yv -> $elem)), $lam) AS fw FROM b$r)""".stripMargin
+      val g = s"""g$r AS MATERIALIZED (SELECT *, fw.nll AS nllr,
+         |  fw.g0 AS gth0, fw.g1 * omega AS gth1,
+         |  fw.g2 * alpha * (1.0 - alpha) - fw.g3 * alpha * beta AS gth2,
+         |  -fw.g2 * alpha * beta + fw.g3 * beta * (1.0 - beta) AS gth3
+         |  FROM f$r)""".stripMargin
+      val clip = "greatest(1.0, abs(gth0), abs(gth1), abs(gth2), abs(gth3))"
+      val m = s"""m$r AS MATERIALIZED (SELECT group_key, feature, n, ys$keep,
+         |  ${q6("nllr")} AS nll$r, ${q6("gth0")} AS gmu$r, ${q6("gth1")} AS glw$r,
+         |  ${q6("gth2")} AS gla$r, ${q6("gth3")} AS glb$r,
+         |  ${q6(s"th0 - 0.05 * gth0 / $clip")} AS th0,
+         |  ${q6(s"th1 - 0.05 * gth1 / $clip")} AS th1,
+         |  ${q6(s"th2 - 0.05 * gth2 / $clip")} AS th2,
+         |  ${q6(s"th3 - 0.05 * gth3 / $clip")} AS th3
+         |  FROM g$r)""".stripMargin
+      Seq(p, b, f, g, m).mkString(",\n")
+    }
+    val rounds = 2
+    val pre = s"""WITH panel AS ($liPanelSql),
+       |ml AS ($liMeltedSql),
+       |ser AS (SELECT group_key, feature, list(value ORDER BY date, value) AS ys, count(*) AS n
+       |  FROM ml WHERE value IS NOT NULL AND NOT isnan(value)
+       |  GROUP BY 1, 2 HAVING count(*) >= 50),
+       |st0 AS (SELECT *, ${fold("ys")} / n AS mean FROM ser),
+       |st1 AS (SELECT *, ${fold("list_transform(ys, v -> (v - mean) * (v - mean))")} / n AS varp FROM st0),
+       |m0 AS (SELECT group_key, feature, n, ys,
+       |  ${q6("mean")} AS th0,
+       |  ${q6("ln(greatest(varp * (1.0 - 0.05 - 0.85), 1e-12))")} AS th1,
+       |  ${q6("ln(0.05 / (1.0 - 0.05 - 0.85))")} AS th2,
+       |  ${q6("ln(0.85 / (1.0 - 0.05 - 0.85))")} AS th3
+       |  FROM st1)""".stripMargin
+    val ctes = (pre +: (1 to rounds).map(r => roundCtes(r, s"m${r - 1}"))).mkString(",\n")
+    val rows = (1 to rounds).map(r =>
+      s"SELECT group_key, feature, $r AS round, nll$r AS nll, gmu$r AS g_mu, " +
+        s"glw$r AS g_lnomega, gla$r AS g_logita, glb$r AS g_logitb FROM m$rounds")
+      .mkString(" UNION ALL ")
+    s"$ctes\nSELECT * FROM ($rows) ORDER BY feature, group_key, round"
   }
 
   // ---- K10 hard-oracle probe: GARCH/GJR/EGARCH NLL at start params --------
@@ -7076,7 +7171,7 @@ object SparkEntry {
     "q_weighted_bins_lineitem" -> weightedBinsLineitem,
     "q_regimes_em2_events" -> regimesEm2Events,
     "q_regimes_core_events" -> regimesCoreEvents,
-    "q_volatility_lineitem" -> volatilityLineitem,
+    "q_volatility_grad2_lineitem" -> volatilityGrad2Lineitem,
     "q_volatility_core_lineitem" -> volatilityCoreLineitem,
     "q_outliers_iforest_events" -> outliersIforestEvents,
     "q_outliers_lof_events" -> outliersLofEvents,
@@ -7434,6 +7529,7 @@ object SparkEntry {
     "q_adf_autolag_events" -> adfAutolagSql,
     "q_kpss_core_events" -> kpssCoreSql,
     "q_volatility_core_lineitem" -> volatilityCoreSql,
+    "q_volatility_grad2_lineitem" -> volatilityGrad2Sql,
     "q_jaccard_pairs_docs" -> jaccardPairsSql,
     "q_neardup_components_docs" -> neardupComponentsSql,
     "q_neardup_keeping_docs" -> neardupKeepingSql,
@@ -7619,22 +7715,22 @@ object SparkEntry {
     "q_unigram_tokenize_docs" -> unigramTokenizeSql,
     "q_unigram_estep_docs" -> unigramEstepSql,
     "q_neardup_stream_docs" -> nearDedupStreamSql,
-    // Remaining no_oracle rows (5), all adjudicated:
+    // Remaining no_oracle rows (4), all adjudicated:
     // q_simhash_docs / q_multimodal_features / q_multimodal_transform /
     // q_multimodal_embedding: hash-seeded or binary-codec operators —
     // engine-specific by construction, validated by construction-based
     // ScalaTests (DedupSpec/TextExtSpec) instead; each one's replayable
     // twin (q_simhash_replay_docs, q_multimodal_replay) IS oracled
-    // through the same code path. q_volatility_lineitem: the K10 MLE
-    // optimum — its NLL recursions are hard-oracled at pinned params
-    // (q_volatility_core_lineitem) and the optimizer is L-BFGS (not
-    // round-unrollable the way EM/MM are); golden data is empty in the
-    // reference (quirk Q4), so synthetic param-recovery specs pin it.
+    // through the same code path.
     // (Promotion history: r12 — q_dedup_minhash_docs,
     // q_similarity_topk_lsh, q_fingerprint_docs via signature injection;
     // r13 — q_outliers_iforest_events via keyed-RNG injection,
-    // q_study_facade_events via guard-count composition, and the
-    // q_regimes_events full-fit smoke REPLACED by the hard-oracled
-    // q_regimes_em2_events EM trajectory.)
+    // q_study_facade_events via guard-count composition, and the two
+    // no_oracle MLE full-fit smokes REPLACED by hard-oracled
+    // trajectories: q_regimes_events → q_regimes_em2_events (2 EM
+    // rounds), q_volatility_lineitem → q_volatility_grad2_lineitem
+    // (2 chained analytic-gradient evaluations). The full fits stay
+    // exercised by the facade and pinned by golden/param-recovery
+    // specs.)
   )
 }

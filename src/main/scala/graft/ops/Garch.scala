@@ -320,6 +320,67 @@ object Garch {
   /** Backwards-compatible GARCH(1,1) entry. */
   def fitGarch11(y: Array[Double]): GarchFit = fit(y, "GARCH")
 
+  case class GradTraceRow(
+      group_key: String, feature: String, round: Int, nll: Double,
+      g_mu: Double, g_lnomega: Double, g_logita: Double, g_logitb: Double)
+
+  /** K10 gradient trajectory in replay form (round 13 — the emTrace
+    * recipe applied to the MLE's other half): from the production GARCH
+    * start θ₀ = (mean, ln(var·0.1 ∨ 1e-12), ln(.05/.1), ln(.85/.1)),
+    * evaluate the PRODUCTION analytic objective-and-gradient
+    * [[nllGrad]] — the exact `DiffFunction` L-BFGS consumes, including
+    * the μ-sensitive EWMA backcast seed and the constraint-map chain
+    * rule — at `rounds` successive points chained by a deterministic
+    * ∞-norm-clipped step θ ← θ − η·∇/max(1, ‖∇‖∞), with θ 1e-6-canonized
+    * at round boundaries (the emTrace lockstep convention). Emits each
+    * round's NLL and all four transformed-coordinate gradient
+    * components; a DuckDB oracle replays the full forward sensitivity
+    * recursion, so any drift in the likelihood OR its gradient breaks
+    * the row. This is a gradient-machinery probe, not a descent claim —
+    * the step rule only pins round 2's evaluation point. */
+  def gradTrace(melted: DataFrame, rounds: Int = 2, eta: Double = 0.05,
+      minLen: Int = 50): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val ss = melted.sparkSession
+    import ss.implicits._
+    melted
+      .filter(Panel.finite(col("value")))
+      .select("group_key", "feature", "date", "value")
+      .as[(String, String, java.sql.Timestamp, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, java.sql.Timestamp, Double)]) =>
+        val (g, f) = key
+        val y = it.toArray.sortBy(r => (r._3.getTime, r._4)).map(_._4)
+        val n = y.length
+        if (n < minLen) Iterator.empty
+        else {
+          def q6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+          val mean = y.sum / n
+          val varp = y.map(v => (v - mean) * (v - mean)).sum / n
+          val th = DenseVector(
+            q6(mean),
+            q6(math.log(math.max(varp * (1.0 - 0.05 - 0.85), 1e-12))),
+            q6(math.log(0.05 / (1.0 - 0.05 - 0.85))),
+            q6(math.log(0.85 / (1.0 - 0.05 - 0.85))))
+          val out = Array.newBuilder[GradTraceRow]
+          var r = 1
+          while (r <= rounds) {
+            val (nllV, gth) = nllGrad("GARCH", y)(th)
+            out += GradTraceRow(g, f, r, q6(nllV),
+              q6(gth(0)), q6(gth(1)), q6(gth(2)), q6(gth(3)))
+            val m = math.max(math.max(math.max(math.max(1.0,
+              math.abs(gth(0))), math.abs(gth(1))), math.abs(gth(2))), math.abs(gth(3)))
+            var j = 0
+            while (j < 4) { th(j) = q6(th(j) - eta * gth(j) / m); j += 1 }
+            r += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF()
+      .orderBy("feature", "group_key", "round")
+  }
+
   case class VolRow(
       group_key: String, feature: String, model_type: String,
       log_likelihood: Option[Double], aic: Option[Double], bic: Option[Double],
