@@ -4144,6 +4144,33 @@ object SparkEntry {
        |floor((top_c::DOUBLE / n_tokens) * 1e6 + 0.5) / 1e6 AS top_mass
        |FROM f, tot""".stripMargin
 
+  /** Corpus diversity ([[graft.ext.TextStats.distinctNgramRatio]]):
+    * per-language distinct-1/2/3 ratios — DuckDB rebuilds all three gram
+    * streams from the shared tokenizer convention and replays the exact
+    * distinct/total counts and the canonized ratio. */
+  private def distinctNgramsDocs(s: SparkSession, dir: String): DataFrame =
+    ext.TextStats.distinctNgramRatio(Tables.documents(s, dir))
+      .select(col("group").as("lang"), col("n"),
+        col("total_ngrams"), col("distinct_ngrams"), round6("distinct_ratio"))
+      .orderBy("lang", "n")
+
+  private def distinctNgramsSql: String =
+    raw"""WITH d AS (SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+       |  FROM documents),
+       |u AS (
+       |  SELECT lang, 1 AS n, unnest(toks) AS gram FROM d
+       |  UNION ALL
+       |  SELECT lang, 2, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i + 1])) FROM d
+       |  UNION ALL
+       |  SELECT lang, 3, unnest(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) FROM d)
+       |SELECT lang, n, CAST(count(*) AS BIGINT) AS total_ngrams,
+       |  CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+       |  floor(count(DISTINCT gram)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6
+       |    AS distinct_ratio
+       |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Sparse random projection (Achlioptas JL) probe: 64 → 16 dims over a
     * bounded vector window — DuckDB regenerates the deterministic sign
     * matrix cell-by-cell (mixHash(i·k+j) mod 6), rebuilds each row's
@@ -7234,6 +7261,7 @@ object SparkEntry {
     "q_randproj_embeddings" -> randprojEmbeddings,
     "q_vocab_resemblance_docs" -> vocabResemblanceDocs,
     "q_zipf_docs" -> zipfDocs,
+    "q_distinct_ngrams_docs" -> distinctNgramsDocs,
     "q_gram_duplication_docs" -> gramDuplicationDocs,
     "q_chunk_docs" -> chunkDocs,
     "q_meanpool_embeddings" -> meanPoolEmbeddings,
@@ -7547,6 +7575,7 @@ object SparkEntry {
     "q_randproj_embeddings" -> randprojEmbeddingsSql,
     "q_vocab_resemblance_docs" -> vocabResemblanceSql,
     "q_zipf_docs" -> zipfDocsSql,
+    "q_distinct_ngrams_docs" -> distinctNgramsSql,
     "q_gram_duplication_docs" -> gramDuplicationSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_meanpool_embeddings" -> meanPoolSql,

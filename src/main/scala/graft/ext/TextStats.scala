@@ -206,6 +206,55 @@ object TextStats {
           .as("top_bigram_frac"))
   }
 
+  /** Corpus diversity: distinct-n ratios (Li et al. 2016's "distinct"
+    * metric, the standard generation/corpus diversity read-out) per
+    * group — distinct n-grams over total n-grams for n = 1, 2, 3. Low
+    * distinct-n flags mode collapse in generated corpora and
+    * boilerplate/template dominance in scraped ones; distinct-1 is the
+    * classic type–token ratio.
+    *
+    * Shape: ONE posexplode + doc-keyed window pass builds all three gram
+    * streams (the repetitionStats recipe — leads, not a `transform`
+    * lambda over the derived token array, which Catalyst inlines per
+    * element and goes quadratic), then a (group, n, gram) partial-agg
+    * count and a (group, n) rollup. The gram-keyed exchange is the one
+    * corpus-wide shuffle — the same shuffle any EXACT distinct pays;
+    * at the 100 TB tier swap the exact count for the mergeable HLL
+    * sketch ([[graft.ext.Sketches]]) when ±2% suffices. Groups with no
+    * n-gram of some order (every doc shorter than n tokens) emit no row
+    * for that order. */
+  def distinctNgramRatio(
+      docs: org.apache.spark.sql.DataFrame,
+      groupCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(groupCol).cast("string").as("group"),
+      col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+    val tok = base.select(col("group"), col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val g = tok
+      .withColumn("t1", lead("t", 1).over(w))
+      .withColumn("t2", lead("t", 2).over(w))
+      .select(col("group"), explode(array(
+        struct(lit(1).as("n"), col("t").as("gram")),
+        struct(lit(2).as("n"),
+          when(col("t1").isNotNull, concat_ws(" ", col("t"), col("t1"))).as("gram")),
+        struct(lit(3).as("n"),
+          when(col("t2").isNotNull,
+            concat_ws(" ", col("t"), col("t1"), col("t2"))).as("gram")))).as("ng"))
+      .select(col("group"), col("ng.n").as("n"), col("ng.gram").as("gram"))
+      .filter(col("gram").isNotNull)
+    g.groupBy("group", "n", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("group", "n")
+      .agg(sum("c").as("total_ngrams"), count(lit(1)).as("distinct_ngrams"))
+      .select(col("group"), col("n"), col("total_ngrams"), col("distinct_ngrams"),
+        (col("distinct_ngrams").cast("double") / col("total_ngrams"))
+          .as("distinct_ratio"))
+      .orderBy("group", "n")
+  }
+
   // ---- hashing-trick text embeddings ---------------------------------------
 
   /** Feature-hashing ("hashing trick") text embeddings: each token maps

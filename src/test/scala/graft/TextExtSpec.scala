@@ -461,6 +461,25 @@ class TextExtSpec extends SparkSpec {
       flat.getAs[Double]("zipf_r2") == 0.0)
   }
 
+  test("distinctNgramRatio: hand-computed ratios per group; short groups drop high orders") {
+    val df = Seq(
+      (1L, "x", "a b a"), // 1-grams a,b,a; 2-grams "a b","b a"; 3-gram "a b a"
+      (2L, "x", "a b"),   // adds a,b; "a b"
+      (3L, "y", "c c")    // y: 1-grams c,c; 2-gram "c c"; NO trigram
+    ).toDF("doc_id", "lang", "text")
+    val out = TextStats.distinctNgramRatio(df).collect()
+      .map(r => (r.getAs[String]("group"), r.getAs[Int]("n")) ->
+        ((r.getAs[Long]("total_ngrams"), r.getAs[Long]("distinct_ngrams"),
+          math.floor(r.getAs[Double]("distinct_ratio") * 1e6 + 0.5) / 1e6))).toMap
+    assert(out(("x", 1)) == ((5L, 2L, 0.4)), s"got $out")
+    assert(out(("x", 2)) == ((3L, 2L, 0.666667)), s"got $out")
+    assert(out(("x", 3)) == ((1L, 1L, 1.0)), s"got $out")
+    assert(out(("y", 1)) == ((2L, 1L, 0.5)), s"got $out")
+    assert(out(("y", 2)) == ((1L, 1L, 1.0)), s"got $out")
+    assert(!out.contains(("y", 3)), s"got $out") // no trigram row for y
+    assert(out.size == 5)
+  }
+
   test("repetitionStats: hand-computed fractions, short-doc zeros") {
     val df = Seq(
       (1L, "foo bar foo bar foo"),  // bigrams: foo-bar x2, bar-foo x2; trigrams: fbf x2, bfb x1
