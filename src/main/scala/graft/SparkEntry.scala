@@ -1379,7 +1379,7 @@ object SparkEntry {
        |  ${q6("ln(greatest(varp * (1.0 - 0.05 - 0.85), 1e-12))")} AS th1,
        |  ${q6("ln(0.05 / (1.0 - 0.05 - 0.85))")} AS th2,
        |  ${q6("ln(0.85 / (1.0 - 0.05 - 0.85))")} AS th3
-       |  FROM st1)""".stripMargin
+       |  FROM st1 WHERE varp > 0)""".stripMargin
     val ctes = (pre +: (1 to rounds).map(r => roundCtes(r, s"m${r - 1}"))).mkString(",\n")
     val rows = (1 to rounds).map(r =>
       s"SELECT group_key, feature, $r AS round, nll$r AS nll, gmu$r AS g_mu, " +
@@ -1677,8 +1677,42 @@ object SparkEntry {
        |SELECT doc_a, doc_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
        |FROM ver WHERE j >= 0.05 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** PRODUCTION SimHash path, hard-oracled via the injection seam (r14,
+    * the minhash-r12 / iForest-r13 promotion recipe): the full corpus
+    * runs through [[graft.ext.Dedup.simhashCore]] — tokenize, per-bit
+    * ±1 vote through the shared SimHashAgg (partial-merge aggregate),
+    * sign → fingerprint — and then the production 4×16-bit band
+    * explosion ([[graft.ext.Dedup.simhashBands]], the candidate-recall
+    * contract). Only the raw per-token 64-bit draw is injected: keyed
+    * modular mixes of the token's Karp–Rabin hash instead of xxhash64,
+    * which DuckDB regenerates exactly (the proven q_simhash_replay_docs
+    * vote CTEs). Output is the 4 band buckets per doc rather than the
+    * raw signed long — together they carry all 64 fingerprint bits while
+    * staying inside DuckDB's overflow-checked BIGINT shifts (1<<63
+    * errors there), and they additionally pin the band/bucket split the
+    * batch near-dup join and the streaming signature store key on. */
   private def simhashDocs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")
+    Dedup.simhashBands(Dedup.simhashReplayable(Tables.documents(s, dir)))
+      .select(col("doc_id"), col("band").cast("long").as("band"),
+        col("bucket").cast("long").as("bucket"))
+      .orderBy("doc_id", "band")
+
+  private def simhashDocsSql: String =
+    raw"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+       |  FROM documents),
+       |kr AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(t)),
+       |      c -> ascii(substring(t, c, 1))::BIGINT)),
+       |    (h, c) -> (h * 257 + c) % 1000000007) AS k FROM tok),
+       |votes AS (SELECT doc_id, j,
+       |    sum(CASE WHEN (k * ((2654435761 * (j + 1)) % 1000000007)) % 1000000007
+       |      > 500000003 THEN 1 ELSE -1 END) AS v
+       |  FROM kr, (SELECT unnest(range(64)) AS j) GROUP BY 1, 2),
+       |bits AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |  FROM votes)
+       |SELECT doc_id, CAST(j // 16 AS BIGINT) AS band,
+       |  CAST(sum(bit << (j % 16)) AS BIGINT) AS bucket
+       |FROM bits GROUP BY 1, 2 ORDER BY doc_id, band""".stripMargin
 
   /** Hard-oracle probe for the dedup verify stage: exact 3-gram Jaccard
     * over ALL pairs of a bounded id window (≤250 docs at any SF — this is
@@ -3828,7 +3862,12 @@ object SparkEntry {
     * stationarity/outliers n ≥ 10, regimes n ≥ 20 (rows emit even when
     * the fit degenerates — the catch emits a null row), volatility
     * n ≥ 50, distribution any non-empty series, dispersion one row per
-    * panel date, the summary one row per feature with ≥ 1 stationarity
+    * panel date — INCLUDING dates whose feature is all-null/NaN:
+    * crossSectionDispersion consumes the unfiltered melt and nulls
+    * non-finite values rather than dropping rows (pinned by MomentsSpec
+    * "keeps dates whose feature is all-missing"), so count(DISTINCT
+    * date) over the unfiltered panel is the exact contract on sparse
+    * data too — the summary one row per feature with ≥ 1 stationarity
     * row, and the CSV→ORC round-trip re-counts the memory table. A
     * guard drifting in EITHER engine breaks this row. */
   private def studyFacadeSql: String =
@@ -4155,7 +4194,8 @@ object SparkEntry {
       .orderBy("lang", "n")
 
   private def distinctNgramsSql: String =
-    raw"""WITH d AS (SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+    raw"""WITH d AS (SELECT lang, list_filter(
+       |    string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
        |  FROM documents),
        |u AS (
        |  SELECT lang, 1 AS n, unnest(toks) AS gram FROM d
@@ -7744,14 +7784,10 @@ object SparkEntry {
     "q_unigram_tokenize_docs" -> unigramTokenizeSql,
     "q_unigram_estep_docs" -> unigramEstepSql,
     "q_neardup_stream_docs" -> nearDedupStreamSql,
-    // Remaining no_oracle rows (4), all adjudicated:
-    // q_simhash_docs / q_multimodal_features / q_multimodal_transform /
-    // q_multimodal_embedding: hash-seeded or binary-codec operators —
-    // engine-specific by construction, validated by construction-based
-    // ScalaTests (DedupSpec/TextExtSpec) instead; each one's replayable
-    // twin (q_simhash_replay_docs, q_multimodal_replay) IS oracled
-    // through the same code path.
-    // (Promotion history: r12 — q_dedup_minhash_docs,
+    "q_simhash_docs" -> simhashDocsSql,
+    // (Promotion history: r14 — q_simhash_docs via the simhashCore
+    // injection seam (band buckets carry all 64 fingerprint bits);
+    // r12 — q_dedup_minhash_docs,
     // q_similarity_topk_lsh, q_fingerprint_docs via signature injection;
     // r13 — q_outliers_iforest_events via keyed-RNG injection,
     // q_study_facade_events via guard-count composition, and the two

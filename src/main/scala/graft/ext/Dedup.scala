@@ -717,15 +717,31 @@ object Dedup {
       org.apache.spark.sql.Encoders.scalaLong
   }
 
-  /** Per-doc 64-bit SimHash over word tokens. */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** The production SimHash pipeline with the per-token 64-bit draw
+    * INJECTED (the iforestDepthsCore seam, r13 → applied here r14):
+    * tokenize → `addHash` appends the token's 64 vote bits as column
+    * `h` → the shared [[SimHashAgg]] vote/sign aggregate. Everything a
+    * SimHash bug could live in — tokenization, the ±1 vote arithmetic,
+    * partial-aggregate merge, the sign convention — is common to every
+    * caller; only the raw hash draw varies. Production feeds xxhash64;
+    * the replayable twin feeds keyed modular mixes an ANSI SQL engine
+    * regenerates exactly, which is what lets the driver hard-oracle the
+    * production path (q_simhash_docs). `addHash` is a DataFrame stage,
+    * not a Column, so a multi-referenced expensive fold (the replay
+    * twin's rolling hash) can land in its own projection instead of
+    * being inlined 64×. */
+  private[graft] def simhashCore(docs: DataFrame, idCol: String,
+      textCol: String, addHash: DataFrame => DataFrame): DataFrame = {
     val agg = udaf(new SimHashAgg)
-    docs
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+    addHash(
+      docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok")))
       .groupBy("doc_id")
       .agg(agg(col("h")).as("simhash"))
   }
+
+  /** Per-doc 64-bit SimHash over word tokens. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simhashCore(docs, idCol, textCol, _.withColumn("h", xxhash64(col("tok"))))
 
   /** SQL-replayable SimHash twin: the identical vote/sign pipeline through
     * the SAME [[SimHashAgg]], with each token's 64 vote bits derived from
@@ -740,7 +756,6 @@ object Dedup {
   def simhashReplayable(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val p = 1000000007L
-    val agg = udaf(new SimHashAgg)
     // the O(len) rolling hash lands in its OWN projection, referenced by
     // attribute from the 64 bit-votes: Catalyst expression trees are
     // trees, not DAGs, so inlining `kr` into `assembled` would replicate
@@ -754,12 +769,9 @@ object Dedup {
       shiftleft(when(pmod(kr * lit(aj), lit(p)) > lit(p / 2), lit(1L))
         .otherwise(lit(0L)), j)
     }.reduce(_.bitwiseOR(_))
-    docs
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("kr", TextStats.rollingHash(col("tok")))
-      .withColumn("h", assembled)
-      .groupBy("doc_id")
-      .agg(agg(col("h")).as("simhash"))
+    simhashCore(docs, idCol, textCol,
+      _.withColumn("kr", TextStats.rollingHash(col("tok")))
+        .withColumn("h", assembled))
   }
 
   /** The 4×16-bit band explosion of a (doc_id, simhash) frame — THE

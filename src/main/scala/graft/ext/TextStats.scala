@@ -233,6 +233,10 @@ object TextStats {
       col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
     val tok = base.select(col("group"), col("doc_id"),
       posexplode(col("toks")).as(Seq("pos", "t")))
+      // an empty/whitespace-only doc splits to [""] — drop the phantom ''
+      // unigram so totals count real tokens only (the rouge/chrf empty-token
+      // convention; mirrored with list_filter in the oracle)
+      .filter(length(col("t")) > 0)
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val g = tok
       .withColumn("t1", lead("t", 1).over(w))

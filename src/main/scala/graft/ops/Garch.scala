@@ -357,6 +357,11 @@ object Garch {
           def q6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
           val mean = y.sum / n
           val varp = y.map(v => (v - mean) * (v - mean)).sum / n
+          // Degenerate constant series (varp = 0): the EWMA backcast seeds
+          // sigma2 = 0 and nllGrad lands in its 1e10 penalty bowl while a
+          // SQL mirror computes ln(0) — skip, the emTrace varp>0 convention.
+          if (varp <= 0.0) Iterator.empty
+          else {
           val th = DenseVector(
             q6(mean),
             q6(math.log(math.max(varp * (1.0 - 0.05 - 0.85), 1e-12))),
@@ -375,6 +380,7 @@ object Garch {
             r += 1
           }
           out.result().iterator
+          }
         }
       }
       .toDF()
