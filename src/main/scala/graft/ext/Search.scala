@@ -168,13 +168,23 @@ object Search {
     * Everything stays inside the plan: the feedback set, candidate
     * vocabulary, offer weights, and the selected expansion terms are
     * frames (model-sized — ≤ fbDocs docs' vocabulary), never driver
-    * collections. Three corpus scans total (first pass, candidate df
-    * pass, final pass) — the irreducible PRF shape without a standing
-    * index; with [[tfidfPostings]]-style persisted postings each scan
-    * becomes an index probe. Offer weights are 1e-6-canonized before
-    * the (ow desc, term asc) top-`fbTerms` cut, so expansion selection
-    * is engine-reproducible; the final rank reuses the bm25TopK canon +
-    * tie rule. */
+    * collections. The corpus is tokenized ONCE: PRF's three passes each
+    * need the token stream (first-pass scoring, candidate r(t)/df, final
+    * weighted re-rank), and as four independent plans they re-paid the
+    * tokenize+explode pass per consumer (the round-13 bench's cost
+    * ceiling — the jaccardPairsDocs double-pay shape). The postings
+    * rollup ([[bm25Postings]]) is built once, pinned
+    * ([[graft.core.Ckpt.pin]] — localCheckpoint, or a reliable
+    * checkpoint when the session sets a checkpoint dir), and all three
+    * passes run against the pinned frame through
+    * [[prfTopKFromPostings]]; results are bit-identical to the former
+    * per-pass corpus scans (spec-pinned, and the driver query's DuckDB
+    * oracle replays the corpus-scan arithmetic independently). With a
+    * DISK-persisted index the pin is skipped too — pass the standing
+    * postings straight to [[prfTopKFromPostings]]. Offer weights are
+    * 1e-6-canonized before the (ow desc, term asc) top-`fbTerms` cut,
+    * so expansion selection is engine-reproducible; the final rank
+    * reuses the bm25TopK canon + tie rule. */
   def prfTopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
       fbDocs: Int = 10, fbTerms: Int = 5, beta: Double = 0.5,
       k1: Double = 1.2, b: Double = 0.75,
@@ -183,39 +193,10 @@ object Search {
     require(fbDocs > 0, s"fbDocs must be positive, got $fbDocs")
     require(fbTerms >= 0, s"fbTerms must be >= 0, got $fbTerms")
     require(beta >= 0, s"beta must be >= 0, got $beta")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val fb = bm25TopK(docs, queryTerms, fbDocs, k1, b, idCol, textCol)
-      .select(col(idCol))
-    val corpusTok = docs
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
-    // r(t): number of DISTINCT feedback docs containing t
-    val rt = corpusTok.join(broadcast(fb), idCol)
-      .distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("r"))
-      .filter(!col("term").isInCollection(queryTerms.distinct) && col("term") =!= "")
-    // corpus df restricted to the candidate vocabulary (broadcast semi)
-    val cdf = corpusTok
-      .join(broadcast(rt.select(col("term"))), Seq("term"), "left_semi")
-      .distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.filter(col(textCol).isNotNull).agg(count(lit(1)).as("n_docs"))
-    val expansion = rt.join(cdf, "term")
-      .join(broadcast(nDocs))
-      .withColumn("ow", col("r") *
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("ow", floor(col("ow") * lit(1e6) + lit(0.5)) / lit(1e6))
-      .orderBy(col("ow").desc, col("term").asc)
-      .limit(fbTerms)
-      .select(col("term"), lit(beta).as("q_w"))
-    val weights = queryTerms.distinct.toDF("term")
-      .withColumn("q_w", lit(1.0))
-      .unionByName(expansion)
-    bm25ScoresWeighted(docs, weights, k1, b, idCol, textCol)
-      .withColumn("score", floor(col("score") * lit(1e6) + lit(0.5)) / lit(1e6))
-      .orderBy(col("score").desc, col(idCol).asc)
-      .limit(k)
+    val postings = graft.core.Ckpt.pin(bm25Postings(docs, idCol, textCol))
+    val stats = bm25StatsFromPostings(postings, idCol)
+    prfTopKFromPostings(postings, stats, queryTerms, k,
+      fbDocs, fbTerms, beta, k1, b, idCol)
   }
 
   /** Top-k BM25 retrieval with the library's deterministic tie rule:
