@@ -75,6 +75,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Round-13 verdict #1 (fourth consecutive load-degraded official
+    // artifact): re-rolls AFTER the passes cannot outwait a box that stays
+    // loaded, so GATE THE START — spin-wait (bounded, default 5 min) until
+    // the 1-min load drops to the quiet-pass threshold before doing any
+    // work. On timeout we proceed and stamp whatever is true: a bounded
+    // wait can only improve the odds, never fake a quiet run.
+    val gateBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADGATE", "300").toDouble
+    val gateT0 = System.nanoTime()
+    def gateWaited: Double = (System.nanoTime() - gateT0) / 1e9
+    var gateLoad = loadAvg().headOption.getOrElse(0.0)
+    while (gateLoad > 2.0 && gateWaited < gateBudgetSec) {
+      System.err.println(
+        f"[bench] load-gate: 1-min load $gateLoad%.2f > 2.0 - waiting 15 s (${gateWaited}%.0f/${gateBudgetSec}%.0f s)")
+      Thread.sleep(15000)
+      gateLoad = loadAvg().headOption.getOrElse(0.0)
+    }
+    val loadGateWaitSec = gateWaited
     // warm-up: JVM/codegen/parquet-footer/page-cache costs land here, not on
     // whichever query happens to touch a table first (round-3 finding).
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -108,7 +125,22 @@ object Bench {
     val gcWarm = gcMillis() - gc0
     // Round-6 fix: the warm pass must not leak storage into the timed pass.
     resetStorage(spark)
-    canarySec(spark) // codegen + JIT warm — the budget is steady-state
+    // Ambient-slow canary budget, SELF-CALIBRATED (round-13 verdict task 6:
+    // the pinned 0.55 s was box-specific and silently wrong on any other
+    // hardware): with the JVM fully warm (post warm-pass — the same regime
+    // every gated reading runs in; a pre-warm calibration measured ~40%
+    // high), take a min-of-3 and pin budget = 1.15 x that floor — the
+    // headroom the old constant encoded (ProbeCanary floor 0.46-0.49 s
+    // x 1.15 ~= 0.55). Later readings against this budget detect the
+    // uniformly-slow-REGIME drift the load/GC/spread stamps miss. If the
+    // load gate timed out the calibration inflates with the loaded box,
+    // but that run is already non-quiet by the load stamp; the raw
+    // calibration value and the rule are recorded in the artifact so
+    // rounds stay comparable.
+    canarySec(spark) // codegen + JIT warm: the budget is steady-state
+    val canaryCal = canaryMinOf3(spark)
+    val canaryBudget = sys.env.get("SPARK_GRAFT_CANARY_BUDGET").map(_.toDouble)
+      .getOrElse(math.floor(canaryCal * 1.15 * 1000.0) / 1000.0)
     // Alphabetical order pins the suite order across rounds (Map iteration
     // order reshuffles whenever a query is added, which made round-over-round
     // per-query comparisons meaningless).
@@ -118,11 +150,6 @@ object Bench {
         try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    // Ambient-slow canary budget (round-11 verdict task 2): pinned by
-    // ProbeCanary — quiet min-of-3 floor 0.46–0.49 s on this box, a
-    // ≥ ~15% uniformly-slow regime reads ≥ ~0.55 s. Env-overridable so a
-    // recalibration doesn't need a code change.
-    val canaryBudget = sys.env.getOrElse("SPARK_GRAFT_CANARY_BUDGET", "0.55").toDouble
     // Min over 2+ timed passes per query: the round-6 driver run flagged
     // five queries ≥2× slower that the committed 3-repeat protocol could
     // not reproduce (ProbeRepeat, ARCHITECTURE.md) — single-pass numbers
@@ -158,7 +185,11 @@ object Bench {
     }
     val rerollMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_REROLL", "3").toInt.max(0)
     val neededQuiet = math.min(2, passes)
-    val canaryStart = canaryMinOf3(spark)
+    // pass 1's "before" reading is the calibration itself (an immediate
+    // re-read adds nothing 2 s later); the before-budget check is then
+    // trivially true for pass 1, and the real gates are every "after"
+    // and every later pass's bracket readings
+    val canaryStart = canaryCal
     // a clean verdict needs `neededQuiet` quiet passes whose totals agree
     // within 25% of the fastest quiet pass (mid-pass interference the
     // canary brackets missed shows up as a slow outlier total)
@@ -223,14 +254,32 @@ object Bench {
     val ambientSlow = passRecs.forall(p =>
       math.max(p.canaryBefore, p.canaryAfter) > canaryBudget)
     val degraded = accepted.size < neededQuiet
+    // Pass-count-NORMALIZED headline (round-13 advice #4): per-query mins
+    // over ALL passes tighten as re-rolls add passes, so cross-round
+    // clean-total comparisons at different pass counts were biased. The
+    // quiet total is the min over exactly the first `neededQuiet` quiet
+    // agreeing passes — a fixed sample size every round — and falls back
+    // to the all-pass number (flagged by `degraded`) when no quiet subset
+    // exists. Per-query detail stays min-over-all (a slow box only ever
+    // inflates); only the comparable headline is normalized.
+    val quietPasses =
+      if (degraded) allPasses else accepted.take(neededQuiet).map(_.times)
+    val totalQuiet = allPasses.head.map(_._1)
+      .filterNot(smokeQueries)
+      .map(name => quietPasses.map(_.toMap.apply(name)).min)
+      .sum
     if (degraded) System.err.println(
       f"[bench] DEGRADED RUN: quiet=${quietIdx.size}/${passRecs.size} " +
       f"(need $neededQuiet agreeing) rerolls=$rerolls " +
       f"canary_s=$canaryStart%.3f..$canaryEnd%.3f (budget $canaryBudget%.2f) " +
       "— rerun on a quiet box before treating this as the round number")
+    val budgetRule =
+      if (sys.env.contains("SPARK_GRAFT_CANARY_BUDGET")) "env" else "1.15*cal"
     val machine =
       s""""degraded":$degraded,"ambient_slow":$ambientSlow,""" +
-      s""""canary":{"start":${fmt(canaryStart)},"end":${fmt(canaryEnd)},"budget":${fmt(canaryBudget)}},""" +
+      s""""value_quiet":${fmt(totalQuiet)},"quiet_norm_passes":${if (degraded) passRecs.size else neededQuiet},""" +
+      s""""load_gate_wait_s":${fmt(loadGateWaitSec)},""" +
+      s""""canary":{"start":${fmt(canaryStart)},"end":${fmt(canaryEnd)},"budget":${fmt(canaryBudget)},"cal":${fmt(canaryCal)},"budget_rule":"$budgetRule"},""" +
       s""""load_avg":{"start":${arr(loadStart)},"end":${arr(loadEnd)}},""" +
       s""""gc_ms":{"warm":$gcWarm,"timed":$gcTimed},""" +
       s""""pass_totals":${arr(passRecs.map(_.wall))},""" +
