@@ -259,6 +259,83 @@ object TextStats {
       .orderBy("group", "n")
   }
 
+  /** The 100 TB tier of [[distinctNgramRatio]] (round-13 verdict task 5):
+    * identical gram streams, but the per-(group, n) EXACT distinct — a
+    * gram-keyed shuffle whose state is the full n-gram vocabulary — is
+    * replaced by the mergeable HLL register sketch
+    * ([[graft.ext.Sketches.hllBucketRank]], the q_hll_distinct machinery).
+    * The corpus-wide exchange becomes (group, n, bucket)-keyed with at
+    * most 2^b live registers per (group, n): state is CONSTANT in corpus
+    * size, and registers from disjoint shards merge by max, so the
+    * read-out composes with incremental corpus builds the way the HLL
+    * stream store does. total_ngrams stays exact (a count rides the same
+    * partial aggregate).
+    *
+    * Accuracy: the standard HLL standard error 1.04/√(2^b) — ±1.6% at the
+    * default b = 12, ±6.5% at b = 8; the exact path stays the oracle and
+    * the default below the sketch's own memory crossover (a vocabulary
+    * under ~2^b grams costs LESS exactly than 2^b registers — use the
+    * exact path there, it is also error-free; the sketch pays off once
+    * per-(group, n) vocabularies outgrow ~10 × 2^b, i.e. web-corpus
+    * scale). TextExtSpec pins the relative error against the exact path
+    * on the fixture corpus. */
+  def distinctNgramRatioApprox(
+      docs: org.apache.spark.sql.DataFrame,
+      groupCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      b: Int = 12): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
+    val base = docs.select(col(groupCol).cast("string").as("group"),
+      col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+    val tok = base.select(col("group"), col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "t")))
+      .filter(length(col("t")) > 0) // the exact path's empty-token convention
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val g = tok
+      .withColumn("t1", lead("t", 1).over(w))
+      .withColumn("t2", lead("t", 2).over(w))
+      .select(col("group"), explode(array(
+        struct(lit(1).as("n"), col("t").as("gram")),
+        struct(lit(2).as("n"),
+          when(col("t1").isNotNull, concat_ws(" ", col("t"), col("t1"))).as("gram")),
+        struct(lit(3).as("n"),
+          when(col("t2").isNotNull,
+            concat_ws(" ", col("t"), col("t1"), col("t2"))).as("gram")))).as("ng"))
+      .select(col("group"), col("ng.n").as("n"), col("ng.gram").as("gram"))
+      .filter(col("gram").isNotNull)
+    // mixHash is numeric (kept replayable for the oracled sketch queries);
+    // grams enter through a xxhash64 surrogate — its 2^31 folded space adds
+    // ~n²/2³² phantom collisions (0.02% at a million grams), far inside the
+    // sketch's own 1.04/√2^b error, and this tier is deliberately not the
+    // oracle (the exact path is).
+    val (bucket, rank) = Sketches.hllBucketRank(xxhash64(col("gram")), b)
+    val regs = g
+      .select(col("group"), col("n"), bucket.as("bucket"), rank.as("rank"))
+      .groupBy("group", "n", "bucket")
+      .agg(max("rank").as("rank"), count(lit(1)).as("c"))
+    val m = 1 << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs
+      .groupBy("group", "n")
+      .agg(sum("c").as("total_ngrams"),
+        coalesce(sum(pow(lit(2.0), -col("rank"))), lit(0.0)).as("present_inv"),
+        count(lit(1)).as("n_registers"))
+      .select(col("group"), col("n"), col("total_ngrams"),
+        (lit(alpha * m.toDouble * m.toDouble) /
+          (col("present_inv") + (lit(m) - col("n_registers")).cast("double")))
+          .as("raw"),
+        (lit(m) - col("n_registers")).cast("double").as("v"))
+      .select(col("group"), col("n"), col("total_ngrams"),
+        when(col("raw") <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(col("raw"))
+          .as("est_distinct"))
+      .withColumn("est_ratio", col("est_distinct") / col("total_ngrams"))
+      .orderBy("group", "n")
+  }
+
   // ---- hashing-trick text embeddings ---------------------------------------
 
   /** Feature-hashing ("hashing trick") text embeddings: each token maps

@@ -480,6 +480,29 @@ class TextExtSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("distinctNgramRatioApprox: HLL tier tracks the exact path on the fixture corpus") {
+    // the 100 TB escape hatch: same gram streams, (group, n, bucket)-keyed
+    // state instead of the full gram vocabulary. b = 12 → standard error
+    // 1.04/√4096 ≈ 1.6%; assert a generous 3-sigma 5% envelope plus exact
+    // totals (the count rides the register aggregate, not the sketch).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TextStats.distinctNgramRatio(docs).collect()
+      .map(r => (r.getAs[String]("group"), r.getAs[Int]("n")) ->
+        ((r.getAs[Long]("total_ngrams"), r.getAs[Long]("distinct_ngrams")))).toMap
+    val approx = TextStats.distinctNgramRatioApprox(docs, b = 12).collect()
+      .map(r => (r.getAs[String]("group"), r.getAs[Int]("n")) ->
+        ((r.getAs[Long]("total_ngrams"), r.getAs[Double]("est_distinct"),
+          r.getAs[Double]("est_ratio")))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, (total, est, ratio)) =>
+      val (exTotal, exDistinct) = exact(k)
+      assert(total == exTotal, s"$k: total $total != exact $exTotal")
+      val rel = math.abs(est - exDistinct) / exDistinct.toDouble
+      assert(rel <= 0.05, s"$k: est $est vs exact $exDistinct (rel $rel)")
+      assert(math.abs(ratio - est / total) < 1e-12)
+    }
+  }
+
   test("repetitionStats: hand-computed fractions, short-doc zeros") {
     val df = Seq(
       (1L, "foo bar foo bar foo"),  // bigrams: foo-bar x2, bar-foo x2; trigrams: fbf x2, bfb x1
