@@ -3733,37 +3733,99 @@ object SparkEntry {
        |SELECT vec_a, vec_b, floor(c * 1e6 + 0.5) / 1e6 AS cos
        |FROM p WHERE c >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Production multimodal decode, hard-oracled by an INDEPENDENT-DECODER
+    * FIXTURE (r14, verdict task 3): every synthetic media payload is a
+    * real encoded file (PNG/WAV/GIF) whose pixels/samples are a closed
+    * form of xxhash64(text) — and the codecs are lossless for these
+    * inputs — so an independent implementation (scripts/
+    * make_multimodal_fixture.py: its own xxhash64/splitmix64/palette/
+    * sine arithmetic and the same sequential feature folds, NO JVM and
+    * no production bytes except payload lengths) can predict the decoded
+    * per-doc feature rows exactly. The predictions are committed as
+    * fixtures/multimodal_features.parquet, tagged by total corpus text
+    * length (row counts collide between sf0.001 and sf0.01) so one file
+    * serves every SF, and the DuckDB oracle just reads the SF's
+    * slice: engine output vs fixture is a hash-exact gate over the FULL
+    * production path — syntheticMedia encode, ImageIO/javax.sound
+    * decode, raster/sample feature math, per-branch width/height/
+    * n_frames contracts. Bounded to doc_id < 120 (per-doc float rows at
+    * every SF; the corpus-wide decode regime stays benchmarked by
+    * q_multimodal_transform). */
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
+    val media = Multimodal.syntheticMedia(
+      Tables.documents(s, dir).filter(col("doc_id") < 120), "doc_id", "text")
+    val fcols = (0 until 8).map(i => r6(element_at(col("features"), i + 1)).as(s"f$i"))
     Multimodal.decodeFeatures(media).toDF()
-      .groupBy("format")
-      .agg(count(lit(1)).as("n"), r6(avg("payload_bytes")).as("avg_payload"),
-        r6(avg(element_at(col("features"), 1))).as("avg_f0"))
-      .orderBy("format")
+      .select(Seq(col("media_id").as("doc_id"), col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("payload_bytes").cast("long").as("payload_bytes")) ++ fcols: _*)
+      .orderBy("doc_id")
   }
 
-  /** Exercises the media TRANSFORM chain end-to-end: resize every image
-    * to 16x12, keep every 2nd video frame, then decode and aggregate the
-    * resulting features per format. Image rows must come back with the
-    * new dimensions and videos with the sampled frame counts — decoded
-    * from the re-encoded bytes, not read from metadata. */
+  /** Absolute path because the driver's DuckDB session has an unknown
+    * cwd; the repo path is fixed by the build contract. */
+  private val fixturesDir = "/root/repo/fixtures"
+
+  private def multimodalFeaturesSql: String =
+    s"""SELECT doc_id, format, width, height, n_frames, payload_bytes,
+       |  f0, f1, f2, f3, f4, f5, f6, f7
+       |FROM read_parquet('$fixturesDir/multimodal_features.parquet')
+       |WHERE corpus_key = (SELECT sum(length(text)) FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Exercises the media TRANSFORM chain end-to-end over the FULL corpus:
+    * resize every image to 16x12, keep every 2nd video frame, then decode
+    * and aggregate per format. Image rows must come back with the new
+    * dimensions and videos with the sampled frame counts — decoded from
+    * the re-encoded bytes, not read from metadata. Hard-oracled by the
+    * independent fixture (the multimodalFeatures mechanism): the
+    * aggregates are INTEGER-EXACT (counts + sums of decoded dims/frames/
+    * payload lengths — order-independent, so the corpus-wide distributed
+    * aggregation stays inside a hash gate), predicted per doc by the
+    * closed form (resized images are 16×12 by contract, sampled GIFs
+    * keep ceil(nf/2) frames, audio passes through) with only encoded
+    * payload lengths taken from the production dump, and aggregated
+    * independently by DuckDB from the committed per-doc fixture. */
   private def multimodalTransform(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
     val out = Multimodal.sampleFrames(Multimodal.resizeImages(media, 16, 12), 2)
     Multimodal.decodeFeatures(out).toDF()
       .groupBy("format")
       .agg(count(lit(1)).as("n"),
-        max("width").as("max_w"), max("height").as("max_h"),
-        max("n_frames").as("max_frames"),
-        r6(avg(element_at(col("features"), 4))).as("avg_luma"))
+        sum(col("payload_bytes").cast("long")).as("sum_payload_bytes"),
+        sum(col("width").cast("long")).as("sum_w"),
+        sum(col("height").cast("long")).as("sum_h"),
+        sum(col("n_frames").cast("long")).as("sum_frames"))
       .orderBy("format")
   }
+
+  private def multimodalTransformSql: String =
+    s"""SELECT format, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(payload_bytes) AS BIGINT) AS sum_payload_bytes,
+       |  CAST(sum(width) AS BIGINT) AS sum_w,
+       |  CAST(sum(height) AS BIGINT) AS sum_h,
+       |  CAST(sum(n_frames) AS BIGINT) AS sum_frames
+       |FROM read_parquet('$fixturesDir/multimodal_transform.parquet')
+       |WHERE corpus_key = (SELECT sum(length(text)) FROM documents)
+       |GROUP BY format ORDER BY format""".stripMargin
 
   /** Multimodal → ANN composition: luminance-embed the synthetic images,
     * then brute-force image near-dup search over the SAME top-k operator
     * the text embeddings use. Self-match at rank 1 with cosine 1 is the
-    * structural invariant (asserted in TextExtSpec); rows-only here —
-    * DuckDB can't decode PNGs. */
+    * structural invariant (asserted in TextExtSpec). Oracled (r14) by a
+    * SNAPSHOT + INDEPENDENT-RERANK fixture: the production embeddings
+    * (decode → Java2D bilinear 8×8 → BT.601 luma float32) are committed
+    * as fixtures/multimodal_embeddings.parquet, and DuckDB replays the
+    * ENTIRE downstream ANN — every cosine and the (cos desc, vec_id)
+    * rank cut — from that snapshot (the q_multimodal_replay SQL shape).
+    * Scope is explicit: Java2D's bilinear interpolator is not specified
+    * to the bit, so the resampled raster is pinned as a committed
+    * snapshot (regression-exact across rounds) rather than re-derived;
+    * the identity-size decode→luma→embedding arithmetic IS re-derived
+    * independently by the q_multimodal_replay closed form, and the
+    * original rasters by the q_multimodal_features fixture. */
   private def multimodalEmbedding(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(
       Tables.documents(s, dir).filter(col("doc_id") < 60), "doc_id", "text")
@@ -3772,7 +3834,21 @@ object SparkEntry {
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
     Similarity.bruteForceTopK(emb, q, k = 3)
       .select(col("query_id"), col("rank"), col("vec_id"), round6("cos"))
+      .orderBy("query_id", "rank")
   }
+
+  private def multimodalEmbeddingSql: String =
+    s"""WITH emb AS (SELECT vec_id, embedding
+       |  FROM read_parquet('$fixturesDir/multimodal_embeddings.parquet')
+       |  WHERE corpus_key = (SELECT sum(length(text)) FROM documents)),
+       |q AS (SELECT vec_id AS query_id, embedding AS qemb FROM emb WHERE vec_id < 9),
+       |s AS (SELECT q.query_id, e.vec_id,
+       |  list_cosine_similarity(e.embedding, q.qemb) AS cos FROM emb e CROSS JOIN q),
+       |r AS (SELECT query_id, vec_id, cos,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM s WHERE cos IS NOT NULL AND NOT isnan(cos))
+       |SELECT query_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** Multimodal replayable twin: closed-form gradient PNGs (channels are
     * small-integer functions of (x, y, id) — `Multimodal.makeGradientPng`)
@@ -7785,8 +7861,15 @@ object SparkEntry {
     "q_unigram_estep_docs" -> unigramEstepSql,
     "q_neardup_stream_docs" -> nearDedupStreamSql,
     "q_simhash_docs" -> simhashDocsSql,
+    "q_multimodal_features" -> multimodalFeaturesSql,
+    "q_multimodal_transform" -> multimodalTransformSql,
+    "q_multimodal_embedding" -> multimodalEmbeddingSql,
     // (Promotion history: r14 — q_simhash_docs via the simhashCore
-    // injection seam (band buckets carry all 64 fingerprint bits);
+    // injection seam (band buckets carry all 64 fingerprint bits), and
+    // the 3 multimodal rows via independent-decoder fixtures
+    // (scripts/make_multimodal_fixture.py: closed-form feature
+    // prediction for features, integer-exact transform sums, embedding
+    // snapshot + full DuckDB ANN re-rank) — no_oracle count now 0;
     // r12 — q_dedup_minhash_docs,
     // q_similarity_topk_lsh, q_fingerprint_docs via signature injection;
     // r13 — q_outliers_iforest_events via keyed-RNG injection,
