@@ -754,25 +754,15 @@ object Dedup {
     * (q_simhash_replay_docs), pinning the vote arithmetic and sign
     * convention the production path shares. */
   def simhashReplayable(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val p = 1000000007L
-    // the O(len) rolling hash lands in its OWN projection, referenced by
-    // attribute from the 64 bit-votes: Catalyst expression trees are
-    // trees, not DAGs, so inlining `kr` into `assembled` would replicate
-    // the per-character fold 64× per token (caught by the round-8
-    // expression-duplication lint). CollapseProject keeps the split —
-    // a non-cheap multi-referenced alias is never inlined.
-    val kr = col("kr")
-    val assembled = (0 until 64).map { j =>
-      val aj = 2654435761L * (j + 1) % p
-      // k < p and A_j < p keep k·A_j < 2^63 — ANSI-safe
-      shiftleft(when(pmod(kr * lit(aj), lit(p)) > lit(p / 2), lit(1L))
-        .otherwise(lit(0L)), j)
-    }.reduce(_.bitwiseOR(_))
+      textCol: String = "text"): DataFrame =
+    // the draw is the native fused expression (graft.expr.
+    // SimHashReplayWord): bit-identical to the 64-subexpression Catalyst
+    // form it replaced (KR code-point fold, per-bit top-half tests of
+    // (kr·A_j) mod p) but one codegen'd loop — the Catalyst tree cost
+    // ~15 µs/token once q_simhash_docs ran it corpus-wide (r14)
     simhashCore(docs, idCol, textCol,
-      _.withColumn("kr", TextStats.rollingHash(col("tok")))
-        .withColumn("h", assembled))
-  }
+      _.withColumn("h",
+        graft.expr.SimHashReplayWord.simhashReplayWord(col("tok"))))
 
   /** The 4×16-bit band explosion of a (doc_id, simhash) frame — THE
     * candidate-recall contract: by pigeonhole, two hashes within Hamming

@@ -69,6 +69,42 @@ class TokenGramExprSpec extends SparkSpec {
     assert(out(3L) == null)
   }
 
+  test("SimHashReplayWord equals the Catalyst expression form it replaced") {
+    // the retired 64-subexpression tree, reconstructed verbatim: kr in its
+    // own projection, per-bit top-half tests of (kr * A_j) mod p
+    val p = 1000000007L
+    val kr = col("kr")
+    val assembled = (0 until 64).map { j =>
+      val aj = 2654435761L * (j + 1) % p
+      shiftleft(when(pmod(kr * lit(aj), lit(p)) > lit(p / 2), lit(1L))
+        .otherwise(lit(0L)), j)
+    }.reduce(_.bitwiseOR(_))
+    val toks = Seq("", "a", "z", "hello", "the", "0123456789",
+      "repeated-repeated-repeated", "MiXeD", "café", "über",
+      "a b", "trailing ") ++ (0 until 50).map(i => s"tok$i word${i * 7}")
+    val df = toks.toDF("tok")
+      .withColumn("kr", graft.ext.TextStats.rollingHash(col("tok")))
+      .withColumn("old", assembled)
+      .withColumn("neu", graft.expr.SimHashReplayWord.simhashReplayWord(col("tok")))
+    val rows = df.select("tok", "old", "neu").collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"mismatch for '${r.getString(0)}'")
+    }
+    // null token → null word (nullSafeEval)
+    val n = Seq((1L, null: String)).toDF("id", "tok")
+      .select(graft.expr.SimHashReplayWord.simhashReplayWord($"tok")).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("SimHashReplayWord stays inside whole-stage codegen") {
+    val df = spark.range(10)
+      .select(concat(lit("tok"), $"id".cast("string")).as("tok"))
+      .select(graft.expr.SimHashReplayWord.simhashReplayWord($"tok").as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("simhashreplayword")), plan)
+    assert(df.count() == 10)
+  }
+
   test("stays inside whole-stage codegen") {
     // a non-foldable source, or constant folding evaluates the whole
     // projection at plan time and leaves only a LocalTableScan
