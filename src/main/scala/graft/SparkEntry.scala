@@ -5199,6 +5199,134 @@ object SparkEntry {
        |  END AS rouge_f
        |FROM sc ORDER BY pair_id""".stripMargin
 
+  /** ROUGE-L-summary over consecutive-doc pairs
+    * ([[graft.ext.Rouge.rougeLsum]], Lin 2004 §3.2 union-LCS) — the
+    * summary-level closure of the ROUGE family, previously adjudicated
+    * out because the union needs LCS match POSITIONS, which are only
+    * well-defined under a pinned backtrace. The corpus has no sentence
+    * punctuation, so both engines first build a pseudo-sentenced text:
+    * first 50 tokens, chunked by 10, chunks joined with '. ' — then the
+    * OPERATOR does a real `[.!?]+` sentence split on that string (the
+    * construction and the re-split are mirrored stage-for-stage, never
+    * shortcut). The oracle replays every sentence-pair LCS table by
+    * anti-diagonal recursion (the q_rouge_pairs_docs CTE, kept per
+    * diagonal instead of last-only), flattens each table to a list,
+    * walks the pinned greedy-from-the-end backtrace in a second
+    * recursive CTE with pure list indexing (no joins in the recursion —
+    * the first cut joined a 300k-row cell table per step and took 36 s;
+    * this form runs in ~1 s), unions matched reference positions
+    * relationally (DISTINCT (pair, ref_sentence, i)), and applies the
+    * candidate-budget clip as Σ_t least(matched(t), cand_count(t)) —
+    * order-free, so the kernel's sequential budget walk and the oracle's
+    * group-by agree exactly. */
+  private def rougeLsumPairsDocs(s: SparkSession, dir: String): DataFrame = {
+    val d0 = Tables.documents(s, dir).filter(col("doc_id") < 120)
+      .select(col("doc_id"),
+        slice(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => length(t) > 0), 1, 50).as("tk"))
+    // no when(size > 0) guard: greatest(chunks, 1) makes the 0-token case
+    // one empty chunk -> stext "" (what the guard produced), and keeps the
+    // tokenize tree at TWO inlined references, under PlanLint's 3x cap
+    val d = d0.select(col("doc_id"),
+      array_join(
+        transform(
+          sequence(lit(1),
+            greatest(((size(col("tk")) + lit(9)) / lit(10)).cast("int"), lit(1))),
+          i => array_join(slice(col("tk"), (i - lit(1)) * lit(10) + lit(1), lit(10)), " ")),
+        ". ").as("stext"))
+    val pairs = d.select(col("doc_id").as("pair_id"), col("stext").as("candidate"))
+      .join(d.select((col("doc_id") - 1).as("pair_id"), col("stext").as("reference")),
+        "pair_id")
+    ext.Rouge.rougeLsum(pairs).orderBy("pair_id")
+  }
+
+  private def rougeLsumPairsSql: String =
+    raw"""WITH RECURSIVE
+       |d AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')[1:50] AS tk
+       |  FROM documents WHERE doc_id < 120 AND text IS NOT NULL),
+       |st AS (SELECT doc_id, array_to_string(list_transform(
+       |    range(1, ((len(tk) + 9) // 10) + 1),
+       |    i -> array_to_string(tk[(i-1)*10+1 : (i-1)*10+10], ' ')), '. ') AS stext
+       |  FROM d),
+       |pr AS (SELECT d1.doc_id AS pair_id, d1.stext AS cs, d2.stext AS rs
+       |  FROM st d1 JOIN st d2 ON d2.doc_id = d1.doc_id + 1),
+       |cse AS (SELECT pair_id, u.sid AS sid,
+       |    list_filter(string_split_regex(lower(trim(u.s)), '\s+'), x -> x <> '') AS tk
+       |  FROM (SELECT pair_id, unnest(list_transform(string_split_regex(cs, '[.!?]+'),
+       |      (s, k) -> {'sid': k, 's': s})) AS u FROM pr)
+       |  WHERE trim(u.s) <> ''),
+       |rse AS (SELECT pair_id, u.sid AS sid,
+       |    list_filter(string_split_regex(lower(trim(u.s)), '\s+'), x -> x <> '') AS tk
+       |  FROM (SELECT pair_id, unnest(list_transform(string_split_regex(rs, '[.!?]+'),
+       |      (s, k) -> {'sid': k, 's': s})) AS u FROM pr)
+       |  WHERE trim(u.s) <> ''),
+       |sp AS (SELECT r.pair_id, r.sid AS rsid, c.sid AS csid, r.tk AS rt, c.tk AS ct,
+       |    len(r.tk) AS m, len(c.tk) AS n
+       |  FROM rse r JOIN cse c USING (pair_id)
+       |  WHERE len(r.tk) >= 1 AND len(c.tk) >= 1),
+       |dp(pair_id, rsid, csid, m, n, rt, ct, s, d1, d2) AS (
+       |  SELECT pair_id, rsid, csid, m, n, rt, ct, 1,
+       |    list_transform(range(1, m + 1), x -> 0::BIGINT),
+       |    list_transform(range(1, m + 1), x -> 0::BIGINT)
+       |  FROM sp
+       |  UNION ALL
+       |  SELECT pair_id, rsid, csid, m, n, rt, ct, s + 1,
+       |    list_transform(range(1, m + 1), i ->
+       |      CASE WHEN s + 1 - i BETWEEN 1 AND n THEN
+       |        greatest(coalesce(d1[i-1], 0), coalesce(d1[i], 0),
+       |          coalesce(d2[i-1], 0) +
+       |            (CASE WHEN rt[i] = ct[s + 1 - i] THEN 1 ELSE 0 END))
+       |      ELSE 0::BIGINT END),
+       |    d1
+       |  FROM dp WHERE s < n + m),
+       |cells AS (SELECT pair_id, rsid, csid, u.i AS i, s - u.i AS j, u.v AS v
+       |  FROM (SELECT pair_id, rsid, csid, s, n,
+       |      unnest(list_transform(range(1, m + 1), i -> {'i': i, 'v': d1[i]})) AS u
+       |    FROM dp)
+       |  WHERE s - u.i BETWEEN 1 AND n),
+       |tbl AS (SELECT pair_id, rsid, csid, list(v ORDER BY i, j) AS tl
+       |  FROM cells GROUP BY 1, 2, 3),
+       |wk0 AS (SELECT sp.pair_id, sp.rsid, sp.csid, rt, ct, m, n, tl
+       |  FROM sp JOIN tbl USING (pair_id, rsid, csid)),
+       |walk(pair_id, rsid, csid, rt, ct, n, tl, i, j) AS (
+       |  SELECT pair_id, rsid, csid, rt, ct, n, tl, m, n FROM wk0
+       |  UNION ALL
+       |  SELECT pair_id, rsid, csid, rt, ct, n, tl,
+       |    CASE WHEN rt[i] = ct[j] THEN i - 1
+       |         WHEN coalesce(CASE WHEN j > 1 THEN tl[(i-1)*n + j - 1] END, 0) >
+       |              coalesce(CASE WHEN i > 1 THEN tl[(i-2)*n + j] END, 0) THEN i
+       |         ELSE i - 1 END,
+       |    CASE WHEN rt[i] = ct[j] THEN j - 1
+       |         WHEN coalesce(CASE WHEN j > 1 THEN tl[(i-1)*n + j - 1] END, 0) >
+       |              coalesce(CASE WHEN i > 1 THEN tl[(i-2)*n + j] END, 0) THEN j - 1
+       |         ELSE j END
+       |  FROM walk WHERE i > 0 AND j > 0),
+       |mt AS (SELECT DISTINCT pair_id, rsid, i, rt[i] AS tok FROM walk
+       |  WHERE i > 0 AND j > 0 AND rt[i] = ct[j]),
+       |mu AS (SELECT pair_id, tok, count(*) AS u FROM mt GROUP BY 1, 2),
+       |cc AS (SELECT pair_id, t AS tok, count(*) AS c
+       |  FROM (SELECT pair_id, unnest(tk) AS t FROM cse) GROUP BY 1, 2),
+       |h AS (SELECT pair_id, sum(least(mu.u, coalesce(cc.c, 0)))::BIGINT AS hits
+       |  FROM mu LEFT JOIN cc USING (pair_id, tok) GROUP BY 1),
+       |cn AS (SELECT pair_id, sum(len(tk))::BIGINT AS c_tokens FROM cse GROUP BY 1),
+       |rn AS (SELECT pair_id, sum(len(tk))::BIGINT AS r_tokens FROM rse GROUP BY 1),
+       |res AS (SELECT pr.pair_id, coalesce(cn.c_tokens, 0) AS c_tokens,
+       |    coalesce(rn.r_tokens, 0) AS r_tokens, coalesce(h.hits, 0) AS lcs_hits
+       |  FROM pr LEFT JOIN cn USING (pair_id) LEFT JOIN rn USING (pair_id)
+       |    LEFT JOIN h USING (pair_id)),
+       |sc AS (SELECT pair_id, c_tokens, r_tokens, lcs_hits,
+       |    CASE WHEN r_tokens > 0 THEN floor(lcs_hits / r_tokens * 1e6 + 0.5) / 1e6 END AS rouge_r,
+       |    CASE WHEN c_tokens > 0 THEN floor(lcs_hits / c_tokens * 1e6 + 0.5) / 1e6 END AS rouge_p
+       |  FROM res)
+       |SELECT pair_id, c_tokens, r_tokens, lcs_hits, rouge_r, rouge_p,
+       |  CASE WHEN rouge_r IS NOT NULL AND rouge_p IS NOT NULL THEN
+       |    CASE WHEN rouge_r + rouge_p > 0
+       |      THEN floor(2.0 * rouge_p * rouge_r / (rouge_p + rouge_r) * 1e6 + 0.5) / 1e6
+       |      ELSE 0.0 END
+       |  END AS rouge_f
+       |FROM sc ORDER BY pair_id""".stripMargin
+
   /** Full Dawid–Skene EM over the synthetic annotators
     * ([[graft.ext.Annotations.dawidSkene]], 2 rounds, λ = 0.01): the
     * completion of the weighted-vote half-step — per-annotator confusion
@@ -7415,6 +7543,7 @@ object SparkEntry {
     "q_roc_auc_docs" -> rocAucDocs,
     "q_rouge_pairs_docs" -> rougePairsDocs,
     "q_rouge2_pairs_docs" -> rouge2PairsDocs,
+    "q_rougelsum_pairs_docs" -> rougeLsumPairsDocs,
     "q_chrf_pairs_docs" -> chrfPairsDocs,
     "q_bleu_pairs_docs" -> bleuPairsDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
@@ -7768,6 +7897,7 @@ object SparkEntry {
          |FROM fp GROUP BY 1, 2 ORDER BY lang, status""".stripMargin,
     "q_rouge_pairs_docs" -> rougePairsSql,
     "q_rouge2_pairs_docs" -> rouge2PairsSql,
+    "q_rougelsum_pairs_docs" -> rougeLsumPairsSql,
     "q_chrf_pairs_docs" -> chrfPairsSql,
     "q_bleu_pairs_docs" -> bleuPairsSql,
     "q_span_dedup_docs" -> spanDedupSql,

@@ -127,6 +127,125 @@ object Rouge {
             .otherwise(lit(0.0))))
   }
 
+  /** LCS match POSITIONS in the reference (1-based), under the PINNED
+    * backtrace rule that makes [[rougeLsum]]'s union well-defined and
+    * oracle-replayable: walk from (|r|, |c|); on a token match take it
+    * (always on an optimal path — `t(i)(j) = t(i-1)(j-1) + 1` whenever
+    * `r(i-1) == c(j-1)`); otherwise step the CANDIDATE back when
+    * `t(i)(j-1) > t(i-1)(j)`, else the reference. This is the
+    * greedy-from-the-end rule of the public `rouge-score` package
+    * (google-research, `rouge_scorer._lcs_ind`), so scores line up with
+    * the ecosystem's rougeLsum, and it is deterministic — the whole
+    * point, because WHICH positions an LCS matches is not math-pinned
+    * when several longest subsequences exist. O(|r|·|c|) time and
+    * memory (full table; sentences are short by construction). */
+  private[graft] def lcsInd(r: Array[String], c: Array[String]): Array[Int] = {
+    val m = r.length; val n = c.length
+    if (m == 0 || n == 0) return Array.empty
+    val t = Array.ofDim[Int](m + 1, n + 1)
+    var i = 1
+    while (i <= m) {
+      var j = 1
+      while (j <= n) {
+        t(i)(j) =
+          if (r(i - 1) == c(j - 1)) t(i - 1)(j - 1) + 1
+          else math.max(t(i - 1)(j), t(i)(j - 1))
+        j += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    i = m; var j = n
+    while (i > 0 && j > 0) {
+      if (r(i - 1) == c(j - 1)) { out += i; i -= 1; j -= 1 }
+      else if (t(i)(j - 1) > t(i - 1)(j)) j -= 1
+      else i -= 1
+    }
+    // the walk emits positions end-first; return ascending (the
+    // rouge-score convention) — callers treat this as a set either way
+    out.reverseIterator.toArray
+  }
+
+  /** ROUGE-L-summary (Lin 2004 §3.2, union-LCS): the summary-level
+    * variant — each side is split into SENTENCES, and each reference
+    * sentence is credited with the UNION of its LCS match positions
+    * across all candidate sentences, so a reference sentence partially
+    * covered by several candidate sentences scores the union, not the
+    * best single alignment:
+    *
+    *   hits = Σ_i clip( ∪_j matchPos(r_i, c_j) )
+    *   R = hits / m,  P = hits / n,  F = 2PR/(P+R)
+    *
+    * (m, n = total reference / candidate tokens over all sentences.)
+    * `clip` is the `rouge-score` package's double-counting guard: a
+    * per-pair budget of candidate token counts, consumed as union
+    * matches are credited, so a candidate token can't be credited to
+    * more reference sentences than it occurs (without it, P > 1 is
+    * reachable). The budget is per-TOKEN and each credit consumes one,
+    * so the total is order-free: hits = Σ_t min(matched positions
+    * bearing t, count of t in the candidate) — which is how the oracle
+    * computes it relationally.
+    * The match-position sets come from [[lcsInd]]'s pinned backtrace —
+    * the obstruction that kept this op adjudicated-out (COVERAGE §7.4)
+    * until the tie rule was pinned and replayed: the DuckDB oracle
+    * rebuilds every sentence-pair DP table by anti-diagonal recursion,
+    * walks the SAME backtrace in a second recursive CTE, and unions the
+    * matched positions relationally. Sentences: split on `sentSplit`
+    * (default `[.!?]+` — RE2-safe, no lookaround, so DuckDB's regex
+    * replays it), trimmed, empties dropped; tokens per sentence follow
+    * the repo-wide lowercase-whitespace convention. Same pair-keyed
+    * kernel shape as [[rougeL]] — sequential per pair, embarrassingly
+    * parallel across pairs, nothing leaves the executor — and the same
+    * null semantics: null-side pairs dropped, an empty (no-token) side
+    * nulls its ratio and F, zero overlap scores 0. Output: (idCol,
+    * c_tokens, r_tokens, lcs_hits, rouge_r, rouge_p, rouge_f). */
+  def rougeLsum(pairs: DataFrame,
+      idCol: String = "pair_id",
+      candCol: String = "candidate",
+      refCol: String = "reference",
+      sentSplit: String = "[.!?]+"): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val base = pairs.filter(col(candCol).isNotNull && col(refCol).isNotNull)
+      .select(col(idCol).cast("long").as("pair_id"),
+        col(candCol).cast("string"), col(refCol).cast("string"))
+      .as[(Long, String, String)]
+    def sentTokens(s: String): Array[Array[String]] =
+      s.split(sentSplit).map(_.trim).filter(_.nonEmpty).map(tokens)
+    val raw = base.map { case (id, c, r) =>
+      val cs = sentTokens(c); val rs = sentTokens(r)
+      val n = cs.iterator.map(_.length.toLong).sum
+      val m = rs.iterator.map(_.length.toLong).sum
+      val budget = scala.collection.mutable.HashMap.empty[String, Int]
+      cs.foreach(_.foreach(t => budget(t) = budget.getOrElse(t, 0) + 1))
+      var hits = 0L
+      rs.foreach { rt =>
+        if (rt.nonEmpty) {
+          val u = scala.collection.mutable.BitSet.empty
+          cs.foreach { ct => if (ct.nonEmpty) u ++= lcsInd(rt, ct) }
+          u.foreach { p =>
+            val tok = rt(p - 1)
+            val left = budget.getOrElse(tok, 0)
+            if (left > 0) { hits += 1; budget(tok) = left - 1 }
+          }
+        }
+      }
+      (id, n, m, hits)
+    }.toDF("pair_id", "c_tokens", "r_tokens", "lcs_hits")
+    raw
+      .withColumn("rouge_r",
+        when(col("r_tokens") > 0, quantC(col("lcs_hits") / col("r_tokens"))))
+      .withColumn("rouge_p",
+        when(col("c_tokens") > 0, quantC(col("lcs_hits") / col("c_tokens"))))
+      .withColumn("rouge_f",
+        when(col("rouge_r").isNotNull && col("rouge_p").isNotNull,
+          when(col("rouge_r") + col("rouge_p") > 0,
+            quantC(lit(2.0) * col("rouge_p") * col("rouge_r") /
+              (col("rouge_p") + col("rouge_r"))))
+            .otherwise(lit(0.0))))
+      .withColumnRenamed("pair_id", idCol)
+  }
+
   /** Score (idCol, candCol, refCol) pairs. Output: (idCol, c_len, r_len,
     * lcs_len, rouge_r, rouge_p, rouge_f), one row per input pair with
     * both texts non-null. */

@@ -92,6 +92,73 @@ class RougeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Rouge.rougeN(short, n = 5))
   }
 
+  test("lcsInd: pinned greedy-from-the-end backtrace (the rougeLsum tie rule)") {
+    def ind(r: String, c: String) =
+      Rouge.lcsInd(r.split(" "), c.split(" ")).toList
+    // unambiguous: positions are the LCS itself (1-based, ascending)
+    assert(ind("a x b y c", "a b c") == List(1, 3, 5))
+    // ambiguous length-1 LCS ("a b" vs "b a"): the pinned walk moves the
+    // reference pointer on the tie (t[i][j-1] == t[i-1][j]) and then
+    // matches 'a' — position 1, never 'b'
+    assert(ind("a b", "b a") == List(1))
+    // repeated token: the end-anchored walk matches the LAST occurrence
+    assert(ind("a b a", "a") == List(3))
+    // empty sides
+    assert(Rouge.lcsInd(Array.empty[String], Array("a")).isEmpty)
+    assert(Rouge.lcsInd(Array("a"), Array.empty[String]).isEmpty)
+  }
+
+  test("rougeLsum: union across candidate sentences beats best single LCS") {
+    // ref = one 5-token sentence; candidate = two sentences each covering
+    // a disjoint piece: union credits 4 positions where any single
+    // alignment scores only 2
+    val p = Seq((1L, "a b. d e", "a b c d e")).toDF("pair_id", "candidate", "reference")
+    val r = Rouge.rougeLsum(p).collect()(0)
+    assert(r.getAs[Long]("c_tokens") == 4L && r.getAs[Long]("r_tokens") == 5L)
+    assert(r.getAs[Long]("lcs_hits") == 4L)
+    assert(r.getAs[Double]("rouge_r") == 0.8 && r.getAs[Double]("rouge_p") == 1.0)
+    assert(r.getAs[Double]("rouge_f") == 0.888889)
+  }
+
+  test("rougeLsum: union per ref sentence, clipped by candidate token counts") {
+    // both candidate sentences match the SAME ref positions -> union = 2
+    val p = Seq(
+      (1L, "a b. a b", "a b c"),
+      // the clip: both ref sentences union-match 'x y', but the candidate
+      // has only ONE of each token -> hits clamp at 2 (P = 1.0, never > 1)
+      (2L, "x y", "x y. x y"),
+      // single-sentence sides degenerate to plain ROUGE-L
+      (3L, "the cat sat on the mat", "the cat ran on a mat")
+    ).toDF("pair_id", "candidate", "reference")
+    val out = Rouge.rougeLsum(p).collect().map(r =>
+      r.getAs[Long]("pair_id") -> ((r.getAs[Long]("c_tokens"),
+        r.getAs[Long]("r_tokens"), r.getAs[Long]("lcs_hits"),
+        r.getAs[Double]("rouge_r"), r.getAs[Double]("rouge_p")))).toMap
+    assert(out(1L) == ((4L, 3L, 2L, 0.666667, 0.5)), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 4L, 2L, 0.5, 1.0)), s"got ${out(2L)}")
+    assert(out(3L) == ((6L, 6L, 4L, 0.666667, 0.666667)), s"got ${out(3L)}")
+    // pair 3 agrees with sentence-level rougeL on the same texts
+    val l = Rouge.rougeL(p.filter($"pair_id" === 3L)).collect()(0)
+    assert(l.getAs[Long]("lcs_len") == 4L)
+  }
+
+  test("rougeLsum: null and empty-side semantics match the rougeL convention") {
+    val p = Seq(
+      (1L, Option("   "), Option("a b")),   // no candidate tokens: P, F null
+      (2L, Option("a b"), Option(" . ! ")), // no reference tokens: R, F null
+      (3L, Option.empty[String], Option("x")),
+      (4L, Option("x"), Option.empty[String])
+    ).toDF("pair_id", "candidate", "reference")
+    val out = Rouge.rougeLsum(p).collect().map(r =>
+      r.getAs[Long]("pair_id") -> ((r.getAs[Long]("c_tokens"), r.getAs[Long]("r_tokens"),
+        Option(r.getAs[java.lang.Double]("rouge_r")),
+        Option(r.getAs[java.lang.Double]("rouge_p")),
+        Option(r.getAs[java.lang.Double]("rouge_f"))))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((0L, 2L, Some(0.0), None, None)), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 0L, None, Some(0.0), None)), s"got ${out(2L)}")
+  }
+
   test("rougeL is deterministic under input order") {
     val shuffled = pairs.orderBy(org.apache.spark.sql.functions.rand(13))
     val a = Rouge.rougeL(pairs).orderBy("pair_id").collect().map(_.toString).toSeq
