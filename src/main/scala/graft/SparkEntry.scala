@@ -4287,6 +4287,72 @@ object SparkEntry {
        |    AS distinct_ratio
        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The HLL tier of corpus diversity
+    * ([[graft.ext.TextStats.distinctNgramRatioApprox]], the round-14
+    * 100 TB escape hatch) promoted to a HARD oracle via the gramHash
+    * injection seam — the simhashCore move applied to a sketch: the
+    * per-gram surrogate is [[graft.ext.TextStats.rollingHash]]'s
+    * Karp–Rabin fold instead of xxhash64, and DuckDB then replays the
+    * ENTIRE sketch — every gram hash, the Knuth+fmix32 mix, bucket
+    * routing, bin()-bitlen zero-run ranks, the (group, n, bucket) register
+    * maxima AND their live count, the harmonic-mean estimator, and the
+    * linear-counting branch — bit-for-bit. The exact path
+    * (q_distinct_ngrams_docs) remains the ACCURACY oracle; this row pins
+    * the sketch MECHANISM, so the approximate tier is no longer
+    * spec-only. n_registers rides along as an integer-exact read-out of
+    * sketch occupancy (it also drives the linear-counting CASE, so the
+    * oracle locks the branch decision, not just the value). */
+  private def distinctNgramsApproxDocs(s: SparkSession, dir: String): DataFrame =
+    ext.TextStats.distinctNgramRatioApprox(Tables.documents(s, dir),
+        gramHash = ext.TextStats.rollingHash(_))
+      .select(col("group").as("lang"), col("n"), col("total_ngrams"),
+        col("n_registers"), r6(col("est_distinct")).as("est_distinct"),
+        r6(col("est_ratio")).as("est_ratio"))
+      .orderBy("lang", "n")
+
+  private def distinctNgramsApproxSql: String =
+    raw"""WITH d AS (SELECT lang, list_filter(
+       |    string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+       |  FROM documents),
+       |u AS (
+       |  SELECT lang, 1 AS n, unnest(toks) AS gram FROM d
+       |  UNION ALL
+       |  SELECT lang, 2, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i + 1])) FROM d
+       |  UNION ALL
+       |  SELECT lang, 3, unnest(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) FROM d),
+       |kr AS (SELECT lang, n, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(gram)),
+       |      j -> ascii(substring(gram, j, 1))::BIGINT)),
+       |    (h, c) -> (h * 257 + c) % 1000000007) AS id FROM u),
+       |h0 AS (SELECT lang, n, ((id % 2147483648) * 2654435761) % 4294967296 AS h FROM kr),
+       |s1_ AS (SELECT lang, n, xor(h, h >> 16) AS h FROM h0),
+       |m1_ AS (SELECT lang, n, ((((h >> 16) * 2246822507) % 65536) * 65536
+       |  + (h % 65536) * 2246822507) % 4294967296 AS h FROM s1_),
+       |s2_ AS (SELECT lang, n, xor(h, h >> 13) AS h FROM m1_),
+       |m2_ AS (SELECT lang, n, ((((h >> 16) * 3266489909) % 65536) * 65536
+       |  + (h % 65536) * 3266489909) % 4294967296 AS h FROM s2_),
+       |hx AS (SELECT lang, n, xor(h, h >> 16) AS h FROM m2_),
+       |rb AS (SELECT lang, n, h >> 20 AS bucket, h % 1048576 AS w FROM hx),
+       |rr AS (SELECT lang, n, bucket,
+       |  max(CASE WHEN w = 0 THEN 21 ELSE 21 - length(bin(w)) END) AS rank,
+       |  count(*) AS c FROM rb GROUP BY 1, 2, 3),
+       |a_ AS (SELECT lang, n, sum(c) AS total_ngrams,
+       |  sum(power(2.0, -rank)) AS pinv, count(*) AS nreg FROM rr GROUP BY 1, 2),
+       |e_ AS (SELECT lang, n, total_ngrams, nreg,
+       |  (0.7213 / (1 + 1.079 / 4096) * 4096 * 4096)
+       |    / (pinv + CAST(4096 - nreg AS DOUBLE)) AS raw,
+       |  CAST(4096 - nreg AS DOUBLE) AS v FROM a_),
+       |f_ AS (SELECT lang, n, total_ngrams, nreg,
+       |  CASE WHEN raw <= 10240.0 AND v > 0
+       |    THEN 4096.0 * ln(4096.0 / v) ELSE raw END AS est FROM e_)
+       |SELECT lang, n, CAST(total_ngrams AS BIGINT) AS total_ngrams,
+       |  CAST(nreg AS BIGINT) AS n_registers,
+       |  floor(est * 1e6 + 0.5) / 1e6 AS est_distinct,
+       |  floor(est / total_ngrams * 1e6 + 0.5) / 1e6 AS est_ratio
+       |FROM f_ ORDER BY lang, n""".stripMargin
+
   /** Sparse random projection (Achlioptas JL) probe: 64 → 16 dims over a
     * bounded vector window — DuckDB regenerates the deterministic sign
     * matrix cell-by-cell (mixHash(i·k+j) mod 6), rebuilds each row's
@@ -7506,6 +7572,7 @@ object SparkEntry {
     "q_vocab_resemblance_docs" -> vocabResemblanceDocs,
     "q_zipf_docs" -> zipfDocs,
     "q_distinct_ngrams_docs" -> distinctNgramsDocs,
+    "q_distinct_ngrams_approx_docs" -> distinctNgramsApproxDocs,
     "q_gram_duplication_docs" -> gramDuplicationDocs,
     "q_chunk_docs" -> chunkDocs,
     "q_meanpool_embeddings" -> meanPoolEmbeddings,
@@ -7821,6 +7888,7 @@ object SparkEntry {
     "q_vocab_resemblance_docs" -> vocabResemblanceSql,
     "q_zipf_docs" -> zipfDocsSql,
     "q_distinct_ngrams_docs" -> distinctNgramsSql,
+    "q_distinct_ngrams_approx_docs" -> distinctNgramsApproxSql,
     "q_gram_duplication_docs" -> gramDuplicationSql,
     "q_chunk_docs" -> chunkDocsSql,
     "q_meanpool_embeddings" -> meanPoolSql,

@@ -278,13 +278,25 @@ object TextStats {
     * exact path there, it is also error-free; the sketch pays off once
     * per-(group, n) vocabularies outgrow ~10 × 2^b, i.e. web-corpus
     * scale). TextExtSpec pins the relative error against the exact path
-    * on the fixture corpus. */
+    * on the fixture corpus.
+    *
+    * `gramHash` is the injection seam (the simhashCore pattern, applied
+    * here r14): everything downstream of the per-gram 64-bit surrogate —
+    * bucket routing, bin()-bitlen ranks, register max/merge, the harmonic
+    * estimator and its linear-counting branch — is shared replayable
+    * arithmetic; only the raw draw varies. Production feeds xxhash64
+    * (engine-specific by construction); the driver query feeds
+    * [[rollingHash]], whose Karp–Rabin fold an ANSI SQL engine
+    * regenerates exactly, which is what lets q_distinct_ngrams_approx_docs
+    * hard-oracle the SKETCH itself — registers, estimator and all — not
+    * just bound its error. */
   def distinctNgramRatioApprox(
       docs: org.apache.spark.sql.DataFrame,
       groupCol: String = "lang",
       idCol: String = "doc_id",
       textCol: String = "text",
-      b: Int = 12): org.apache.spark.sql.DataFrame = {
+      b: Int = 12,
+      gramHash: Column => Column = xxhash64(_)): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
     val base = docs.select(col(groupCol).cast("string").as("group"),
@@ -306,12 +318,20 @@ object TextStats {
       .select(col("group"), col("ng.n").as("n"), col("ng.gram").as("gram"))
       .filter(col("gram").isNotNull)
     // mixHash is numeric (kept replayable for the oracled sketch queries);
-    // grams enter through a xxhash64 surrogate — its 2^31 folded space adds
-    // ~n²/2³² phantom collisions (0.02% at a million grams), far inside the
-    // sketch's own 1.04/√2^b error, and this tier is deliberately not the
-    // oracle (the exact path is).
-    val (bucket, rank) = Sketches.hllBucketRank(xxhash64(col("gram")), b)
-    val regs = g
+    // grams enter through the gramHash surrogate — its 2^31 folded space
+    // adds ~n²/2³² phantom collisions (0.02% at a million grams), far
+    // inside the sketch's own 1.04/√2^b error. The EXACT path stays the
+    // accuracy oracle; the injected-hash driver query hard-oracles the
+    // sketch mechanism itself. The surrogate gets its OWN projection
+    // (the simhashCore addHash staging): hllBucketRank references its
+    // input three times (bucket + the two w reads in the rank CASE), and
+    // CollapseProject keeps a non-cheap alias referenced that often
+    // staged — so a per-character fold like the replayable rollingHash
+    // is evaluated once per gram, and only mixHash's O(1) integer
+    // arithmetic is triplicated (the accepted hll/kmv-query shape).
+    val hashed = g.select(col("group"), col("n"), gramHash(col("gram")).as("gh"))
+    val (bucket, rank) = Sketches.hllBucketRank(col("gh"), b)
+    val regs = hashed
       .select(col("group"), col("n"), bucket.as("bucket"), rank.as("rank"))
       .groupBy("group", "n", "bucket")
       .agg(max("rank").as("rank"), count(lit(1)).as("c"))
@@ -322,12 +342,12 @@ object TextStats {
       .agg(sum("c").as("total_ngrams"),
         coalesce(sum(pow(lit(2.0), -col("rank"))), lit(0.0)).as("present_inv"),
         count(lit(1)).as("n_registers"))
-      .select(col("group"), col("n"), col("total_ngrams"),
+      .select(col("group"), col("n"), col("total_ngrams"), col("n_registers"),
         (lit(alpha * m.toDouble * m.toDouble) /
           (col("present_inv") + (lit(m) - col("n_registers")).cast("double")))
           .as("raw"),
         (lit(m) - col("n_registers")).cast("double").as("v"))
-      .select(col("group"), col("n"), col("total_ngrams"),
+      .select(col("group"), col("n"), col("total_ngrams"), col("n_registers"),
         when(col("raw") <= lit(2.5 * m) && col("v") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
           .otherwise(col("raw"))

@@ -220,6 +220,11 @@ class PlanLintSpec extends SparkSpec {
     ("q_weighted_sample_docs", "pmod(doc_id, 2147483648L)"),
     ("q_hll_distinct_lineitem", "pmod(l_partkey, 2147483648L)"),
     ("q_kmv_distinct_lineitem", "pmod(l_partkey, 2147483648L)"),
+    // same mixHash-avalanche duplication over the STAGED gram surrogate
+    // `gh` (the expensive rollingHash fold is evaluated once in its own
+    // projection; only the O(1) integer mix is triplicated by
+    // hllBucketRank's bucket + two rank reads)
+    ("q_distinct_ngrams_approx_docs", "pmod(gh, 2147483648L)"),
     // bottom-k resemblance sort key: the same mixHash avalanche on the
     // raw groupBy key — O(1) integer arithmetic per DISTINCT key, applied
     // after the aggregate (the expensive side, per-occurrence text

@@ -501,6 +501,22 @@ class TextExtSpec extends SparkSpec {
       assert(rel <= 0.05, s"$k: est $est vs exact $exDistinct (rel $rel)")
       assert(math.abs(ratio - est / total) < 1e-12)
     }
+    // the gramHash injection seam (what q_distinct_ngrams_approx_docs
+    // feeds the oracle through): the rollingHash draw must be a sound
+    // HLL input too — same exact totals, same error envelope
+    val inj = TextStats.distinctNgramRatioApprox(docs, b = 12,
+        gramHash = TextStats.rollingHash(_)).collect()
+      .map(r => (r.getAs[String]("group"), r.getAs[Int]("n")) ->
+        ((r.getAs[Long]("total_ngrams"), r.getAs[Long]("n_registers"),
+          r.getAs[Double]("est_distinct")))).toMap
+    assert(inj.keySet == exact.keySet)
+    inj.foreach { case (k, (total, nreg, est)) =>
+      val (exTotal, exDistinct) = exact(k)
+      assert(total == exTotal, s"$k: injected total $total != exact $exTotal")
+      assert(nreg >= 1L && nreg <= 4096L)
+      val rel = math.abs(est - exDistinct) / exDistinct.toDouble
+      assert(rel <= 0.05, s"$k: injected est $est vs exact $exDistinct (rel $rel)")
+    }
   }
 
   test("repetitionStats: hand-computed fractions, short-doc zeros") {
