@@ -61,17 +61,11 @@ object SimHashReplayWord {
   private val A: Array[Long] =
     Array.tabulate(64)(j => 2654435761L * (j + 1) % P)
 
-  /** The fused draw. Public static so generated code can call it. */
+  /** The fused draw. Public static so generated code can call it. The kr
+    * stage is [[KarpRabinHash.compute]] — the single source of the fold
+    * since its own r14 fusion. */
   def compute(tok: UTF8String): Long = {
-    val s = tok.toString
-    var kr = 0L
-    var i = 0
-    val n = s.length
-    while (i < n) {
-      val cp = s.codePointAt(i)
-      kr = (kr * 257L + cp) % P
-      i += Character.charCount(cp)
-    }
+    val kr = KarpRabinHash.compute(tok)
     var word = 0L
     var j = 0
     while (j < 64) {

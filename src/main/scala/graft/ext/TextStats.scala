@@ -1212,8 +1212,26 @@ object TextStats {
     * h·257 + c < 2^39 — ANSI-safe), and the recurrence is plain integer
     * arithmetic any engine reproduces bit-identically, which makes
     * winnowing built on it hard-oracle-able (unlike xxhash64, whose value
-    * is engine-specific by construction). */
+    * is engine-specific by construction).
+    *
+    * Since r14 this is the fused native expression
+    * ([[graft.expr.KarpRabinHash]] — one codegen'd code-point loop); the
+    * original `aggregate(split(s, ""))` higher-order tree is retained
+    * below as [[rollingHashExpr]], the bit-equality reference the spec
+    * pins (the SimHashReplayWord retirement discipline). Corpus-wide
+    * consumers (DSIR features, hashed classifiers, CDC grams, CMS
+    * counters, the HLL gram surrogate) evaluate this once per token
+    * occurrence, where the tree form paid a per-char array allocation
+    * plus interpreted lambda per element. */
   def rollingHash(s: Column): Column =
+    graft.expr.KarpRabinHash.karpRabin(s)
+
+  /** The retired Catalyst higher-order-function form of [[rollingHash]]
+    * — kept (not dead code) as the independent reference implementation
+    * that TokenGramExprSpec pins the native expression against, so the
+    * replayable-arithmetic contract every oracle depends on stays
+    * machine-checked. */
+  private[graft] def rollingHashExpr(s: Column): Column =
     aggregate(split(s, ""), lit(0L),
       (h, c) => (h * lit(257L) + ascii(c)) % lit(1000000007L))
 

@@ -83,7 +83,9 @@ class TokenGramExprSpec extends SparkSpec {
       "repeated-repeated-repeated", "MiXeD", "café", "über",
       "a b", "trailing ") ++ (0 until 50).map(i => s"tok$i word${i * 7}")
     val df = toks.toDF("tok")
-      .withColumn("kr", graft.ext.TextStats.rollingHash(col("tok")))
+      // rollingHashExpr: the RETIRED Catalyst fold — the reference stays
+      // independent of the native KarpRabinHash both fused paths share
+      .withColumn("kr", graft.ext.TextStats.rollingHashExpr(col("tok")))
       .withColumn("old", assembled)
       .withColumn("neu", graft.expr.SimHashReplayWord.simhashReplayWord(col("tok")))
     val rows = df.select("tok", "old", "neu").collect()
@@ -94,6 +96,37 @@ class TokenGramExprSpec extends SparkSpec {
     val n = Seq((1L, null: String)).toDF("id", "tok")
       .select(graft.expr.SimHashReplayWord.simhashReplayWord($"tok")).head()
     assert(n.isNullAt(0))
+  }
+
+  test("KarpRabinHash equals the Catalyst fold it replaced") {
+    // the token battery of the SimHash pin plus gram-shaped inputs
+    // (spaces — the HLL surrogate hashes multi-token grams) and the
+    // empty-string → 0 convention
+    val toks = Seq("", "a", "z", "hello", "the", "0123456789",
+      "repeated-repeated-repeated", "MiXeD", "café", "über",
+      "a b", "two gram", "three gram here", "trailing ") ++
+      (0 until 50).map(i => s"tok$i word${i * 7}")
+    val rows = toks.toDF("tok")
+      .withColumn("old", graft.ext.TextStats.rollingHashExpr(col("tok")))
+      .withColumn("neu", graft.ext.TextStats.rollingHash(col("tok")))
+      .select("tok", "old", "neu").collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"mismatch for '${r.getString(0)}'")
+    }
+    assert(rows.find(_.getString(0) == "").get.getLong(2) == 0L)
+    // null input → null hash (nullSafeEval)
+    val n = Seq((1L, null: String)).toDF("id", "tok")
+      .select(graft.ext.TextStats.rollingHash($"tok")).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("KarpRabinHash stays inside whole-stage codegen") {
+    val df = spark.range(10)
+      .select(concat(lit("tok"), $"id".cast("string")).as("tok"))
+      .select(graft.ext.TextStats.rollingHash($"tok").as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("karprabinhash")), plan)
+    assert(df.count() == 10)
   }
 
   test("SimHashReplayWord stays inside whole-stage codegen") {
