@@ -143,21 +143,30 @@ object Dedup {
     * replaced by the relational form: a gram-keyed winner rule + a
     * per-doc range-window coverage union, both corpus-parallel.
     *
-    * Plan shape: ONE posexplode of the token stream serves both sides —
-    * gram strings assemble from k−1 window `lead`s over the (doc, pos)
-    * exchange (the minhash-pipeline form; the array-of-shingles form
-    * duplicated the tokenizing split into the pushed length filter and
-    * tripped the expression-duplication lint, and its per-doc gram
-    * arrays cost 3× the wall time), the winner rule is one gram-keyed
-    * rank, coverage is a per-doc RANGE window over loser starts (no
-    * interval explosion), reassembly the shared sort-collect fold.
-    * Shuffles: one by gram key, one by doc. With
-    * `hashKeys` the gram key is xxhash64(gram) — 8 bytes instead of ~8·k
-    * on the wire, the right trade at corpus scale (false-merge odds
-    * ~2⁻⁶⁴ per pair). The driver query ships hashKeys = true (round 9);
-    * its exact-string oracle stays valid because hashing only relabels
-    * the winner-rule groups — the admitted/removed sets are identical
-    * absent a collision, and DedupSpec pins the equivalence.
+    * Plan shape: with `hashKeys` (the driver shape) the gram keys come
+    * from ONE pass of the native [[graft.expr.TokenGramHashes]]
+    * expression over each doc's token array — no lead window, no gram
+    * STRING ever built, posexplode yields (pos, key) directly, so the
+    * gram side needs no (doc, pos) sort exchange at all. (This is NOT
+    * the r9 "array-of-shingles" Catalyst form that cost 3× and tripped
+    * the duplication lint — that built per-doc gram-string arrays
+    * through a transform lambda; the fused expression walks token bytes
+    * once per doc inside whole-stage codegen. Measured r14:
+    * ProbeWindowDedup 1.59 → 1.05 s steady-state AND shuffle bytes
+    * 10.2 → 7.1 MB — dropping the gram-side sort exchange removes a
+    * whole corpus shuffle, the part that compounds at cluster scale.)
+    * The exact-string path keeps the k−1 window-`lead` gram
+    * assembly over the (doc, pos) exchange. The winner rule is one
+    * gram-keyed rank, coverage is a per-doc RANGE window over loser
+    * starts (no interval explosion), reassembly the shared sort-collect
+    * fold. Shuffles: one by gram key, one by doc. With `hashKeys` the
+    * key is 8 bytes instead of ~8·k on the wire, the right trade at
+    * corpus scale (false-merge odds ~2⁻⁶⁴ per pair — FNV-1a with a
+    * token-separator byte since r14, xxhash64-of-concat before; both
+    * relabelings leave the winner-rule groups identical absent a
+    * collision). The driver query ships hashKeys = true (round 9); its
+    * exact-string oracle stays valid because hashing only relabels the
+    * groups, and DedupSpec pins the equivalence.
     *
     * Semantics notes (deterministic, oracle-replayed): a position inside
     * a FIRST-occurrence window is still removed if some OTHER losing
@@ -173,15 +182,23 @@ object Dedup {
     val k = windowTokens
     val tok = docs.select(col(idCol).as("doc_id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
-    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
-    val leads = (1 until k).map(j => lead("w", j).over(wOrd).as(s"__w$j"))
-    val gram = concat_ws(" ", col("w") +: (1 until k).map(j => col(s"__w$j")): _*)
-    val grams = tok
-      .select(col("doc_id") +: col("pos") +: col("w") +: leads: _*)
-      // a full k-token window exists iff the furthest lead is defined
-      .filter(col(s"__w${k - 1}").isNotNull)
-      .select(col("doc_id"), col("pos"), gram.as("g"))
-      .withColumn("key", if (hashKeys) xxhash64(col("g")) else col("g"))
+    val grams = if (hashKeys) {
+      // fused path: per-doc gram hashes in one codegen'd byte walk —
+      // no lead window, no gram string, no (doc, pos) sort exchange
+      docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+        .select(col("doc_id"),
+          posexplode(graft.expr.TokenGramHashes.tokenGramHashes(col("__toks"), k))
+            .as(Seq("pos", "key")))
+    } else {
+      val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+      val leads = (1 until k).map(j => lead("w", j).over(wOrd).as(s"__w$j"))
+      val gram = concat_ws(" ", col("w") +: (1 until k).map(j => col(s"__w$j")): _*)
+      tok
+        .select(col("doc_id") +: col("pos") +: col("w") +: leads: _*)
+        // a full k-token window exists iff the furthest lead is defined
+        .filter(col(s"__w${k - 1}").isNotNull)
+        .select(col("doc_id"), col("pos"), gram.as("key"))
+    }
     val losers = grams
       .withColumn("rn",
         row_number().over(Window.partitionBy("key").orderBy("doc_id", "pos")))
