@@ -3515,6 +3515,45 @@ object SparkEntry {
        |SELECT doc_a, doc_b, floor(cos * 1e6 + 0.5) / 1e6 AS cos
        |FROM f ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Cross-corpus SEMANTIC decontamination
+    * ([[graft.ext.SemDedup.crossNearDupPairs]]): the embedding-space
+    * analog of the n-gram q_decontaminate family — flag (corpus, bench)
+    * pairs whose cosine clears the threshold, both sides routed through
+    * the SAME pinned quantizer so the join stays cell-local (the
+    * benchmark side is model-sized in practice; the corpus is never
+    * shuffled by anything bench-sized). Closes the one decontamination
+    * modality (semantic, vs exact n-gram / Bloom / streaming) that had
+    * an operator + spec but no driver surface. Bench = vec_id < 64 (the
+    * bootstrap-CI eval-anchor convention), corpus = the rest; quantizer
+    * is the replayable integer-planes grid, so the oracle reuses the
+    * q_semdedup_pairs assignment CTEs verbatim and replays every
+    * assignment argmax, the cross-side cell equijoin, each cosine, and
+    * the NaN-guarded threshold cut. */
+  private def crossDeconEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val bench = emb.filter(col("vec_id") < 64)
+    val corpus = emb.filter(col("vec_id") >= 64)
+    ext.SemDedup.crossNearDupPairs(corpus, bench,
+        ext.Similarity.integerPlanes(64, 8), threshold = 0.3)
+      .select(col("corpus_id"), col("bench_id"), round6("cos"))
+      .orderBy("corpus_id", "bench_id")
+  }
+
+  private def crossDeconSql: String =
+    s"""WITH $assignScoreCtes,
+       |cell AS (SELECT vec_id, emb, i AS cell FROM
+       |  (SELECT vec_id, emb, i, row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY cos DESC, i ASC) AS rn FROM sc) WHERE rn = 1),
+       |f AS (SELECT a.vec_id AS corpus_id, b.vec_id AS bench_id,
+       |    list_cosine_similarity(a.emb, b.emb) AS cos
+       |  FROM cell a JOIN cell b ON a.cell = b.cell
+       |    AND a.vec_id >= 64 AND b.vec_id < 64
+       |  WHERE list_cosine_similarity(a.emb, b.emb) IS NOT NULL
+       |    AND NOT isnan(list_cosine_similarity(a.emb, b.emb))
+       |    AND list_cosine_similarity(a.emb, b.emb) >= 0.3)
+       |SELECT corpus_id, bench_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
+       |FROM f ORDER BY corpus_id, bench_id""".stripMargin
+
   /** End-to-end keep set: pairs → connected components (recursive-CTE
     * closure, the q_neardup_components recipe) → min-id representative
     * survives. */
@@ -7615,6 +7654,7 @@ object SparkEntry {
     "q_bleu_pairs_docs" -> bleuPairsDocs,
     "q_semdedup_pairs" -> semdedupPairsDocs,
     "q_semdedup_keep" -> semdedupKeepDocs,
+    "q_cross_decon_embeddings" -> crossDeconEmbeddings,
     "q_cluster_keep_embeddings" -> clusterKeepEmbeddings,
     "q_rrf_hybrid_docs" -> rrfHybridDocs,
     "q_collocations_docs" -> collocationsDocs,
@@ -7897,6 +7937,7 @@ object SparkEntry {
     "q_tfidf_topk_docs" -> tfidfTopkSql,
     "q_semdedup_pairs" -> semdedupPairsSql,
     "q_semdedup_keep" -> semdedupKeepSql,
+    "q_cross_decon_embeddings" -> crossDeconSql,
     "q_cluster_keep_embeddings" -> clusterKeepSql,
     "q_rrf_hybrid_docs" -> rrfHybridSql,
     "q_collocations_docs" -> collocationsSql,
