@@ -5261,7 +5261,11 @@ object SparkEntry {
     val pairs = d.select(col("doc_id").as("pair_id"), col("text").as("candidate"))
       .join(d.select((col("doc_id") - 1).as("pair_id"), col("text").as("reference")),
         "pair_id")
-    ext.Rouge.rougeN(pairs, n = 2).orderBy("pair_id")
+    // hashKeys: native gram-hash keys (r14) — no (pair, pos) sort
+    // exchange, 8-byte keys through the count/clip shuffles; pure
+    // relabeling of the clip groups, so the exact-string oracle below
+    // is untouched (the dropDuplicateWindows contract)
+    ext.Rouge.rougeN(pairs, n = 2, hashKeys = true).orderBy("pair_id")
   }
 
   private def rouge2PairsSql: String =
@@ -5575,7 +5579,9 @@ object SparkEntry {
     val pairs = d.select(col("doc_id").as("pair_id"), col("text").as("candidate"))
       .join(d.select((col("doc_id") - 1).as("pair_id"), col("text").as("reference")),
         "pair_id")
-    ext.Bleu.bleu2(pairs).orderBy("pair_id")
+    // hashKeys: native gram-hash keys (r14, the rougeN note) — same
+    // scores, exact-string oracle untouched
+    ext.Bleu.bleu2(pairs, hashKeys = true).orderBy("pair_id")
   }
 
   private def bleuPairsSql: String =

@@ -46,12 +46,24 @@ object Bleu {
   def bleu2(pairs: DataFrame,
       idCol: String = "pair_id",
       candCol: String = "candidate",
-      refCol: String = "reference"): DataFrame = {
+      refCol: String = "reference",
+      hashKeys: Boolean = false): DataFrame = {
     val base = pairs.filter(col(candCol).isNotNull && col(refCol).isNotNull)
+    // hashKeys (the corpus-scale driver shape, shared with rougeN r14):
+    // uni/bi gram keys from native TokenGramHashes passes over the token
+    // array — no (pair, pos) sort exchange, no gram strings, 8-byte keys
+    // through the four count shuffles and both clip joins; the lengths
+    // come from size(toks) in the same projection instead of two more
+    // counting aggregates. Hashing only relabels the clip groups, so
+    // every hit/total (hence p1/p2/bp/bleu) is identical absent a
+    // collision; BleuSpec pins the equivalence.
     def toks(c: String): DataFrame = base
       .select(col(idCol), posexplode(split(lower(trim(col(c))), "\\s+"))
         .as(Seq("pos", "w")))
       .filter(col("w") =!= "")
+    def toksArr(c: String): DataFrame = base
+      .select(col(idCol),
+        filter(split(lower(trim(col(c))), "\\s+"), t => length(t) > 0).as("__toks"))
     def gramCounts(side: DataFrame): (DataFrame, DataFrame) = {
       val uni = side.groupBy(col(idCol), col("w").as("g"))
         .agg(count(lit(1)).as("cnt"))
@@ -63,10 +75,30 @@ object Bleu {
         .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
       (uni, bi)
     }
-    val cand = toks(candCol)
-    val ref = toks(refCol)
-    val (cu, cb) = gramCounts(cand)
-    val (ru, rb) = gramCounts(ref)
+    def gramCountsH(side: DataFrame, k: Int): DataFrame = side
+      .select(col(idCol),
+        explode(graft.expr.TokenGramHashes.tokenGramHashes(col("__toks"), k)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
+    val (cu, cb, ru, rb, lens0) = if (hashKeys) {
+      val ca = toksArr(candCol)
+      val ra = toksArr(refCol)
+      (gramCountsH(ca, 1), gramCountsH(ca, 2), gramCountsH(ra, 1), gramCountsH(ra, 2),
+        ca.select(col(idCol), size(col("__toks")).cast("long").as("c_len"))
+          .join(ra.select(col(idCol), size(col("__toks")).cast("long").as("r_len")),
+            Seq(idCol)))
+    } else {
+      val cand = toks(candCol)
+      val ref = toks(refCol)
+      val (cu0, cb0) = gramCounts(cand)
+      val (ru0, rb0) = gramCounts(ref)
+      (cu0, cb0, ru0, rb0,
+        base.select(col(idCol))
+          .join(cand.groupBy(col(idCol)).agg(count(lit(1)).as("c_len")), Seq(idCol), "left")
+          .join(ref.groupBy(col(idCol)).agg(count(lit(1)).as("r_len")), Seq(idCol), "left")
+          .select(col(idCol),
+            coalesce(col("c_len"), lit(0L)).as("c_len"),
+            coalesce(col("r_len"), lit(0L)).as("r_len")))
+    }
     def clipped(c: DataFrame, r: DataFrame): DataFrame = c
       .join(r.withColumnRenamed("cnt", "rcnt"), Seq(idCol, "g"), "left")
       .groupBy(col(idCol))
@@ -76,13 +108,7 @@ object Bleu {
       .select(col(idCol), quantC(col("hit") / col("total")).as("p1"))
     val p2 = clipped(cb, rb)
       .select(col(idCol), quantC(col("hit") / col("total")).as("p2"))
-    val lens = base.select(col(idCol))
-      .join(cand.groupBy(col(idCol)).agg(count(lit(1)).as("c_len")), Seq(idCol), "left")
-      .join(ref.groupBy(col(idCol)).agg(count(lit(1)).as("r_len")), Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("c_len"), lit(0L)).as("c_len"),
-        coalesce(col("r_len"), lit(0L)).as("r_len"))
-    lens
+    lens0
       .join(p1, Seq(idCol), "left")
       .join(p2, Seq(idCol), "left")
       .withColumn("bp",

@@ -84,22 +84,39 @@ object Rouge {
   def rougeN(pairs: DataFrame, n: Int = 2,
       idCol: String = "pair_id",
       candCol: String = "candidate",
-      refCol: String = "reference"): DataFrame = {
+      refCol: String = "reference",
+      hashKeys: Boolean = false): DataFrame = {
     require(n >= 1 && n <= 4, s"n must be in [1, 4], got $n")
     val base = pairs.filter(col(candCol).isNotNull && col(refCol).isNotNull)
+    // hashKeys (the corpus-scale driver shape, the dropDuplicateWindows
+    // r14 move): gram keys from one native TokenGramHashes pass over the
+    // token array — no (pair, pos) sort exchange, no gram string, 8-byte
+    // keys through the count/clip shuffles. Hashing only relabels the
+    // count groups, so hit/c_ngrams/r_ngrams are identical absent a
+    // collision (~2⁻⁶⁴/pair) and the exact-string oracle stays valid;
+    // RougeSpec pins the equivalence.
     def grams(c: String): DataFrame = {
-      val side = base
-        .select(col(idCol), posexplode(split(lower(trim(col(c))), "\\s+"))
-          .as(Seq("pos", "w")))
-        .filter(col("w") =!= "")
-      val wnd = Window.partitionBy(idCol).orderBy("pos")
-      val leads = (1 until n).foldLeft(side) { (df, i) =>
-        df.withColumn(s"w$i", lead("w", i).over(wnd))
+      if (hashKeys)
+        base.select(col(idCol),
+            filter(split(lower(trim(col(c))), "\\s+"), t => length(t) > 0)
+              .as("__toks"))
+          .select(col(idCol),
+            explode(graft.expr.TokenGramHashes.tokenGramHashes(col("__toks"), n)).as("g"))
+          .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
+      else {
+        val side = base
+          .select(col(idCol), posexplode(split(lower(trim(col(c))), "\\s+"))
+            .as(Seq("pos", "w")))
+          .filter(col("w") =!= "")
+        val wnd = Window.partitionBy(idCol).orderBy("pos")
+        val leads = (1 until n).foldLeft(side) { (df, i) =>
+          df.withColumn(s"w$i", lead("w", i).over(wnd))
+        }
+        val gram = concat_ws(" ", (col("w") +: (1 until n).map(i => col(s"w$i"))): _*)
+        val full = if (n == 1) leads else leads.filter(col(s"w${n - 1}").isNotNull)
+        full.select(col(idCol), gram.as("g"))
+          .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
       }
-      val gram = concat_ws(" ", (col("w") +: (1 until n).map(i => col(s"w$i"))): _*)
-      val full = if (n == 1) leads else leads.filter(col(s"w${n - 1}").isNotNull)
-      full.select(col(idCol), gram.as("g"))
-        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
     }
     val cg = grams(candCol)
     val rg = grams(refCol)

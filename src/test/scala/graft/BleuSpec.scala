@@ -42,6 +42,26 @@ class BleuSpec extends SparkSpec {
     assert(out(5L) == (0L, 2L, None, None, None, None))
   }
 
+  test("bleu2: hashKeys relabeling is row-exact vs the string-gram path") {
+    // the driver ships hashKeys = true against an exact-string oracle —
+    // sound iff hashing only relabels the clip groups. Pin row-exact
+    // equality on the hand-computed battery plus boundary-sensitive and
+    // repeated-gram pairs.
+    val pairs = Seq(
+      (1L, "the cat sat", "the cat sat"),
+      (2L, "the the the cat", "the cat sat on the mat"),
+      (3L, "aa bb", "cc dd"),
+      (4L, "cat", "cat sat"),
+      (5L, "   ", "cat sat"),
+      (6L, "ab c ab c ab", "ab c x ab"),
+      (7L, "a bc", "ab c")
+    ).toDF("pair_id", "candidate", "reference")
+    val exact = Bleu.bleu2(pairs).orderBy("pair_id").collect().map(_.toString).toSeq
+    val hashed = Bleu.bleu2(pairs, hashKeys = true).orderBy("pair_id")
+      .collect().map(_.toString).toSeq
+    assert(exact == hashed, "hashKeys changed bleu2 output")
+  }
+
   test("bleu2: null text drops the pair; asymmetry of cand/ref roles") {
     val pairs = Seq(
       (1L, Option("a b"), Option.empty[String]),

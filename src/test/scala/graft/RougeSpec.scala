@@ -75,6 +75,23 @@ class RougeSpec extends SparkSpec {
     assert(out2(3L) == ((1L, 1L, 1L, Some(1.0))), s"got ${out2(3L)}")
   }
 
+  test("rougeN: hashKeys relabeling is row-exact vs the string-gram path") {
+    // the driver ships hashKeys = true; its oracle replays STRING grams,
+    // which is only sound because hashing relabels the count groups
+    // without changing any count — pin that, including repeated grams,
+    // boundary-sensitive tokens, and empty/whitespace sides
+    val p = pairs.union(Seq(
+      (7L, "ab c ab c ab", "ab c x ab"),
+      (8L, "a bc", "ab c")).toDF("pair_id", "candidate", "reference"))
+    for (n <- 1 to 3) {
+      val exact = Rouge.rougeN(p, n = n).orderBy("pair_id")
+        .collect().map(_.toString).toSeq
+      val hashed = Rouge.rougeN(p, n = n, hashKeys = true).orderBy("pair_id")
+        .collect().map(_.toString).toSeq
+      assert(exact == hashed, s"n=$n: hashKeys changed rougeN output")
+    }
+  }
+
   test("rougeN: multiplicity clipping and asymmetric R vs P") {
     val p = Seq((1L, "a a a", "a a")).toDF("pair_id", "candidate", "reference")
     val r = Rouge.rougeN(p, n = 1).collect()(0)
