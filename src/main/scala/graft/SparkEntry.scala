@@ -2409,7 +2409,10 @@ object SparkEntry {
     * pipeline is pinned (not just its output shape). */
   private def repetitionDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    TextStats.repetitionStats(docs)
+    // hashKeys: zero-shuffle per-doc stats via native gram-hash arrays
+    // (r14) — fractions identical to the string path (relabeling), so
+    // the exact-string oracle is untouched
+    TextStats.repetitionStats(docs, hashKeys = true)
       .join(docs.select("doc_id", "lang"), "doc_id")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

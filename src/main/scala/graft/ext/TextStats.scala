@@ -169,9 +169,47 @@ object TextStats {
   def repetitionStats(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+      textCol: String = "text",
+      hashKeys: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+    if (hashKeys) {
+      // ZERO-shuffle form (r14, the TokenGramHashes move): every stat is
+      // per-doc, so with native gram-hash arrays the whole computation is
+      // a projection — no posexplode, no (doc, pos) window sort, no
+      // gram-keyed groupBy, no pivot, no join-back. distinct counts and
+      // the top-bigram multiplicity read the hash arrays (a pure
+      // relabeling — values identical to the string grams absent a
+      // per-doc ~2⁻⁶⁴ collision; TextExtSpec pins the equivalence and
+      // the exact-string oracle stays valid). Max multiplicity = longest
+      // run of the SORTED hash array, a linear fold whose first argument
+      // is evaluated once per row (an argument expression, not the
+      // round-7 per-element lambda-capture trap). Projections are staged
+      // so the tokenizer and each gram pass evaluate once (PlanLint).
+      def maxRun(g: Column): Column =
+        aggregate(array_sort(g),
+          struct(lit(0L).as("prev"), lit(0L).as("run"), lit(0L).as("mx")),
+          (acc, x) => {
+            val nrun = when(acc.getField("run") > 0 && x === acc.getField("prev"),
+              acc.getField("run") + lit(1L)).otherwise(lit(1L))
+            struct(x.as("prev"), nrun.as("run"),
+              greatest(acc.getField("mx"), nrun).as("mx"))
+          },
+          acc => acc.getField("mx"))
+      val arr = base.select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        graft.expr.TokenGramHashes.tokenGramHashes(col("toks"), 2).as("g2"),
+        graft.expr.TokenGramHashes.tokenGramHashes(col("toks"), 3).as("g3"))
+      val stats = arr.select(col("doc_id"), col("n_tokens"),
+        size(col("g3")).as("t_n"), size(array_distinct(col("g3"))).as("t_d"),
+        size(col("g2")).as("b_n"), maxRun(col("g2")).as("b_mx"))
+      return stats.select(col("doc_id"), col("n_tokens"),
+        when(col("t_n").isNull || col("t_n") === 0, 0.0)
+          .otherwise((col("t_n") - col("t_d")).cast("double") / col("t_n"))
+          .as("dup_trigram_frac"),
+        when(col("b_n").isNull || col("b_n") === 0, 0.0)
+          .otherwise(col("b_mx").cast("double") / col("b_n"))
+          .as("top_bigram_frac"))
+    }
     val tok = base.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "t")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     // both gram kinds from ONE window pass: a union of two filtered

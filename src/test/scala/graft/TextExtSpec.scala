@@ -519,6 +519,22 @@ class TextExtSpec extends SparkSpec {
     }
   }
 
+  test("repetitionStats: hashKeys zero-shuffle form is row-exact vs the string path") {
+    // fixture corpus + adversarial shapes: repeated grams (max-run fold),
+    // boundary-sensitive tokens, 1-token and whitespace docs
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val extra = Seq((100001L, "foo bar foo bar foo"), (100002L, "x x x x x x"),
+      (100003L, "solo"), (100004L, "   "), (100005L, "ab c ab c ab"))
+      .toDF("doc_id", "text")
+    val docs = fixture.union(extra)
+    val a = TextStats.repetitionStats(docs).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    val b = TextStats.repetitionStats(docs, hashKeys = true).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(a == b, "hashKeys changed repetitionStats output")
+  }
+
   test("repetitionStats: hand-computed fractions, short-doc zeros") {
     val df = Seq(
       (1L, "foo bar foo bar foo"),  // bigrams: foo-bar x2, bar-foo x2; trigrams: fbf x2, bfb x1
