@@ -81,7 +81,11 @@ object Bench {
     // the 1-min load drops to the quiet-pass threshold before doing any
     // work. On timeout we proceed and stamp whatever is true: a bounded
     // wait can only improve the odds, never fake a quiet run.
-    val gateBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADGATE", "300").toDouble
+    // Default raised 300 -> 600 s (round-14 verdict, "What's wrong" #1): the
+    // r14 driver capture degraded after a 60 s wait on a box that stayed
+    // bursty; a longer bounded wait costs nothing on a quiet box (it exits
+    // immediately) and buys real odds on a bursty one.
+    val gateBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADGATE", "600").toDouble
     val gateT0 = System.nanoTime()
     def gateWaited: Double = (System.nanoTime() - gateT0) / 1e9
     var gateLoad = loadAvg().headOption.getOrElse(0.0)
@@ -141,6 +145,23 @@ object Bench {
     val canaryCal = canaryMinOf3(spark)
     val canaryBudget = sys.env.get("SPARK_GRAFT_CANARY_BUDGET").map(_.toDouble)
       .getOrElse(math.floor(canaryCal * 1.15 * 1000.0) / 1000.0)
+    // Round-14 verdict task 4 — the self-calibrated budget's blind spot: a
+    // box that is uniformly slow INCLUDING at calibration time earns a loose
+    // budget and can stamp itself clean (the ledgered 156.6 s r14 attempt).
+    // Sanity-floor the calibration against the committed ProbeCanary quiet
+    // min-of-3 for this box class (0.46-0.49 s, ARCHITECTURE.md round-12
+    // measurements; env-overridable for other hardware): a calibration more
+    // than 1.3x that quiet floor means the box was already slow when the
+    // budget was set, so the clean stamp is suspect. Warn + stamp only —
+    // `cal_suspect` does not flip `degraded` (on unknown hardware the pinned
+    // floor may simply be wrong), but the flag rides in the same JSON line
+    // the judge reads, so a loose-budget run can never pass silently.
+    val calQuietRef = sys.env.getOrElse("SPARK_GRAFT_CANARY_CAL_REF", "0.46").toDouble
+    val calSuspect = canaryCal > 1.3 * calQuietRef
+    if (calSuspect) System.err.println(
+      f"[bench] CAL SUSPECT: calibration $canaryCal%.3f s > 1.3x quiet floor " +
+      f"$calQuietRef%.2f s - the self-calibrated canary budget is loose; a " +
+      "clean stamp from this run may hide a uniformly-slow box")
     // Alphabetical order pins the suite order across rounds (Map iteration
     // order reshuffles whenever a query is added, which made round-over-round
     // per-query comparisons meaningless).
@@ -276,7 +297,7 @@ object Bench {
     val budgetRule =
       if (sys.env.contains("SPARK_GRAFT_CANARY_BUDGET")) "env" else "1.15*cal"
     val machine =
-      s""""degraded":$degraded,"ambient_slow":$ambientSlow,""" +
+      s""""degraded":$degraded,"ambient_slow":$ambientSlow,"cal_suspect":$calSuspect,""" +
       s""""value_quiet":${fmt(totalQuiet)},"quiet_norm_passes":${if (degraded) passRecs.size else neededQuiet},""" +
       s""""load_gate_wait_s":${fmt(loadGateWaitSec)},""" +
       s""""canary":{"start":${fmt(canaryStart)},"end":${fmt(canaryEnd)},"budget":${fmt(canaryBudget)},"cal":${fmt(canaryCal)},"budget_rule":"$budgetRule"},""" +
