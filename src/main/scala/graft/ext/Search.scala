@@ -477,9 +477,16 @@ object Search {
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, 0 <= b <= 1; got k1=$k1 b=$b")
     val hits = postings
       .join(broadcast(termWeights.select(col("term"), col("q_w"))), "term")
-    // postings are distinct per (doc, term), so df(t) = row count per term
-    val dft = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    hits.join(broadcast(dft), "term")
+    // postings are distinct per (doc, term), so df(t) = row count per term.
+    // Computed as a window count over the hits frame rather than a separate
+    // groupBy + broadcast-back join (round-14 verdict task 3): the hits
+    // frame is query-sized (the q terms' posting lists, not the corpus),
+    // so the term-partitioned window shuffle is tiny, and it folds what
+    // was a sequential broadcast-build job into the same job's pipeline —
+    // in local mode each broadcast job costs more latency than the whole
+    // window. Counts are the same exact longs either way (spec-pinned).
+    hits.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
       .join(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
@@ -538,16 +545,30 @@ object Search {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(fbDocs)
       .select(col(idCol))
-    // r(t): feedback docs containing t — postings rows are already
-    // distinct per (doc, term)
-    val rt = postings.join(broadcast(fb), idCol)
-      .groupBy(col("term")).agg(count(lit(1)).as("r"))
-      .filter(!col("term").isInCollection(queryTerms.distinct) && col("term") =!= "")
-    val cdf = postings
-      .join(broadcast(rt.select(col("term"))), Seq("term"), "left_semi")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val expansion = rt.join(cdf, "term")
-      .join(broadcast(stats.select(col("n_docs"))))
+    // Candidate stats in ONE pass (round-14 verdict task 3): r(t) and df(t)
+    // were two sequential term-keyed scans of the same postings frame —
+    // r(t) from a broadcast-fb join, then df from a semi-join on r(t)'s
+    // terms, which serialized the two jobs AND paid the postings scan
+    // twice. A left broadcast join against the fb ids marks each posting
+    // row instead, so one map-combinable groupBy(term) yields both
+    // counts: df = all rows of t (postings are distinct per (doc, term)
+    // by construction), r = the fb-marked subset. Values are exact long
+    // counts either way — bit-identical to the two-pass form (spec-pinned
+    // scan-vs-index equality + both driver oracles replay the arithmetic
+    // independently). Terms with r = 0 are exactly the terms the old
+    // rt-join dropped.
+    val fbMark = fb.withColumn("is_fb", lit(1L))
+    val expansion = postings
+      .join(broadcast(fbMark), Seq(idCol), "left")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(coalesce(col("is_fb"), lit(0L))).as("r"))
+      .filter(col("r") > 0 &&
+        !col("term").isInCollection(queryTerms.distinct) && col("term") =!= "")
+      // broadcast the SAME 1-row stats subtree the two scoring passes use
+      // (not a .select of it): identical exchange subtrees are deduped by
+      // ReuseExchange, so the plan ships one stats broadcast, not two
+      .join(broadcast(stats))
       .withColumn("ow", col("r") *
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("ow", floor(col("ow") * lit(1e6) + lit(0.5)) / lit(1e6))
