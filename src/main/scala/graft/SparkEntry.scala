@@ -4436,8 +4436,10 @@ object SparkEntry {
     * vocabulary, both out-of-model branches, and the per-doc mean. */
   private def kneserneyQualityDocs(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.documents(s, dir)
-    val model = TextStats.trainKneserNeyModel(all.filter(col("doc_id") % 2 === 0))
-    TextStats.kneserNeyLogLikelihood(all.filter(col("doc_id") < 50), model)
+    val model = TextStats.trainKneserNeyModel(
+      all.filter(col("doc_id") % 2 === 0), hashKeys = true)
+    TextStats.kneserNeyLogLikelihood(all.filter(col("doc_id") < 50), model,
+        hashKeys = true)
       .select(col("doc_id"), round6("kn_loglik"), col("n_bigrams"))
       .orderBy("doc_id")
   }
@@ -4492,8 +4494,10 @@ object SparkEntry {
     * the engines carry the identical IEEE product. */
   private def stupidBackoffDocs(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.documents(s, dir)
-    val model = TextStats.trainStupidBackoff(all.filter(col("doc_id") % 2 === 0))
-    TextStats.stupidBackoffScore(all.filter(col("doc_id") < 50), model)
+    val model = TextStats.trainStupidBackoff(
+      all.filter(col("doc_id") % 2 === 0), hashKeys = true)
+    TextStats.stupidBackoffScore(all.filter(col("doc_id") < 50), model,
+        hashKeys = true)
       .select(col("doc_id"), round6("sb_loglik"), col("n_trigrams"))
       .orderBy("doc_id")
   }
@@ -4537,8 +4541,10 @@ object SparkEntry {
     * tercile rule. */
   private def ccnetBucketsDocs(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.documents(s, dir)
-    val model = TextStats.trainKneserNeyModel(all.filter(col("doc_id") % 2 === 0))
-    val scored = TextStats.kneserNeyLogLikelihood(all.filter(col("doc_id") < 50), model)
+    val model = TextStats.trainKneserNeyModel(
+      all.filter(col("doc_id") % 2 === 0), hashKeys = true)
+    val scored = TextStats.kneserNeyLogLikelihood(
+      all.filter(col("doc_id") < 50), model, hashKeys = true)
       .select(col("doc_id"), round6("kn_loglik"))
       .join(all.select("doc_id", "lang"), "doc_id")
     TextStats.qualityTerciles(scored, "lang", "kn_loglik")

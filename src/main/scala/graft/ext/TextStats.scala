@@ -576,16 +576,22 @@ object TextStats {
     * singleton or doubleton bigram types — the Ney estimator is 0/0
     * there); the fallback is replayed as a CASE in the oracle. */
   def trainKneserNeyModel(corpus: DataFrame,
-      textCol: String = "text"): KnModel = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = corpus.select(monotonically_increasing_id().as("__d"),
-        Dedup.tokens(col(textCol)).as("toks"))
-      .select(col("__d"), posexplode(col("toks")).as(Seq("pos", "w")))
-    val w = Window.partitionBy("__d").orderBy("pos")
+      textCol: String = "text", hashKeys: Boolean = false): KnModel = {
+    // positions frame, one row per token: (w1, w2 = the next token or
+    // null). The string path window-leads over per-doc positions; the
+    // hashKeys path (the corpus-scale driver shape, under the bleu2/
+    // rouge2 r14 relabeling contract: pure key relabeling, identical
+    // counts absent a 64-bit FNV collision, spec-pinned equivalence)
+    // zips one native TokenGramHashes pass against its own 1-shifted
+    // slice — arrays_zip pads the shorter slice with null exactly where
+    // lead(1) is null — so the per-doc window SHUFFLE disappears and
+    // every downstream shuffle carries 8-byte keys instead of token
+    // strings. Train and score must agree on hashKeys: the model frames
+    // are keyed by whichever labels the trainer used.
+    val positions = knPositions(corpus, textCol, hashKeys)
     val bi = graft.core.Ckpt.pin(
-      tok.withColumn("w2", lead("w", 1).over(w))
-        .filter(col("w2").isNotNull)
-        .groupBy(col("w").as("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+      positions.filter(col("w2").isNotNull)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     val ctx = graft.core.Ckpt.pin(
       bi.groupBy("w1").agg(sum("c12").as("c1"), count(lit(1)).as("n1fwd")))
     val cont = graft.core.Ckpt.pin(
@@ -594,9 +600,40 @@ object TextStats {
       sum(when(col("c12") === 1, 1L).otherwise(0L)).as("n1"),
       sum(when(col("c12") === 2, 1L).otherwise(0L)).as("n2")).head()
     val (b, n1, n2) = (scal.getLong(0), scal.getLong(1), scal.getLong(2))
-    val vocab = tok.select("w").distinct().count()
+    val vocab = positions.select("w1").distinct().count()
     val d = if (n1 + 2 * n2 > 0) n1.toDouble / (n1 + 2.0 * n2) else 0.75
     KnModel(bi, ctx, cont, b, vocab, d)
+  }
+
+  /** Adjacent-token bigram position stream shared by the Kneser-Ney
+    * trainer and scorer: one row per token with (w1, w2 = successor or
+    * null at the doc tail), plus the passed-through key columns. String
+    * path: posexplode + per-doc window lead. hashKeys path: per-token
+    * 64-bit hashes ([[graft.expr.TokenGramHashes]], k = 1 — one hash per
+    * token INCLUDING empty tokens, preserving the split convention)
+    * zipped against their own shifted slice, no window shuffle. */
+  private def knPositions(src: DataFrame, textCol: String,
+      hashKeys: Boolean, keyCols: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    if (hashKeys)
+      src.select(keys :+ graft.expr.TokenGramHashes.tokenGramHashes(
+          Dedup.tokens(col(textCol)), 1).as("__hs"): _*)
+        .withColumn("__nx",
+          slice(col("__hs"), lit(2), greatest(size(col("__hs")) - 1, lit(0))))
+        .select(keys :+ explode(arrays_zip(col("__hs"), col("__nx"))).as("__z"): _*)
+        .select(keys :+ col("__z.__hs").as("w1") :+ col("__z.__nx").as("w2"): _*)
+    else {
+      val grain =
+        if (keyCols.nonEmpty) keys
+        else Seq(monotonically_increasing_id().as("__d"))
+      val grainRefs = (if (keyCols.nonEmpty) keyCols else Seq("__d")).map(col)
+      val tok = src.select(grain :+ col(textCol).as("__t"): _*)
+        .select(grainRefs :+ posexplode(Dedup.tokens(col("__t"))).as(Seq("pos", "w")): _*)
+      val w = Window.partitionBy(grainRefs: _*).orderBy("pos")
+      tok.withColumn("w2", lead("w", 1).over(w))
+        .select(keys :+ col("w").as("w1") :+ col("w2"): _*)
+    }
   }
 
   /** Per-doc mean log-likelihood under interpolated Kneser–Ney:
@@ -616,15 +653,16 @@ object TextStats {
     * join shape as [[bigramLogLikelihood]]: doc bigrams LEFT-join the
     * three model frames on their gram keys. */
   def kneserNeyLogLikelihood(docs: DataFrame, model: KnModel,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      idCol: String = "doc_id", textCol: String = "text",
+      hashKeys: Boolean = false): DataFrame = {
     val dCol = lit(model.discount)
     val bCol = lit(model.bigramTypes.toDouble)
     val floorP = lit(1.0 / (model.vocab + 1.0))
-    val tok = docs.select(col(idCol).as("doc_id"),
-        posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "w")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    tok.withColumn("w2", lead("w", 1).over(w))
+    // hashKeys must match the trainer's: the model frames are keyed by
+    // whichever labels (strings or 64-bit token hashes) the trainer used
+    knPositions(docs.select(col(idCol).as("doc_id"), col(textCol)),
+        textCol, hashKeys, keyCols = Seq("doc_id"))
+      .withColumnRenamed("w1", "w")
       .filter(col("w2").isNotNull)
       .join(model.bi.select(col("w1").as("w"), col("w2"), col("c12").as("__c12")),
         Seq("w", "w2"), "left")
@@ -664,16 +702,13 @@ object TextStats {
     * three count rollups would each replay the token window otherwise);
     * unigram, bigram and trigram counts are independent aggregates of
     * it, and the token total is a sum over the unigram frame. */
-  def trainStupidBackoff(corpus: DataFrame, textCol: String = "text"): SbModel = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = corpus.select(monotonically_increasing_id().as("__d"),
-        Dedup.tokens(col(textCol)).as("toks"))
-      .select(col("__d"), posexplode(col("toks")).as(Seq("pos", "w")))
-    val w = Window.partitionBy("__d").orderBy("pos")
-    val seq3 = graft.core.Ckpt.pin(tok
-      .withColumn("w2", lead("w", 1).over(w))
-      .withColumn("w3", lead("w", 2).over(w))
-      .select(col("w").as("w1"), col("w2"), col("w3")))
+  def trainStupidBackoff(corpus: DataFrame, textCol: String = "text",
+      hashKeys: Boolean = false): SbModel = {
+    // (w1, w2, w3) = each token with its two successors (nulls at the doc
+    // tail). hashKeys trades the per-doc window shuffle for zipped slices
+    // of one TokenGramHashes pass and 8-byte keys through every count
+    // shuffle — the same relabeling contract as the KN trainer above.
+    val seq3 = graft.core.Ckpt.pin(sbPositions(corpus, textCol, hashKeys))
     val uni = graft.core.Ckpt.pin(
       seq3.groupBy("w1").agg(count(lit(1)).as("c1")))
     val bi = graft.core.Ckpt.pin(seq3.filter(col("w2").isNotNull)
@@ -682,6 +717,39 @@ object TextStats {
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123")))
     val total = uni.agg(coalesce(sum("c1"), lit(0L))).head().getLong(0)
     SbModel(tri, bi, uni, total)
+  }
+
+  /** Trigram position stream shared by the Stupid Backoff trainer and
+    * scorer: one row per token with its two successors (null at the doc
+    * tail), plus passed-through key columns — the 3-order sibling of
+    * [[knPositions]]. */
+  private def sbPositions(src: DataFrame, textCol: String,
+      hashKeys: Boolean, keyCols: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    if (hashKeys)
+      src.select(keys :+ graft.expr.TokenGramHashes.tokenGramHashes(
+          Dedup.tokens(col(textCol)), 1).as("__hs"): _*)
+        .withColumn("__n2",
+          slice(col("__hs"), lit(2), greatest(size(col("__hs")) - 1, lit(0))))
+        .withColumn("__n3",
+          slice(col("__hs"), lit(3), greatest(size(col("__hs")) - 2, lit(0))))
+        .select(keys :+
+          explode(arrays_zip(col("__hs"), col("__n2"), col("__n3"))).as("__z"): _*)
+        .select(keys :+ col("__z.__hs").as("w1") :+ col("__z.__n2").as("w2") :+
+          col("__z.__n3").as("w3"): _*)
+    else {
+      val grain =
+        if (keyCols.nonEmpty) keys
+        else Seq(monotonically_increasing_id().as("__d"))
+      val grainRefs = (if (keyCols.nonEmpty) keyCols else Seq("__d")).map(col)
+      val tok = src.select(grain :+ col(textCol).as("__t"): _*)
+        .select(grainRefs :+ posexplode(Dedup.tokens(col("__t"))).as(Seq("pos", "w")): _*)
+      val w = Window.partitionBy(grainRefs: _*).orderBy("pos")
+      tok.withColumn("w2", lead("w", 1).over(w))
+        .withColumn("w3", lead("w", 2).over(w))
+        .select(keys :+ col("w").as("w1") :+ col("w2") :+ col("w3"): _*)
+    }
   }
 
   /** Per-doc mean log Stupid Backoff score over trigram positions:
@@ -705,19 +773,17 @@ object TextStats {
     * its context bigram is in the model, and a seen bigram implies its
     * first word is, so the CASE arms never divide by null. */
   def stupidBackoffScore(docs: DataFrame, model: SbModel, alpha: Double = 0.4,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      idCol: String = "doc_id", textCol: String = "text",
+      hashKeys: Boolean = false): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
     val a = lit(alpha)
     val a2 = lit(alpha * alpha)
     val n = lit(model.total.toDouble)
-    val tok = docs.select(col(idCol).as("doc_id"),
-        posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "w")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    tok.withColumn("w2", lead("w", 1).over(w))
-      .withColumn("w3", lead("w", 2).over(w))
+    // hashKeys must match the trainer's — the count frames are keyed by
+    // whichever labels the trainer used
+    sbPositions(docs.select(col(idCol).as("doc_id"), col(textCol)),
+        textCol, hashKeys, keyCols = Seq("doc_id"))
       .filter(col("w3").isNotNull)
-      .withColumnRenamed("w", "w1")
       .join(model.tri.select(col("w1"), col("w2"), col("w3"),
         col("c123").as("__c123")), Seq("w1", "w2", "w3"), "left")
       .join(model.bi.select(col("w1"), col("w2"), col("c12").as("__c12")),

@@ -406,6 +406,41 @@ class TextExtSpec extends SparkSpec {
       TextStats.stupidBackoffScore(ref, m, alpha = 1.5))
   }
 
+  test("KN + SB hashKeys: hash-relabeled path row-identical to string keys") {
+    // the r14 bleu2/rouge2 relabeling contract extended to the LM family:
+    // hashed gram keys may only RELABEL the join/count groups — every
+    // score and count must come out row-identical. Corpus exercises the
+    // null/empty-text discipline, single-token docs, repeated bigrams,
+    // and OOV / unseen-context scoring branches.
+    val ref = Seq(
+      (0L, "the cat sat on the mat"), (2L, "the cat ran on the mat"),
+      (4L, "a b a b a c"), (6L, ""), (8L, null.asInstanceOf[String]),
+      (10L, "solo"), (12L, "b a the cat c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat"), (3L, "purple elephants fly quickly"),
+      (5L, "a b x"), (7L, "z z z"), (9L, ""), (11L, "two words"),
+      (13L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("doc_id").collect().map(_.toString).toSeq
+    val mS = TextStats.trainKneserNeyModel(ref)
+    val mH = TextStats.trainKneserNeyModel(ref, hashKeys = true)
+    assert(mH.bigramTypes == mS.bigramTypes && mH.vocab == mS.vocab &&
+      mH.discount == mS.discount,
+      s"KN scalars: (${mH.bigramTypes},${mH.vocab},${mH.discount}) vs " +
+        s"(${mS.bigramTypes},${mS.vocab},${mS.discount})")
+    assert(rows(TextStats.kneserNeyLogLikelihood(docs, mH, hashKeys = true)) ==
+      rows(TextStats.kneserNeyLogLikelihood(docs, mS)),
+      "KN per-doc scores differ between hash and string keys")
+    val sS = TextStats.trainStupidBackoff(ref)
+    val sH = TextStats.trainStupidBackoff(ref, hashKeys = true)
+    assert(sH.total == sS.total, s"SB total ${sH.total} vs ${sS.total}")
+    assert(sH.tri.count() == sS.tri.count() && sH.bi.count() == sS.bi.count() &&
+      sH.uni.count() == sS.uni.count(), "SB count-frame cardinalities differ")
+    assert(rows(TextStats.stupidBackoffScore(docs, sH, hashKeys = true)) ==
+      rows(TextStats.stupidBackoffScore(docs, sS)),
+      "SB per-doc scores differ between hash and string keys")
+  }
+
   test("gramDuplicationStats: shared-gram fractions, distinctness, short docs") {
     val docs = Seq(
       (1L, "a b c d"),              // grams abc, bcd
