@@ -47,14 +47,32 @@ object LabelProp {
     val w = wCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     val half = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"), w.as("w"))
+    // Re-key the edge frame through an AQE-sized exchange before pinning:
+    // a localCheckpoint freezes its input's partitioning and AQE cannot
+    // re-coalesce an ExistingRDD leaf, so pinning the raw union (both
+    // mirrored halves, NO shuffle on top) froze sum-of-input partitions
+    // and every downstream round paid one tiny task per frozen partition
+    // (ProbeJobs r15: 405 tasks across 25 jobs for this query). A
+    // repartition by the join key lets AQE pick the partition count from
+    // the frame's REAL size — one partition at bench scale, many at 100 TB
+    // — and lands the pinned frame already keyed by `src` for the
+    // per-round join. The seed frame ends in distinct() (a shuffle), so
+    // AQE already coalesces it.
     val edges = graft.core.Ckpt.pin(half.unionByName(
-      half.select(col("dst").as("src"), col("src").as("dst"), col("w"))))
+      half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .repartition(col("src")))
     val seed = graft.core.Ckpt.pin(seeds
       .filter(col(labelCol).isNotNull)
       .select(col(idCol).cast("long").as("v"), col(labelCol).as("lbl"))
       .distinct())
     var cur = seed
     var it = 0
+    // Pin every fourth round, never the last (the TextRank cadence): each
+    // round references `cur` exactly once, so the unrolled plan grows
+    // linearly and AQE sizes the per-round joins from real stage output —
+    // the eager localCheckpoint per round was pure sequential job latency
+    // at bench scale. Values are unchanged (pinning never alters an
+    // expression; the q_label_prop oracle pins equivalence).
     while (it < iters) {
       val votes = edges
         .join(cur.withColumnRenamed("v", "src"), "src")
@@ -64,9 +82,9 @@ object LabelProp {
         .groupBy("dst")
         .agg(min(struct((-col("ws")).as("nw"), col("lbl"))).as("b"))
         .select(col("dst").as("v"), col("b.lbl").as("lbl"))
-      cur = graft.core.Ckpt.pin(
-        seed.unionByName(best.join(seed.select("v"), Seq("v"), "left_anti")))
+      val next = seed.unionByName(best.join(seed.select("v"), Seq("v"), "left_anti"))
       it += 1
+      cur = if (it < iters && it % 4 == 0) graft.core.Ckpt.pin(next) else next
     }
     cur.join(seed.select(col("v"), lit(true).as("__is_seed")), Seq("v"), "left")
       .select(col("v").as(idCol), col("lbl").as(labelCol),

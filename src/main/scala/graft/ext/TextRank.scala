@@ -96,14 +96,23 @@ object TextRank {
         .select("src", "dst", "ratio"))
     var scores = edges.select(col("src").as("term")).distinct()
       .withColumn("rank_score", lit(1.0))
+    // Pin every FOURTH round, never the last: each eager localCheckpoint
+    // is a sequential driver job (~50-90 ms of pure scheduling at bench
+    // scale — ProbeJobs r15), while the unrolled plan between pins grows
+    // only LINEARLY (scores appears once per round), so a 4-round segment
+    // stays small and AQE picks the broadcast join from the real runtime
+    // size of each round's aggregate. Values are bit-identical — pinning
+    // never changes an expression, only where the plan is cut (spec-pinned
+    // by the unchanged q_textrank oracle).
     var it = 0
     while (it < iters) {
-      scores = graft.core.Ckpt.pin(
-        edges.join(scores.withColumnRenamed("term", "src"), "src")
-          .groupBy(col("dst").as("term"))
-          .agg(quant(lit(1.0 - damping) +
-            lit(damping) * sum(col("ratio") * col("rank_score"))).as("rank_score")))
+      val next = edges.join(scores.withColumnRenamed("term", "src"), "src")
+        .groupBy(col("dst").as("term"))
+        .agg(quant(lit(1.0 - damping) +
+          lit(damping) * sum(col("ratio") * col("rank_score"))).as("rank_score"))
       it += 1
+      scores =
+        if (it < iters && it % 4 == 0) graft.core.Ckpt.pin(next) else next
     }
     scores
   }
