@@ -229,8 +229,16 @@ object Negatives {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       labelCol: String = "label"): DataFrame =
+    // Pin the batch-sized anchor cut: [[hardNegatives]] references its
+    // anchor frame under BOTH the pos_max and the negatives branch, and
+    // without a pin each reference re-executes the full two-phase
+    // globalOrdinal chain (bounds agg + bucket offsets + two windows +
+    // their broadcasts — the r15 plan audit counted the subplan fully
+    // duplicated, 8 parquet scans). One eager materialization of ≤
+    // batchSize rows replaces both copies with a leaf; values unchanged
+    // (the q_epoch_negatives oracle pins equivalence).
     hardNegatives(corpus,
-      epochAnchorBatch(corpus, batchSize, batchId, epoch, idCol),
+      graft.core.Ckpt.pin(epochAnchorBatch(corpus, batchSize, batchId, epoch, idCol)),
       k, marginBand, idCol, embCol, labelCol)
 
   /** Corpus-wide hard-negative mining: EVERY corpus row is an anchor, and
