@@ -305,16 +305,25 @@ object Search {
     import spark.implicits._
     val qtf = queryTerms.groupBy(identity).map { case (t, ts) => (t, ts.size.toLong) }
       .toSeq.toDF("term", "q_tf")
+    // Materialize the query-term slice of the postings ONCE: the idf
+    // recovery aggregate and the scoring join below both consume it, and
+    // as two independent plan references they re-executed the whole
+    // posting build per reference (tf + df + norms — three corpus-wide
+    // aggregates each; r15 plan audit, the prfTopK double-pay shape). The
+    // slice is |query-vocabulary|-bounded — model-sized by construction —
+    // so the pin is one cheap eager job; against a DISK-backed standing
+    // index the second scan was already pruned, and the pin still costs
+    // only the slice.
+    val qPostings = graft.core.Ckpt.pin(
+      postings.where(col("term").isInCollection(queryTerms.distinct)))
     // idf is recoverable from any posting row of the term: tfidf / tf
-    val termIdf = postings
-      .where(col("term").isInCollection(queryTerms.distinct))
+    val termIdf = qPostings
       .groupBy(col("term"))
       .agg(max(col("tfidf") / col("tf")).as("idf"))
     val qw = termIdf.join(broadcast(qtf), "term")
       .withColumn("q_w", col("q_tf") * col("idf"))
     val qnorm = qw.agg(sqrt(sum(col("q_w") * col("q_w"))).as("q_norm"))
-    val hits = postings
-      .where(col("term").isInCollection(queryTerms.distinct))
+    val hits = qPostings
       .join(broadcast(qw.select(col("term"), col("q_w"))), "term")
       .join(broadcast(qnorm))
     hits
