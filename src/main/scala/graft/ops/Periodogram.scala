@@ -206,21 +206,41 @@ object Periodogram {
   def frequencyDomain(melted: DataFrame, detrend: Boolean = true, minLen: Int = 8): DataFrame = {
     val ss = melted.sparkSession
     import ss.implicits._
-    melted
+    // Shuffle geometry (r15 stage audit): the old groupByKey exchange was
+    // byte-sized by AQE, which coalesced a ~600 KB panel to ONE partition
+    // and serialized every series' O(n²) DFT into a single task — compute
+    // per byte is enormous here and invisible to byte-based coalescing.
+    // An explicit fixed-N hash repartition on the series key (N = the
+    // session's configured shuffle parallelism, the standard scale knob)
+    // is exempt from AQE coalescing, so series spread across tasks; the
+    // in-partition sort makes groups contiguous in exactly the per-group
+    // (time, value) order the old sortBy used. The result (one row per
+    // series) is pinned before the orderBy: a range sort samples its
+    // child, and an unpinned child re-executed every DFT a second time.
+    val parts = ss.sessionState.conf.numShufflePartitions
+    val rows = melted
       .filter(Panel.finite(col("value")))
       .select("group_key", "feature", "date", "value")
+      .repartition(parts, col("group_key"), col("feature"))
+      .sortWithinPartitions("group_key", "feature", "date", "value")
       .as[(String, String, java.sql.Timestamp, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, java.sql.Timestamp, Double)]) =>
-        val (g, f) = key
-        val x = it.toArray.sortBy(r => (r._3.getTime, r._4)).map(_._4)
-        if (x.length < minLen) Iterator.empty
-        else {
-          val (df0, dp) = dominant(x, detrend)
-          Iterator.single(FreqRow(g, f, df0, dp))
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[FreqRow]
+        var key: (String, String) = null
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+        def flush(): Unit = if (key != null && buf.length >= minLen) {
+          val (df0, dp) = dominant(buf.toArray, detrend)
+          out += FreqRow(key._1, key._2, df0, dp)
         }
+        it.foreach { r =>
+          val k = (r._1, r._2)
+          if (k != key) { flush(); key = k; buf.clear() }
+          buf += r._4
+        }
+        flush()
+        out.iterator
       }
       .toDF()
-      .orderBy("feature", "group_key")
+    graft.core.Ckpt.pin(rows).orderBy("feature", "group_key")
   }
 }
