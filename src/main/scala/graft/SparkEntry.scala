@@ -78,6 +78,24 @@ object SparkEntry {
     }
   }
 
+  /** Spread a scan across the session's configured parallelism before
+    * compute-heavy per-row work. The driver's testdata tables are
+    * single-row-group parquet files, so a scan is ONE task no matter how
+    * many byte-range splits Spark plans (only the split holding the row
+    * group's midpoint reads anything) — and every tokenizer / regex /
+    * decoder fused into that scan stage runs single-threaded (guide §2.5:
+    * one huge unsplittable input → repartition immediately after the
+    * read). Keyed by id so partition CONTENTS are deterministic, count
+    * from the standard shuffle-partition knob so the same code is
+    * unchanged at cluster scale (where multi-row-group inputs already
+    * scan parallel and this exchange is byte-cheap relative to the
+    * downstream work it unblocks). Only applied where per-row map work
+    * dominates — a cheap aggregate query keeps its single-stage scan. */
+  private def fanOut(df: DataFrame, s: SparkSession): DataFrame = {
+    val idc = df.columns.head
+    df.repartition(s.sessionState.conf.numShufflePartitions, col(idc))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Distribution diagnostics (SURVEY §7.2) over the events panel. */
   def entry(spark: SparkSession): DataFrame =
@@ -2118,7 +2136,7 @@ object SparkEntry {
     * Karp–Rabin gram hash, every boundary decision, the exclusive
     * prefix-sum chunk ids, and the in-order reassembly. */
   private def cdcChunksDocs(s: SparkSession, dir: String): DataFrame =
-    ext.Packing.contentDefinedChunks(Tables.documents(s, dir),
+    ext.Packing.contentDefinedChunks(fanOut(Tables.documents(s, dir), s),
         gramTokens = 4, divisor = 64)
       .select(col("doc_id"), col("chunk_id"), col("start_pos"),
         col("n_tokens"), col("chunk_text"))
@@ -3831,7 +3849,7 @@ object SparkEntry {
     * payload lengths taken from the production dump, and aggregated
     * independently by DuckDB from the committed per-doc fixture. */
   private def multimodalTransform(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
+    val media = Multimodal.syntheticMedia(fanOut(Tables.documents(s, dir), s), "doc_id", "text")
     val out = Multimodal.sampleFrames(Multimodal.resizeImages(media, 16, 12), 2)
     Multimodal.decodeFeatures(out).toDF()
       .groupBy("format")
@@ -4306,7 +4324,7 @@ object SparkEntry {
     * streams from the shared tokenizer convention and replays the exact
     * distinct/total counts and the canonized ratio. */
   private def distinctNgramsDocs(s: SparkSession, dir: String): DataFrame =
-    ext.TextStats.distinctNgramRatio(Tables.documents(s, dir))
+    ext.TextStats.distinctNgramRatio(fanOut(Tables.documents(s, dir), s))
       .select(col("group").as("lang"), col("n"),
         col("total_ngrams"), col("distinct_ngrams"), round6("distinct_ratio"))
       .orderBy("lang", "n")
@@ -4345,7 +4363,7 @@ object SparkEntry {
     * sketch occupancy (it also drives the linear-counting CASE, so the
     * oracle locks the branch decision, not just the value). */
   private def distinctNgramsApproxDocs(s: SparkSession, dir: String): DataFrame =
-    ext.TextStats.distinctNgramRatioApprox(Tables.documents(s, dir),
+    ext.TextStats.distinctNgramRatioApprox(fanOut(Tables.documents(s, dir), s),
         gramHash = ext.TextStats.rollingHash(_))
       .select(col("group").as("lang"), col("n"), col("total_ngrams"),
         col("n_registers"), r6(col("est_distinct")).as("est_distinct"),
@@ -6116,7 +6134,7 @@ object SparkEntry {
     * first-occurrence (doc, idx) winner rule, and the in-order
     * reassembly of the surviving text. */
   private def spanDedupDocs(s: SparkSession, dir: String): DataFrame =
-    Dedup.dropRepeatedSpans(Tables.documents(s, dir), spanTokens = 8)
+    Dedup.dropRepeatedSpans(fanOut(Tables.documents(s, dir), s), spanTokens = 8)
       .select(col("doc_id"), col("n_spans_kept"), col("text"))
       .orderBy("doc_id")
 
@@ -6476,7 +6494,7 @@ object SparkEntry {
     * adjacency), the IN-list match, and the per-doc occurrence
     * count. */
   private def phraseBlocklistDocs(s: SparkSession, dir: String): DataFrame =
-    ext.TextStats.phraseBlocklistHits(Tables.documents(s, dir), "doc_id", "text",
+    ext.TextStats.phraseBlocklistHits(fanOut(Tables.documents(s, dir), s), "doc_id", "text",
         Seq("merge", "slow query", "table scan", "big table"))
       .orderBy("doc_id")
 
@@ -6529,7 +6547,7 @@ object SparkEntry {
     * sequential count-then-replace stages and pins the fully redacted
     * text by md5. */
   private def piiRedactDocs(s: SparkSession, dir: String): DataFrame = {
-    val planted = Tables.documents(s, dir).select(col("doc_id"),
+    val planted = fanOut(Tables.documents(s, dir), s).select(col("doc_id"),
       when(pmod(col("doc_id"), lit(3)) === 0,
         concat(col("text"), lit(" Contact user"), col("doc_id").cast("string"),
           lit("@mail"), pmod(col("doc_id"), lit(5)).cast("string"), lit(".com from 10."),
