@@ -3493,7 +3493,7 @@ object SparkEntry {
     * pair generation, and the threshold cut. */
   private def semdedupPairsDocs(s: SparkSession, dir: String): DataFrame =
     ext.SemDedup.semanticNearDupPairsReplayable(
-        Tables.embeddings(s, dir), threshold = 0.3, dim = 64, nlist = 8)
+        fanOut(Tables.embeddings(s, dir), s), threshold = 0.3, dim = 64, nlist = 8)
       .select(col("doc_a"), col("doc_b"), round6("cos"))
       .orderBy("doc_a", "doc_b")
 
@@ -3580,7 +3580,7 @@ object SparkEntry {
     * survives. */
   private def semdedupKeepDocs(s: SparkSession, dir: String): DataFrame =
     ext.SemDedup.semanticDeduplicateReplayable(
-        Tables.embeddings(s, dir), threshold = 0.3, dim = 64, nlist = 8)
+        fanOut(Tables.embeddings(s, dir), s), threshold = 0.3, dim = 64, nlist = 8)
       .select(col("vec_id"), col("label"))
       .orderBy("vec_id")
 
