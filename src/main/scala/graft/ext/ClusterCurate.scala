@@ -74,10 +74,23 @@ object ClusterCurate {
     val assigned = Similarity.assignCells(embeddings, cents, idCol, embCol)
       .filter(size(col("emb")) === dim)
     val score = protoCos(cents)(col("emb"), col("cell"))
+    // Filter on the INPUT columns, never the derived score (the
+    // kmvDistinct lesson): a null/NaN filter on proto_cos pushes
+    // isnotnull(<score tree>) AND !isnan(<score tree>) below the
+    // projection, and for the ≤16-cell path that tree embeds the whole
+    // nlist×dim centroid array as literals — the duplicated per-row
+    // evaluation cost 1.27 s vs 0.20 s on the sf0.1 bench corpus
+    // (r15 TmpCk bisect). For finite embeddings (the library contract)
+    // the score is null/NaN exactly when the embedding has zero norm —
+    // dim mismatches are already gone (size filter above) and the
+    // pinned quantizer's centroids are never degenerate — so the
+    // norm² > 0 input test keeps the identical row set (NaN elements
+    // poison the sum and still drop; the q_cluster_keep oracle pins
+    // equivalence).
     val scored = assigned
+      .filter(col("vec_id").isNotNull &&
+        aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) > lit(0.0))
       .withColumn("proto_cos", score)
-      .filter(col("vec_id").isNotNull && col("proto_cos").isNotNull &&
-        !isnan(col("proto_cos")))
     // TopKAgg keeps (score desc, vec_id asc); the least-prototypical
     // variant feeds the NEGATED score — (−cos desc, id asc) ≡ (cos asc,
     // id asc) — and un-negates on emit (IEEE negation is exact).
