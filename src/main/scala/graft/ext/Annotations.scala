@@ -545,15 +545,15 @@ object Annotations {
       .join(wins, Seq("i"), "left")
       .select(col("i"), coalesce(col("wins"), lit(0L)).as("wins"), col("n_comps")))
     // t0 needs no pin (a pure projection of the pinned `items` is already
-    // a leaf-rooted plan), and the LAST round's pin was always wasted — t
-    // is consumed exactly once by the final join, so materializing it
-    // eagerly just added a sequential job. Intermediate rounds stay pinned:
-    // each round references t TWICE (ti and tj), so unrolling would double
-    // the subplan per round (exponential growth), unlike the TextRank /
-    // LabelProp linear loops. Values are bit-identical (pinning never
+    // a leaf-rooted plan). Every ROUND stays pinned — each round references
+    // t twice (ti and tj), so unrolling would double the subplan per round,
+    // and the round's 1-row mean crossJoin must not surface in the final
+    // driver plan (PlanLintSpec's no-BNLJ invariant; it is fine buried in
+    // an eagerly-executed pin whose both sides are model-sized, and wrong
+    // as a lint exception). Values are bit-identical (pinning never
     // changes an expression; the q_bradley_terry oracle pins equivalence).
     var t: DataFrame = items.select(col("i"), lit(1.0).as("theta"))
-    (1 to rounds).foreach { r =>
+    (1 to rounds).foreach { _ =>
       val den = dir
         .join(t.select(col("i"), col("theta").as("ti")), Seq("i"))
         .join(t.select(col("i").as("j"), col("theta").as("tj")), Seq("j"))
@@ -562,9 +562,8 @@ object Annotations {
       val raw = items.join(den, Seq("i"))
         .select(col("i"), (col("wins") / col("den")).as("theta0"))
       val mu = raw.agg(avg(col("theta0")).as("mu"))
-      val next = raw.crossJoin(broadcast(mu))
-        .select(col("i"), quantC(col("theta0") / col("mu")).as("theta"))
-      t = if (r < rounds) graft.core.Ckpt.pin(next) else next
+      t = graft.core.Ckpt.pin(raw.crossJoin(broadcast(mu))
+        .select(col("i"), quantC(col("theta0") / col("mu")).as("theta")))
     }
     items.join(t, Seq("i"))
       .select(col("i").as("item"), col("wins"), col("n_comps"), col("theta"))
